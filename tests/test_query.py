@@ -1,0 +1,79 @@
+"""Timeline / filter / facet semantics (SURVEY §2 B3-B4, D1-D4, F2-F4)."""
+
+from dogsheep_beta_spark.plans.query import QueryPlan, timeline_query, compile_plan
+from dogsheep_beta_spark.operators import facets as facet_ops
+from dogsheep_beta_spark.schema import categories_df
+
+
+def keys(df):
+    return [f"{r['type'].split('.')[0]}:{r['key']}" for r in df.collect()]
+
+
+def test_timeline_order(plugin_index):
+    # FIXTURES.md §5: timestamp desc; the two rows sharing
+    # 2020-08-01T00:05:02 tie-break deterministically on (type, key).
+    out = timeline_query(plugin_index, QueryPlan())
+    got = [(r["timestamp"], r["key"]) for r in out.collect()]
+    assert [t for t, _ in got] == sorted([t for t, _ in got], reverse=True)
+    assert len(got) == 4
+
+
+def test_timeline_lexicographic_timestamps(spark):
+    # F4 gotcha: 'T' (0x54) sorts AFTER ' ' (0x20); string order, not
+    # timestamp order, must be reproduced.
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    spark.createDataFrame(
+        [(1, "2020-08-01T00:05:02"), (2, "2020-08-01 23:59:59")],
+        "id int, ts string",
+    ).createOrReplaceTempView("tsrc")
+    idx = build_search_index(
+        spark, {"d": {"r": {"sql": "select id as key, ts as timestamp from tsrc"}}}
+    )
+    out = timeline_query(idx, QueryPlan())
+    # "2020-08-01T..." > "2020-08-01 23:59:59" lexicographically
+    assert [r["key"] for r in out.collect()] == ["1", "2"]
+
+
+def test_equality_and_date_filters(plugin_index):
+    q = QueryPlan(is_public=1)
+    out = timeline_query(plugin_index, q)
+    assert all(r["is_public"] == 1 for r in out.collect())
+
+    q = QueryPlan(date="2020-08-01")
+    out = timeline_query(plugin_index, q)
+    assert sorted(r["timestamp"] for r in out.collect()) == [
+        "2020-08-01T00:05:02",
+        "2020-08-01T00:05:02",
+    ]
+
+
+def test_sort_overrides(plugin_index):
+    newest = timeline_query(plugin_index, QueryPlan(sort="newest"))
+    oldest = timeline_query(plugin_index, QueryPlan(sort="oldest"))
+    ts_new = [r["timestamp"] for r in newest.collect()]
+    ts_old = [r["timestamp"] for r in oldest.collect()]
+    assert ts_new == sorted(ts_new, reverse=True)
+    assert ts_old == sorted(ts_old)
+
+
+def test_count_and_facets(plugin_index, spark):
+    res = compile_plan(plugin_index, QueryPlan())
+    assert facet_ops.filtered_count(res.filtered) == 4
+
+    type_facet = {r["value"]: r["count"] for r in res.facets["type"].collect()}
+    assert type_facet == {"emails.db/emails": 2, "github.db/commits": 2}
+
+    is_public_facet = {r["value"]: r["count"] for r in res.facets["is_public"].collect()}
+    assert is_public_facet == {0: 2, 1: 2}
+
+    date_facet = {str(r["value"]): r["count"] for r in res.facets["timestamp"].collect()}
+    assert date_facet == {"2020-08-01": 2, "2020-08-02": 2}
+
+
+def test_category_facet_labels(plugin_index, spark):
+    # C4: FK label expansion via broadcast join — facet shows "created".
+    res = compile_plan(plugin_index, QueryPlan())
+    labeled = facet_ops.facet_with_labels(res.facets["category"], categories_df(spark))
+    rows = {r["label"]: r["count"] for r in labeled.collect() if r["value"] is not None}
+    assert rows == {"created": 2}
