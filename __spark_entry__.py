@@ -87,9 +87,40 @@ WITH search_index AS (
 """
 
 
+# Cache (per sf_dir): the built search_index (persisted) and its FTS
+# index — queries share one build, like the reference's one-index-many-
+# queries lifecycle.  The FTS index uses the PORTABLE tokenizer
+# (lower + split [^a-z0-9]+) so the DuckDB oracle is expressible
+# (SURVEY.md §5.3); Porter parity is pinned by tests/test_fts.py instead.
+_CTX: dict[str, tuple] = {}
+
+
 def _search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata(spark, sf_dir)
     return build_search_index(spark, INDEX_CONFIG)
+
+
+def _ctx(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _CTX:
+        from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+        register_testdata(spark, sf_dir)
+        idx = build_search_index(spark, INDEX_CONFIG).persist()
+        fts = build_fts_index(idx, mode="portable", stem=False)
+        _CTX[sf_dir] = (idx, fts)
+    return _CTX[sf_dir]
+
+
+def _bm25_results(spark, sf_dir, q, plan: QueryPlan | None = None) -> DataFrame:
+    """Search top-k with rank rounded to 6dp (float-hash stability)."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _ctx(spark, sf_dir)
+    plan = plan or QueryPlan(q=q)
+    plan.q = q
+    scored = scored_docs(fts, q).withColumn("rank", F.round("rank", 6))
+    res = compile_plan(idx, plan, scored=scored)
+    return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +295,43 @@ def q_join_topk_orders(spark, sf_dir):
     )
 
 
+def q_search_bm25_topk(spark, sf_dir):
+    """B5/C2/H9/F1/D5/A9: implicit-AND full-text search, BM25 top-k."""
+    return _bm25_results(spark, sf_dir, "spark join")
+
+
+def q_search_not(spark, sf_dir):
+    """B5/C5: NOT compiles to an anti-join over the postings doc-sets."""
+    return _bm25_results(spark, sf_dir, "window NOT spark")
+
+
+def q_search_or(spark, sf_dir):
+    """B5: OR compiles to union-distinct of doc-sets."""
+    return _bm25_results(spark, sf_dir, "filter OR window")
+
+
+def q_search_phrase(spark, sf_dir):
+    """B5: quoted phrase — positional adjacency via array_intersect."""
+    return _bm25_results(spark, sf_dir, '"batch stream"')
+
+
+def q_search_prefix(spark, sf_dir):
+    """B5: prefix* — startswith over the term dictionary."""
+    return _bm25_results(spark, sf_dir, "wind*")
+
+
+def q_search_escape_fallback(spark, sf_dir):
+    """B6/H8: '#spark' is FTS-invalid → escape_fts retry path → bareword."""
+    return _bm25_results(spark, sf_dir, "#spark")
+
+
+def q_search_filtered(spark, sf_dir):
+    """B3+B5: MATCH combined with equality facet filters."""
+    return _bm25_results(
+        spark, sf_dir, "spark", QueryPlan(q="spark", category=1, is_public=1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -277,12 +345,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_last_writer": q_upsert_last_writer,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_topk_orders": q_join_topk_orders,
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_not": q_search_not,
+        "search_or": q_search_or,
+        "search_phrase": q_search_phrase,
+        "search_prefix": q_search_prefix,
+        "search_escape_fallback": q_search_escape_fallback,
+        "search_filtered": q_search_filtered,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB, same tables pre-registered as views)
 # ---------------------------------------------------------------------------
+
+# Portable FTS definition shared with the engine (SURVEY.md §5.3):
+# tokenize = lower + split [^a-z0-9]+; postings/doclen/corpus stats as
+# plain SQL aggregates; BM25 with FTS5's constants and idf clamp.
+ORACLE_FTS_CTE = ORACLE_INDEX_CTE + """
+, tokens AS (
+    SELECT type, "key", field, unnest(toks) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM (
+        SELECT type, "key", 'title' AS field,
+               list_filter(string_split_regex(lower(coalesce(title, '')),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM search_index
+        UNION ALL
+        SELECT type, "key", 'search_1',
+               list_filter(string_split_regex(lower(coalesce(search_1, '')),
+                           '[^a-z0-9]+'), x -> x <> '')
+        FROM search_index
+    )
+), postings AS (
+    SELECT term, type, "key", field, COUNT(*) AS tf
+    FROM tokens GROUP BY term, type, "key", field
+), doclen AS (
+    SELECT type, "key", COUNT(*) AS dl FROM tokens GROUP BY type, "key"
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM search_index) AS n_docs,
+           (SELECT COALESCE(SUM(dl), 0) FROM doclen) * 1.0
+             / (SELECT COUNT(*) FROM search_index) AS avgdl
+)
+"""
+
+_BM25_FORMULA = (
+    'GREATEST(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5)), 1e-6)'
+    ' * (h.tf * 2.2)'
+    ' / (h.tf + 1.2 * (0.25 + 0.75 * COALESCE(l.dl, 0) / s.avgdl))'
+)
+
+
+def _hits_block(name: str, hits_sql: str) -> str:
+    """One phrase's hits + df + BM25 contribution CTEs."""
+    return f"""
+, {name} AS ({hits_sql})
+, {name}_df AS (SELECT COUNT(*) AS df FROM {name})
+, {name}_c AS (
+    SELECT h.type, h."key", {_BM25_FORMULA} AS c
+    FROM {name} h
+    CROSS JOIN {name}_df d
+    LEFT JOIN doclen l ON h.type = l.type AND h."key" = l."key"
+    CROSS JOIN stats s
+)"""
+
+
+def _term_hits(pred: str) -> str:
+    return (
+        f'SELECT type, "key", SUM(tf) AS tf FROM postings WHERE {pred} '
+        'GROUP BY type, "key"'
+    )
+
+
+def _phrase2_hits(t1: str, t2: str) -> str:
+    return f"""
+        SELECT a.type, a."key", COUNT(*) AS tf
+        FROM tokens a
+        JOIN tokens b ON a.type = b.type AND a."key" = b."key"
+                     AND a.field = b.field AND b.pos = a.pos + 1
+        WHERE a.term = '{t1}' AND b.term = '{t2}'
+        GROUP BY a.type, a."key"
+    """
+
+
+def _search_oracle(
+    blocks: list[tuple[str, str]], matched_sql: str, extra_where: str = ""
+) -> str:
+    """Assemble a full search oracle query from phrase hit blocks."""
+    ctes = "".join(_hits_block(n, sql) for n, sql in blocks)
+    contribs = " UNION ALL ".join(f"SELECT * FROM {n}_c" for n, _ in blocks)
+    return (
+        ORACLE_FTS_CTE
+        + ctes
+        + f"""
+, matched AS ({matched_sql})
+, contrib AS ({contribs})
+, scored AS (
+    SELECT type, "key", ROUND(-SUM(c), 6) AS rank
+    FROM contrib GROUP BY type, "key"
+)
+SELECT m.type, m."key", s.rank, si.title, si."timestamp"
+FROM matched m
+JOIN scored s ON m.type = s.type AND m."key" = s."key"
+JOIN search_index si ON m.type = si.type AND m."key" = si."key"
+{extra_where}
+ORDER BY s.rank ASC, si."timestamp" DESC NULLS LAST, m.type ASC, m."key" ASC
+LIMIT 100
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,4 +568,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
+        "search_bm25_topk": _search_oracle(
+            [
+                ("t_spark", _term_hits("term = 'spark'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
+        ),
+        "search_not": _search_oracle(
+            [
+                ("t_window", _term_hits("term = 'window'")),
+                ("t_spark", _term_hits("term = 'spark'")),
+            ],
+            'SELECT type, "key" FROM t_window EXCEPT SELECT type, "key" FROM t_spark',
+        ),
+        "search_or": _search_oracle(
+            [
+                ("t_filter", _term_hits("term = 'filter'")),
+                ("t_window", _term_hits("term = 'window'")),
+            ],
+            'SELECT type, "key" FROM t_filter UNION SELECT type, "key" FROM t_window',
+        ),
+        "search_phrase": _search_oracle(
+            [("ph", _phrase2_hits("batch", "stream"))],
+            'SELECT type, "key" FROM ph',
+        ),
+        "search_prefix": _search_oracle(
+            [("t_pre", _term_hits("term LIKE 'wind%'"))],
+            'SELECT type, "key" FROM t_pre',
+        ),
+        "search_escape_fallback": _search_oracle(
+            [("t_spark", _term_hits("term = 'spark'"))],
+            'SELECT type, "key" FROM t_spark',
+        ),
+        "search_filtered": _search_oracle(
+            [("t_spark", _term_hits("term = 'spark'"))],
+            'SELECT type, "key" FROM t_spark',
+            extra_where="WHERE si.category = 1 AND si.is_public = 1",
+        ),
     }

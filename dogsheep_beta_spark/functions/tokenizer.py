@@ -1,0 +1,223 @@
+"""Tokenization for the full-text index (SURVEY.md §2 H7, A9).
+
+The reference delegates to SQLite FTS5 tokenizers (utils.py:90,
+cli.py:22-26): default ``porter`` (unicode61 split + Porter stemming),
+or ``none`` → unicode61 only.  Tokenizer behavior is pinned by
+/root/reference/tests/test_cli.py:104-122 ("run" matches "running" with
+porter, not without).
+
+Spark mapping:
+- the *split* is a JVM-side expression (``lower`` + ``split`` on a
+  character-class regex) — stays inside whole-stage codegen;
+- Porter stemming is the one genuinely Python step: an Arrow-batched
+  pandas UDF over the token array (never row-at-a-time).
+
+Two split modes:
+- ``unicode61``: split on anything that is not a Unicode letter/digit
+  (Java regex ``[^\\p{L}\\p{N}]+``) — closest to FTS5's unicode61.
+- ``portable``: split on ``[^a-z0-9]+`` after lowercasing — the
+  oracle-checkable definition shared with DuckDB (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PORTABLE_SPLIT = "[^a-z0-9]+"
+UNICODE61_SPLIT = r"[^\p{L}\p{N}]+"
+
+# [\W_]+ ≡ anything that is not a Unicode letter/digit (underscore is a
+# separator in FTS5 unicode61, unlike in \w).
+_PY_SPLIT = {"portable": re.compile("[^a-z0-9]+"), "unicode61": re.compile(r"[\W_]+", re.UNICODE)}
+
+
+def tokenize_expr(col: Column, mode: str = "portable") -> Column:
+    """Array of non-empty lowercase tokens — pure JVM expression."""
+    pattern = PORTABLE_SPLIT if mode == "portable" else UNICODE61_SPLIT
+    toks = F.split(F.lower(F.coalesce(col, F.lit(""))), pattern)
+    return F.filter(toks, lambda x: x != "")
+
+
+def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
+    """Driver-side twin of tokenize_expr (for query-string tokenization)."""
+    if not text:
+        return []
+    return [t for t in _PY_SPLIT[mode].split(text.lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer — standard algorithm (Porter, 1980; public domain spec).
+# Deterministic pure Python, applied through an Arrow-batched pandas UDF.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """The m in [C](VC)^m[V]."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase token with the classic Porter algorithm."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion":
+                if stem.endswith(("s", "t")) and _measure(stem) > 1:
+                    w = stem
+            elif _measure(stem) > 1:
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def stem_tokens(batch: pd.Series) -> pd.Series:
+    """Arrow-batched Porter stemming over an array<string> column."""
+    return batch.map(
+        lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+    )
+
+
+def analyze_expr(col: Column, mode: str = "portable", stem: bool = False) -> Column:
+    """Full analyzer: tokenize (JVM) + optional Porter stem (pandas UDF)."""
+    toks = tokenize_expr(col, mode)
+    return stem_tokens(toks) if stem else toks
+
+
+def analyze_py(text: str | None, mode: str = "portable", stem: bool = False) -> list[str]:
+    """Driver-side analyzer twin, used on query strings."""
+    toks = tokenize_py(text, mode)
+    return [porter_stem(t) for t in toks] if stem else toks

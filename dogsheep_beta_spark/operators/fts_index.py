@@ -1,0 +1,112 @@
+"""Full-text index build — the Spark analog of the FTS5 rebuild
+(SURVEY.md §2 A9/D5; reference utils.py:57-63 delegates to SQLite FTS5).
+
+Derived tables (all recomputed per index run, exactly like the
+reference's full rebuild):
+
+- ``postings``  (term, type, key, field, tf, positions) — the inverted
+  index over the two indexed fields ``title`` + ``search_1`` ONLY
+  (utils.py:90; SURVEY §1.3 invariant 3).  ``positions`` enables phrase
+  queries (SURVEY §7.3 item 1).
+- ``doc_lengths`` (type, key, dl) — per-row token count summed over the
+  indexed fields.  FTS5's bm25 flattens columns with equal weight 1.0:
+  tf and dl aggregate across columns, avgdl is the row average.
+- scalar corpus stats: ``n_docs`` (ALL rows, even token-less ones) and
+  ``avgdl`` — collected once per build (one tiny agg job) and inlined
+  as literals so per-query scoring plans carry no extra join.
+
+Scale notes (100 TB): the tokenize→posexplode→groupBy pipeline is one
+shuffle on (term, type, key, field); partial aggregation applies.  At
+rest, write postings bucketed/partitioned by term prefix so MATCH term
+lookups partition-prune (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.functions.tokenizer import analyze_expr
+from dogsheep_beta_spark.schema import FTS_FIELDS
+
+
+@dataclass
+class FtsIndex:
+    """The in-flight full-text index over one search_index build."""
+
+    postings: DataFrame  # term, type, key, field, tf, positions
+    doc_lengths: DataFrame  # type, key, dl (summed over indexed fields)
+    n_docs: int
+    avgdl: float
+    mode: str = "portable"
+    stem: bool = False
+
+
+def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> DataFrame:
+    """(type, key, field, pos, term) for one indexed column."""
+    return (
+        index_df.select(
+            "type",
+            "key",
+            F.lit(field).alias("field"),
+            F.posexplode(analyze_expr(F.col(field), mode, stem)).alias("pos", "term"),
+        )
+    )
+
+
+def build_fts_index(
+    index_df: DataFrame,
+    fields=FTS_FIELDS,
+    mode: str = "portable",
+    stem: bool = False,
+    persist: bool = True,
+) -> FtsIndex:
+    """Tokenize → explode → aggregate: the whole inverted-index build."""
+    tokens = None
+    for f in fields:
+        t = _field_tokens(index_df, f, mode, stem)
+        tokens = t if tokens is None else tokens.unionByName(t)
+
+    postings = tokens.groupBy("term", "type", "key", "field").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    if persist:
+        postings = postings.persist()
+
+    # dl per row = total tokens over the indexed fields (FTS5 flattened
+    # column model, equal weights).
+    doc_lengths = tokens.groupBy("type", "key").agg(F.count(F.lit(1)).alias("dl"))
+    if persist:
+        doc_lengths = doc_lengths.persist()
+
+    # corpus scalars: N counts EVERY row of search_index (token-less rows
+    # have dl = 0 and still dilute avgdl, matching FTS5).
+    n_docs = index_df.count()
+    total_tokens = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    return FtsIndex(
+        postings=postings,
+        doc_lengths=doc_lengths,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        mode=mode,
+        stem=stem,
+    )
+
+
+def write_fts_index(fts: FtsIndex, path: str, term_buckets: int = 0) -> None:
+    """Persist postings/doc_lengths as Parquet.
+
+    ``term_buckets`` > 0 repartitions postings by term before write so
+    each MATCH term lookup touches a bounded file subset — the local
+    stand-in for bucketing on a real cluster (SURVEY §7.5).
+    """
+    p = fts.postings
+    if term_buckets:
+        p = p.repartition(term_buckets, "term").sortWithinPartitions("term")
+    p.write.mode("overwrite").parquet(f"{path}/postings")
+    fts.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")

@@ -1,0 +1,56 @@
+"""Full-text search entry point — SEARCH_SQL semantics (SURVEY.md §3.2).
+
+Reference flow (__init__.py:111-146): build where-clauses, run the
+MATCH query joined to search_index, order by rank (= -bm25) then
+timestamp desc, limit 100; on FTS syntax error retry with escape_fts.
+
+Spark flow: parse q → compile MATCH over postings → BM25-score the
+phrase hits → semi-join to the boolean doc-set → join back to
+search_index on the pk (C2) → filters + order + limit via the shared
+QueryPlan compiler.  Count + facets reuse the same filtered set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dogsheep_beta_spark.functions.bm25 import score_phrase_hits
+from dogsheep_beta_spark.functions.tokenizer import analyze_py
+from dogsheep_beta_spark.operators.fts_index import FtsIndex
+from dogsheep_beta_spark.plans.match import (
+    ParseError,
+    compile_match,
+    escape_match,
+    parse_match,
+)
+from dogsheep_beta_spark.plans.query import QueryPlan, QueryResult, compile_plan
+
+
+def scored_docs(fts: FtsIndex, q: str) -> DataFrame:
+    """(type, key, rank) for every doc matching q (two-phase compile)."""
+
+    def analyze(s: str) -> list[str]:
+        return analyze_py(s, fts.mode, fts.stem)
+
+    try:
+        ast = parse_match(q, analyze)
+    except ParseError:
+        ast = escape_match(q, analyze)  # B6/H8 fallback
+    docset, hits = compile_match(ast, fts)
+    scored = score_phrase_hits(hits, fts.doc_lengths, fts.n_docs, fts.avgdl)
+    return scored.join(docset, ["type", "key"], "left_semi")
+
+
+def search_query(
+    index_df: DataFrame, fts: FtsIndex, plan: QueryPlan, facet_size: int = 30
+) -> QueryResult:
+    """Compile one search request end-to-end (results/count/facets)."""
+    if not plan.is_search:
+        return compile_plan(index_df, plan, scored=None, facet_size=facet_size)
+    scored = scored_docs(fts, plan.q)
+    return compile_plan(index_df, plan, scored=scored, facet_size=facet_size)
+
+
+def search(index_df: DataFrame, fts: FtsIndex, q: str, **plan_kwargs) -> DataFrame:
+    """Convenience: just the top-k results DataFrame for a query string."""
+    return search_query(index_df, fts, QueryPlan(q=q, **plan_kwargs)).results

@@ -63,6 +63,10 @@ def dogs_index(spark):
     return build_search_index(spark, config)
 
 
+SHA_COMMIT_1 = "a5b39c5052e9fc4a6ba5d4a0e74e3a1f3b8e7523"
+SHA_COMMIT_2 = "5becbf70e5a4f16dbacedaecb40f78bca343c57b"
+
+
 @pytest.fixture(scope="session")
 def plugin_index(spark):
     """emails + commits fixture (FIXTURES.md §2-3 / tests/test_plugin.py)."""
@@ -77,13 +81,13 @@ def plugin_index(spark):
     ).createOrReplaceTempView("emails")
     commits = [
         (
-            "a5b39c5052e9fc4a6ba5d4a0e74e3a1f3b8e7523",
+            SHA_COMMIT_1,
             "Another commit to things",
             "dogsheep/dogsheep-beta",
             "2020-08-01T00:05:02",
         ),
         (
-            "5becbf70e5a4f16dbacedaecb40f78bca343c57cb"[:40],
+            SHA_COMMIT_2,
             "Added some tests",
             "dogsheep/dogsheep-beta",
             "2020-08-02T12:35:48",

@@ -1,0 +1,240 @@
+"""FTS semantics: tokenizer/Porter, MATCH goldens pinned by the
+reference tests, and direct rank parity against real SQLite FTS5
+(the exact engine the reference delegates to)."""
+
+import math
+import sqlite3
+
+import pytest
+
+from dogsheep_beta_spark.functions.tokenizer import (
+    analyze_py,
+    porter_stem,
+    tokenize_py,
+)
+from dogsheep_beta_spark.operators.fts_index import build_fts_index
+from dogsheep_beta_spark.plans.match import ParseError, parse_match, escape_match, Phrase, And, Not
+from dogsheep_beta_spark.plans.query import QueryPlan
+from dogsheep_beta_spark.plans.search import search, search_query
+
+
+def result_ids(df):
+    return [f"{r['type']}:{r['key']}" for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize():
+    assert tokenize_py("Hey there #dogfest") == ["hey", "there", "dogfest"]
+    assert tokenize_py("github-to-sqlite") == ["github", "to", "sqlite"]
+    assert tokenize_py("") == [] and tokenize_py(None) == []
+
+
+PORTER_WORDS = [
+    "caresses", "ponies", "ties", "caress", "cats", "feed", "agreed",
+    "plastered", "bled", "motoring", "sing", "conflated", "troubled",
+    "sized", "hopping", "tanned", "falling", "hissing", "fizzed", "failing",
+    "filing", "happy", "sky", "relational", "conditional", "rational",
+    "valenci", "hesitanci", "digitizer", "conformabli", "radicalli",
+    "differentli", "vileli", "analogousli", "vietnamization", "predication",
+    "operator", "feudalism", "decisiveness", "hopefulness", "callousness",
+    "formaliti", "sensitiviti", "sensibiliti", "triplicate", "formative",
+    "formalize", "electriciti", "electrical", "hopeful", "goodness",
+    "revival", "allowance", "inference", "airliner", "gyroscopic",
+    "adjustable", "defensible", "irritant", "replacement", "adjustment",
+    "dependent", "adoption", "homologou", "communism", "activate",
+    "angulariti", "homologous", "effective", "bowdlerize", "probate",
+    "rate", "cease", "controll", "roll", "running", "things", "apples",
+    "generalization", "oscillators", "partitioning", "shuffles",
+    "aggregation", "tokenizer", "searching", "indexes", "queries",
+]
+
+
+def test_porter_matches_fts5_porter():
+    """Ground truth: FTS5's own porter tokenizer (via fts5vocab)."""
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE VIRTUAL TABLE t USING fts5(a, tokenize='porter')")
+    con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'row')")
+    for w in PORTER_WORDS:
+        con.execute("DELETE FROM t")
+        con.execute("INSERT INTO t VALUES (?)", (w,))
+        expect = con.execute("SELECT term FROM v").fetchone()[0]
+        assert porter_stem(w) == expect, f"{w}: got {porter_stem(w)}, want {expect}"
+    con.close()
+
+
+def test_analyze_with_stem():
+    assert analyze_py("running things", stem=True) == ["run", "thing"]
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _an(s):
+    return analyze_py(s, stem=False)
+
+
+def test_parse_boolean():
+    ast = parse_match("things NOT email", _an)
+    assert isinstance(ast, Not)
+    assert ast.left.tokens == ["things"] and ast.right.tokens == ["email"]
+
+
+def test_parse_errors_and_escape():
+    with pytest.raises(ParseError):
+        parse_match("#dogfest", _an)
+    esc = escape_match("#dogfest", _an)
+    assert isinstance(esc, And) and esc.items[0].tokens == ["dogfest"]
+    esc2 = escape_match("github-to-sqlite", _an)
+    assert esc2.items[0].tokens == ["github", "to", "sqlite"]
+
+
+def test_parse_phrase_prefix():
+    ast = parse_match('"about things" OR dog*', _an)
+    assert ast.items[0].tokens == ["about", "things"]
+    assert ast.items[1].prefix is True
+
+
+# ---------------------------------------------------------------------------
+# golden query corpus (reference tests/test_plugin.py:119-149 semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fts(plugin_index):
+    return build_fts_index(plugin_index, mode="unicode61", stem=True)
+
+
+def test_match_not(plugin_index, fts):
+    # "things NOT email" → only the commit mentioning things
+    from tests.conftest import SHA_COMMIT_1
+
+    ids = result_ids(search(plugin_index, fts, "things NOT email"))
+    assert ids == [f"github.db/commits:{SHA_COMMIT_1}"]
+
+
+def test_match_escape_fallback(plugin_index, fts):
+    # "#dogfest" → ParseError → escaped → matches tokenized dogfest
+    ids = result_ids(search(plugin_index, fts, "#dogfest"))
+    assert ids == ["emails.db/emails:1"]
+
+
+def test_match_escaped_phrase_miss(plugin_index, fts):
+    # "github-to-sqlite" → escaped → 3-token phrase → no match
+    assert result_ids(search(plugin_index, fts, "github-to-sqlite")) == []
+
+
+def test_match_phrase(plugin_index, fts):
+    ids = result_ids(search(plugin_index, fts, '"about things"'))
+    assert set(ids) == {"emails.db/emails:1", "emails.db/emails:2"}
+
+
+def test_match_or(plugin_index, fts):
+    from tests.conftest import SHA_COMMIT_2
+
+    ids = result_ids(search(plugin_index, fts, "dogfest OR tests"))
+    assert set(ids) == {"emails.db/emails:1", f"github.db/commits:{SHA_COMMIT_2}"}
+
+
+def test_porter_run_matches_running(spark, dogs_index):
+    # reference tests/test_cli.py:104-122: porter stems running→run
+    fts_porter = build_fts_index(dogs_index, mode="unicode61", stem=True)
+    assert result_ids(search(dogs_index, fts_porter, "run")) == ["dogs.db/dogs:1"]
+    fts_none = build_fts_index(dogs_index, mode="unicode61", stem=False)
+    assert result_ids(search(dogs_index, fts_none, "run")) == []
+
+
+def test_search_with_filters_and_sort(plugin_index, fts):
+    # sort=oldest overrides relevance even with q (__init__.py:117-121)
+    res = search_query(plugin_index, fts, QueryPlan(q="things", sort="oldest"))
+    ts = [r["timestamp"] for r in res.results.collect()]
+    assert ts == sorted(ts)
+    # facets computed on the same filtered (matched) set
+    type_facet = {r["value"]: r["count"] for r in res.facets["type"].collect()}
+    assert type_facet == {"emails.db/emails": 2, "github.db/commits": 1}
+
+
+# ---------------------------------------------------------------------------
+# rank parity vs real SQLite FTS5 (the engine the reference delegates to)
+# ---------------------------------------------------------------------------
+
+
+def _fts5_ranks(rows, query, tokenize="porter"):
+    """Run MATCH against genuine FTS5 over (title, search_1)."""
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        f"CREATE VIRTUAL TABLE idx USING fts5(title, search_1, tokenize='{tokenize}')"
+    )
+    con.executemany("INSERT INTO idx VALUES (?, ?)", rows)
+    try:
+        return con.execute(
+            "SELECT rowid, rank FROM idx WHERE idx MATCH ? ORDER BY rowid", (query,)
+        ).fetchall()
+    finally:
+        con.close()
+
+
+PARITY_CORPUS = [
+    ("Hey there #dogfest", "An email about things"),
+    ("What's going on", "Another email about things"),
+    ("Commit to dogsheep/dogsheep-beta", "Another commit to things"),
+    ("Commit to dogsheep/dogsheep-beta", "Added some tests"),
+    ("running fast", "the quick brown fox jumps over the lazy dog"),
+    ("slow walking", "a slow email about nothing much at all"),
+    (None, "only search text here, no title"),
+    ("only a title here", None),
+]
+
+PARITY_QUERIES = [
+    "things",
+    "email",
+    "commit",
+    "dogsheep",
+    "things NOT email",
+    "email OR commit",
+    '"about things"',
+    "slow email",
+    "run",
+    "fast OR slow",
+]
+
+
+@pytest.fixture(scope="module")
+def parity_index(spark):
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    rows = [(i + 1, t, s) for i, (t, s) in enumerate(PARITY_CORPUS)]
+    spark.createDataFrame(
+        rows, "id int, title string, search_1 string"
+    ).createOrReplaceTempView("parity_src")
+    idx = build_search_index(
+        spark,
+        {
+            "p.db": {
+                "p": {
+                    "sql": "select id as key, title, search_1 from parity_src"
+                }
+            }
+        },
+    )
+    return idx, build_fts_index(idx, mode="unicode61", stem=True)
+
+
+@pytest.mark.parametrize("q", PARITY_QUERIES)
+def test_bm25_rank_parity_with_fts5(parity_index, q):
+    idx, fts = parity_index
+    ours = {
+        int(r["key"]): r["rank"]
+        for r in search(idx, fts, q).collect()
+    }
+    theirs = dict(_fts5_ranks(PARITY_CORPUS, q))
+    assert set(ours) == set(theirs), f"doc sets differ for {q!r}"
+    for rowid, their_rank in theirs.items():
+        assert math.isclose(ours[rowid], their_rank, rel_tol=1e-6, abs_tol=1e-9), (
+            f"rank mismatch for {q!r} doc {rowid}: ours={ours[rowid]} fts5={their_rank}"
+        )
