@@ -332,6 +332,150 @@ def q_search_filtered(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data-pipeline extensions (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark, sf_dir):
+    register_testdata(spark, sf_dir, tables=("documents",))
+    return spark.table("documents")
+
+
+def _embeddings(spark, sf_dir):
+    register_testdata(spark, sf_dir, tables=("embeddings",))
+    return spark.table("embeddings")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy over documents."""
+    from dogsheep_beta_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir), "doc_id", "text").orderBy(
+        "fingerprint"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup: top-50 most similar pairs."""
+    from dogsheep_beta_spark.operators.dedup import jaccard_pairs
+
+    return (
+        jaccard_pairs(_documents(spark, sf_dir), "doc_id", "text", k=3)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(50)
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(8 bands × 2): verified candidates, top-50."""
+    from dogsheep_beta_spark.operators.dedup import minhash_lsh_pairs
+
+    return (
+        minhash_lsh_pairs(
+            _documents(spark, sf_dir), "doc_id", "text", k=3, n_hashes=16, bands=8
+        )
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(50)
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash with chunk blocking, hamming ≤ 6, top-50 pairs."""
+    from dogsheep_beta_spark.operators.dedup import simhash_pairs
+
+    return (
+        simhash_pairs(_documents(spark, sf_dir), "doc_id", "text", max_hamming=6)
+        .orderBy("hamming", "a", "b")
+        .limit(50)
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Blocked (per-label) embedding cosine near-dup: top-50 pairs."""
+    from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
+
+    return (
+        embedding_dup_pairs(
+            _embeddings(spark, sf_dir), "vec_id", "embedding", "label"
+        )
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(50)
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-20 vs the vec_id=0 embedding."""
+    from dogsheep_beta_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_embeddings(spark, sf_dir), "vec_id", "embedding", 0, k=20)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-20: probe the 2 best cells by centroid cosine."""
+    from dogsheep_beta_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir), "vec_id", "embedding", "label", 0, k=20, nprobe=2
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, chars, BPE estimate, avg len."""
+    from dogsheep_beta_spark.functions import text as tx
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars"),
+        tx.est_bpe_tokens(F.col("text")).alias("est_bpe_tokens"),
+        F.round(tx.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality_langid(spark, sf_dir):
+    """Quality scoring + stopword-overlap language ID per document."""
+    from dogsheep_beta_spark.functions import text as tx
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.langid(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s."""
+    from dogsheep_beta_spark.functions.text import char_shingle_fingerprint
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id", char_shingle_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_media_feature_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary media column → mapInPandas feature
+    extraction (byte count + digest); content synthesized from
+    documents so the Arrow batch path is exercised end-to-end."""
+    from dogsheep_beta_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_documents(spark, sf_dir))
+    return (
+        extract_features(media)
+        .select("media_id", "n_bytes", "digest")
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -352,6 +496,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": q_search_prefix,
         "search_escape_fallback": q_search_escape_fallback,
         "search_filtered": q_search_filtered,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_langid": q_text_quality_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "media_feature_metadata": q_media_feature_metadata,
     }
 
 
@@ -426,6 +581,100 @@ def _phrase2_hits(t1: str, t2: str) -> str:
         WHERE a.term = '{t1}' AND b.term = '{t2}'
         GROUP BY a.type, a."key"
     """
+
+
+# --- extension oracles: shared CTE fragments ------------------------------
+
+ORACLE_DOC_TOKENS = """
+WITH toks AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') AS toks
+    FROM documents
+)
+"""
+
+ORACLE_SHINGLES3 = ORACLE_DOC_TOKENS + """
+, sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+           ELSE []::VARCHAR[] END AS shingles
+    FROM toks
+)
+, s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+, sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+, pairs AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+    FROM {src} x JOIN {src} y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+, jac AS (
+    SELECT p.a, p.b, p.shared * 1.0 / (sa.n + sb.n - p.shared) AS jaccard
+    FROM pairs p
+    JOIN {szsrc} sa ON p.a = sa.doc_id
+    JOIN {szsrc} sb ON p.b = sb.doc_id
+)
+"""
+
+_EMB_CTE = """
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+"""
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _minhash_oracle() -> str:
+    """MinHash(16) + 8 bands × 2 rows, verified over candidates only —
+    mirrors operators/dedup.py:minhash_lsh_pairs."""
+    def mh(i):
+        return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, {mh(2 * bi)} || '|' || {mh(2 * bi + 1)} AS bucket "
+        "FROM sh WHERE len(shingles) > 0"
+        for bi in range(8)
+    )
+    return (
+        ORACLE_SHINGLES3
+        + f"""
+, banded AS ({bands})
+, cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+, cids AS (SELECT a AS id FROM cand UNION SELECT b FROM cand)
+, cs AS (SELECT * FROM s WHERE doc_id IN (SELECT id FROM cids))
+, csz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id)
+"""
+        + _JACCARD_TAIL.format(src="cs", szsrc="csz")
+        + """
+SELECT c.a, c.b, ROUND(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON c.a = j.a AND c.b = j.b
+ORDER BY jaccard DESC, c.a, c.b
+LIMIT 50
+"""
+    )
+
+
+_STOPWORDS_SQL = {
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','von','mit','den','nicht','ein']",
+    "fr": "['le','la','les','et','de','un','une','est','que','pour']",
+    "es": "['el','la','los','de','y','que','en','un','es','por']",
+}
 
 
 def _search_oracle(
@@ -606,4 +855,148 @@ def oracle_sql() -> dict[str, str]:
             'SELECT type, "key" FROM t_spark',
             extra_where="WHERE si.category = 1 AND si.is_public = 1",
         ),
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) ORDER BY fingerprint
+        """,
+        "dedup_ngram_jaccard": ORACLE_SHINGLES3
+        + _JACCARD_TAIL.format(src="s", szsrc="sz")
+        + """
+            SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac
+            ORDER BY jaccard DESC, a, b LIMIT 50
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": ORACLE_DOC_TOKENS
+        + """
+            , hs AS (
+                SELECT doc_id,
+                       list_transform(toks,
+                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hashes
+                FROM toks
+            ), sim AS (
+                SELECT doc_id,
+                       CAST(coalesce(list_sum(list_transform(range(32), b ->
+                           CASE WHEN coalesce(list_sum(list_transform(hashes,
+                                    h -> CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                                         THEN 1 ELSE -1 END)), 0) > 0
+                                THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)), 0)
+                           AS BIGINT) AS simhash
+                FROM hs
+            ), chunked AS (
+                SELECT doc_id, simhash, CAST(r.c AS INTEGER) AS chunk,
+                       (simhash >> CAST(r.c * 8 AS INTEGER)) & 255 AS ckey
+                FROM sim, range(4) r(c)
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.simhash AS ha, y.simhash AS hb
+                FROM chunked x JOIN chunked y
+                  ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+            ORDER BY hamming, a, b LIMIT 50
+        """,
+        "dedup_embedding_cosine": _EMB_CTE
+        + f"""
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   {_COS.format(a='x.v', b='y.v')} AS cosine
+            FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+            ORDER BY cosine DESC, a, b LIMIT 50
+        """,
+        "ann_cosine_topk": _EMB_CTE
+        + f"""
+            SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS cosine
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, id LIMIT 20
+        """,
+        "ann_ivf_topk": _EMB_CTE
+        + f"""
+            , dims AS (
+                SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+                FROM e
+            ), cdim AS (
+                SELECT label, dim, AVG(x) AS mx FROM dims GROUP BY label, dim
+            ), cents AS (
+                SELECT label, list(mx ORDER BY dim) AS centroid
+                FROM cdim GROUP BY label
+            ), bc AS (
+                SELECT cents.label,
+                       {_COS.format(a='centroid', b='qv')} AS ccos
+                FROM cents, q
+                ORDER BY ccos DESC, label LIMIT 2
+            )
+            SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS cosine
+            FROM e JOIN bc ON e.label = bc.label, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, id LIMIT 20
+        """,
+        "text_token_stats": ORACLE_DOC_TOKENS
+        + r"""
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_ws_tokens,
+                   length(text) AS n_chars,
+                   CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT)
+                       AS est_bpe_tokens,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0
+                              / len(toks) END, 4) AS avg_token_len
+            FROM toks ORDER BY doc_id
+        """,
+        "text_quality_langid": ORACLE_DOC_TOKENS
+        + rf"""
+            , comp AS (
+                SELECT doc_id,
+                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                    CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                         ELSE length(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z]', '', 'g')) * 1.0
+                              / length(coalesce(text, '')) END AS ar,
+                    CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0
+                              / len(toks) END AS wl,
+                    CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks,
+                                  t -> list_contains({_STOPWORDS_SQL['en']}, t))) * 1.0
+                              / len(toks) END AS sr,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['en']}, t))) AS c_en,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['de']}, t))) AS c_de,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['fr']}, t))) AS c_fr,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['es']}, t))) AS c_es
+                FROM toks
+            )
+            SELECT doc_id,
+                   ROUND(0.4 * least(n_tok / 64.0, 1.0) + 0.3 * ar
+                         + 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END)
+                         + 0.1 * least(sr * 5, 1.0), 6) AS quality,
+                   CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) AND c_en > 0 THEN 'en'
+                        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) AND c_de > 0 THEN 'de'
+                        WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) AND c_fr > 0 THEN 'fr'
+                        WHEN c_es = greatest(c_en, c_de, c_fr, c_es) AND c_es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred
+            FROM comp ORDER BY doc_id
+        """,
+        "text_fingerprint": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')
+                           AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_slice(list_sort(
+                       list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                                      i -> md5(substr(norm, CAST(i AS INTEGER), 8)))),
+                       1, 4), '') AS fingerprint
+            FROM n ORDER BY doc_id
+        """,
+        "media_feature_metadata": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents ORDER BY media_id
+        """,
     }

@@ -1,0 +1,117 @@
+"""Multimodal (image/audio/video) column handling — north-star extension.
+
+Design: media is an opaque ``binary`` column plus typed metadata
+(SURVEY task brief).  The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, UDF signatures — is real and tested; the actual
+codec work is STUBBED (the decode libraries are not in this container)
+behind ``decode_stub`` / a deterministic fake feature extractor, so the
+pipeline shape is verifiable end-to-end today and the codec drops in
+later.
+
+At 100 TB: media bytes dominate — keep them in their own column chunk
+(parquet does), never shuffle them (all transforms below are map-only
+``mapInPandas`` passes), and carry only features/metadata into joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_stub(content: bytes, kind: str):
+    """Placeholder for the real codec (PIL/ffmpeg/soundfile).
+
+    Raises so nobody mistakes the fake features for real decoding."""
+    raise NotImplementedError(
+        f"media decode for kind={kind!r} requires codec libraries not "
+        "present in this environment; wire PIL/ffmpeg here"
+    )
+
+
+def _fake_features(content: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in features: byte-histogram moments.  Real
+    and stable enough to exercise partitioning/joins downstream."""
+    if not content:
+        return [0.0] * n
+    import hashlib
+
+    h = hashlib.md5(content).digest()
+    return [b / 255.0 for b in h[:n]]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """Map-only Arrow-batched feature extraction over the media table.
+
+    ``mapInPandas`` keeps the binary column inside one pass — no
+    shuffle of content bytes; output carries only small features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(
+                        lambda c: len(c) if c is not None else 0
+                    ),
+                    "digest": pdf["content"].map(
+                        lambda c: __import__("hashlib").md5(c).hexdigest()
+                        if c is not None
+                        else None
+                    ),
+                    "features": pdf["content"].map(lambda c: _fake_features(c or b"")),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents table (UTF-8 bytes as
+    the opaque content) — deterministic fixture for pipeline tests."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_no) rows
+    with stubbed frame bytes.  Shows the explode-shape (one row per
+    sampled frame) without a real decoder."""
+    n_frames = (F.length(F.col("content")) / F.lit(every_n)).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
+            "frame_no"
+        ),
+    ).withColumn("frame_content", F.lit(None).cast("binary"))

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Three tiers, all deterministic and relational:
+
+- brute_force_topk: exact cosine against every row — the correctness
+  baseline.  One map-side cosine + TakeOrderedAndProject; no shuffle
+  of the embedding column beyond the scan.
+- ivf_topk: inverted-file search — coarse cells (here: the ``label``
+  column, standing in for a k-means assignment), rank cells by
+  centroid cosine, search only the top ``nprobe`` cells.  At 100 TB
+  this is the scale path: the embeddings table is partitioned by cell,
+  so probing 2/10 cells scans 20% of the data (partition pruning).
+- lsh_topk: random-hyperplane signs → bucket; search the query's
+  bucket only.  Planes are generated from a seeded RNG on the driver
+  and inlined as literals, so any engine reproduces the bucketing.
+
+The query vector is referenced *by id* (self-lookup + broadcast) so
+declared queries stay literal-free and oracle-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.operators.dedup import cosine_expr
+
+
+def _query_vec(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
+    """One-row (qv) DataFrame for the query embedding — broadcast into
+    the scan instead of collected, so the plan is fully declarative."""
+    return F.broadcast(
+        df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 20
+) -> DataFrame:
+    """Exact cosine top-k (excluding the query row itself)."""
+    q = _query_vec(df, id_col, vec_col, query_id)
+    return (
+        df.where(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col("qv").cast("array<double>")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def centroids(df: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """Per-cell mean vector via posexplode + per-dimension avg —
+    partial aggregation applies, one shuffle on (cell, dim)."""
+    dims = (
+        df.select(F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("mx"))
+    )
+    return (
+        dims.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["mx"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_id,
+    k: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: rank cells by centroid cosine, exact top-k within
+    the ``nprobe`` best cells."""
+    q = _query_vec(df, id_col, vec_col, query_id)
+    cents = centroids(df, vec_col, cell_col)
+    best_cells = F.broadcast(
+        cents.crossJoin(q)
+        .select(
+            "cell",
+            F.round(
+                cosine_expr(
+                    F.col("centroid").cast("array<double>"),
+                    F.col("qv").cast("array<double>"),
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        df.where(F.col(id_col) != query_id)
+        .join(best_cells, df[cell_col] == best_cells["cell"], "left_semi")
+        .crossJoin(q)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col("qv").cast("array<double>")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, inlined as
+    literals so the bucketing reproduces anywhere)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id for one vector column."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 20,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket.
+
+    At scale the table is written partitioned by bucket → the search
+    probes one partition.  Recall is tuned by n_planes / multi-probe.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    qb = F.broadcast(
+        bucketed.where(F.col(id_col) == query_id).select(
+            F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qv")
+        )
+    )
+    return (
+        bucketed.where(F.col(id_col) != query_id)
+        .crossJoin(qb)
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col("qv").cast("array<double>")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -1,0 +1,171 @@
+"""Extension operators: dedup family, similarity search, text analysis,
+multimodal plumbing.  Semantics tests on tiny controlled corpora."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.operators import dedup as dd
+from dogsheep_beta_spark.operators import similarity as sim
+from dogsheep_beta_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark sql engines"),
+        (5, ""),  # empty
+        (6, "tiny"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["fingerprint"]: r for r in dd.exact_dedup(docs, "doc_id", "text").collect()}
+    fp = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[fp]["n_dups"] == 2 and out[fp]["keep_id"] == 1
+    assert len(out) == 5  # 6 docs, one pair collapsed
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in dd.jaccard_pairs(docs, "doc_id", "text", k=3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    # 1 vs 3: 7 shingles each, 6 shared -> 6/8
+    assert math.isclose(pairs[(1, 3)], 6 / 8)
+    assert (1, 4) not in pairs  # nothing shared
+    assert (5, 6) not in pairs  # no shingles at all
+
+
+def test_minhash_lsh_finds_dups(docs):
+    out = {(r["a"], r["b"]): r["jaccard"] for r in dd.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert out[(1, 2)] == 1.0  # identical docs always collide in every band
+    # near-dup (1,3) has jaccard .75 -> P(collision in any of 8 bands with
+    # r=2) = 1-(1-.75^2)^8 ≈ .9997; with md5 hashing this is deterministic
+    # for this fixture — assert on the actual deterministic outcome:
+    assert (1, 3) in out
+
+
+def test_simhash_identical_and_near(docs):
+    out = {(r["a"], r["b"]): r["hamming"] for r in dd.simhash_pairs(docs, "doc_id", "text", max_hamming=32).collect()}
+    assert out[(1, 2)] == 0  # identical text -> identical simhash
+    assert out[(1, 3)] <= 10  # near dup -> small hamming distance
+
+
+def test_simhash_value_matches_python(spark, docs):
+    # cross-check the column expression against a direct python SimHash
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.where(F.col("text") != "").select(
+            "doc_id", dd.simhash32_expr(dd.tokens_expr(F.col("text"))).alias("sh")
+        ).collect()
+    }
+
+    def py_simhash(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    for doc_id, text in [(1, "the quick brown fox jumps over the lazy dog"),
+                         (4, "completely different content about spark sql engines")]:
+        assert got[doc_id] == py_simhash(text), doc_id
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 2 clusters: label 0 near [1,0,0...], label 1 near [0,1,0...]
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(20):
+        label = i % 2
+        base = np.zeros(8)
+        base[label] = 1.0
+        v = base + rng.standard_normal(8) * 0.05
+        rows.append((i, [float(x) for x in v], label))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vectors):
+    out = sim.brute_force_topk(vectors, "vec_id", "embedding", 0, k=5).collect()
+    assert len(out) == 5
+    # all nearest neighbours of an even (label-0) vector are label-0 = even ids
+    assert all(r["id"] % 2 == 0 for r in out)
+    cos = [r["cosine"] for r in out]
+    assert cos == sorted(cos, reverse=True) and cos[0] > 0.9
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(vectors):
+    brute = [(r["id"], r["cosine"]) for r in sim.brute_force_topk(vectors, "vec_id", "embedding", 0, k=5).collect()]
+    ivf_all = [(r["id"], r["cosine"]) for r in sim.ivf_topk(vectors, "vec_id", "embedding", "label", 0, k=5, nprobe=2).collect()]
+    assert brute == ivf_all  # nprobe = all cells -> exact
+    ivf_1 = sim.ivf_topk(vectors, "vec_id", "embedding", "label", 0, k=5, nprobe=1).collect()
+    assert all(r["id"] % 2 == 0 for r in ivf_1)  # probes only the query's cell
+
+
+def test_lsh_topk_recall(vectors):
+    got = sim.lsh_topk(vectors, "vec_id", "embedding", 0, k=5, n_planes=2, dim=8).collect()
+    # bucket contains the query's near-identical cluster -> top hit is even
+    assert got and got[0]["id"] % 2 == 0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog!"), (2, ""), (3, "der die das und ist von")],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.ws_token_count(F.col("text")).alias("n"),
+            tx.est_bpe_tokens(F.col("text")).alias("bpe"),
+            tx.langid(F.col("text")).alias("lang"),
+            tx.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1]["n"] == 8
+    assert out[1]["bpe"] == math.ceil(38 / 4)
+    assert out[1]["lang"] == "en"
+    assert out[2]["n"] == 0 and out[2]["lang"] == "und" and out[2]["q"] is not None
+    assert out[3]["lang"] == "de"
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world this is content"), (2, "hello  world THIS is content"), (3, "something else")],
+        "id int, text string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", tx.char_shingle_fingerprint(F.col("text")).alias("f")).collect()}
+    # normalization (case + whitespace) makes 1 and 2 identical
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert len(fp[1]) == 4 * 32
+
+
+def test_multimodal_pipeline(spark):
+    from dogsheep_beta_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "abc", "s"), (2, "defgh", "s")], "doc_id long, text string, source string")
+    media = mm.media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "content", "mime", "meta"]
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["digest"] == hashlib.md5(b"abc").hexdigest()
+    assert len(feats[1]["features"]) == 8
+    # decode stub must refuse, loudly
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"xx", "image")
+    # frame sampling shape
+    frames = mm.frame_sample_stub(media, every_n=2).collect()
+    assert {r["media_id"] for r in frames} == {1, 2}

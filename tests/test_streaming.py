@@ -1,0 +1,106 @@
+"""Structured Streaming extension: incremental index maintenance must
+converge to exactly the batch indexer's output; windowed facet counts
+respect watermarked tumbling windows."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.streaming.incremental import (
+    incremental_index_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbs_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_merge_converges_to_batch(spark, tmpdir):
+    src = os.path.join(tmpdir, "src")
+    index_path = os.path.join(tmpdir, "index")
+    ckpt = os.path.join(tmpdir, "ckpt")
+
+    rows1 = [(1, "one", "2024-01-01"), (2, "two", "2024-01-02")]
+    rows2 = [(2, "two-updated", "2024-01-03"), (3, "three", "2024-01-04")]
+    schema = "key int, title string, timestamp string"
+
+    # batch 1 arrives, stream starts, merges it
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = incremental_index_stream(spark, stream, index_path, "s.db/items", ckpt)
+    q.awaitTermination(60)
+
+    got1 = {r["key"]: r["title"] for r in spark.read.parquet(index_path).collect()}
+    assert got1 == {"1": "one", "2": "two"}
+
+    # batch 2 arrives with an update for key 2 — restart the availableNow
+    # stream (same checkpoint: only new files are processed)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_index_stream(spark, stream, index_path, "s.db/items", ckpt)
+    q.awaitTermination(60)
+
+    final = {r["key"]: r["title"] for r in spark.read.parquet(index_path).collect()}
+    assert final == {"1": "one", "2": "two-updated", "3": "three"}
+
+    # convergence: identical to a single batch build over the same rows
+    # (last writer wins on key 2)
+    from dogsheep_beta_spark.operators.conform import conform
+    from dogsheep_beta_spark.operators.upsert import last_writer_wins, union_conformed
+
+    b1 = conform(spark.createDataFrame(rows1, schema), "s.db/items").withColumn(
+        "load_seq", F.lit(0)
+    )
+    b2 = conform(spark.createDataFrame(rows2, schema), "s.db/items").withColumn(
+        "load_seq", F.lit(1)
+    )
+    batch = {
+        r["key"]: r["title"]
+        for r in last_writer_wins(union_conformed([b1, b2])).collect()
+    }
+    assert final == batch
+
+
+def test_windowed_event_counts(spark, tmpdir):
+    src = os.path.join(tmpdir, "events")
+    rows = [
+        ("2024-01-01 00:10:00", "click"),
+        ("2024-01-01 00:20:00", "click"),
+        ("2024-01-01 00:40:00", "view"),
+        ("2024-01-01 01:10:00", "click"),
+        # sentinel: advances the watermark to 03:00 so the asserted
+        # windows (ending 01:00 / 02:00) are finalized and emitted —
+        # append mode only outputs windows the watermark has passed.
+        ("2024-01-01 05:00:00", "sentinel"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["count"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 00:00:00", "view")] == 1
+    assert got[("2024-01-01 01:00:00", "click")] == 1
