@@ -92,23 +92,29 @@ WITH search_index AS (
 # queries lifecycle.  The FTS index uses the PORTABLE tokenizer
 # (lower + split [^a-z0-9]+) so the DuckDB oracle is expressible
 # (SURVEY.md §5.3); Porter parity is pinned by tests/test_fts.py instead.
-_CTX: dict[str, tuple] = {}
+_CTX: dict[str, dict] = {}
 
 
 def _search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_testdata(spark, sf_dir)
-    return build_search_index(spark, INDEX_CONFIG)
+    """The built search_index, persisted and shared across every query
+    against the same sf_dir (the reference's one-index-many-queries
+    lifecycle).  persist() is what collapses the rebuild into one job."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "idx" not in c:
+        register_testdata(spark, sf_dir)
+        c["idx"] = build_search_index(spark, INDEX_CONFIG).persist()
+    return c["idx"]
 
 
 def _ctx(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _CTX:
+    c = _CTX.setdefault(sf_dir, {})
+    if "fts" not in c:
         from dogsheep_beta_spark.operators.fts_index import build_fts_index
 
-        register_testdata(spark, sf_dir)
-        idx = build_search_index(spark, INDEX_CONFIG).persist()
-        fts = build_fts_index(idx, mode="portable", stem=False)
-        _CTX[sf_dir] = (idx, fts)
-    return _CTX[sf_dir]
+        c["fts"] = build_fts_index(
+            _search_index(spark, sf_dir), mode="portable", stem=False
+        )
+    return c["idx"], c["fts"]
 
 
 def _bm25_results(spark, sf_dir, q, plan: QueryPlan | None = None) -> DataFrame:
@@ -338,13 +344,24 @@ def q_search_filtered(spark, sf_dir):
 
 
 def _documents(spark, sf_dir):
+    """documents, spread across all cores.
+
+    The testdata parquet is one small file → one input split, which
+    would serialize the md5/minhash/simhash expression work onto a
+    single thread.  On a real 100 TB table the scan itself yields
+    thousands of splits and this repartition is a no-op to remove;
+    locally it is what makes the dedup suite scale with cores."""
     register_testdata(spark, sf_dir, tables=("documents",))
-    return spark.table("documents")
+    return spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embeddings(spark, sf_dir):
     register_testdata(spark, sf_dir, tables=("embeddings",))
-    return spark.table("embeddings")
+    return spark.table("embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -468,7 +485,11 @@ def q_media_feature_metadata(spark, sf_dir):
         media_from_documents,
     )
 
-    media = media_from_documents(_documents(spark, sf_dir))
+    # raw table, no repartition: the mapInPandas pass is I/O-shaped, so
+    # forcing 32 partitions just pays 32 Python-worker startups locally;
+    # at scale the scan's own splits provide the parallelism.
+    register_testdata(spark, sf_dir, tables=("documents",))
+    media = media_from_documents(spark.table("documents"))
     return (
         extract_features(media)
         .select("media_id", "n_bytes", "digest")
@@ -637,18 +658,34 @@ _COS = (
 
 def _minhash_oracle() -> str:
     """MinHash(16) + 8 bands × 2 rows, verified over candidates only —
-    mirrors operators/dedup.py:minhash_lsh_pairs."""
+    mirrors operators/dedup.py:minhash_lsh_pairs (affine family over a
+    single md5 base hash, identical (a, b) constants)."""
+    from dogsheep_beta_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(16)
+
     def mh(i):
-        return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+        a, b = params[i]
+        return (
+            f"list_min(list_transform(hbase, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        )
 
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {bi} AS band, {mh(2 * bi)} || '|' || {mh(2 * bi + 1)} AS bucket "
-        "FROM sh WHERE len(shingles) > 0"
+        f"SELECT doc_id, {bi} AS band, CAST({mh(2 * bi)} AS VARCHAR) || '|' || "
+        f"CAST({mh(2 * bi + 1)} AS VARCHAR) AS bucket "
+        "FROM shb WHERE len(shingles) > 0"
         for bi in range(8)
     )
     return (
         ORACLE_SHINGLES3
         + f"""
+, shb AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_PRIME})
+               AS hbase
+    FROM sh
+)
 , banded AS ({bands})
 , cand AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

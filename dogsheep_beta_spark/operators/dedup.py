@@ -88,21 +88,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_bucket: int = 0
-) -> DataFrame:
-    """All-pairs shingle-set Jaccard via the inverted-index join.
+def _jaccard_from_shingles(s: DataFrame) -> DataFrame:
+    """(a, b, jaccard) from an exploded distinct (id, shingle) table.
 
     shared(a,b) = #common shingles from the self-join on shingle;
     |A∪B| = |A| + |B| - shared.  One shuffle on shingle + one on the
-    pair key.  ``max_bucket`` drops shingles shared by more than that
-    many docs (stop-shingle pruning — at scale a shingle in 10^6 docs
-    contributes 10^12 candidate pairs and no information).
-    """
-    s = doc_shingles(df, id_col, text_col, k)
-    if max_bucket:
-        hot = s.groupBy("shingle").count().filter(F.col("count") > max_bucket)
-        s = s.join(hot.select("shingle"), "shingle", "left_anti")
+    pair key."""
     sizes = s.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = s.select(F.col("id").alias("a"), "shingle")
     b = s.select(F.col("id").alias("b"), "shingle")
@@ -125,26 +116,70 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_bucket: int = 0
+) -> DataFrame:
+    """All-pairs shingle-set Jaccard via the inverted-index join.
+
+    ``max_bucket`` drops shingles shared by more than that many docs
+    (stop-shingle pruning — at scale a shingle in 10^6 docs contributes
+    10^12 candidate pairs and no information).
+    """
+    s = doc_shingles(df, id_col, text_col, k)
+    if max_bucket:
+        hot = s.groupBy("shingle").count().filter(F.col("count") > max_bucket)
+        s = s.join(hot.select("shingle"), "shingle", "left_anti")
+    return _jaccard_from_shingles(s)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 
-def _minhash_one(shingles, i: int):
-    # NB: the lambda must stay single-parameter — a second (defaulted)
-    # parameter makes pyspark pick transform's (element, index) variant
-    # and rebind it to the index column.
-    prefix = f"{i}|"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h+b < 2^62 (no overflow)
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine hash family
+    h_i(x) = (a_i*x + b_i) mod p — generated driver-side and inlined as
+    literals so any engine (DuckDB oracle included) reproduces them."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature(shingles, n_hashes: int, seed: int = 42):
+    """Array of ``n_hashes`` minhashes in ONE pass over the shingles.
+
+    Base hash = md5 truncated to 32 bits mod p (one md5 per shingle —
+    not one per (i, shingle): at 100 TB the hash is the dominant cost
+    of the signature build).  Each h_i is a cheap affine transform of
+    the base; the aggregate folds the per-shingle candidate vector into
+    the elementwise minimum."""
+    params = minhash_params(n_hashes, seed)
+    base = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME,
     )
-
-
-def minhash_signature(shingles, n_hashes: int):
-    """Array of md5-based minhashes — h_i(s) = md5(i || '|' || s), min
-    as hex string (fixed width ⇒ lexicographic min == numeric min).
-    Deterministic and reproducible in any engine with md5."""
-    return F.array(*[_minhash_one(shingles, i) for i in range(n_hashes)])
+    return F.aggregate(
+        base,
+        F.array(*[F.lit(MINHASH_PRIME) for _ in range(n_hashes)]).cast(
+            "array<bigint>"
+        ),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[(h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in params]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -168,10 +203,12 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # shingle-less docs would all collide on an all-NULL bucket → drop.
+    # persisted: the shingle arrays feed BOTH the signature build and
+    # the exact-Jaccard verification (tokenize/shingle exactly once).
     pre = df.select(
         F.col(id_col).alias("id"),
         shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    ).where(F.size("shingles") > 0).persist()
     sigs = pre.select(
         "id", minhash_signature(F.col("shingles"), n_hashes).alias("sig")
     )
@@ -183,7 +220,13 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws("|", F.slice("sig", bi * r + 1, r))
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice("sig", bi * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
                     for bi in range(bands)
                 ]
             )
@@ -203,10 +246,17 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("b").alias("id")))
         .distinct()
     )
-    cand_docs = df.join(
-        cand_ids, df[id_col] == cand_ids["id"], "left_semi"
-    )
-    exact = jaccard_pairs(cand_docs, id_col, text_col, verify_k or k)
+    if verify_k and verify_k != k:
+        cand_docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+        exact = jaccard_pairs(cand_docs, id_col, text_col, verify_k)
+    else:
+        # reuse the persisted shingle arrays — no re-tokenization.
+        s = (
+            pre.join(cand_ids, "id", "left_semi")
+            .select("id", F.explode("shingles").alias("shingle"))
+            .where(F.col("shingle") != "")
+        )
+        exact = _jaccard_from_shingles(s)
     return cand.join(exact, ["a", "b"], "inner")
 
 
@@ -222,25 +272,35 @@ def simhash32_expr(tokens):
     computed ONCE per token; bit b of the simhash = sign of
     Σ_tokens (±1 by token bit b).  Pure JVM expressions, and the same
     arithmetic is expressible in DuckDB for the oracle.
+
+    Single pass over the token array: the aggregate folds each token's
+    ±1 bit-vector into a 32-element vote accumulator (one md5 + one
+    zip_with per token), instead of 32 separate array traversals.
     """
     hashes = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-    def bit_vote(b: int):
-        # bitwiseAND with a mask literal instead of shiftright (whose
-        # python wrapper mishandles lambda-variable columns), and a
-        # strictly two-parameter merge lambda (see _minhash_one note).
-        mask = F.lit(1 << b)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bits = [
-        F.when(bit_vote(b) > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(32)
-    ]
-    return reduce(lambda x, y: x + y, bits).cast("long")
+    # powers[b] = 2^b as a constant array; bitwiseAND against the lambda
+    # variable works where shiftright's python wrapper does not.
+    powers = F.array(*[F.lit(1 << b) for b in range(32)]).cast("array<bigint>")
+    votes = F.aggregate(
+        hashes,
+        F.expr("array_repeat(0, 32)"),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_pairs(
