@@ -338,6 +338,43 @@ def q_search_filtered(spark, sf_dir):
     )
 
 
+def q_search_sort_oldest(spark, sf_dir):
+    """F3: explicit sort=oldest overrides relevance even with q
+    (__init__.py:45-48,117-121; tests/test_plugin.py:155-230)."""
+    return _bm25_results(spark, sf_dir, "spark", QueryPlan(q="spark", sort="oldest"))
+
+
+def q_index_database_subset(spark, sf_dir):
+    """A13: -d/--database restricts indexing to named source DBs
+    (cli.py:27-32, utils.py:37-38) — index only events.db, count by type."""
+    register_testdata(spark, sf_dir)
+    idx = build_search_index(spark, INDEX_CONFIG, databases=["events.db"])
+    return (
+        idx.groupBy("type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("type")
+    )
+
+
+def q_hydrate_display(spark, sf_dir):
+    """C3/J2: per-result display hydration decorrelated into ONE
+    broadcast join (vs the reference's ≤100 point queries,
+    __init__.py:161-168) — search results joined to the display view."""
+    from dogsheep_beta_spark.plans.hydrate import hydrate_join
+
+    res = _bm25_results(
+        spark, sf_dir, "urgent", QueryPlan(q="urgent", type="orders.db/orders")
+    )
+    display_view = spark.table("orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("display_totalprice"),
+        F.col("o_orderstatus").alias("display_status"),
+    )
+    return hydrate_join(res, display_view, "o_orderkey").select(
+        "type", "key", "rank", "title", "display_totalprice", "display_status"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline extensions (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -476,6 +513,71 @@ def q_text_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal: video frame-sampling explode shape — one row per
+    sampled frame, stubbed decoder (operators/multimodal.py)."""
+    from dogsheep_beta_spark.operators.multimodal import (
+        frame_sample_stub,
+        media_from_documents,
+    )
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    media = media_from_documents(spark.table("documents"))
+    return (
+        frame_sample_stub(media, every_n=64)
+        .select("media_id", "frame_no")
+        .orderBy("media_id", "frame_no")
+    )
+
+
+_STREAM_SEQ = [0]
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming: tumbling 1-day windowed event counts over
+    the events stream (availableNow), complete mode — converges to the
+    equivalent batch GROUP BY, which is the oracle."""
+    import os
+
+    from dogsheep_beta_spark.streaming.incremental import windowed_event_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory; expose the single parquet
+    # file through a symlink dir (testdata itself is read-only).
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="dbs_events_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    counts = windowed_event_counts(
+        stream, ts_col="ts", key_col="event_type", window="1 day", watermark="1 day"
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_win_counts_{_STREAM_SEQ[0]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # day as epoch seconds: window alignment is an epoch instant, so
+    # this stays correct under ANY session timezone (date_format would
+    # not).
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("day_epoch"),
+        "event_type",
+        F.col("count").alias("cnt"),
+    ).orderBy("day_epoch", "event_type")
+
+
 def q_media_feature_metadata(spark, sf_dir):
     """Multimodal plumbing: binary media column → mapInPandas feature
     extraction (byte count + digest); content synthesized from
@@ -517,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": q_search_prefix,
         "search_escape_fallback": q_search_escape_fallback,
         "search_filtered": q_search_filtered,
+        "search_sort_oldest": q_search_sort_oldest,
+        "index_database_subset": q_index_database_subset,
+        "hydrate_display": q_hydrate_display,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -528,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
         "media_feature_metadata": q_media_feature_metadata,
+        "media_frame_sample": q_media_frame_sample,
+        "streaming_window_counts": q_streaming_window_counts,
     }
 
 
@@ -715,7 +822,10 @@ _STOPWORDS_SQL = {
 
 
 def _search_oracle(
-    blocks: list[tuple[str, str]], matched_sql: str, extra_where: str = ""
+    blocks: list[tuple[str, str]],
+    matched_sql: str,
+    extra_where: str = "",
+    order_by: str = 's.rank ASC, si."timestamp" DESC NULLS LAST',
 ) -> str:
     """Assemble a full search oracle query from phrase hit blocks."""
     ctes = "".join(_hits_block(n, sql) for n, sql in blocks)
@@ -735,7 +845,7 @@ FROM matched m
 JOIN scored s ON m.type = s.type AND m."key" = s."key"
 JOIN search_index si ON m.type = si.type AND m."key" = si."key"
 {extra_where}
-ORDER BY s.rank ASC, si."timestamp" DESC NULLS LAST, m.type ASC, m."key" ASC
+ORDER BY {order_by}, m.type ASC, m."key" ASC
 LIMIT 100
 """
     )
@@ -892,6 +1002,24 @@ def oracle_sql() -> dict[str, str]:
             'SELECT type, "key" FROM t_spark',
             extra_where="WHERE si.category = 1 AND si.is_public = 1",
         ),
+        # Spark ASC sorts NULLs first; DuckDB defaults NULLS LAST on ASC.
+        "search_sort_oldest": _search_oracle(
+            [("t_spark", _term_hits("term = 'spark'"))],
+            'SELECT type, "key" FROM t_spark',
+            order_by='si."timestamp" ASC NULLS FIRST',
+        ),
+        "index_database_subset": """
+            SELECT 'events.db/events' AS type, COUNT(*) AS cnt FROM events
+        """,
+        "hydrate_display": "SELECT h.type, h.\"key\", h.rank, h.title, "
+        "ROUND(o.o_totalprice, 2) AS display_totalprice, "
+        "o.o_orderstatus AS display_status FROM ("
+        + _search_oracle(
+            [("t_urgent", _term_hits("term = 'urgent'"))],
+            'SELECT type, "key" FROM t_urgent',
+            extra_where="WHERE si.type = 'orders.db/orders'",
+        )
+        + ') h LEFT JOIN orders o ON h."key" = CAST(o.o_orderkey AS VARCHAR)',
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
                    MIN(doc_id) AS keep_id
@@ -1035,5 +1163,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY media_id
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(greatest(octet_length(text::BLOB) // 64, 1)))
+                        AS INTEGER) AS frame_no
+            FROM documents
+            ORDER BY media_id, frame_no
+        """,
+        "streaming_window_counts": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY day_epoch, event_type
         """,
     }

@@ -1,0 +1,111 @@
+"""Per-result hydration — C3 in SURVEY.md §2.
+
+Reference behavior (__init__.py:161-168; README.md:135-162): for each of
+the ≤100 search results, run the rule's ``display_sql`` with ``:key``
+(and optionally ``:q``) bound, and attach the first row as ``display``.
+That is an N+1 point-query pattern, explicitly justified there by
+SQLite's cheap-small-queries property.
+
+Spark decorrelates it manually (SURVEY §4): ONE query per (db, type)
+with the result keys pushed down as an ``IN`` list — a broadcast-join
+shape with a ≤100-element build side — instead of ≤100 round trips.
+
+Two surfaces:
+- ``rewrite_display_sql`` + ``hydrate_results``: accepts the reference's
+  own ``... where <col> = :key`` SQL verbatim and batches it.
+- ``hydrate_join``: the same semantics as a declarative DataFrame join,
+  for plans that want hydration inside one Catalyst-optimized query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KEY_EQ = re.compile(r"([A-Za-z_][\w.]*)\s*=\s*:key")
+
+
+def _sql_string_literal(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def rewrite_display_sql(sql: str, keys: list[str], q: str | None = None):
+    """Rewrite ``... where <col> = :key`` into a batched IN query.
+
+    Returns (rewritten_sql, key_column_name).  The equality predicate is
+    replaced by ``true`` and re-imposed outside over the whole key set,
+    with a string cast on both sides to mirror SQLite's loose affinity
+    (keys are stored as TEXT, source pks are usually INTEGER —
+    utils.py:7 + tests/test_cli.py:80).
+    """
+    m = _KEY_EQ.search(sql)
+    if not m:
+        raise ValueError(
+            "display_sql must contain a '<column> = :key' predicate "
+            f"(reference pattern, README.md:135-162): {sql!r}"
+        )
+    lhs = m.group(1)
+    col = lhs.split(".")[-1]
+    inner = sql[: m.start()] + "true" + sql[m.end() :]
+    if q is not None:
+        inner = inner.replace(":q", _sql_string_literal(q))
+    in_list = ", ".join(_sql_string_literal(k) for k in keys) or "''"
+    rewritten = (
+        f"SELECT * FROM ({inner}) __hydrate "
+        f"WHERE CAST(__hydrate.{col} AS STRING) IN ({in_list})"
+    )
+    return rewritten, col
+
+
+def hydrate_results(
+    spark: SparkSession,
+    result_rows: list[dict],
+    display_sqls: dict[str, str],
+    q: str | None = None,
+) -> list[dict]:
+    """Attach ``display`` dicts to collected result rows.
+
+    ``display_sqls`` maps the full type tag ("db/rule") to its
+    display_sql.  One batched Spark query per type present in the
+    results (≤ #types queries total, not ≤100 — the decorrelation).
+    First-row-wins per key, like the reference's ``rows.first()``.
+    """
+    by_type: dict[str, list[str]] = {}
+    for r in result_rows:
+        if r["type"] in display_sqls:
+            by_type.setdefault(r["type"], []).append(str(r["key"]))
+
+    display_maps: dict[str, dict[str, dict]] = {}
+    for type_tag, keys in by_type.items():
+        rewritten, col = rewrite_display_sql(display_sqls[type_tag], keys, q)
+        fetched: dict[str, dict] = {}
+        for row in spark.sql(rewritten).collect():
+            d = row.asDict(recursive=True)
+            k = str(d[col])
+            fetched.setdefault(k, d)  # first row wins (__init__.py:166-168)
+        display_maps[type_tag] = fetched
+
+    out = []
+    for r in result_rows:
+        r = dict(r)
+        r["display"] = display_maps.get(r["type"], {}).get(str(r["key"]))
+        out.append(r)
+    return out
+
+
+def hydrate_join(
+    results: DataFrame, display_view: DataFrame, display_key: str
+) -> DataFrame:
+    """C3 as one declarative plan: broadcast the ≤100-row result side
+    into the display view — Catalyst picks BroadcastHashJoin, the
+    display scan keeps pushdown/pruning."""
+    keyed = display_view.withColumn(
+        "__display_key", F.col(display_key).cast("string")
+    )
+    return (
+        F.broadcast(results)
+        .join(keyed, F.col("key") == F.col("__display_key"), "left")
+        .drop("__display_key")
+    )
