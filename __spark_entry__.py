@@ -477,6 +477,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-20: exact cosine within the query's
+    random-hyperplane bucket (planes inlined from a seeded RNG, so the
+    oracle reproduces the bucketing bit-for-bit)."""
+    from dogsheep_beta_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _embeddings(spark, sf_dir), "vec_id", "embedding", 0,
+        k=20, n_planes=6, dim=64,
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens, chars, BPE estimate, avg len."""
     from dogsheep_beta_spark.functions import text as tx
@@ -629,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -810,6 +823,28 @@ FROM cand c JOIN jac j ON c.a = j.a AND c.b = j.b
 ORDER BY jaccard DESC, c.a, c.b
 LIMIT 50
 """
+    )
+
+
+def _lsh_oracle() -> str:
+    """Random-hyperplane LSH bucket search — same seeded planes as
+    operators/similarity.py:lsh_topk, inlined as list literals."""
+    from dogsheep_beta_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6, seed=42)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        _EMB_CTE
+        + f"""
+        , b AS (SELECT vec_id, v, {terms} AS bucket FROM e)
+        , qb AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
+        SELECT b.vec_id AS id, {_COS.format(a='b.v', b='qb.qv')} AS cosine
+        FROM b, qb WHERE b.vec_id <> 0 AND b.bucket = qb.qbucket
+        ORDER BY cosine DESC, id LIMIT 20
+        """
     )
 
 
@@ -1096,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, id LIMIT 20
         """,
+        "ann_lsh_topk": _lsh_oracle(),
         "text_token_stats": ORACLE_DOC_TOKENS
         + r"""
             SELECT doc_id,

@@ -1,0 +1,81 @@
+"""Persistence round-trips: run_indexer Parquet write (A5→A8/A11 path,
+incl. partition_by_type layout) and write_fts_index term bucketing."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.indexer import build_search_index, run_indexer
+from dogsheep_beta_spark.operators.fts_index import build_fts_index, write_fts_index
+
+CONFIG = {
+    "dogs.db": {
+        "dogs": {
+            "sql": """
+                select id as key, name as title, created as timestamp,
+                       case name when 'Cleo' then 1 else 2 end as category,
+                       likes as search_1
+                from dogs
+            """
+        }
+    }
+}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbs_persist_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def dogs_source(spark):
+    spark.createDataFrame(
+        [
+            (1, "Cleo", "running", 5, "2020-08-22 04:41:33"),
+            (2, "Pancakes", "chasing", 4, "2020-08-17 11:35:42"),
+        ],
+        "id int, name string, likes string, age int, created string",
+    ).createOrReplaceTempView("dogs")
+
+
+def test_run_indexer_roundtrip(spark, dogs_source, tmpdir):
+    out = os.path.join(tmpdir, "index")
+    df = run_indexer(spark, CONFIG, out)
+    # re-read equals the in-flight build, including defaults and coercions
+    mem = {r["key"]: r.asDict() for r in build_search_index(spark, CONFIG).collect()}
+    disk = {r["key"]: r.asDict() for r in df.collect()}
+    assert disk == mem
+    assert disk["1"]["is_public"] == 0 and disk["1"]["search_2"] is None
+
+
+def test_run_indexer_partitioned_by_type(spark, dogs_source, tmpdir):
+    out = os.path.join(tmpdir, "index_part")
+    run_indexer(spark, CONFIG, out, partition_by_type=True)
+    # hive-style layout -> per-type partition pruning at scale
+    assert any(p.startswith("type=") for p in os.listdir(out))
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("type") == "dogs.db/dogs").count() == 2
+
+
+def test_write_fts_index_term_buckets(spark, dogs_source, tmpdir):
+    idx = build_search_index(spark, CONFIG)
+    fts = build_fts_index(idx, mode="portable", stem=False)
+    out = os.path.join(tmpdir, "fts")
+    write_fts_index(fts, out, term_buckets=2)
+    postings = spark.read.parquet(os.path.join(out, "postings"))
+    mem = {
+        (r["term"], r["key"], r["field"]): r["tf"] for r in fts.postings.collect()
+    }
+    disk = {
+        (r["term"], r["key"], r["field"]): r["tf"] for r in postings.collect()
+    }
+    assert disk == mem and len(disk) > 0
+    doclen = spark.read.parquet(os.path.join(out, "doc_lengths"))
+    assert {r["key"]: r["dl"] for r in doclen.collect()} == {
+        r["key"]: r["dl"] for r in fts.doc_lengths.collect()
+    }
