@@ -114,6 +114,10 @@ def _ctx(spark: SparkSession, sf_dir: str):
         c["fts"] = build_fts_index(
             _search_index(spark, sf_dir), mode="portable", stem=False
         )
+        # materialize the persisted postings now: index build pays the
+        # inverted-index cost once, queries then run at steady state
+        # (mirrors the reference's explicit FTS rebuild, utils.py:57-63).
+        c["fts"].postings.count()
     return c["idx"], c["fts"]
 
 

@@ -1,0 +1,110 @@
+"""CLI — the Spark analog of ``dogsheep-beta index`` (reference
+cli.py:5-41).
+
+    python -m dogsheep_beta_spark.cli index OUTPUT_PATH CONFIG \\
+        [--tokenize porter|none] [-d DB ...] [--sources DIR] \\
+        [--partition-by-type] [--term-buckets N]
+
+Differences from the reference, by design (SURVEY §7.0): the "index DB"
+is a Parquet directory (``search_index/`` + ``fts/postings`` +
+``fts/doc_lengths``), sources are Parquet tables registered as views
+(``--sources`` points at a directory of ``<table>.parquet``), and the
+whole build is one Spark job graph instead of per-rule SQLite
+statements.  argparse instead of click (no extra dependency).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_session(cpus: str | None = None):
+    from pyspark.sql import SparkSession
+
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dogsheep_beta_spark_index")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def cmd_index(args) -> int:
+    from dogsheep_beta_spark.config import parse_metadata
+    from dogsheep_beta_spark.indexer import run_indexer
+    from dogsheep_beta_spark.operators.fts_index import (
+        build_fts_index,
+        write_fts_index,
+    )
+    from dogsheep_beta_spark.sources.registry import register_testdata
+
+    with open(args.config) if args.config != "-" else sys.stdin as f:
+        rules = parse_metadata(f.read())
+
+    spark = _build_session()
+    if args.sources:
+        register_testdata(spark, args.sources)
+
+    index_path = os.path.join(args.output, "search_index")
+    df = run_indexer(
+        spark,
+        rules,
+        index_path,
+        databases=list(args.database) or None,
+        partition_by_type=args.partition_by_type,
+    )
+    # FTS rebuild after the bulk load, like the reference (utils.py:57-63)
+    stem = args.tokenize == "porter"
+    fts = build_fts_index(df, mode="portable", stem=stem)
+    write_fts_index(fts, os.path.join(args.output, "fts"), args.term_buckets)
+    n = df.count()
+    print(f"indexed {n} rows -> {args.output} (tokenize={args.tokenize})")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dogsheep-beta-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    ix = sub.add_parser("index", help="build the search index from a rules config")
+    ix.add_argument("output", help="output directory (Parquet index)")
+    ix.add_argument("config", help="rules YAML/JSON file, or - for stdin")
+    ix.add_argument(
+        "--tokenize",
+        default="porter",
+        choices=["porter", "none"],
+        help="porter (default) stems indexed terms; none disables stemming",
+    )
+    ix.add_argument(
+        "-d",
+        "--database",
+        action="append",
+        default=[],
+        help="databases to index - defaults to all (repeatable)",
+    )
+    ix.add_argument(
+        "--sources",
+        help="directory of <table>.parquet files to register as source views",
+    )
+    ix.add_argument(
+        "--partition-by-type",
+        action="store_true",
+        help="write search_index hive-partitioned by type (scale layout)",
+    )
+    ix.add_argument(
+        "--term-buckets",
+        type=int,
+        default=0,
+        help="repartition postings by term into N buckets on write",
+    )
+    ix.set_defaults(func=cmd_index)
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

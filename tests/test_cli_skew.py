@@ -1,0 +1,90 @@
+"""CLI end-to-end (reference cli.py parity) + skew-salting operators."""
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.operators.skew import salted_agg_count, salted_join
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dbs_cli_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_index_end_to_end(tmpdir):
+    config = os.path.join(tmpdir, "rules.yml")
+    with open(config, "w") as f:
+        f.write(
+            """
+docs.db:
+    documents:
+        sql: |-
+            select doc_id as key, source as title, text as search_1,
+                   1 as category from documents
+"""
+        )
+    out = os.path.join(tmpdir, "index")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dogsheep_beta_spark.cli",
+            "index",
+            out,
+            config,
+            "--sources",
+            "/root/testdata/sf0.001",
+            "--tokenize",
+            "none",
+            "--term-buckets",
+            "2",
+            "-d",
+            "docs.db",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "indexed" in proc.stdout
+    assert os.path.exists(os.path.join(out, "search_index"))
+    assert os.path.exists(os.path.join(out, "fts", "postings"))
+    assert os.path.exists(os.path.join(out, "fts", "doc_lengths"))
+
+
+def test_salted_agg_count_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in (["hot"] if i % 2 else ["hot", f"k{i}"])],
+        "key string, v int",
+    )
+    plain = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+    salted = {
+        r["key"]: r["count"]
+        for r in salted_agg_count(df, ["key"], tie_break="v", n_salts=4).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], "k int, label string")
+    plain = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small, "k", "inner").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small, "k", n_salts=4, tie_break="payload").collect()
+    )
+    assert salted == plain and len(plain) == 200
