@@ -56,14 +56,11 @@ def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> Dat
     )
 
 
-def build_fts_index(
-    index_df: DataFrame,
-    fields=FTS_FIELDS,
-    mode: str = "portable",
-    stem: bool = False,
-    persist: bool = True,
-) -> FtsIndex:
-    """Tokenize → explode → aggregate: the whole inverted-index build."""
+def postings_and_lengths(
+    index_df: DataFrame, fields=FTS_FIELDS, mode: str = "portable", stem: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize → explode → aggregate: (postings, doc_lengths), no
+    corpus scalars (used standalone by the incremental maintainer)."""
     tokens = None
     for f in fields:
         t = _field_tokens(index_df, f, mode, stem)
@@ -73,13 +70,23 @@ def build_fts_index(
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    if persist:
-        postings = postings.persist()
-
     # dl per row = total tokens over the indexed fields (FTS5 flattened
     # column model, equal weights).
     doc_lengths = tokens.groupBy("type", "key").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_lengths
+
+
+def build_fts_index(
+    index_df: DataFrame,
+    fields=FTS_FIELDS,
+    mode: str = "portable",
+    stem: bool = False,
+    persist: bool = True,
+) -> FtsIndex:
+    """The whole inverted-index build, with corpus scalars."""
+    postings, doc_lengths = postings_and_lengths(index_df, fields, mode, stem)
     if persist:
+        postings = postings.persist()
         doc_lengths = doc_lengths.persist()
 
     # corpus scalars: N counts EVERY row of search_index (token-less rows

@@ -71,6 +71,93 @@ def incremental_index_stream(
     return writer.start()
 
 
+def merge_fts_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    fts_path: str,
+    type_tag: str,
+) -> None:
+    """foreachBatch body for incremental FTS maintenance (A10).
+
+    The reference keeps FTS in sync with per-row SQLite triggers
+    (utils.py:90) which its own batch indexer bypasses and rebuilds.
+    Here the index merge and the postings rebuild-of-affected-docs run
+    per micro-batch:
+
+    1. upsert the conformed batch into search_index (last-writer-wins);
+    2. drop the affected (type, key) docs from postings/doc_lengths
+       (anti-join — the streaming analog of the FTS delete trigger);
+    3. tokenize ONLY the incoming docs and append their postings.
+
+    Work per batch is O(batch), not O(index): the untouched postings
+    rows are carried through unchanged.  On Delta/Iceberg steps 2+3
+    become a MERGE; on plain Parquet we rewrite, same semantics.
+    """
+    import os
+
+    from dogsheep_beta_spark.operators.fts_index import postings_and_lengths
+
+    incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
+    try:
+        existing = spark.read.parquet(index_path).withColumn("load_seq", F.lit(0))
+        merged = last_writer_wins(union_conformed([existing, incoming]))
+    except Exception:
+        merged = last_writer_wins(incoming)
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(index_path)
+
+    # postings delta for ONLY the batch's docs (post-merge rows, so a
+    # same-batch overwrite of an existing key reindexes the new text)
+    batch_keys = incoming.select("type", "key").distinct()
+    touched = merged.join(batch_keys, ["type", "key"], "left_semi")
+    delta_post, delta_len = postings_and_lengths(touched)
+
+    post_path = os.path.join(fts_path, "postings")
+    len_path = os.path.join(fts_path, "doc_lengths")
+    try:
+        old_post = spark.read.parquet(post_path)
+        old_len = spark.read.parquet(len_path)
+        new_post = old_post.join(batch_keys, ["type", "key"], "left_anti").unionByName(
+            delta_post
+        )
+        new_len = old_len.join(batch_keys, ["type", "key"], "left_anti").unionByName(
+            delta_len
+        )
+    except Exception:
+        new_post, new_len = delta_post, delta_len
+    new_post.cache().count()
+    new_len.cache().count()
+    new_post.write.mode("overwrite").parquet(post_path)
+    new_len.write.mode("overwrite").parquet(len_path)
+    merged.unpersist()
+    new_post.unpersist()
+    new_len.unpersist()
+
+
+def incremental_fts_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_path: str,
+    fts_path: str,
+    type_tag: str,
+    checkpoint_dir: str,
+):
+    """Wire a conformed stream into index + FTS via foreachBatch."""
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_fts_batch(
+                spark, bdf, bid, index_path, fts_path, type_tag
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

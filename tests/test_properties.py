@@ -1,0 +1,215 @@
+"""Property-based and randomized-fuzz tests.
+
+- hypothesis fuzz: porter_stem and the portable tokenizer against
+  SQLite FTS5's own tokenizers (ground truth available in-process);
+- seeded-random fuzz: the MATCH compiler's doc-sets against a
+  brute-force Python evaluator over random corpora — pins AND/OR/NOT/
+  phrase/prefix semantics independent of the hand-written cases;
+- upsert last-writer-wins against a Python dict model.
+"""
+
+import random
+import sqlite3
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.functions.tokenizer import (
+    analyze_py,
+    porter_stem,
+    tokenize_py,
+)
+from dogsheep_beta_spark.plans.match import compile_match, parse_match
+
+# ---------------------------------------------------------------------------
+# hypothesis: tokenizer parity with FTS5 (pure python, fast)
+# ---------------------------------------------------------------------------
+
+
+def _fts5_terms(text: str, tokenize: str) -> list[str]:
+    con = sqlite3.connect(":memory:")
+    con.execute(f"CREATE VIRTUAL TABLE t USING fts5(a, tokenize='{tokenize}')")
+    con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+    con.execute("INSERT INTO t VALUES (?)", (text,))
+    terms = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
+    con.close()
+    return terms
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=24))
+def test_porter_stem_matches_fts5(word):
+    assert porter_stem(word) == _fts5_terms(word, "porter")[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " .,!?-_#@'\"()/:;",
+        max_size=80,
+    )
+)
+def test_portable_tokenizer_matches_unicode61_on_ascii(text):
+    # our portable mode == unicode61 restricted to ascii alphanumerics
+    assert tokenize_py(text) == _fts5_terms(text, "unicode61")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " -#'.",
+        max_size=60,
+    )
+)
+def test_analyze_stem_matches_fts5_porter_pipeline(text):
+    assert analyze_py(text, stem=True) == _fts5_terms(text, "porter")
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: MATCH compiler vs brute-force evaluator
+# ---------------------------------------------------------------------------
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _py_eval(ast, docs):
+    """Brute-force MATCH semantics over {key: {field: [tokens]}}
+    (mirrors plans/match.py AST: Phrase/And/Or/Not)."""
+    from functools import reduce
+
+    from dogsheep_beta_spark.plans import match as M
+
+    if isinstance(ast, M.Phrase):
+        terms, prefix, initial = ast.tokens, ast.prefix, ast.initial
+        out = set()
+        for key, fields in docs.items():
+            for toks in fields.values():
+                n = len(terms)
+                starts = [0] if initial else range(len(toks) - n + 1)
+                for i in starts:
+                    win = toks[i : i + n]
+                    if len(win) < n:
+                        continue
+                    head_ok = all(a == b for a, b in zip(win[:-1], terms[:-1]))
+                    last_ok = (
+                        win[-1].startswith(terms[-1]) if prefix else win[-1] == terms[-1]
+                    )
+                    if head_ok and last_ok:
+                        out.add(key)
+                        break
+        return out
+    if isinstance(ast, M.And):
+        return reduce(set.__and__, (_py_eval(x, docs) for x in ast.items))
+    if isinstance(ast, M.Or):
+        return reduce(set.__or__, (_py_eval(x, docs) for x in ast.items))
+    if isinstance(ast, M.Not):
+        return _py_eval(ast.left, docs) - _py_eval(ast.right, docs)
+    raise AssertionError(type(ast).__name__)
+
+
+QUERIES = [
+    "alpha",
+    "alpha beta",
+    "alpha OR beta",
+    "alpha NOT beta",
+    "alpha beta OR gamma",
+    '"alpha beta"',
+    '"beta gamma" OR delta',
+    "alp*",
+    "alpha NOT bet*",
+    '"alpha beta" NOT gamma',
+    "^alpha",
+    "^alpha beta",
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_match_compiler_fuzz(spark, seed):
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(30):
+        title = " ".join(rng.choices(VOCAB, k=rng.randint(0, 5))) or None
+        s1 = " ".join(rng.choices(VOCAB, k=rng.randint(0, 8))) or None
+        rows.append((f"k{i}", title, s1))
+    df = spark.createDataFrame(rows, "key string, title string, search_1 string")
+    idx = df.select(
+        F.lit("f.db/t").alias("type"),
+        "key",
+        "title",
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(1).alias("category"),
+        F.lit(0).alias("is_public"),
+        "search_1",
+        F.lit(None).cast("string").alias("search_2"),
+        F.lit(None).cast("string").alias("search_3"),
+    )
+    fts = build_fts_index(idx, mode="portable", stem=False)
+    docs = {
+        key: {
+            "title": analyze_py(title) if title else [],
+            "search_1": analyze_py(s1) if s1 else [],
+        }
+        for key, title, s1 in rows
+    }
+    for q in QUERIES:
+        ast = parse_match(q, analyze_py)
+        expected = _py_eval(ast, docs)
+        docset, _hits = compile_match(ast, fts)
+        got = {r["key"] for r in docset.select("key").collect()}
+        assert got == expected, f"query {q!r} seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: upsert vs dict model
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_last_writer_wins_fuzz(spark, seed):
+    from dogsheep_beta_spark.operators.conform import conform
+    from dogsheep_beta_spark.operators.upsert import last_writer_wins, union_conformed
+
+    rng = random.Random(seed)
+    runs = []
+    model: dict[str, str] = {}
+    for seq in range(4):
+        batch = [
+            (rng.randint(0, 15), f"v{seq}-{i}") for i in range(rng.randint(1, 10))
+        ]
+        for k, v in batch:
+            model[str(k)] = v  # later batch wins; within a batch the
+            # model takes the LAST occurrence of a key
+        runs.append(
+            conform(
+                spark.createDataFrame(batch, "key int, title string"), "f.db/t"
+            ).withColumn("load_seq", F.lit(seq))
+        )
+    merged = last_writer_wins(union_conformed(runs))
+    got = {r["key"]: r["title"] for r in merged.collect()}
+    # within-batch duplicate order is not defined by the engine (the
+    # reference's REPLACE is row-order dependent); compare per-key
+    # against the set of that key's last-batch values
+    last_batch: dict[str, set] = {}
+    seq_of: dict[str, int] = {}
+    for seq in range(4):
+        pass
+    # rebuild exactly: for each key, collect values from its highest seq
+    per_key: dict[str, tuple[int, set]] = {}
+    for seq, run_rows in enumerate(
+        [
+            [(str(r["key"]), r["title"]) for r in run.collect()]
+            for run in runs
+        ]
+    ):
+        for k, v in run_rows:
+            if k not in per_key or per_key[k][0] < seq:
+                per_key[k] = (seq, {v})
+            elif per_key[k][0] == seq:
+                per_key[k][1].add(v)
+    assert set(got) == set(per_key)
+    for k, (seq, vals) in per_key.items():
+        assert got[k] in vals, k

@@ -70,6 +70,56 @@ def test_incremental_merge_converges_to_batch(spark, tmpdir):
     assert final == batch
 
 
+def test_incremental_fts_converges_to_batch(spark, tmpdir):
+    """Streamed postings maintenance == full batch FTS rebuild over the
+    same final corpus (the invariant the reference's triggers cannot
+    give for cross-db loads, utils.py:57-63)."""
+    import pyspark.sql.functions as SF
+
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.streaming.incremental import incremental_fts_stream
+
+    src = os.path.join(tmpdir, "src")
+    index_path = os.path.join(tmpdir, "index")
+    fts_path = os.path.join(tmpdir, "fts")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    schema = "key int, title string, search_1 string"
+
+    rows1 = [(1, "alpha beta", "gamma"), (2, "beta beta", None)]
+    rows2 = [(2, "delta", "beta gamma"), (3, "alpha", "alpha")]  # updates 2, adds 3
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_fts_stream(spark, stream, index_path, fts_path, "s.db/t", ckpt)
+    q.awaitTermination(60)
+
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_fts_stream(spark, stream, index_path, fts_path, "s.db/t", ckpt)
+    q.awaitTermination(60)
+
+    def canon(df):
+        return sorted(
+            (r["term"], r["key"], r["field"], r["tf"], tuple(r["positions"]))
+            for r in df.collect()
+        )
+
+    streamed = canon(spark.read.parquet(os.path.join(fts_path, "postings")))
+    batch_fts = build_fts_index(
+        spark.read.parquet(index_path), persist=False
+    )
+    assert streamed == canon(batch_fts.postings)
+    got_len = {
+        r["key"]: r["dl"]
+        for r in spark.read.parquet(os.path.join(fts_path, "doc_lengths")).collect()
+    }
+    assert got_len == {r["key"]: r["dl"] for r in batch_fts.doc_lengths.collect()}
+    # the updated doc 2 must reflect ONLY its new text
+    idx = {r["key"]: r["title"] for r in spark.read.parquet(index_path).collect()}
+    assert idx == {"1": "alpha beta", "2": "delta", "3": "alpha"}
+    assert ("beta", "2", "title", 2, (0, 1)) not in streamed
+
+
 def test_windowed_event_counts(spark, tmpdir):
     src = os.path.join(tmpdir, "events")
     rows = [
