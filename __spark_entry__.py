@@ -520,13 +520,16 @@ def q_text_quality_langid(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s."""
-    from dogsheep_beta_spark.functions.text import char_shingle_fingerprint
+    """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s
+    (explode + codegen md5 + aggregate, see functions/text.py)."""
+    from dogsheep_beta_spark.functions.text import fingerprint_table
 
     d = _documents(spark, sf_dir)
-    return d.select(
-        "doc_id", char_shingle_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    return (
+        fingerprint_table(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):

@@ -112,3 +112,28 @@ def char_shingle_fingerprint(col: Column, k: int = 8, n_mins: int = 4) -> Column
             n_mins,
         ),
     )
+
+
+def fingerprint_table(
+    df, id_col: str, text_col: str, k: int = 8, n_mins: int = 4
+):
+    """(id, fingerprint) via explode + aggregation — same values as
+    ``char_shingle_fingerprint`` but with the md5 evaluated as a
+    codegen'd column over window rows and the min-``n_mins`` selection
+    done by hash aggregation (map-side partials), instead of an
+    interpreted per-row lambda over an array.  Preferred at scale."""
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+        ).alias("i"),
+    ).select("id", F.md5(F.expr(f"substr(norm, i, {k})")).alias("h"))
+    return wins.groupBy("id").agg(
+        F.concat_ws("", F.slice(F.array_sort(F.collect_list("h")), 1, n_mins)).alias(
+            "fingerprint"
+        )
+    )

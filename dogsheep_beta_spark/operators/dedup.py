@@ -202,19 +202,34 @@ def minhash_lsh_pairs(
     only candidates (≪ n²) reach verification.
     """
     r = n_hashes // bands
-    # shingle-less docs would all collide on an all-NULL bucket → drop.
-    # persisted: the shingle arrays feed BOTH the signature build and
-    # the exact-Jaccard verification (tokenize/shingle exactly once).
-    pre = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
-    ).where(F.size("shingles") > 0).persist()
-    sigs = pre.select(
-        "id", minhash_signature(F.col("shingles"), n_hashes).alias("sig")
+    params = minhash_params(n_hashes)
+    # exploded distinct (id, shingle) rows — persisted because they feed
+    # BOTH the signature aggregation and the exact-Jaccard verification
+    # (tokenize/shingle exactly once).  shingle-less docs drop out here
+    # (they would all collide on an all-NULL bucket).
+    s = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_expr(tokens_expr(F.col(text_col)), k)).alias(
+                "shingle"
+            ),
+        )
+        .where(F.col("shingle") != "")
+        .persist()
     )
-    # one projection computes every band bucket, posexplode fans out —
-    # the signature pipeline (n_hashes × md5 over all shingles) runs
-    # exactly once per row, not once per band.
+    # signature build as codegen'd column exprs + hash aggregation with
+    # map-side combine: ONE md5 per shingle row, n_hashes affine mins —
+    # no interpreted lambda functions anywhere.
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    sigs = s.groupBy("id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -222,10 +237,10 @@ def minhash_lsh_pairs(
                 *[
                     F.concat_ws(
                         "|",
-                        F.transform(
-                            F.slice("sig", bi * r + 1, r),
-                            lambda x: x.cast("string"),
-                        ),
+                        *[
+                            F.col(f"m{bi * r + j}").cast("string")
+                            for j in range(r)
+                        ],
                     )
                     for bi in range(bands)
                 ]
@@ -250,13 +265,8 @@ def minhash_lsh_pairs(
         cand_docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
         exact = jaccard_pairs(cand_docs, id_col, text_col, verify_k)
     else:
-        # reuse the persisted shingle arrays — no re-tokenization.
-        s = (
-            pre.join(cand_ids, "id", "left_semi")
-            .select("id", F.explode("shingles").alias("shingle"))
-            .where(F.col("shingle") != "")
-        )
-        exact = _jaccard_from_shingles(s)
+        # reuse the persisted exploded shingles — no re-tokenization.
+        exact = _jaccard_from_shingles(s.join(cand_ids, "id", "left_semi"))
     return cand.join(exact, ["a", "b"], "inner")
 
 
@@ -303,6 +313,40 @@ def simhash32_expr(tokens):
     )
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via explode + partial aggregation.
+
+    Equivalent to ``simhash32_expr`` but structured for the engine:
+    tokens become rows, the md5 and the 32 per-bit ±1 votes are plain
+    codegen'd column expressions (no interpreted lambda functions), and
+    the per-doc vote sums use hash aggregation with map-side combine —
+    the shape that scales and that whole-stage codegen fuses.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_expr(F.col(text_col))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    # NULL token (empty doc) votes -1 on every bit -> simhash 0, same
+    # as the array formulation.
+    sim = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+            for b in range(32)
+        ],
+    ).cast("long")
+    return votes.select("id", sim.alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, chunks: int = 4
 ) -> DataFrame:
@@ -313,24 +357,23 @@ def simhash_pairs(
     ≥1 chunk (pigeonhole), so a self-join per chunk value finds them.
     Verification: bit_count(a XOR b) ≤ max_hamming.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash32_expr(tokens_expr(F.col(text_col))).alias("simhash"),
-    )
+    # persisted: the chunk fan-out and both sides of the self-join read
+    # it, so the vote aggregation runs exactly once.
+    sh = simhash_table(df, id_col, text_col).persist()
     width = 32 // chunks
-    chunked = reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            sh.select(
-                "id",
-                "simhash",
-                F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("ckey"),
+    chunked = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", c * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for c in range(chunks)
+                ]
             )
-            for c in range(chunks)
-        ],
+        ).alias("chunk", "ckey"),
     )
     cand = (
         chunked.alias("x")

@@ -141,6 +141,32 @@ def test_text_functions(spark):
     assert out[3]["lang"] == "de"
 
 
+def test_simhash_table_matches_expr(spark, docs):
+    expr = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dd.simhash32_expr(dd.tokens_expr(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    tab = {r["id"]: r["simhash"] for r in dd.simhash_table(docs, "doc_id", "text").collect()}
+    assert tab == expr
+
+
+def test_fingerprint_table_matches_expr(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world this is content"), (2, ""), (3, None), (4, "tiny")],
+        "id int, text string",
+    )
+    expr = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", tx.char_shingle_fingerprint(F.col("text")).alias("f")
+        ).collect()
+    }
+    tab = {r["id"]: r["fingerprint"] for r in tx.fingerprint_table(df, "id", "text").collect()}
+    assert tab == expr
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [(1, "hello world this is content"), (2, "hello  world THIS is content"), (3, "something else")],
