@@ -57,10 +57,19 @@ def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> Dat
 
 
 def postings_and_lengths(
-    index_df: DataFrame, fields=FTS_FIELDS, mode: str = "portable", stem: bool = False
+    index_df: DataFrame,
+    fields=FTS_FIELDS,
+    mode: str = "portable",
+    stem: bool = False,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Tokenize → explode → aggregate: (postings, doc_lengths), no
-    corpus scalars (used standalone by the incremental maintainer)."""
+    corpus scalars (used standalone by the incremental maintainer).
+
+    doc_lengths is a rollup of postings (dl = Σ tf over terms+fields —
+    FTS5's flattened column model, equal weights), so the corpus is
+    tokenized exactly ONCE; with ``persist`` the rollup reads the
+    cached postings instead of re-exploding."""
     tokens = None
     for f in fields:
         t = _field_tokens(index_df, f, mode, stem)
@@ -70,9 +79,11 @@ def postings_and_lengths(
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    # dl per row = total tokens over the indexed fields (FTS5 flattened
-    # column model, equal weights).
-    doc_lengths = tokens.groupBy("type", "key").agg(F.count(F.lit(1)).alias("dl"))
+    if persist:
+        postings = postings.persist()
+    doc_lengths = postings.groupBy("type", "key").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
     return postings, doc_lengths
 
 
@@ -84,9 +95,10 @@ def build_fts_index(
     persist: bool = True,
 ) -> FtsIndex:
     """The whole inverted-index build, with corpus scalars."""
-    postings, doc_lengths = postings_and_lengths(index_df, fields, mode, stem)
+    postings, doc_lengths = postings_and_lengths(
+        index_df, fields, mode, stem, persist=persist
+    )
     if persist:
-        postings = postings.persist()
         doc_lengths = doc_lengths.persist()
 
     # corpus scalars: N counts EVERY row of search_index (token-less rows
