@@ -342,6 +342,23 @@ def q_search_filtered(spark, sf_dir):
     )
 
 
+def q_search_count_facets(spark, sf_dir):
+    """D1+D2+D4 under search: the reference's get_count_and_facets path
+    (__init__.py:193-258) — count and type-facet of EVERYTHING matching
+    q (not just the top 100), computed off the same filtered set as the
+    results (collapsing the dual execution path, SURVEY §3.3)."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _ctx(spark, sf_dir)
+    scored = scored_docs(fts, "spark")
+    matched = idx.join(scored.select("type", "key"), ["type", "key"], "left_semi")
+    facet = facet_ops.column_facet(matched, "type")
+    total = matched.agg(
+        F.lit("__total__").alias("value"), F.count(F.lit(1)).alias("count")
+    )
+    return facet.unionByName(total).orderBy(F.desc("count"), "value")
+
+
 def q_search_sort_oldest(spark, sf_dir):
     """F3: explicit sort=oldest overrides relevance even with q
     (__init__.py:45-48,117-121; tests/test_plugin.py:155-230)."""
@@ -638,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prefix": q_search_prefix,
         "search_escape_fallback": q_search_escape_fallback,
         "search_filtered": q_search_filtered,
+        "search_count_facets": q_search_count_facets,
         "search_sort_oldest": q_search_sort_oldest,
         "index_database_subset": q_index_database_subset,
         "hydrate_display": q_hydrate_display,
@@ -1044,6 +1062,22 @@ def oracle_sql() -> dict[str, str]:
             'SELECT type, "key" FROM t_spark',
             extra_where="WHERE si.category = 1 AND si.is_public = 1",
         ),
+        "search_count_facets": ORACLE_FTS_CTE
+        + """
+            , t_spark AS (
+                SELECT type, "key" FROM postings WHERE term = 'spark'
+                GROUP BY type, "key"
+            )
+            SELECT * FROM (
+                SELECT * FROM (
+                    SELECT type AS value, COUNT(*) AS count
+                    FROM t_spark GROUP BY type
+                    ORDER BY count DESC, value ASC LIMIT 30
+                )
+                UNION ALL
+                SELECT '__total__', COUNT(*) FROM t_spark
+            ) ORDER BY count DESC, value ASC
+        """,
         # Spark ASC sorts NULLs first; DuckDB defaults NULLS LAST on ASC.
         "search_sort_oldest": _search_oracle(
             [("t_spark", _term_hits("term = 'spark'"))],

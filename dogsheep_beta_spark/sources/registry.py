@@ -67,7 +67,12 @@ def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
-    """Register every testdata parquet table under its canonical name."""
+    """Register every testdata parquet table under its canonical name.
+
+    Pins the session timezone to UTC: parquet timestamps here are naive
+    wall times, and DuckDB (the correctness oracle) renders them
+    verbatim — Spark must not shift them through a local zone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
