@@ -19,6 +19,9 @@ Catalyst handles pushdown, pruning, join selection, and codegen.
 from dogsheep_beta_spark.schema import SEARCH_INDEX_SCHEMA, CATEGORIES
 from dogsheep_beta_spark.config import parse_metadata, BadMetadataError
 from dogsheep_beta_spark.indexer import build_search_index, run_indexer
+from dogsheep_beta_spark.operators.fts_index import build_fts_index, write_fts_index
+from dogsheep_beta_spark.plans.query import QueryPlan, compile_plan, timeline_query
+from dogsheep_beta_spark.plans.search import search, search_query
 
 __version__ = "0.1.0"
 
@@ -29,4 +32,11 @@ __all__ = [
     "BadMetadataError",
     "build_search_index",
     "run_indexer",
+    "build_fts_index",
+    "write_fts_index",
+    "QueryPlan",
+    "compile_plan",
+    "timeline_query",
+    "search",
+    "search_query",
 ]

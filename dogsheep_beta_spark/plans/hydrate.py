@@ -98,14 +98,27 @@ def hydrate_results(
 def hydrate_join(
     results: DataFrame, display_view: DataFrame, display_key: str
 ) -> DataFrame:
-    """C3 as one declarative plan: broadcast the ≤100-row result side
-    into the display view — Catalyst picks BroadcastHashJoin, the
-    display scan keeps pushdown/pruning."""
+    """C3 as one declarative plan, in two broadcast joins:
+
+    1. prune the display view to the result keys with a broadcast
+       LEFT SEMI (build side = the ≤100-row key set) — at scale this is
+       what keeps the display scan from materializing the whole table;
+    2. broadcast the pruned (≤100-row) view back into a LEFT join that
+       preserves every result row.
+
+    (A single ``broadcast(results).join(view, "left")`` cannot be a
+    broadcast join at all — Spark may only broadcast the non-preserved
+    side of an outer join — and silently degrades to sort-merge.)"""
     keyed = display_view.withColumn(
         "__display_key", F.col(display_key).cast("string")
     )
+    keys = results.select(F.col("key").alias("__k")).distinct()
+    pruned = keyed.join(
+        F.broadcast(keys), keyed["__display_key"] == F.col("__k"), "left_semi"
+    )
     return (
-        F.broadcast(results)
-        .join(keyed, F.col("key") == F.col("__display_key"), "left")
+        results.join(
+            F.broadcast(pruned), F.col("key") == F.col("__display_key"), "left"
+        )
         .drop("__display_key")
     )

@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — pin the shapes the engine's 100 TB
+story depends on (SURVEY §4, §7.5): pushdown reaching Parquet scans,
+top-k compiling to TakeOrderedAndProject, broadcast joins in the
+search/hydration path, and every declared query having an oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.plans.query import QueryPlan, timeline_query
+from dogsheep_beta_spark.sources.registry import register_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    register_testdata(spark, SF_DIR, tables=("orders",))
+    df = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan
+    # column pruning: the scan reads only the 2 referenced columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" in plan
+
+
+def test_timeline_topk_is_take_ordered(spark, plugin_index):
+    plan = _plan(timeline_query(plugin_index, QueryPlan()))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_search_path_has_no_sort_merge_join(spark, plugin_index):
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.plans.search import search
+
+    fts = build_fts_index(plugin_index, mode="portable", stem=False)
+    df = search(plugin_index, fts, "things")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # scored sets broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_facet_label_join_is_broadcast(spark, plugin_index):
+    from dogsheep_beta_spark.operators import facets as facet_ops
+    from dogsheep_beta_spark.schema import categories_df
+
+    facet = facet_ops.column_facet(plugin_index, "category")
+    labeled = facet_ops.facet_with_labels(facet, categories_df(spark))
+    assert "BroadcastHashJoin" in _plan(labeled)
+
+
+def test_hydrate_join_is_broadcast(spark):
+    from dogsheep_beta_spark.plans.hydrate import hydrate_join
+
+    results = spark.createDataFrame([("t", "1")], "type string, key string")
+    view = spark.createDataFrame([(1, "x")], "id int, payload string")
+    plan = _plan(hydrate_join(results, view, "id"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # semi-prune + left join
+
+
+def test_every_declared_query_has_an_oracle():
+    import __spark_entry__ as entry
+
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {oracles - qs}"
+    missing = qs - oracles
+    # every query is oracle-checked; none rely on the weaker rows-only path
+    assert not missing, f"queries without oracle: {missing}"
