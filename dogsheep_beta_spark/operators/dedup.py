@@ -203,20 +203,19 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     params = minhash_params(n_hashes)
-    # exploded distinct (id, shingle) rows — persisted because they feed
-    # BOTH the signature aggregation and the exact-Jaccard verification
-    # (tokenize/shingle exactly once).  shingle-less docs drop out here
-    # (they would all collide on an all-NULL bucket).
-    s = (
+    # per-doc shingle sets — persisted because they feed BOTH the
+    # signature aggregation and the per-pair verification (tokenize/
+    # shingle exactly once).  shingle-less docs drop out here (they
+    # would all collide on an all-NULL bucket).
+    pre = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(shingles_expr(tokens_expr(F.col(text_col)), k)).alias(
-                "shingle"
-            ),
+            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
         )
-        .where(F.col("shingle") != "")
+        .where(F.size("shingles") > 0)
         .persist()
     )
+    s = pre.select("id", F.explode("shingles").alias("shingle"))
     # signature build as codegen'd column exprs + hash aggregation with
     # map-side combine: ONE md5 per shingle row, n_hashes affine mins —
     # no interpreted lambda functions anywhere.
@@ -254,20 +253,32 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # verification restricted to the candidate doc set — this is the
-    # point of LSH at scale: exact Jaccard touches ≪ n² docs.
-    cand_ids = (
-        cand.select(F.col("a").alias("id"))
-        .unionByName(cand.select(F.col("b").alias("id")))
-        .distinct()
-    )
+    # verification per candidate PAIR: join each pair to its two
+    # shingle sets and intersect map-side.  O(#candidates × set size) —
+    # NOT the inverted-index join over candidate docs, whose cost is
+    # Σ_shingle df² and explodes quadratically on mass-duplicated
+    # corpora (a 20×-replicated 100k-doc corpus made it 400× more
+    # expensive; per-pair verification stays proportional to the
+    # candidate count).
     if verify_k and verify_k != k:
-        cand_docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-        exact = jaccard_pairs(cand_docs, id_col, text_col, verify_k)
+        vpre = df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(tokens_expr(F.col(text_col)), verify_k).alias("shingles"),
+        ).where(F.size("shingles") > 0)
     else:
-        # reuse the persisted exploded shingles — no re-tokenization.
-        exact = _jaccard_from_shingles(s.join(cand_ids, "id", "left_semi"))
-    return cand.join(exact, ["a", "b"], "inner")
+        vpre = pre  # reuse the persisted shingle sets — no re-tokenization
+    sa = vpre.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
+    sb = vpre.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
