@@ -164,6 +164,51 @@ def test_match_compiler_fuzz(spark, seed):
 
 
 # ---------------------------------------------------------------------------
+# seeded fuzz: conform invariants over random column subsets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_conform_invariants_fuzz(spark, seed):
+    """For ANY subset of provided columns the conformed output has the
+    full canonical schema, key cast to string, is_public never NULL
+    (default 0), missing columns NULL, and the injected type tag
+    (SURVEY §1.2/§1.3 invariants 1-4)."""
+    from dogsheep_beta_spark.operators.conform import conform
+    from dogsheep_beta_spark.schema import SEARCH_INDEX_COLUMNS, SEARCH_INDEX_SCHEMA
+
+    rng = random.Random(seed)
+    optional = ["title", "timestamp", "category", "is_public", "search_1", "search_2"]
+    provided = ["key"] + [c for c in optional if rng.random() < 0.5]
+    fields = {
+        "key": ("int", lambda i: i),
+        "title": ("string", lambda i: f"t{i}"),
+        "timestamp": ("string", lambda i: f"2024-01-{i + 1:02d}"),
+        "category": ("int", lambda i: i % 3),
+        "is_public": ("int", lambda i: None if i % 2 else 1),
+        "search_1": ("string", lambda i: f"body {i}"),
+        "search_2": ("string", lambda i: None),
+    }
+    rows = [tuple(fields[c][1](i) for c in provided) for i in range(5)]
+    schema = ", ".join(f"{c} {fields[c][0]}" for c in provided)
+    out = conform(spark.createDataFrame(rows, schema), "x.db/t")
+    assert [f.name for f in out.schema.fields] == list(SEARCH_INDEX_COLUMNS)
+    # nullability is advisory in Spark (a cast output is always nullable)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in SEARCH_INDEX_SCHEMA.fields
+    ]
+    for r in out.collect():
+        assert r["type"] == "x.db/t"
+        assert isinstance(r["key"], str)
+        assert r["is_public"] is not None
+        if "is_public" not in provided:
+            assert r["is_public"] == 0
+        for c in ("title", "timestamp", "category", "search_1", "search_2"):
+            if c not in provided:
+                assert r[c] is None, c
+
+
+# ---------------------------------------------------------------------------
 # seeded fuzz: upsert vs dict model
 # ---------------------------------------------------------------------------
 
