@@ -510,6 +510,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-20: query bucket + all 1-bit-flip neighbor
+    buckets (recall/probe trade; 7 of 64 buckets probed)."""
+    from dogsheep_beta_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _embeddings(spark, sf_dir), "vec_id", "embedding", 0,
+        k=20, n_planes=6, dim=64, multiprobe=1,
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens, chars, BPE estimate, avg len."""
     from dogsheep_beta_spark.functions import text as tx
@@ -667,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -851,9 +863,11 @@ LIMIT 50
     )
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(multiprobe: int = 0) -> str:
     """Random-hyperplane LSH bucket search — same seeded planes as
     operators/similarity.py:lsh_topk, inlined as list literals."""
+    import itertools
+
     from dogsheep_beta_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(64, 6, seed=42)
@@ -861,13 +875,23 @@ def _lsh_oracle() -> str:
         f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, multiprobe + 1)
+        for combo in itertools.combinations(range(6), r)
+    ]
+    probe = (
+        "b.bucket = qb.qbucket"
+        if multiprobe <= 0
+        else f"xor(b.bucket, qb.qbucket) IN ({', '.join(map(str, masks))})"
+    )
     return (
         _EMB_CTE
         + f"""
         , b AS (SELECT vec_id, v, {terms} AS bucket FROM e)
         , qb AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
         SELECT b.vec_id AS id, {_COS.format(a='b.v', b='qb.qv')} AS cosine
-        FROM b, qb WHERE b.vec_id <> 0 AND b.bucket = qb.qbucket
+        FROM b, qb WHERE b.vec_id <> 0 AND {probe}
         ORDER BY cosine DESC, id LIMIT 20
         """
     )
@@ -1173,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, id LIMIT 20
         """,
         "ann_lsh_topk": _lsh_oracle(),
+        "ann_lsh_multiprobe": _lsh_oracle(multiprobe=1),
         "text_token_stats": ORACLE_DOC_TOKENS
         + r"""
             SELECT doc_id,

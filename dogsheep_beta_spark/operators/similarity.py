@@ -153,11 +153,16 @@ def lsh_topk(
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's LSH bucket.
+    """Approximate top-k: exact cosine within the query's LSH bucket(s).
 
-    At scale the table is written partitioned by bucket → the search
-    probes one partition.  Recall is tuned by n_planes / multi-probe.
+    ``multiprobe`` > 0 additionally probes every bucket within that
+    hamming distance of the query's bucket (flip 1..multiprobe sign
+    bits) — the standard recall/probe-count trade: multiprobe=1 probes
+    1 + n_planes buckets and recovers neighbors that fell just across
+    one hyperplane.  At scale the table is written partitioned by
+    bucket → each probe is a pruned partition read.
     """
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
@@ -166,10 +171,21 @@ def lsh_topk(
             F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qv")
         )
     )
+    if multiprobe <= 0:
+        probe_pred = F.col("bucket") == F.col("qbucket")
+    else:
+        import itertools
+
+        masks = [0] + [
+            sum(1 << b for b in combo)
+            for r in range(1, multiprobe + 1)
+            for combo in itertools.combinations(range(n_planes), r)
+        ]
+        probe_pred = F.col("bucket").bitwiseXOR(F.col("qbucket")).isin(masks)
     return (
         bucketed.where(F.col(id_col) != query_id)
         .crossJoin(qb)
-        .where(F.col("bucket") == F.col("qbucket"))
+        .where(probe_pred)
         .select(
             F.col(id_col).alias("id"),
             F.round(
