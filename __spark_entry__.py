@@ -359,6 +359,25 @@ def q_search_count_facets(spark, sf_dir):
     return facet.unionByName(total).orderBy(F.desc("count"), "value")
 
 
+def q_search_highlight(spark, sf_dir):
+    """FTS5 highlight()/snippet() analog over search results: query
+    terms wrapped in <b> tags inside a 160-char snippet of search_1."""
+    from dogsheep_beta_spark.functions.text import snippet_expr
+
+    idx, fts = _ctx(spark, sf_dir)
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    scored = scored_docs(fts, "spark").withColumn("rank", F.round("rank", 6))
+    plan = QueryPlan(q="spark", type="docs.db/documents")
+    res = compile_plan(idx, plan, scored=scored)
+    return res.results.select(
+        "type",
+        "key",
+        "rank",
+        snippet_expr(F.col("search_1"), ["spark"]).alias("snippet"),
+    )
+
+
 def q_search_sort_oldest(spark, sf_dir):
     """F3: explicit sort=oldest overrides relevance even with q
     (__init__.py:45-48,117-121; tests/test_plugin.py:155-230)."""
@@ -615,6 +634,9 @@ def q_streaming_window_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination(120)
+    import shutil
+
+    shutil.rmtree(stream_dir, ignore_errors=True)  # sink table owns the data now
     # day as epoch seconds: window alignment is an epoch instant, so
     # this stays correct under ANY session timezone (date_format would
     # not).
@@ -667,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_escape_fallback": q_search_escape_fallback,
         "search_filtered": q_search_filtered,
         "search_count_facets": q_search_count_facets,
+        "search_highlight": q_search_highlight,
         "search_sort_oldest": q_search_sort_oldest,
         "index_database_subset": q_index_database_subset,
         "hydrate_display": q_hydrate_display,
@@ -1102,6 +1125,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT '__total__', COUNT(*) FROM t_spark
             ) ORDER BY count DESC, value ASC
         """,
+        "search_highlight": _search_oracle(
+            [("t_spark", _term_hits("term = 'spark'"))],
+            'SELECT type, "key" FROM t_spark',
+            extra_where="WHERE si.type = 'docs.db/documents'",
+        ).replace(
+            'SELECT m.type, m."key", s.rank, si.title, si."timestamp"',
+            'SELECT m.type, m."key", s.rank, '
+            "substr(regexp_replace(coalesce(si.search_1, ''), "
+            r"'(?i)\b(spark)\b', '<b>\1</b>', 'g'), 1, 160) AS snippet",
+        ),
         # Spark ASC sorts NULLs first; DuckDB defaults NULLS LAST on ASC.
         "search_sort_oldest": _search_oracle(
             [("t_spark", _term_hits("term = 'spark'"))],

@@ -94,6 +94,33 @@ def langid(col: Column) -> Column:
     return expr
 
 
+def highlight_expr(
+    col: Column, terms: list[str], open_tag: str = "<b>", close_tag: str = "</b>"
+) -> Column:
+    """FTS5 ``highlight()`` analog (SQLite auxiliary function; the
+    reference delegates rendering to templates instead, so this is an
+    extension): wrap every whole-token occurrence of any query term,
+    case-insensitively.  Pure regexp_replace — JVM-side and expressible
+    identically in the DuckDB oracle ((?i) + \\b are common to Java
+    regex and RE2)."""
+    import re as _re
+
+    pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    return F.regexp_replace(
+        F.coalesce(col, F.lit("")), pattern, f"{open_tag}$1{close_tag}"
+    )
+
+
+def snippet_expr(
+    col: Column, terms: list[str], length: int = 160, **kw
+) -> Column:
+    """FTS5 ``snippet()`` analog: highlighted text truncated to
+    ``length`` chars (deterministic truncation, not match-centered —
+    match-centering needs per-row offsets, which the postings table
+    provides if needed)."""
+    return F.substring(highlight_expr(col, terms, **kw), 1, length)
+
+
 def char_shingle_fingerprint(col: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Winnowing-style fingerprint: md5 over every k-char window of the
     normalized text, keep the ``n_mins`` smallest hashes, concatenate.

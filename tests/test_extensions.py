@@ -167,6 +167,24 @@ def test_fingerprint_table_matches_expr(spark):
     assert tab == expr
 
 
+def test_highlight_and_snippet(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark makes sparks fly; SPARK on."), (2, None)], "id int, text string"
+    )
+    out = {
+        r["id"]: (r["h"], r["s"])
+        for r in df.select(
+            "id",
+            tx.highlight_expr(F.col("text"), ["spark", "fly"]).alias("h"),
+            tx.snippet_expr(F.col("text"), ["spark"], length=12).alias("s"),
+        ).collect()
+    }
+    # whole tokens only (sparks untouched), case-insensitive, all terms
+    assert out[1][0] == "<b>Spark</b> makes sparks <b>fly</b>; <b>SPARK</b> on."
+    assert out[1][1] == "<b>Spark</b>"  # truncated to exactly 12 chars
+    assert out[2] == ("", "")
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [(1, "hello world this is content"), (2, "hello  world THIS is content"), (3, "something else")],
