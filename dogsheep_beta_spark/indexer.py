@@ -59,14 +59,26 @@ def run_indexer(
     output_path: str,
     databases: list[str] | None = None,
     partition_by_type: bool = False,
+    compact_partitions: int = 0,
+    sort_by_timestamp: bool = False,
 ) -> DataFrame:
     """Build and persist search_index as Parquet (the full A5→A8/A11 path).
 
-    ``partition_by_type`` is the 100 TB layout (SURVEY §7.5): per-type
-    partition pruning for the `type` facet filter; small/local runs keep a
-    flat layout to avoid tiny files.
+    - ``partition_by_type`` is the 100 TB layout (SURVEY §7.5): per-type
+      partition pruning for the `type` facet filter; small/local runs
+      keep a flat layout to avoid tiny files.
+    - ``compact_partitions`` is the optimize/vacuum analog (A11,
+      utils.py:64-65): coalesce the write into N files so a rebuild
+      doesn't leave shuffle-width file counts.
+    - ``sort_by_timestamp`` sorts rows within each output file so the
+      parquet min/max stats make timeline scans skip whole row groups
+      (the B-tree-on-timestamp analog, A8).
     """
     df = build_search_index(spark, config, databases)
+    if compact_partitions:
+        df = df.repartition(compact_partitions)
+    if sort_by_timestamp:
+        df = df.sortWithinPartitions(F.col("timestamp").desc_nulls_last())
     writer = df.write.mode("overwrite")
     if partition_by_type:
         writer = writer.partitionBy("type")

@@ -118,6 +118,22 @@ def ivf_topk(
     )
 
 
+def write_ivf(
+    df: DataFrame, path: str, cell_col: str, files_per_cell: int = 1
+) -> None:
+    """Persist an embeddings table partitioned by IVF cell (hive
+    layout): an ANN probe of ``nprobe`` cells then reads exactly those
+    directories — partition pruning does the index's work.  This is the
+    at-rest layout the 100 TB path assumes; ``ivf_topk`` works on it
+    unchanged once read back."""
+    (
+        df.repartition(files_per_cell, F.col(cell_col))
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side, inlined as
     literals so the bucketing reproduces anywhere)."""

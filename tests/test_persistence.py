@@ -62,6 +62,36 @@ def test_run_indexer_partitioned_by_type(spark, dogs_source, tmpdir):
     assert got.filter(F.col("type") == "dogs.db/dogs").count() == 2
 
 
+def test_run_indexer_compaction_and_sort(spark, dogs_source, tmpdir):
+    out = os.path.join(tmpdir, "index_compact")
+    run_indexer(spark, CONFIG, out, compact_partitions=1, sort_by_timestamp=True)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1  # compacted into one file
+    got = [r["timestamp"] for r in spark.read.parquet(out).collect()]
+    # file order = timestamp desc (row-group skipping layout)
+    assert got == sorted(got, reverse=True)
+
+
+def test_write_ivf_partition_pruning(spark, tmpdir):
+    from dogsheep_beta_spark.operators.similarity import ivf_topk, write_ivf
+
+    rows = [(i, [float(i % 2), float(1 - i % 2), 0.5], i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    out = os.path.join(tmpdir, "ivf")
+    write_ivf(df, out, "label")
+    assert sorted(p for p in os.listdir(out) if p.startswith("label=")) == [
+        "label=0",
+        "label=1",
+    ]
+    back = spark.read.parquet(out)
+    # probing 1 cell must scan only that partition (PartitionFilters)
+    probe = back.filter(F.col("label") == 0)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(label" in plan
+    got = ivf_topk(back, "vec_id", "embedding", "label", 0, k=3, nprobe=1).collect()
+    assert all(r["id"] % 2 == 0 for r in got)  # same-cell neighbors only
+
+
 def test_write_fts_index_term_buckets(spark, dogs_source, tmpdir):
     idx = build_search_index(spark, CONFIG)
     fts = build_fts_index(idx, mode="portable", stem=False)
