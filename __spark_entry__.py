@@ -285,6 +285,34 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
+def q_agg_distinct_users(spark, sf_dir):
+    """Distinct aggregation (absent from the reference's surface,
+    SURVEY §2 D last row — built-in here): exact distinct users per
+    event type.  approx_count_distinct is the at-scale variant; the
+    declared query stays exact so the oracle can match it."""
+    register_testdata(spark, sf_dir, tables=("events",))
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_agg_rollup_orders(spark, sf_dir):
+    """ROLLUP hierarchy totals (absent from the reference; built-in):
+    order counts by (status, priority) with subtotals and grand total."""
+    register_testdata(spark, sf_dir, tables=("orders",))
+    return (
+        spark.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
 def q_join_topk_orders(spark, sf_dir):
     """C1+F1-shape: join + agg + deterministic top-k (TPC-H Q3-shaped)."""
     register_testdata(spark, sf_dir)
@@ -680,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_join_extraction": q_rule_join_extraction,
         "upsert_last_writer": q_upsert_last_writer,
         "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_distinct_users": q_agg_distinct_users,
+        "agg_rollup_orders": q_agg_rollup_orders,
         "join_topk_orders": q_join_topk_orders,
         "search_bm25_topk": q_search_bm25_topk,
         "search_not": q_search_not,
@@ -1059,6 +1089,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "agg_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "agg_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
         """,
         "join_topk_orders": """
             SELECT l_orderkey,
