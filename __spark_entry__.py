@@ -101,7 +101,9 @@ def _search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle).  persist() is what collapses the rebuild into one job."""
     c = _CTX.setdefault(sf_dir, {})
     if "idx" not in c:
-        register_testdata(spark, sf_dir)
+        # only the three source tables the rules read — registration of
+        # the rest is deferred to the queries that need them.
+        register_testdata(spark, sf_dir, tables=("documents", "events", "orders"))
         c["idx"] = build_search_index(spark, INDEX_CONFIG).persist()
     return c["idx"]
 
@@ -297,6 +299,88 @@ def q_agg_distinct_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+def q_window_topn_per_group(spark, sf_dir):
+    """Window-function top-N per group (SURVEY §2 E — absent from the
+    reference's surface, built-in here): each customer's two most
+    expensive orders via row_number over (custkey / price desc)."""
+    from pyspark.sql import Window
+
+    register_testdata(spark, sf_dir, tables=("orders",))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_asof_join_clicks_views(spark, sf_dir):
+    """As-of join (custom temporal operator — Spark has no ASOF JOIN;
+    composed as union + last(ignorenulls) window, ONE shuffle on the
+    key): each click event annotated with the user's most recent
+    prior-or-simultaneous view event.  DuckDB oracle: ASOF LEFT JOIN."""
+    from dogsheep_beta_spark.operators.temporal import as_of_join
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.round("value", 2).alias("view_value"),
+    )
+    joined = as_of_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_id", "view_value"],
+        right_tiebreak="view_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "view_id",
+        "view_value",
+    ).orderBy(F.asc("click_id")).limit(500)
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (custom temporal operator; lag-gap flag
+    + running sum, one shuffle on the user key): 30-minute-gap sessions
+    per user with per-session event counts and bounds."""
+    from dogsheep_beta_spark.operators.temporal import session_stats
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events").select("user_id", "ts", "event_id")
+    s = session_stats(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+    ).orderBy("user_id", "session_seq")
 
 
 def q_agg_rollup_orders(spark, sf_dir):
@@ -710,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_distinct_users": q_agg_distinct_users,
         "agg_rollup_orders": q_agg_rollup_orders,
+        "window_topn_per_group": q_window_topn_per_group,
+        "asof_join_clicks_views": q_asof_join_clicks_views,
+        "sessionize_events": q_sessionize_events,
         "join_topk_orders": q_join_topk_orders,
         "search_bm25_topk": q_search_bm25_topk,
         "search_not": q_search_not,
@@ -1099,6 +1186,59 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST,
                      o_orderpriority ASC NULLS FIRST
+        """,
+        "window_topn_per_group": """
+            SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROUND(o_totalprice, 2) AS totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+            ORDER BY o_custkey, rn
+        """,
+        "asof_join_clicks_views": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'
+            ), views AS (
+                SELECT user_id, ts, event_id AS view_id,
+                       ROUND(value, 2) AS view_value
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.click_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   v.view_id, v.view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.click_id ASC
+            LIMIT 500
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+            FROM sess GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "join_topk_orders": """
             SELECT l_orderkey,

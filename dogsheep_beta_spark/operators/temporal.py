@@ -1,0 +1,138 @@
+"""Temporal operators — as-of join and gap-based sessionization
+(training-data-pipeline extensions; the reference is strictly batch
+relational with no temporal operators, SURVEY.md §2 C/I "absent" rows).
+
+Both are expressed Spark-first:
+
+- ``as_of_join``: the classic scalable formulation — tag both inputs,
+  UNION them, and resolve the match with ``last(..., ignorenulls=True)``
+  over a (key, time)-ordered window.  ONE shuffle on the join key,
+  O(n log n) within each key partition.  The naive alternative
+  (equi-join on key + ts-inequality filter + row_number) materializes
+  every (left, right) pairing per key before pruning — O(n·m) per key,
+  which is exactly what dies at 100 TB on dense keys.
+- ``sessionize``: lag-gap flag + running sum over the same window
+  shape.  Again one shuffle on the key; the per-key state is a single
+  cumulative counter, so whole-stage codegen keeps it tight.
+
+Skewed keys (one user with 10^8 events) are the scale risk for both;
+AQE skew handling splits the straggler partitions, and callers can
+pre-salt with ``operators.skew`` if a single key exceeds executor
+memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the most recent
+    right row with ``right_ts <= left_ts`` (``<`` when ``strict``),
+    matching on ``on``.  Left rows with no prior right row keep NULLs
+    (left-outer as-of semantics, like DuckDB/pandas ASOF LEFT JOIN).
+
+    ``right_tiebreak``: a right column ordering simultaneous right rows
+    so the surviving match is deterministic (highest wins).
+    """
+    lcols = left.columns
+    # left rows carry their payload + NULL right slots; right rows the
+    # inverse.  _side orders ties at equal ts: inclusive → right first
+    # (visible to the left row), strict → left first (not visible).
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rtb"),
+        *[F.col(c) for c in lcols if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    rtb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak
+        else F.lit(0).cast("long")
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        rtb.alias("_rtb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in right_cols],
+    )
+    side_order = F.desc("_side") if strict else F.asc("_side")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("_ts"), side_order, F.asc_nulls_first("_rtb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt)
+    for c in right_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.where(F.col("_side") == 1).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *[c for c in lcols if c not in on and c != left_ts],
+        *right_cols,
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a per-key ``session_seq`` (1-based) that increments when
+    the gap to the previous event STRICTLY exceeds ``gap_seconds``.
+
+    Gap arithmetic is in microseconds (``unix_micros`` ≡ DuckDB
+    ``epoch_us``) so sub-second timestamps never alias.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        F.when(
+            prev.isNull()
+            | (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+                > gap_seconds * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: (key, session_seq, n_events, session_start,
+    session_end).  One extra shuffle on (key, session_seq) after the
+    sessionize window — partial aggregation applies."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak)
+    return s.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

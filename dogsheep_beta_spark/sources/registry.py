@@ -45,6 +45,12 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+# (applicationId, view_name) -> (path, DataFrame): registration is
+# idempotent per session, so repeated calls (every declared query
+# registers its sources) skip the per-table schema-inference job.
+_REGISTERED: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
 def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     """Register one parquet file/dir as a temp view named ``name``.
 
@@ -54,6 +60,10 @@ def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     truncation DuckDB applies, and fully distributed (no driver
     materialization, scales to any input size).
     """
+    key = (spark.sparkContext.applicationId, name)
+    hit = _REGISTERED.get(key)
+    if hit is not None and hit[0] == path:
+        return hit[1]
     ns_cols = _nano_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,6 +71,7 @@ def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     df.createOrReplaceTempView(name)
+    _REGISTERED[key] = (path, df)
     return df
 
 

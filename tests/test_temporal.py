@@ -1,0 +1,137 @@
+"""Temporal operators: as-of join and sessionization.
+
+The reference has no temporal operators (SURVEY.md §2 C/I absent rows);
+these are training-pipeline extensions.  Semantics pinned here:
+inclusive vs strict as-of bounds, left-outer no-match NULLs, per-key
+isolation, deterministic right-side tie-break, and the strict-gap
+session boundary.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.operators.temporal import (
+    as_of_join,
+    session_stats,
+    sessionize,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "L1"),
+            (1, ts("2024-01-01 12:00:00"), "L2"),
+            (2, ts("2024-01-01 09:00:00"), "L3"),  # before any right row
+            (3, ts("2024-01-01 10:00:00"), "L4"),  # key with no right rows
+        ],
+        "k int, lts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 100, 1.0),
+            (1, ts("2024-01-01 10:00:00"), 101, 2.0),  # simultaneous with L1
+            (1, ts("2024-01-01 11:00:00"), 102, 3.0),
+            (2, ts("2024-01-01 09:30:00"), 103, 4.0),
+        ],
+        "k int, rts timestamp, rid int, rval double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_picks_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lval"]: (r["rid"], r["rval"])
+        for r in as_of_join(
+            left, right, ["k"], "lts", "rts", ["rid", "rval"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out["L1"] == (101, 2.0)  # rts == lts visible when inclusive
+    assert out["L2"] == (102, 3.0)  # latest prior, not first
+    assert out["L3"] == (None, None)  # no right row at or before
+    assert out["L4"] == (None, None)  # key absent from right
+
+
+def test_asof_strict_excludes_simultaneous(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lval"]: r["rid"]
+        for r in as_of_join(
+            left, right, ["k"], "lts", "rts", ["rid", "rval"], strict=True,
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert out["L1"] == 100  # 10:00 right row no longer visible
+    assert out["L2"] == 102
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "L")], "k int, lts timestamp, lval string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 7, 1.0),
+            (1, ts("2024-01-01 09:00:00"), 9, 2.0),  # same instant: max rid wins
+        ],
+        "k int, rts timestamp, rid int, rval double",
+    )
+    row = as_of_join(
+        left, right, ["k"], "lts", "rts", ["rid"], right_tiebreak="rid"
+    ).collect()[0]
+    assert row["rid"] == 9
+
+
+def test_sessionize_strict_gap_boundary(spark):
+    # gap of exactly 60s does NOT split; 60s + 1µs does.
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1),
+            (1, ts("2024-01-01 10:01:00"), 2),  # exactly 60s later
+            (1, ts("2024-01-01 10:02:00.000001"), 3),  # 60s + 1µs later
+            (2, ts("2024-01-01 10:00:00"), 4),  # other key isolated
+        ],
+        "user int, t timestamp, eid int",
+    )
+    s = sessionize(df, "user", "t", gap_seconds=60, tiebreak="eid")
+    got = {r["eid"]: r["session_seq"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1),
+            (1, ts("2024-01-01 10:00:30"), 2),
+            (1, ts("2024-01-01 11:00:00"), 3),
+        ],
+        "user int, t timestamp, eid int",
+    )
+    rows = (
+        session_stats(df, "user", "t", gap_seconds=60, tiebreak="eid")
+        .orderBy("user", "session_seq")
+        .collect()
+    )
+    assert [(r["session_seq"], r["n_events"]) for r in rows] == [(1, 2), (2, 1)]
+    assert rows[0]["session_start"] == ts("2024-01-01 10:00:00")
+    assert rows[0]["session_end"] == ts("2024-01-01 10:00:30")
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The union+window formulation shuffles ONCE on the key — no
+    join node at all in the physical plan."""
+    left, right = _frames(spark)
+    plan = (
+        as_of_join(left, right, ["k"], "lts", "rts", ["rid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(k") == 1
