@@ -64,7 +64,13 @@ FTS_FIELDS = ("title", "search_1")
 
 
 def categories_df(spark: SparkSession) -> DataFrame:
-    """The `categories` dimension as a (tiny, broadcastable) DataFrame."""
-    return spark.createDataFrame(
-        [(c["id"], c["name"]) for c in CATEGORIES], schema=CATEGORIES_SCHEMA
+    """The `categories` dimension as a (tiny, broadcastable) DataFrame.
+
+    Built from a VALUES literal plan rather than ``createDataFrame``:
+    the first ``createDataFrame`` in a session pays ~3 s of local-RDD
+    machinery init, while a literal LocalRelation is pure Catalyst.
+    """
+    rows = ", ".join(f"({c['id']}, '{c['name']}')" for c in CATEGORIES)
+    return spark.sql(
+        f"SELECT CAST(id AS INT) AS id, name FROM VALUES {rows} AS t(id, name)"
     )
