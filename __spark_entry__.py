@@ -383,6 +383,59 @@ def q_sessionize_events(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_range_join_clicks_after_error(spark, sf_dir):
+    """Range join (custom operator — Spark's inequality joins fall back
+    to nested loops; ours maps both sides onto time buckets and
+    equi-joins on (key, bucket) before the exact refine): clicks within
+    one hour after each error event by the same user."""
+    from dogsheep_beta_spark.operators.temporal import range_join
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = range_join(
+        clicks, errors, ["user_id"], "ts", "start_ts", "end_ts", bucket_seconds=3600
+    )
+    return (
+        joined.groupBy("error_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("error_id")
+    )
+
+
+def q_time_bucket_rollup(spark, sf_dir):
+    """Time-bucket rollup (hypertable continuous-aggregate analog):
+    hourly event counts + value sums per event type."""
+    from dogsheep_beta_spark.operators.temporal import time_bucket
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    return (
+        spark.table("events")
+        .groupBy(
+            time_bucket(F.col("ts"), 3600).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket_ts", "event_type")
+    )
+
+
 def q_agg_rollup_orders(spark, sf_dir):
     """ROLLUP hierarchy totals (absent from the reference; built-in):
     order counts by (status, priority) with subtotals and grand total."""
@@ -797,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn_per_group": q_window_topn_per_group,
         "asof_join_clicks_views": q_asof_join_clicks_views,
         "sessionize_events": q_sessionize_events,
+        "range_join_clicks_after_error": q_range_join_clicks_after_error,
+        "time_bucket_rollup": q_time_bucket_rollup,
         "join_topk_orders": q_join_topk_orders,
         "search_bm25_topk": q_search_bm25_topk,
         "search_not": q_search_not,
@@ -1239,6 +1294,29 @@ def oracle_sql() -> dict[str, str]:
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
             FROM sess GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "range_join_clicks_after_error": """
+            SELECT e.event_id AS error_id, e.user_id,
+                   COUNT(*) AS n_clicks
+            FROM events e
+            JOIN events c
+              ON c.user_id = e.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= e.ts
+             AND c.ts < e.ts + INTERVAL 1 HOUR
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id, e.user_id
+            ORDER BY error_id
+        """,
+        "time_bucket_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_ts,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY bucket_ts, event_type
         """,
         "join_topk_orders": """
             SELECT l_orderkey,

@@ -120,6 +120,67 @@ def sessionize(
     )
 
 
+def time_bucket(ts_col, bucket_seconds: int):
+    """Fixed-width time bucket (the hypertable-rollup bucketing unit):
+    floor the µs epoch to the bucket width, back to a timestamp.
+    Equivalent to DuckDB ``time_bucket(INTERVAL, ts)`` for widths that
+    divide a day."""
+    width = bucket_seconds * 1_000_000
+    return F.timestamp_micros(
+        (F.unix_micros(ts_col) / width).cast("long") * width
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join with half-open bounds
+    ``start <= point < end``.
+
+    Spark has no native range join; the naive formulation (equi-join on
+    key + ts-inequality predicates) degenerates to a per-key nested
+    loop.  Instead both sides are mapped onto fixed-width time buckets
+    — each point to ONE bucket, each interval to the ≤⌈len/width⌉+1
+    buckets it overlaps (an explode of a tiny integer sequence) — the
+    join becomes an equi-join on (keys…, bucket) that hashes and
+    shuffles like any other, and the exact inequality refines the
+    candidates.  Bucket width should be on the order of the interval
+    length: shorter → more interval replicas, longer → more false
+    candidates per bucket.
+
+    Returns all (interval × matching point) rows with both sides'
+    columns (interval columns first).
+    """
+    width = bucket_seconds * 1_000_000
+    pb = points.withColumn(
+        "_bucket", (F.unix_micros(F.col(point_ts)) / width).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_ts)) / width).cast("long"),
+                # half-open end: the bucket of (end - 1µs); guard
+                # degenerate (empty) intervals to a single bucket
+                F.greatest(
+                    ((F.unix_micros(F.col(end_ts)) - 1) / width).cast("long"),
+                    (F.unix_micros(F.col(start_ts)) / width).cast("long"),
+                ),
+            )
+        ),
+    )
+    joined = ib.join(pb, keys + ["_bucket"]).where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bucket")
+
+
 def session_stats(
     df: DataFrame,
     key_col: str,

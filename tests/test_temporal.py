@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.operators.temporal import (
     as_of_join,
+    range_join,
     session_stats,
     sessionize,
+    time_bucket,
 )
 
 
@@ -121,6 +123,70 @@ def test_session_stats_rollup(spark):
     assert [(r["session_seq"], r["n_events"]) for r in rows] == [(1, 2), (2, 1)]
     assert rows[0]["session_start"] == ts("2024-01-01 10:00:00")
     assert rows[0]["session_end"] == ts("2024-01-01 10:00:30")
+
+
+def test_range_join_half_open_bounds(spark):
+    # interval [10:00, 11:00): point at 10:00 in, at 11:00 out; bucket
+    # boundary crossings (10:59:59 in a later bucket than start) still
+    # match because the interval explodes to both buckets.
+    points = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "at-start"),
+            (1, ts("2024-01-01 10:59:59"), "near-end"),
+            (1, ts("2024-01-01 11:00:00"), "at-end"),
+            (2, ts("2024-01-01 10:30:00"), "other-key"),
+        ],
+        "k int, pts timestamp, pname string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "I")],
+        "k int, s timestamp, e timestamp, iname string",
+    )
+    got = sorted(
+        r["pname"]
+        for r in range_join(
+            points, intervals, ["k"], "pts", "s", "e", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == ["at-start", "near-end"]
+
+
+def test_range_join_matches_naive_inequality_join(spark, sf_dir):
+    from dogsheep_beta_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    bucketed = set(
+        (r["error_id"], r["click_id"])
+        for r in range_join(
+            clicks, errors, ["user_id"], "ts", "start_ts", "end_ts", 600
+        ).collect()
+    )
+    naive = set(
+        (r["error_id"], r["click_id"])
+        for r in errors.join(clicks, "user_id")
+        .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .collect()
+    )
+    assert bucketed == naive and len(bucketed) > 0
+
+
+def test_time_bucket_floor(spark):
+    df = spark.createDataFrame(
+        [(ts("2024-01-01 10:59:59.999999"),), (ts("2024-01-01 11:00:00"),)],
+        "t timestamp",
+    )
+    got = [r[0] for r in df.select(time_bucket(F.col("t"), 3600)).collect()]
+    assert got == [ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")]
 
 
 def test_asof_plan_single_shuffle(spark):
