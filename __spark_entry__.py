@@ -812,6 +812,54 @@ def q_streaming_window_counts(spark, sf_dir):
     ).orderBy("day_epoch", "event_type")
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization over the events stream.  Emits every
+    CLOSED session; each user's final session stays open in state —
+    so the oracle is the batch sessionizer minus each user's last
+    session (fully SQL-expressible, unusually for a stateful op)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import streaming_sessionize
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_events_sess_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts")
+    )
+    sessions = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_SEQ[0]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+    ).orderBy("user_id", "session_seq")
+
+
 def q_media_feature_metadata(spark, sf_dir):
     """Multimodal plumbing: binary media column → mapInPandas feature
     extraction (byte count + digest); content synthesized from
@@ -880,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -1293,6 +1342,35 @@ def oracle_sql() -> dict[str, str]:
                    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
             FROM sess GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "streaming_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_seq
+                FROM flagged
+            ), grouped AS (
+                SELECT user_id, session_seq, COUNT(*) AS n_events,
+                       MIN(ts) AS s, MAX(ts) AS e
+                FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_seq, n_events,
+                   strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(e, '%Y-%m-%d %H:%M:%S.%f') AS session_end
+            FROM grouped
+            QUALIFY session_seq < MAX(session_seq)
+                        OVER (PARTITION BY user_id)
             ORDER BY user_id, session_seq
         """,
         "range_join_clicks_after_error": """

@@ -182,3 +182,74 @@ def windowed_event_counts(
             "count",
         )
     )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key gap-based sessionization.  The per-key state is one open
+    session (seq, start, end, n) in epoch-µs; a micro-batch folds its
+    (sorted) timestamps into that state and EMITS every session it
+    closes, keeping only the still-open one.  State is O(1) per key —
+    this runs forever on an unbounded stream.
+
+    Converges to the batch ``operators.temporal.sessionize`` for every
+    closed session (each key's final, still-open session stays in state
+    unemitted) — that equivalence is the correctness oracle.
+
+    In-order arrival per key is assumed within the gap tolerance
+    (production hardening: buffer by watermark before folding).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        f"{key_col} long, session_seq long, n_events long, "
+        "session_start timestamp, session_end timestamp"
+    )
+    state_schema = "seq long, start long, end long, n long"
+
+    def fn(key, pdfs, state):
+        us = []
+        for pdf in pdfs:
+            if len(pdf):
+                vals = (
+                    pd.to_datetime(pdf[ts_col])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                )
+                us.extend(int(v) for v in vals)
+        if state.exists:
+            seq, start, end, n = state.get
+        else:
+            seq, start, end, n = 0, None, None, 0
+        closed = []
+        for t in sorted(us):
+            if start is None:
+                seq, start, end, n = seq + 1, t, t, 1
+            elif t - end > gap_us:
+                closed.append((key[0], seq, n, start, end))
+                seq, start, end, n = seq + 1, t, t, 1
+            else:
+                end, n = t, n + 1
+        if start is not None:
+            state.update((seq, start, end, n))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[key_col, "session_seq", "n_events", "_s", "_e"],
+            )
+            out["session_start"] = pd.to_datetime(out.pop("_s"), unit="us")
+            out["session_end"] = pd.to_datetime(out.pop("_e"), unit="us")
+            yield out
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

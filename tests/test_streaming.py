@@ -154,3 +154,67 @@ def test_windowed_event_counts(spark, tmpdir):
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 00:00:00", "view")] == 1
     assert got[("2024-01-01 01:00:00", "click")] == 1
+
+
+def test_streaming_sessionize_closed_sessions_match_batch(spark, tmpdir):
+    """applyInPandasWithState sessionization emits exactly the batch
+    sessionizer's CLOSED sessions (each user's final open session stays
+    in state)."""
+    from datetime import datetime
+
+    from dogsheep_beta_spark.operators.temporal import session_stats
+    from dogsheep_beta_spark.streaming.incremental import streaming_sessionize
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        # user 1: three sessions (gaps > 60s)
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:00:30")),
+        (1, ts("2024-01-01 10:05:00")),
+        (1, ts("2024-01-01 11:00:00")),
+        # user 2: one session only (never emitted — still open)
+        (2, ts("2024-01-01 10:00:00")),
+        (2, ts("2024-01-01 10:00:10")),
+    ]
+    src = os.path.join(tmpdir, "sess_src")
+    batch_df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    batch_df.write.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = streaming_sessionize(stream, "user_id", "ts", gap_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+        )
+        for r in spark.table("sess_test").collect()
+    }
+
+    batch = session_stats(batch_df, "user_id", "ts", gap_seconds=60)
+    last = {
+        r["user_id"]: r["m"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"))
+        .collect()
+    }
+    expected = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+        )
+        for r in batch.collect()
+        if r["session_seq"] < last[r["user_id"]]
+    }
+    assert got == expected and len(got) == 2
