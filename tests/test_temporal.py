@@ -180,6 +180,26 @@ def test_range_join_matches_naive_inequality_join(spark, sf_dir):
     assert bucketed == naive and len(bucketed) > 0
 
 
+def test_range_join_plan_no_nested_loop(spark):
+    """The bucketing rewrite must keep the range join a hash equi-join —
+    a BroadcastNestedLoopJoin/CartesianProduct here means the inequality
+    leaked into the join strategy and the operator won't scale."""
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1)], "k int, pts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), 1)],
+        "k int, s timestamp, e timestamp, iid int",
+    )
+    plan = (
+        range_join(points, intervals, ["k"], "pts", "s", "e", 3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_time_bucket_floor(spark):
     df = spark.createDataFrame(
         [(ts("2024-01-01 10:59:59.999999"),), (ts("2024-01-01 11:00:00"),)],
