@@ -123,11 +123,28 @@ def _ctx(spark: SparkSession, sf_dir: str):
     return c["idx"], c["fts"]
 
 
-def _bm25_results(spark, sf_dir, q, plan: QueryPlan | None = None) -> DataFrame:
+def _ctx_porter(spark, sf_dir):
+    """Second FTS context with the Porter-stemmed analyzer (H7) — built
+    lazily and cached per sf_dir, mirroring the reference's
+    ``--tokenize porter`` index (utils.py:90, cli.py:22-26)."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "fts_porter" not in c:
+        from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+        c["fts_porter"] = build_fts_index(
+            _search_index(spark, sf_dir), mode="portable", stem=True
+        )
+        c["fts_porter"].postings.count()
+    return c["idx"], c["fts_porter"]
+
+
+def _bm25_results(
+    spark, sf_dir, q, plan: QueryPlan | None = None, porter: bool = False
+) -> DataFrame:
     """Search top-k with rank rounded to 6dp (float-hash stability)."""
     from dogsheep_beta_spark.plans.search import scored_docs
 
-    idx, fts = _ctx(spark, sf_dir)
+    idx, fts = _ctx_porter(spark, sf_dir) if porter else _ctx(spark, sf_dir)
     plan = plan or QueryPlan(q=q)
     plan.q = q
     scored = scored_docs(fts, q).withColumn("rank", F.round("rank", 6))
@@ -543,6 +560,34 @@ def q_search_highlight(spark, sf_dir):
     )
 
 
+def q_search_column_filter(spark, sf_dir):
+    """B5 column filters: ``title:urgent`` restricts the term to the
+    title field (FTS5 colspec; reference delegates via __init__.py:131)
+    — combined with a search_1-scoped term through OR.  The filter
+    applies to matching AND to the BM25 tf (only filtered-field
+    occurrences count)."""
+    return _bm25_results(spark, sf_dir, "title:urgent OR search_1:3")
+
+
+def q_search_near(spark, sf_dir):
+    """B5 NEAR(a b, N): proximity query over the positions index —
+    docs where 'hash' and 'join' occur in one field with at most 3
+    separating tokens (FTS5 NEAR semantics: span <= N + T - 1)."""
+    return _bm25_results(spark, sf_dir, "NEAR(hash join, 3)")
+
+
+def q_search_porter_stemmed(spark, sf_dir):
+    """H7/A9 Porter path end-to-end: a SECOND index built with
+    ``stem=True`` (the reference's default ``porter`` tokenizer,
+    utils.py:90); query terms stem queried→queri, tables→tabl and
+    match docs containing query/table.  Oracle-expressible because the
+    corpus vocabulary's Porter classes are singletons: the stemmed
+    postings row for 'queri' is exactly the unstemmed row set for
+    'query' (verified over the full sf0.001-0.1 vocabulary, 166 words;
+    see oracle_sql)."""
+    return _bm25_results(spark, sf_dir, "queried tables", porter=True)
+
+
 def q_search_sort_oldest(spark, sf_dir):
     """F3: explicit sort=oldest overrides relevance even with q
     (__init__.py:45-48,117-121; tests/test_plugin.py:155-230)."""
@@ -911,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count_facets": q_search_count_facets,
         "search_highlight": q_search_highlight,
         "search_sort_oldest": q_search_sort_oldest,
+        "search_column_filter": q_search_column_filter,
+        "search_near": q_search_near,
+        "search_porter_stemmed": q_search_porter_stemmed,
         "index_database_subset": q_index_database_subset,
         "hydrate_display": q_hydrate_display,
         "dedup_exact": q_dedup_exact,
@@ -1470,6 +1518,44 @@ def oracle_sql() -> dict[str, str]:
             'SELECT m.type, m."key", s.rank, '
             "substr(regexp_replace(coalesce(si.search_1, ''), "
             r"'(?i)\b(spark)\b', '<b>\1</b>', 'g'), 1, 160) AS snippet",
+        ),
+        "search_column_filter": _search_oracle(
+            [
+                ("t_urgent", _term_hits("term = 'urgent' AND field = 'title'")),
+                ("t_s3", _term_hits("term = '3' AND field = 'search_1'")),
+            ],
+            'SELECT type, "key" FROM t_urgent UNION SELECT type, "key" FROM t_s3',
+        ),
+        # NEAR(hash join, 3): same-field instance pair with span
+        # (max pos - min pos) <= N + T - 1 = 3 + 2 - 1 = 4.
+        "search_near": _search_oracle(
+            [
+                ("t_hash", _term_hits("term = 'hash'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            """
+            SELECT a.type, a."key"
+            FROM tokens a
+            JOIN tokens b ON a.type = b.type AND a."key" = b."key"
+                         AND a.field = b.field
+            WHERE a.term = 'hash' AND b.term = 'join'
+              AND greatest(a.pos, b.pos) - least(a.pos, b.pos) <= 4
+            GROUP BY a.type, a."key"
+            """,
+        ),
+        # Porter path: query terms stem queried→queri / tables→tabl; the
+        # ONLY corpus words in those stem classes are query / table
+        # (verified across the sf0.001/0.01/0.1 vocabularies, which are
+        # identical 166-word sets), so the stemmed-index postings equal
+        # the unstemmed postings for term query/table: tf, df, dl and
+        # the corpus scalars all coincide and the BM25 oracle needs no
+        # SQL stemmer (DuckDB's fts/stem() is unavailable offline).
+        "search_porter_stemmed": _search_oracle(
+            [
+                ("t_query", _term_hits("term = 'query'")),
+                ("t_table", _term_hits("term = 'table'")),
+            ],
+            'SELECT type, "key" FROM t_query INTERSECT SELECT type, "key" FROM t_table',
         ),
         # Spark ASC sorts NULLs first; DuckDB defaults NULLS LAST on ASC.
         "search_sort_oldest": _search_oracle(

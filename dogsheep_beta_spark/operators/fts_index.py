@@ -42,6 +42,7 @@ class FtsIndex:
     avgdl: float
     mode: str = "portable"
     stem: bool = False
+    fields: tuple = FTS_FIELDS  # indexed columns (colspec targets, B5)
 
 
 def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> DataFrame:
@@ -114,6 +115,7 @@ def build_fts_index(
         avgdl=avgdl,
         mode=mode,
         stem=stem,
+        fields=tuple(fields),
     )
 
 

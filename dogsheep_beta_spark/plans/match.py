@@ -27,11 +27,26 @@ Grammar (FTS5 subset; operators must be uppercase, like FTS5):
     or_expr := and_expr ('OR' and_expr)*
     and_expr:= not_expr (('AND')? not_expr)*
     not_expr:= primary ('NOT' primary)*
-    primary := '(' query ')' | '"' ... '"' ['*'] | ['^'] word ['*']
+    primary := '(' query ')' | colspec primary | 'NEAR' '(' phrase+ [',' N] ')'
+             | '"' ... '"' ['*'] | ['^'] word ['*']
+    colspec := ['-'] (word | '{' word+ '}') ':'
 
-Any character outside barewords/operators/quotes raises ParseError →
-the caller escapes and recompiles (same two-phase flow as the
-reference).
+Column filters (FTS5 ``title:term``, ``{title search_1}:term``,
+``-title:term``) restrict every phrase under them to the named indexed
+columns — both for matching AND for the BM25 tf (FTS5's phrase
+iterators only visit filtered columns).  An unknown column name is a
+syntax error (FTS5 "no such column") → escape fallback.
+
+NEAR(p1 p2 ..., N) matches docs where all phrases occur in ONE field
+with at most N separating tokens: taking one instance of each phrase,
+span = max(last token pos) - min(first token pos), tokens-in-phrases
+T = Σ len(p); the group matches iff span <= N + T - 1 (separating
+tokens <= N).  N defaults to 10, like FTS5.
+
+Barewords are FTS5's: ASCII alphanumerics, ``_``, and any codepoint
+>= U+0080.  Everything else (``# - ` { | } ~`` …) outside
+operator/quote positions raises ParseError → the caller escapes and
+recompiles (same two-phase flow as the reference).
 """
 
 from __future__ import annotations
@@ -58,6 +73,15 @@ class Phrase:
     tokens: list[str]
     prefix: bool = False
     initial: bool = False  # ^word — must start the field
+    fields: tuple[str, ...] | None = None  # column filter; None = all
+
+
+@dataclass
+class Near:
+    """NEAR(p1 p2 ..., n) — proximity group (FTS5 NEAR operator)."""
+
+    phrases: list[Phrase]
+    n: int = 10  # FTS5 default distance
 
 
 @dataclass
@@ -80,8 +104,27 @@ class Not:
 # Lexer + recursive-descent parser
 # ---------------------------------------------------------------------------
 
+# FTS5 bareword chars: ASCII alphanumerics, underscore, and codepoints
+# >= U+0080.  ASCII punctuation 0x60-0x7E (` { | } ~) are NOT word
+# chars; they lex as syntax (or error) exactly like FTS5 unicode61.
 _WORD = re.compile(r"[A-Za-z0-9_-￿]+")
 _WS = re.compile(r"\s+")
+
+
+# Punctuation with syntactic meaning.  Anything else non-word raises
+# ParseError -> escape fallback (FTS5 parity: ` { | } ~ # etc. are
+# syntax errors, pinned by tests/test_plugin.py:131-139 semantics).
+_PUNCT = {
+    "(": "LP",
+    ")": "RP",
+    "^": "CARET",
+    "*": "STAR",
+    "{": "LBRACE",
+    "}": "RBRACE",
+    ":": "COLON",
+    ",": "COMMA",
+    "-": "MINUS",
+}
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -93,17 +136,8 @@ def _lex(q: str) -> list[tuple[str, str]]:
             i = m.end()
             continue
         ch = q[i]
-        if ch == "(":
-            out.append(("LP", "("))
-            i += 1
-        elif ch == ")":
-            out.append(("RP", ")"))
-            i += 1
-        elif ch == "^":
-            out.append(("CARET", "^"))
-            i += 1
-        elif ch == "*":
-            out.append(("STAR", "*"))
+        if ch in _PUNCT:
+            out.append((_PUNCT[ch], ch))
             i += 1
         elif ch == '"':
             j = q.find('"', i + 1)
@@ -124,14 +158,38 @@ def _lex(q: str) -> list[tuple[str, str]]:
     return out
 
 
+def _restrict_fields(node, fields: tuple[str, ...]):
+    """Apply a column filter to every phrase under ``node`` (nested
+    filters intersect, like FTS5)."""
+    if isinstance(node, Phrase):
+        node.fields = (
+            fields
+            if node.fields is None
+            else tuple(f for f in node.fields if f in fields)
+        )
+    elif isinstance(node, Near):
+        for p in node.phrases:
+            _restrict_fields(p, fields)
+    elif isinstance(node, (And, Or)):
+        for it in node.items:
+            _restrict_fields(it, fields)
+    elif isinstance(node, Not):
+        _restrict_fields(node.left, fields)
+        _restrict_fields(node.right, fields)
+
+
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], analyze):
+    def __init__(self, tokens: list[tuple[str, str]], analyze, columns):
         self.toks = tokens
         self.pos = 0
         self.analyze = analyze  # str -> list[str] (tokenize + optional stem)
+        self.columns = tuple(columns)  # indexed columns (colspec targets)
 
     def peek(self):
         return self.toks[self.pos][0] if self.pos < len(self.toks) else None
+
+    def peek2(self):
+        return self.toks[self.pos + 1][0] if self.pos + 1 < len(self.toks) else None
 
     def take(self):
         t = self.toks[self.pos]
@@ -153,7 +211,7 @@ class _Parser:
 
     def and_expr(self):
         items = [self.not_expr()]
-        while self.peek() in ("AND", "LP", "WORD", "QUOTED", "CARET"):
+        while self.peek() in ("AND", "LP", "WORD", "QUOTED", "CARET", "LBRACE", "MINUS"):
             if self.peek() == "AND":
                 self.take()
             items.append(self.not_expr())
@@ -166,6 +224,36 @@ class _Parser:
             node = Not(node, self.primary())
         return node
 
+    def _colset(self) -> tuple[str, ...]:
+        """Parse ``col`` or ``{col col ...}`` followed by ':'; validate
+        names against the indexed columns (FTS5: unknown column is a
+        syntax error -> escape fallback)."""
+        names = []
+        if self.peek() == "LBRACE":
+            self.take()
+            while self.peek() == "WORD":
+                names.append(self.take()[1])
+            if self.peek() != "RBRACE":
+                raise ParseError("expected } in column list")
+            self.take()
+        elif self.peek() == "WORD":
+            names.append(self.take()[1])
+        if not names:
+            raise ParseError("expected column name")
+        if self.peek() != "COLON":
+            raise ParseError("expected : after column list")
+        self.take()
+        fields = []
+        for nm in names:
+            canon = next(
+                (c for c in self.columns if c.lower() == nm.lower()), None
+            )
+            if canon is None:
+                raise ParseError(f"no such column: {nm}")
+            if canon not in fields:
+                fields.append(canon)
+        return tuple(fields)
+
     def primary(self):
         kind = self.peek()
         if kind == "LP":
@@ -175,6 +263,27 @@ class _Parser:
                 raise ParseError("expected )")
             self.take()
             return node
+        if kind == "MINUS":
+            # -col: / -{...}: — all indexed columns EXCEPT the named ones
+            self.take()
+            named = self._colset()
+            fields = tuple(c for c in self.columns if c not in named)
+            if not fields:
+                raise ParseError("column filter excludes every column")
+            node = self.primary()
+            _restrict_fields(node, fields)
+            return node
+        if kind == "LBRACE" or (kind == "WORD" and self.peek2() == "COLON"):
+            fields = self._colset()
+            node = self.primary()
+            _restrict_fields(node, fields)
+            return node
+        if (
+            kind == "WORD"
+            and self.toks[self.pos][1] == "NEAR"
+            and self.peek2() == "LP"
+        ):
+            return self.near_group()
         if kind == "CARET":
             self.take()
             if self.peek() not in ("WORD", "QUOTED"):
@@ -198,13 +307,39 @@ class _Parser:
             return Phrase(self.analyze(text), prefix=prefix)
         raise ParseError(f"unexpected token {kind}")
 
+    def near_group(self):
+        """NEAR ( phrase+ [, N] ) — only phrases allowed inside."""
+        self.take()  # NEAR
+        self.take()  # (
+        phrases = []
+        while self.peek() in ("WORD", "QUOTED", "CARET"):
+            node = self.primary()
+            if not isinstance(node, Phrase) or node.fields is not None:
+                raise ParseError("NEAR accepts only phrases")
+            phrases.append(node)
+        if not phrases:
+            raise ParseError("empty NEAR group")
+        n = 10  # FTS5 default
+        if self.peek() == "COMMA":
+            self.take()
+            if self.peek() != "WORD" or not self.toks[self.pos][1].isdigit():
+                raise ParseError("NEAR distance must be an integer")
+            n = int(self.take()[1])
+        if self.peek() != "RP":
+            raise ParseError("expected ) to close NEAR")
+        self.take()
+        return Near(phrases, n)
 
-def parse_match(q: str, analyze) -> object:
+
+DEFAULT_COLUMNS = ("title", "search_1")  # the two indexed fields (A9)
+
+
+def parse_match(q: str, analyze, columns=DEFAULT_COLUMNS) -> object:
     """Parse a MATCH query; raise ParseError on FTS5-invalid syntax."""
     toks = _lex(q)
     if not toks:
         raise ParseError("empty query")
-    return _Parser(toks, analyze).parse()
+    return _Parser(toks, analyze, columns).parse()
 
 
 def escape_match(q: str, analyze) -> object:
@@ -222,9 +357,14 @@ def escape_match(q: str, analyze) -> object:
 
 def collect_phrases(node) -> list[Phrase]:
     """All phrases in the tree — FTS5 scores every phrase that occurs in
-    a matching row, regardless of its position in the boolean tree."""
+    a matching row, regardless of its position in the boolean tree.
+    Phrases inside NEAR groups score like ordinary phrases (their tf/df
+    are unconstrained by the proximity test, matching FTS5's per-phrase
+    statistics)."""
     if isinstance(node, Phrase):
         return [node]
+    if isinstance(node, Near):
+        return list(node.phrases)
     if isinstance(node, (And, Or)):
         return [p for it in node.items for p in collect_phrases(it)]
     if isinstance(node, Not):
@@ -232,10 +372,26 @@ def collect_phrases(node) -> list[Phrase]:
     return []
 
 
+def _scoped_postings(fts, phrase: Phrase) -> DataFrame:
+    """Postings restricted to the phrase's column filter (B5 ``col:``).
+    The filter sits directly on the postings scan → predicate pushdown /
+    partition pruning when postings are at rest partitioned by field."""
+    p = fts.postings
+    if phrase.fields is None:
+        return p
+    if not phrase.fields:  # nested filters intersected to nothing
+        return p.limit(0)
+    if len(phrase.fields) == 1:
+        return p.filter(F.col("field") == phrase.fields[0])
+    return p.filter(F.col("field").isin(list(phrase.fields)))
+
+
 def phrase_hits(fts, phrase: Phrase, phrase_id: int) -> DataFrame:
     """(phrase_id, type, key, tf) — docs containing the phrase, with the
-    flattened (cross-field) term frequency for BM25."""
-    p = fts.postings
+    flattened (cross-field) term frequency for BM25.  A column-filtered
+    phrase only counts tf in its filtered fields (FTS5's phrase
+    iterators never visit excluded columns)."""
+    p = _scoped_postings(fts, phrase)
     toks = phrase.tokens
     if not toks:
         return (
@@ -261,31 +417,7 @@ def phrase_hits(fts, phrase: Phrase, phrase_id: int) -> DataFrame:
             )
         out = hits.groupBy("type", "key").agg(F.sum("ptf").alias("tf"))
     else:
-        # positional adjacency within one field: carry the set of end
-        # positions of the phrase-so-far, shift by one, intersect.
-        cur = p.filter(term_pred(toks[0], False)).select(
-            "type", "key", "field", F.col("positions").alias("pos")
-        )
-        if phrase.initial:
-            cur = cur.withColumn(
-                "pos", F.filter("pos", lambda x: x == 0)
-            ).filter(F.size("pos") > 0)
-        for i, t in enumerate(toks[1:], start=1):
-            is_last = i == len(toks) - 1
-            nxt = p.filter(term_pred(t, is_last)).select(
-                "type", "key", "field", F.col("positions").alias("pos2")
-            )
-            cur = (
-                cur.join(nxt, ["type", "key", "field"])
-                .withColumn(
-                    "pos",
-                    F.array_intersect(
-                        F.transform("pos", lambda x: x + 1), F.col("pos2")
-                    ),
-                )
-                .filter(F.size("pos") > 0)
-                .drop("pos2")
-            )
+        cur = _phrase_end_positions(p, phrase)
         out = (
             cur.withColumn("ptf", F.size("pos"))
             .groupBy("type", "key")
@@ -296,10 +428,117 @@ def phrase_hits(fts, phrase: Phrase, phrase_id: int) -> DataFrame:
     )
 
 
+def _phrase_end_positions(p: DataFrame, phrase: Phrase) -> DataFrame:
+    """(type, key, field, pos) with ``pos`` = array of END-token
+    positions of every instance of a multi-token phrase: positional
+    adjacency within one field — carry the set of end positions of the
+    phrase-so-far, shift by one, intersect."""
+    toks = phrase.tokens
+
+    def term_pred(t: str, is_last: bool):
+        if is_last and phrase.prefix:
+            return F.col("term").startswith(t)
+        return F.col("term") == t
+
+    cur = p.filter(term_pred(toks[0], False)).select(
+        "type", "key", "field", F.col("positions").alias("pos")
+    )
+    if phrase.initial:
+        cur = cur.withColumn("pos", F.filter("pos", lambda x: x == 0)).filter(
+            F.size("pos") > 0
+        )
+    for i, t in enumerate(toks[1:], start=1):
+        is_last = i == len(toks) - 1
+        nxt = p.filter(term_pred(t, is_last)).select(
+            "type", "key", "field", F.col("positions").alias("pos2")
+        )
+        cur = (
+            cur.join(nxt, ["type", "key", "field"])
+            .withColumn(
+                "pos",
+                F.array_intersect(
+                    F.transform("pos", lambda x: x + 1), F.col("pos2")
+                ),
+            )
+            .filter(F.size("pos") > 0)
+            .drop("pos2")
+        )
+    return cur
+
+
+def phrase_instances(fts, phrase: Phrase) -> DataFrame:
+    """(type, key, field, first, last) — one row per phrase instance,
+    carrying the first/last token positions (NEAR needs the span)."""
+    p = _scoped_postings(fts, phrase)
+    toks = phrase.tokens
+    if not toks:
+        return (
+            p.select("type", "key", "field")
+            .limit(0)
+            .withColumn("first", F.lit(0))
+            .withColumn("last", F.lit(0))
+        )
+
+    if len(toks) == 1:
+        pred = (
+            F.col("term").startswith(toks[0])
+            if phrase.prefix
+            else F.col("term") == toks[0]
+        )
+        inst = p.filter(pred).select(
+            "type", "key", "field", F.explode("positions").alias("last")
+        )
+        if phrase.initial:
+            inst = inst.filter(F.col("last") == 0)
+        return inst.withColumn("first", F.col("last"))
+    ends = _phrase_end_positions(p, phrase).select(
+        "type", "key", "field", F.explode("pos").alias("last")
+    )
+    return ends.withColumn("first", F.col("last") - (len(toks) - 1))
+
+
+def near_docset(fts, near: Near) -> DataFrame:
+    """(type, key) docs satisfying the NEAR group: exists one instance
+    per phrase, all in the SAME field, with at most ``near.n`` tokens
+    separating the outermost instances — i.e. span(maxLast - minFirst)
+    <= n + T - 1 where T = total tokens across the phrases.
+
+    Plan shape: iterative equi-join on (type, key, field) carrying the
+    running (minFirst, maxLast); the span bound is applied after every
+    join (span is monotone in phrase count, so early pruning never
+    drops a viable cluster).  Candidate volume per doc-field is the
+    product of per-phrase instance counts — bounded in practice by tf."""
+    total_toks = sum(len(p.tokens) for p in near.phrases)
+    bound = near.n + total_toks - 1
+    insts = [phrase_instances(fts, p) for p in near.phrases]
+    acc = insts[0].select(
+        "type",
+        "key",
+        "field",
+        F.col("first").alias("minf"),
+        F.col("last").alias("maxl"),
+    )
+    for nxt in insts[1:]:
+        acc = (
+            acc.join(nxt, ["type", "key", "field"])
+            .select(
+                "type",
+                "key",
+                "field",
+                F.least("minf", "first").alias("minf"),
+                F.greatest("maxl", "last").alias("maxl"),
+            )
+            .filter(F.col("maxl") - F.col("minf") <= bound)
+        )
+    return acc.select("type", "key").distinct()
+
+
 def _docset(node, fts, hit_cache: dict) -> DataFrame:
     """(type, key) docs matching the boolean tree."""
     if isinstance(node, Phrase):
         return hit_cache[id(node)].select("type", "key")
+    if isinstance(node, Near):
+        return near_docset(fts, node)
     if isinstance(node, And):
         if not node.items:
             return fts.postings.select("type", "key").limit(0)

@@ -33,7 +33,7 @@ def scored_docs(fts: FtsIndex, q: str) -> DataFrame:
         return analyze_py(s, fts.mode, fts.stem)
 
     try:
-        ast = parse_match(q, analyze)
+        ast = parse_match(q, analyze, columns=fts.fields)
     except ParseError:
         ast = escape_match(q, analyze)  # B6/H8 fallback
     docset, hits = compile_match(ast, fts)

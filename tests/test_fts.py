@@ -100,6 +100,52 @@ def test_parse_phrase_prefix():
     assert ast.items[1].prefix is True
 
 
+def test_parse_column_filters():
+    from dogsheep_beta_spark.plans.match import Near, Or
+
+    ast = parse_match("title:dogfest", _an)
+    assert isinstance(ast, Phrase) and ast.fields == ("title",)
+    ast = parse_match("{title search_1}:things", _an)
+    assert ast.fields == ("title", "search_1")
+    ast = parse_match("-title:things", _an)
+    assert ast.fields == ("search_1",)
+    # colset distributes over a parenthesized expression
+    ast = parse_match("title:(a OR b)", _an)
+    assert isinstance(ast, Or)
+    assert all(p.fields == ("title",) for p in ast.items)
+    # unknown column = FTS5 "no such column" -> syntax error -> escape
+    with pytest.raises(ParseError):
+        parse_match("badcol:foo", _an)
+
+
+def test_parse_near():
+    from dogsheep_beta_spark.plans.match import Near
+
+    ast = parse_match("NEAR(hash join, 3)", _an)
+    assert isinstance(ast, Near) and ast.n == 3
+    assert [p.tokens for p in ast.phrases] == [["hash"], ["join"]]
+    ast = parse_match('NEAR("big hash" join)', _an)
+    assert ast.n == 10  # FTS5 default distance
+    assert ast.phrases[0].tokens == ["big", "hash"]
+    # lowercase near is an ordinary term, not the operator
+    ast = parse_match("near miss", _an)
+    assert not isinstance(ast, Near)
+    with pytest.raises(ParseError):
+        parse_match("NEAR()", _an)
+    with pytest.raises(ParseError):
+        parse_match("NEAR(a,)", _an)
+
+
+def test_fts5_punctuation_is_syntax_error():
+    # FTS5 unicode61 treats ` { | } ~ , : as separators/syntax; all must
+    # raise ParseError so the escape_fts fallback fires (reference
+    # behavior pinned by tests/test_plugin.py:131-139 semantics).
+    for q in ["foo~bar", "x|y", "a{b", "a}b", "a`b", "a , b", "github-to-sqlite"]:
+        with pytest.raises(ParseError):
+            parse_match(q, _an)
+        assert escape_match(q, _an)  # fallback always parses
+
+
 # ---------------------------------------------------------------------------
 # golden query corpus (reference tests/test_plugin.py:119-149 semantics)
 # ---------------------------------------------------------------------------
@@ -139,6 +185,37 @@ def test_match_or(plugin_index, fts):
 
     ids = result_ids(search(plugin_index, fts, "dogfest OR tests"))
     assert set(ids) == {"emails.db/emails:1", f"github.db/commits:{SHA_COMMIT_2}"}
+
+
+def test_match_column_filter(plugin_index, fts):
+    # dogfest only occurs in email 1's TITLE; the search_1-scoped query
+    # must therefore miss while the title-scoped one hits.
+    assert result_ids(search(plugin_index, fts, "title:dogfest")) == [
+        "emails.db/emails:1"
+    ]
+    assert result_ids(search(plugin_index, fts, "search_1:dogfest")) == []
+    # 'things' occurs only in search_1 fields (bodies + commit message)
+    assert result_ids(search(plugin_index, fts, "title:things")) == []
+    ids = set(result_ids(search(plugin_index, fts, "-title:things")))
+    from tests.conftest import SHA_COMMIT_1
+
+    assert ids == {
+        "emails.db/emails:1",
+        "emails.db/emails:2",
+        f"github.db/commits:{SHA_COMMIT_1}",
+    }
+
+
+def test_match_near(plugin_index, fts):
+    # "An email about things": email@1 .. things@3 -> 1 separating
+    # token ('about') -> NEAR(email things, 1) hits, NEAR(..., 0) misses.
+    ids = set(result_ids(search(plugin_index, fts, "NEAR(email things, 1)")))
+    assert ids == {"emails.db/emails:1", "emails.db/emails:2"}
+    assert result_ids(search(plugin_index, fts, "NEAR(email things, 0)")) == []
+    # default N=10 is generous enough for the whole sentence
+    assert set(
+        result_ids(search(plugin_index, fts, "NEAR(an things)"))
+    ) == {"emails.db/emails:1"}
 
 
 def test_porter_run_matches_running(spark, dogs_index):
