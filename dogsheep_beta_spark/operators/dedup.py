@@ -23,7 +23,6 @@ and let AQE split stragglers.  Verification joins carry only
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -124,12 +123,17 @@ def jaccard_pairs(
     ``max_bucket`` drops shingles shared by more than that many docs
     (stop-shingle pruning — at scale a shingle in 10^6 docs contributes
     10^12 candidate pairs and no information).
+
+    The (pruned) shingle table is persisted: it feeds the per-doc size
+    aggregation AND both sides of the inverted-index self-join, so
+    without the cache the tokenize→shingle→distinct pipeline runs
+    three times (the round-1 bench paid exactly that).
     """
     s = doc_shingles(df, id_col, text_col, k)
     if max_bucket:
         hot = s.groupBy("shingle").count().filter(F.col("count") > max_bucket)
         s = s.join(hot.select("shingle"), "shingle", "left_anti")
-    return _jaccard_from_shingles(s)
+    return _jaccard_from_shingles(s.persist())
 
 
 # ---------------------------------------------------------------------------
@@ -325,37 +329,51 @@ def simhash32_expr(tokens):
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) via explode + partial aggregation.
+    """(id, simhash) via explode + PACKED partial aggregation.
 
-    Equivalent to ``simhash32_expr`` but structured for the engine:
-    tokens become rows, the md5 and the 32 per-bit ±1 votes are plain
-    codegen'd column expressions (no interpreted lambda functions), and
-    the per-doc vote sums use hash aggregation with map-side combine —
-    the shape that scales and that whole-stage codegen fuses.
+    Equivalent to ``simhash32_expr`` (same values, property-tested) but
+    structured for the engine: tokens become rows and the per-doc vote
+    sums use hash aggregation with map-side combine.  Instead of 32
+    separate ±1 vote sums (round 1: a 32-long agg buffer and 32 when()
+    evaluations per row), the 32 per-bit set-counts are packed into
+    EIGHT longs of four 16-bit lanes: lane b of long j accumulates
+    Σ_tokens bit(4j+k).  9 agg expressions, ~4× less buffer, much
+    smaller codegen (cold-start dominated the round-1 bench at 2.4×).
+
+    Unpack: votes_b = 2·count_b − n_tokens > 0 ⟺ bit b set.  16-bit
+    lanes cap per-doc token count at 65535 — far above any real doc
+    here; overflow would need a 64k-token doc (then: split the agg by
+    doc chunks or widen to 8 longs × 2 lanes of 32 bits).
+    NULL token (empty doc) contributes count 0 on every bit and n=1,
+    so votes = −1 everywhere -> simhash 0, same as the array form.
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens_expr(F.col(text_col))).alias("t"),
     )
     h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(32)
-        ]
+
+    def lane_sum(j: int):
+        e = None
+        for k in range(4):
+            b = 4 * j + k
+            c = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * k)
+            e = c if e is None else e + c
+        return F.sum(e).alias(f"p{j}")
+
+    packed = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), *[lane_sum(j) for j in range(8)]
     )
-    # NULL token (empty doc) votes -1 on every bit -> simhash 0, same
-    # as the array formulation.
-    sim = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
-            for b in range(32)
-        ],
-    ).cast("long")
-    return votes.select("id", sim.alias("simhash"))
+    sim = None
+    for j in range(8):
+        for k in range(4):
+            b = 4 * j + k
+            cnt = F.shiftright(F.col(f"p{j}"), 16 * k).bitwiseAND(
+                F.lit((1 << 16) - 1)
+            )
+            term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+    return packed.select("id", sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

@@ -36,8 +36,6 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("digest", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
@@ -64,11 +62,29 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:n]]
 
 
+def media_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes, digest) — byte count + content hash as
+    codegen column expressions.  These are JVM builtins; routing them
+    through Python would serialize every content byte over Arrow for
+    nothing (the round-1 declared query did exactly that — 141× DuckDB).
+    Python/Arrow is reserved for work that genuinely needs a codec
+    (``extract_features``)."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.coalesce(F.length("content"), F.lit(0)).cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
+
+
 def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
-    """Map-only Arrow-batched feature extraction over the media table.
+    """Map-only Arrow-batched feature extraction over the media table —
+    the slot where a real codec (PIL/ffmpeg) plugs in.
 
     ``mapInPandas`` keeps the binary column inside one pass — no
     shuffle of content bytes; output carries only small features.
+    Column pruning keeps the Arrow transfer to (media_id, kind,
+    content); JVM-expressible metadata lives in ``media_metadata``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,19 +93,13 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["content"].map(
-                        lambda c: len(c) if c is not None else 0
-                    ),
-                    "digest": pdf["content"].map(
-                        lambda c: __import__("hashlib").md5(c).hexdigest()
-                        if c is not None
-                        else None
-                    ),
                     "features": pdf["content"].map(lambda c: _fake_features(c or b"")),
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:

@@ -79,11 +79,19 @@ def ivf_topk(
     query_id,
     k: int = 20,
     nprobe: int = 2,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank cells by centroid cosine, exact top-k within
-    the ``nprobe`` best cells."""
+    the ``nprobe`` best cells.
+
+    ``cents`` is the precomputed (cell, centroid) table — pass the one
+    ``write_ivf`` persisted so a probe costs O(#cells) + the pruned
+    cell scans, NOT a full-table centroid aggregation per query (the
+    round-1 design flaw).  Falls back to computing on the fly only when
+    absent."""
     q = _query_vec(df, id_col, vec_col, query_id)
-    cents = centroids(df, vec_col, cell_col)
+    if cents is None:
+        cents = centroids(df, vec_col, cell_col)
     best_cells = F.broadcast(
         cents.crossJoin(q)
         .select(
@@ -119,18 +127,43 @@ def ivf_topk(
 
 
 def write_ivf(
-    df: DataFrame, path: str, cell_col: str, files_per_cell: int = 1
+    df: DataFrame,
+    path: str,
+    cell_col: str,
+    vec_col: str | None = None,
+    files_per_cell: int = 1,
 ) -> None:
     """Persist an embeddings table partitioned by IVF cell (hive
     layout): an ANN probe of ``nprobe`` cells then reads exactly those
     directories — partition pruning does the index's work.  This is the
     at-rest layout the 100 TB path assumes; ``ivf_topk`` works on it
-    unchanged once read back."""
+    unchanged once read back.
+
+    With ``vec_col`` given, the per-cell centroids are computed ONCE
+    here and persisted under ``_centroids/`` (the underscore prefix
+    hides the directory from the main parquet scan), so queries rank
+    cells from a tiny table instead of re-aggregating the full corpus
+    — that aggregation belongs to index-build time, like the FTS
+    postings build."""
     (
         df.repartition(files_per_cell, F.col(cell_col))
         .write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(path)
+    )
+    if vec_col is not None:
+        centroids(df, vec_col, cell_col).write.mode("overwrite").parquet(
+            f"{path}/_centroids"
+        )
+
+
+def read_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors, centroids) from a ``write_ivf`` layout.  The vectors
+    scan is partition-pruned by any filter on the cell column; the
+    centroids table is broadcast-sized."""
+    return (
+        spark.read.parquet(path),
+        spark.read.parquet(f"{path}/_centroids"),
     )
 
 

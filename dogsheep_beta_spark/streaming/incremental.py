@@ -22,6 +22,42 @@ from dogsheep_beta_spark.operators.conform import conform
 from dogsheep_beta_spark.operators.upsert import last_writer_wins, union_conformed
 
 
+def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
+    """The existing parquet at ``path``, or None iff the path does not
+    exist (genuine first batch).  Any OTHER failure — corrupt file,
+    transient FS error — must RAISE: the old code's bare ``except``
+    treated every read error as 'first batch' and then overwrote the
+    index with only the micro-batch, silently discarding all prior
+    data.  On distributed storage, replace the local existence check
+    with FileSystem.exists on the path's filesystem."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _atomic_swap_write(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` into a sibling temp dir, then swap it into
+    place.  Overwriting the directory the plan is concurrently reading
+    can recompute from deleted files (e.g. a cached block evicted
+    mid-write); writing aside and renaming closes that window.  The
+    production move is a Delta/Iceberg MERGE (transactional); this is
+    its plain-parquet analog."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".__tmp__", base + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -30,7 +66,7 @@ def merge_batch(
     type_tag: str,
 ) -> None:
     """foreachBatch body: conform the micro-batch and upsert it into
-    the Parquet index (read → union → dedup → overwrite).
+    the Parquet index (read → union → dedup → temp-write → swap).
 
     Local-mode simplification of a Delta/Iceberg MERGE: at cluster
     scale the same conform+dedup plan feeds ``MERGE WHEN MATCHED``
@@ -38,16 +74,14 @@ def merge_batch(
     last-writer-wins with the batch as the newer writer) are identical.
     """
     incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
-    try:
-        existing = spark.read.parquet(index_path).withColumn("load_seq", F.lit(0))
-        merged = last_writer_wins(union_conformed([existing, incoming]))
-    except Exception:  # first batch: nothing to merge yet
+    existing = _read_existing(spark, index_path)
+    if existing is not None:
+        merged = last_writer_wins(
+            union_conformed([existing.withColumn("load_seq", F.lit(0)), incoming])
+        )
+    else:  # first batch: nothing to merge yet
         merged = last_writer_wins(incoming)
-    # write to a temp dir then swap would be the production move; for the
-    # local engine a cached materialization before overwrite suffices.
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(index_path)
-    merged.unpersist()
+    _atomic_swap_write(merged, index_path)
 
 
 def incremental_index_stream(
@@ -100,40 +134,50 @@ def merge_fts_batch(
     from dogsheep_beta_spark.operators.fts_index import postings_and_lengths
 
     incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
-    try:
-        existing = spark.read.parquet(index_path).withColumn("load_seq", F.lit(0))
-        merged = last_writer_wins(union_conformed([existing, incoming]))
-    except Exception:
+    existing = _read_existing(spark, index_path)
+    if existing is not None:
+        merged = last_writer_wins(
+            union_conformed([existing.withColumn("load_seq", F.lit(0)), incoming])
+        )
+    else:
         merged = last_writer_wins(incoming)
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(index_path)
+    # materialize the merged index aside FIRST: postings deltas below
+    # re-read it from the stable temp snapshot, and every old path
+    # stays untouched until all three outputs are ready to swap.
+    base = index_path.rstrip("/")
+    tmp_index = base + ".__tmp__"
+    import shutil
+
+    shutil.rmtree(tmp_index, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp_index)
+    merged_disk = spark.read.parquet(tmp_index)
 
     # postings delta for ONLY the batch's docs (post-merge rows, so a
     # same-batch overwrite of an existing key reindexes the new text)
     batch_keys = incoming.select("type", "key").distinct()
-    touched = merged.join(batch_keys, ["type", "key"], "left_semi")
+    touched = merged_disk.join(batch_keys, ["type", "key"], "left_semi")
     delta_post, delta_len = postings_and_lengths(touched)
 
     post_path = os.path.join(fts_path, "postings")
     len_path = os.path.join(fts_path, "doc_lengths")
-    try:
-        old_post = spark.read.parquet(post_path)
-        old_len = spark.read.parquet(len_path)
+    old_post = _read_existing(spark, post_path)
+    old_len = _read_existing(spark, len_path)
+    if old_post is not None and old_len is not None:
         new_post = old_post.join(batch_keys, ["type", "key"], "left_anti").unionByName(
             delta_post
         )
         new_len = old_len.join(batch_keys, ["type", "key"], "left_anti").unionByName(
             delta_len
         )
-    except Exception:
+    else:
         new_post, new_len = delta_post, delta_len
-    new_post.cache().count()
-    new_len.cache().count()
-    new_post.write.mode("overwrite").parquet(post_path)
-    new_len.write.mode("overwrite").parquet(len_path)
-    merged.unpersist()
-    new_post.unpersist()
-    new_len.unpersist()
+    _atomic_swap_write(new_post, post_path)
+    _atomic_swap_write(new_len, len_path)
+    shutil.rmtree(base + ".__old__", ignore_errors=True)
+    if os.path.exists(base):
+        os.rename(base, base + ".__old__")
+    os.rename(tmp_index, base)
+    shutil.rmtree(base + ".__old__", ignore_errors=True)
 
 
 def incremental_fts_stream(

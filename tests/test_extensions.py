@@ -203,9 +203,12 @@ def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame([(1, "abc", "s"), (2, "defgh", "s")], "doc_id long, text string, source string")
     media = mm.media_from_documents(docs)
     assert [f.name for f in media.schema.fields] == ["media_id", "kind", "content", "mime", "meta"]
+    # metadata is JVM-side column expressions (no Python/Arrow pass)
+    meta = {r["media_id"]: r for r in mm.media_metadata(media).collect()}
+    assert meta[1]["n_bytes"] == 3
+    assert meta[1]["digest"] == hashlib.md5(b"abc").hexdigest()
+    # the Arrow/mapInPandas slot (real-codec path) carries features only
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
-    assert feats[1]["n_bytes"] == 3
-    assert feats[1]["digest"] == hashlib.md5(b"abc").hexdigest()
     assert len(feats[1]["features"]) == 8
     # decode stub must refuse, loudly
     with pytest.raises(NotImplementedError):

@@ -75,21 +75,39 @@ def test_run_indexer_compaction_and_sort(spark, dogs_source, tmpdir):
 def test_write_ivf_partition_pruning(spark, tmpdir):
     from dogsheep_beta_spark.operators.similarity import ivf_topk, write_ivf
 
+    from dogsheep_beta_spark.operators.similarity import centroids, read_ivf
+
     rows = [(i, [float(i % 2), float(1 - i % 2), 0.5], i % 2) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
     out = os.path.join(tmpdir, "ivf")
-    write_ivf(df, out, "label")
+    write_ivf(df, out, "label", "embedding")
     assert sorted(p for p in os.listdir(out) if p.startswith("label=")) == [
         "label=0",
         "label=1",
     ]
-    back = spark.read.parquet(out)
+    # centroids persisted alongside (underscore dir: hidden from the
+    # main scan), broadcast-sized, and equal to a fresh aggregation
+    back, cents = read_ivf(spark, out)
+    assert "_centroids" in os.listdir(out)
+    assert [f.name for f in cents.schema.fields] == ["cell", "centroid"]
+    fresh = {r["cell"]: r["centroid"] for r in centroids(df, "embedding", "label").collect()}
+    for r in cents.collect():
+        assert fresh[r["cell"]] == pytest.approx(r["centroid"])
     # probing 1 cell must scan only that partition (PartitionFilters)
     probe = back.filter(F.col("label") == 0)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(label" in plan
-    got = ivf_topk(back, "vec_id", "embedding", "label", 0, k=3, nprobe=1).collect()
+    got = ivf_topk(
+        back, "vec_id", "embedding", "label", 0, k=3, nprobe=1, cents=cents
+    ).collect()
     assert all(r["id"] % 2 == 0 for r in got)  # same-cell neighbors only
+    # with precomputed centroids, the query plan must NOT re-aggregate
+    # the full table: no posexplode (the centroid build's signature op)
+    qplan = (
+        ivf_topk(back, "vec_id", "embedding", "label", 0, k=3, nprobe=1, cents=cents)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "posexplode" not in qplan.lower()
 
 
 def test_write_fts_index_term_buckets(spark, dogs_source, tmpdir):

@@ -75,3 +75,30 @@ def test_every_declared_query_has_an_oracle():
     missing = qs - oracles
     # every query is oracle-checked; none rely on the weaker rows-only path
     assert not missing, f"queries without oracle: {missing}"
+
+
+def test_jaccard_max_bucket_prunes_hot_shingles(spark):
+    """The declared n-gram Jaccard query must keep stop-shingle pruning
+    wired in: the hot-shingle anti-join is what bounds the inverted-
+    index self-join at scale (regression for the round-1 weak spot)."""
+    from dogsheep_beta_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(5)], "doc_id long, text string"
+    )
+    plan = (
+        jaccard_pairs(docs, "doc_id", "text", k=3, max_bucket=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    plan0 = (
+        jaccard_pairs(docs, "doc_id", "text", k=3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftAnti" not in plan0
+
+    import inspect
+
+    import __spark_entry__ as entry
+
+    assert "max_bucket=100" in inspect.getsource(entry.q_dedup_ngram_jaccard)

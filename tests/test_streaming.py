@@ -218,3 +218,33 @@ def test_streaming_sessionize_closed_sessions_match_batch(spark, tmpdir):
         if r["session_seq"] < last[r["user_id"]]
     }
     assert got == expected and len(got) == 2
+
+
+def test_merge_batch_raises_on_corrupt_index(spark, tmpdir):
+    """A transient/corrupt read of the existing index must RAISE, not be
+    treated as 'first batch' — the old bare-except path overwrote the
+    whole index with just the micro-batch (silent data loss)."""
+    from dogsheep_beta_spark.streaming.incremental import merge_batch
+
+    index_path = os.path.join(tmpdir, "index")
+    os.makedirs(index_path)
+    with open(os.path.join(index_path, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    batch = spark.createDataFrame(
+        [(1, "t", "2020-01-01", "x")], "key int, title string, timestamp string, search_1 string"
+    )
+    with pytest.raises(Exception):
+        merge_batch(spark, batch, 0, index_path, "db/t")
+    # the corrupt directory is untouched (no destructive overwrite)
+    assert os.path.exists(os.path.join(index_path, "part-00000.parquet"))
+
+
+def test_merge_batch_missing_path_is_first_batch(spark, tmpdir):
+    from dogsheep_beta_spark.streaming.incremental import merge_batch
+
+    index_path = os.path.join(tmpdir, "fresh_index")
+    batch = spark.createDataFrame(
+        [(1, "t", "2020-01-01", "x")], "key int, title string, timestamp string, search_1 string"
+    )
+    merge_batch(spark, batch, 0, index_path, "db/t")
+    assert spark.read.parquet(index_path).count() == 1
