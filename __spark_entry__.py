@@ -606,6 +606,49 @@ def q_index_database_subset(spark, sf_dir):
     )
 
 
+def _sqlite_db(spark, sf_dir):
+    """One-time per sf_dir: materialize documents into a REAL sqlite
+    ``.db`` file (fixture writer, sources/sqlite.py) so the ingestion
+    query below runs against genuine sqlite storage — the same file
+    format the reference's dogsheep sources use."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "sqlite_db" not in c:
+        import os
+        import tempfile
+
+        from dogsheep_beta_spark.sources.sqlite import write_sqlite_table
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        path = os.path.join(tempfile.mkdtemp(prefix="dbs_sqlite_"), "docs.db")
+        write_sqlite_table(spark.table("documents"), path, "documents")
+        c["sqlite_db"] = path
+    return c["sqlite_db"]
+
+
+def q_sqlite_source_ingest(spark, sf_dir):
+    """A1 fidelity: a real ``.db`` file read back through the
+    partitioned rowid-range ``mapInPandas`` scan (sources/sqlite.py —
+    the Spark analog of the reference's ATTACH, utils.py:36-40),
+    aggregated per source.  The oracle runs the same aggregation on the
+    parquet original: equality proves the sqlite round-trip is
+    lossless, text included."""
+    from dogsheep_beta_spark.sources.sqlite import read_sqlite_table
+
+    docs = read_sqlite_table(
+        spark, _sqlite_db(spark, sf_dir), "documents", num_partitions=8
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_hydrate_display(spark, sf_dir):
     """C3/J2: per-result display hydration decorrelated into ONE
     broadcast join (vs the reference's ≤100 point queries,
@@ -991,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_near": q_search_near,
         "search_porter_stemmed": q_search_porter_stemmed,
         "index_database_subset": q_index_database_subset,
+        "sqlite_source_ingest": q_sqlite_source_ingest,
         "hydrate_display": q_hydrate_display,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1596,6 +1640,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "index_database_subset": """
             SELECT 'events.db/events' AS type, COUNT(*) AS cnt FROM events
+        """,
+        # the Spark side reads a real sqlite .db materialized from the
+        # SAME parquet; the oracle aggregates the parquet directly, so a
+        # hash match proves the sqlite round-trip is lossless.
+        "sqlite_source_ingest": """
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(LENGTH(text)) AS total_chars,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM documents GROUP BY source ORDER BY source
         """,
         "hydrate_display": "SELECT h.type, h.\"key\", h.rank, h.title, "
         "ROUND(o.o_totalprice, 2) AS display_totalprice, "
