@@ -751,6 +751,32 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Cluster assignment + keep-list: thresholded Jaccard pairs
+    (>= 0.8, same pruned generator as dedup_ngram_jaccard) → connected
+    components (min-label propagation + pointer jumping) → every doc
+    tagged with its dup cluster and a keep flag.  This is the step pair
+    lists alone can't express: a~b and b~c collapse into ONE cluster
+    even though (a, c) never surfaced as a pair.  The oracle computes
+    the same components with a recursive CTE."""
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, max_bucket=100).filter(
+        F.col("jaccard") >= 0.8
+    )
+    comp = connected_components(pairs)
+    return (
+        cluster_keep(docs, "doc_id", comp)
+        .select("doc_id", "cluster", "is_keep")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Blocked (per-label) embedding cosine near-dup: top-50 pairs."""
     from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
@@ -1040,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1165,6 +1192,21 @@ _JACCARD_TAIL = """
     JOIN {szsrc} sb ON p.b = sb.doc_id
 )
 """
+
+# stop-shingle pruning mirrored from the Spark plan (max_bucket=100):
+# shingles in >100 docs leave both the candidate join and the Jaccard
+# sets — shared by the pair query and the cluster-keep oracle.
+_JACCARD_PRUNED = ORACLE_SHINGLES3 + """
+, hot AS (
+    SELECT shingle FROM s GROUP BY shingle HAVING COUNT(*) > 100
+)
+, sp AS (
+    SELECT s.doc_id, s.shingle FROM s
+    LEFT JOIN hot ON s.shingle = hot.shingle
+    WHERE hot.shingle IS NULL
+)
+, spz AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id)
+""" + _JACCARD_TAIL.format(src="sp", szsrc="spz")
 
 _EMB_CTE = """
 WITH e AS (
@@ -1664,24 +1706,36 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) ORDER BY fingerprint
         """,
-        # stop-shingle pruning mirrored from the Spark plan: shingles in
-        # >100 docs leave both the candidate join and the Jaccard sets.
-        "dedup_ngram_jaccard": ORACLE_SHINGLES3
-        + """
-            , hot AS (
-                SELECT shingle FROM s GROUP BY shingle HAVING COUNT(*) > 100
-            )
-            , sp AS (
-                SELECT s.doc_id, s.shingle FROM s
-                LEFT JOIN hot ON s.shingle = hot.shingle
-                WHERE hot.shingle IS NULL
-            )
-            , spz AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id)
-        """
-        + _JACCARD_TAIL.format(src="sp", szsrc="spz")
+        "dedup_ngram_jaccard": _JACCARD_PRUNED
         + """
             SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jac
             ORDER BY jaccard DESC, a, b LIMIT 50
+        """,
+        # same pruned pair generator, thresholded into an edge list,
+        # then components via recursive CTE (min reachable id per node)
+        # — the SQL statement of what propagation+pointer-jumping
+        # computes distributively.
+        "dedup_cluster_keep": "WITH RECURSIVE "
+        + _JACCARD_PRUNED.strip().removeprefix("WITH")
+        + """
+            , pth AS (SELECT a, b FROM jac WHERE jaccard >= 0.8)
+            , edges AS (
+                SELECT a AS s, b AS d FROM pth
+                UNION SELECT b, a FROM pth
+            )
+            , r AS (
+                SELECT s AS root, s AS node
+                FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT r.root, e.d FROM r JOIN edges e ON e.s = r.node
+            )
+            , comp AS (SELECT root AS id, MIN(node) AS comp FROM r GROUP BY root)
+            SELECT d.doc_id,
+                   COALESCE(c.comp, d.doc_id) AS cluster,
+                   CAST(CASE WHEN d.doc_id = COALESCE(c.comp, d.doc_id)
+                        THEN 1 ELSE 0 END AS INT) AS is_keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ORDER BY d.doc_id
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS

@@ -475,3 +475,113 @@ def embedding_dup_pairs(
     if min_cosine > 0:
         pairs = pairs.where(F.col("cosine") >= min_cosine)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment — connected components over the dup-pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """(id, comp) — comp is the MIN id reachable in the undirected pair
+    graph: the cluster-assignment step that follows ANY pair generator
+    (MinHash-LSH, SimHash, embedding blocks).  Pair lists alone
+    under-delete: if a~b and b~c, all three are one dup cluster even
+    when (a, c) never surfaced as a pair — transitivity needs
+    components, not pairs.
+
+    Algorithm: min-label propagation plus one pointer-jumping hop per
+    round (comp <- comp(comp)).  Propagation alone converges in
+    O(diameter) rounds; the jump halves label-chain lengths so long
+    paths close in O(log n) rounds — the standard MapReduce-CC
+    technique (Hash-to-Min family).  Each round is two shuffles over
+    the small (id, comp) table; the edge list is persisted once and
+    re-joined per round.  Real dup graphs are tiny cliques and short
+    chains, so 2-3 rounds converge; convergence is detected with an
+    isEmpty (LIMIT-1 job) on the changed-label set, not a count.
+
+    Each round's result is ``localCheckpoint``ed: iterative plans grow
+    exponentially otherwise (prop's lineage enters the jump join twice,
+    doubling the tree per round until plan construction itself OOMs).
+    Truncating lineage per round is the standard Spark iterative-graph
+    pattern; on a cluster with unreliable executors, swap in
+    ``checkpoint()`` against HDFS for fault-tolerant truncation.
+
+    At 100 TB the same loop holds: state is one row per node that
+    appears in ANY pair (dup nodes only, not the corpus), edges are
+    near-dup pairs — both orders of magnitude smaller than the input
+    table.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("nc"))
+            .select(F.col("src").alias("id"), "nc")
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nc", "comp")).alias("comp")
+        )
+        hop = prop.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
+        new = (
+            prop.join(hop, prop["comp"] == hop["jid"], "left")
+            .select(
+                "id", F.coalesce("jcomp", "comp").alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.join(
+            labels.withColumnRenamed("comp", "old"), "id"
+        ).where(F.col("comp") != F.col("old"))
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = new
+        if done:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_keep(
+    df: DataFrame, id_col: str, components: DataFrame
+) -> DataFrame:
+    """The keep-list: every input row tagged with its dup cluster and a
+    keep flag.  Rows absent from the pair graph are their own singleton
+    cluster; the kept representative is the cluster's min id (the same
+    deterministic choice as ``exact_dedup``'s keep_id).  One left join
+    against the (small) components table — the corpus is scanned once
+    and never shuffled on anything but the join key."""
+    c = components.select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster")
+    )
+    return (
+        df.join(c, id_col, "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+        .withColumn(
+            "is_keep",
+            (F.col(id_col) == F.col("cluster")).cast("int"),
+        )
+    )

@@ -216,3 +216,86 @@ def test_multimodal_pipeline(spark):
     # frame sampling shape
     frames = mm.frame_sample_stub(media, every_n=2).collect()
     assert {r["media_id"] for r in frames} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster keep-list
+# ---------------------------------------------------------------------------
+
+
+def _py_components(pairs):
+    """Plain union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative for every seen node
+    return {x: find(x) for x in list(parent)}
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    from dogsheep_beta_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1: needs propagation), clique 10-11-12,
+    # isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 40-node path is the pointer-jumping stress: plain propagation
+    needs 39 rounds, the jump closes it well inside max_iter."""
+    from dogsheep_beta_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from dogsheep_beta_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = _py_components(pairs)
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_cluster_keep_flags_and_singletons(spark):
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "a long, b long")
+    out = {
+        r["doc_id"]: (r["cluster"], r["is_keep"])
+        for r in cluster_keep(docs, "doc_id", connected_components(pairs)).collect()
+    }
+    # 1-3-5 one cluster kept by min id; 0/2/4 singletons keep themselves
+    assert out == {
+        0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (4, 1), 5: (1, 0),
+    }
