@@ -791,6 +791,20 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_ann_knn_join(spark, sf_dir):
+    """Batch k-NN join: 5 query vectors (vec_id < 5, broadcast) × the
+    corpus, top-5 neighbors each in one pass — the batch-retrieval
+    primitive.  Map-side cosines against the broadcast query set, one
+    shuffle on query_id; WindowGroupLimit keeps k rows per query per
+    partition before the exchange."""
+    from dogsheep_beta_spark.operators.similarity import knn_join
+
+    emb = _embeddings(spark, sf_dir)
+    return knn_join(
+        emb, emb.where(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    ).orderBy("query_id", F.desc("cosine"), "id")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-20 vs the vec_id=0 embedding."""
     from dogsheep_beta_spark.operators.similarity import brute_force_topk
@@ -1005,6 +1019,46 @@ def q_streaming_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """Capstone composition — the full training-data cleaning pass as
+    ONE declarative plan: near-dup clustering (pruned Jaccard pairs →
+    connected components → keep-list) ∘ quality scoring ∘ language ID,
+    then the per-language corpus report over surviving docs (quality
+    >= 0.5, cluster representatives only).  The corpus is scanned
+    once per operator family and everything stays JVM-side; at scale
+    each stage is the same bounded-shuffle plan its standalone query
+    runs."""
+    from dogsheep_beta_spark.functions import text as tx
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, max_bucket=100).filter(
+        F.col("jaccard") >= 0.8
+    )
+    kept = cluster_keep(docs, "doc_id", connected_components(pairs)).where(
+        F.col("is_keep") == 1
+    )
+    return (
+        kept.select(
+            tx.langid(F.col("text")).alias("lang"),
+            tx.quality_score(F.col("text")).alias("quality"),
+            tx.ws_token_count(F.col("text")).alias("n_tok"),
+        )
+        .where(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_media_feature_metadata(spark, sf_dir):
     """Multimodal metadata over the binary media column — n_bytes and
     digest are JVM codegen expressions (F.length / F.md5); no byte ever
@@ -1069,12 +1123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_knn_join": q_ann_knn_join,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
@@ -1312,6 +1368,51 @@ _STOPWORDS_SQL = {
     "fr": "['le','la','les','et','de','un','une','est','que','pour']",
     "es": "['el','la','los','de','y','que','en','un','es','por']",
 }
+
+
+def _quality_cte(name: str) -> str:
+    """Per-doc quality/langid components CTE (mirrors
+    functions/text.py:quality_score/langid) — parameterized by CTE name
+    so the standalone query and the clean-corpus pipeline oracle can
+    both embed it without name collisions."""
+    return rf"""
+            , {name} AS (
+                SELECT doc_id,
+                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                    CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+                         ELSE length(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z]', '', 'g')) * 1.0
+                              / length(coalesce(text, '')) END AS ar,
+                    CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0
+                              / len(toks) END AS wl,
+                    CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks,
+                                  t -> list_contains({_STOPWORDS_SQL['en']}, t))) * 1.0
+                              / len(toks) END AS sr,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['en']}, t))) AS c_en,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['de']}, t))) AS c_de,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['fr']}, t))) AS c_fr,
+                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['es']}, t))) AS c_es
+                FROM toks
+            )
+    """
+
+
+_QUALITY_EXPR = (
+    "ROUND(0.4 * least(n_tok / 64.0, 1.0) + 0.3 * ar "
+    "+ 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) "
+    "+ 0.1 * least(sr * 5, 1.0), 6)"
+)
+
+_LANG_EXPR = (
+    "CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) AND c_en > 0 THEN 'en' "
+    "WHEN c_de = greatest(c_en, c_de, c_fr, c_es) AND c_de > 0 THEN 'de' "
+    "WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) AND c_fr > 0 THEN 'fr' "
+    "WHEN c_es = greatest(c_en, c_de, c_fr, c_es) AND c_es > 0 THEN 'es' "
+    "ELSE 'und' END"
+)
 
 
 def _search_oracle(
@@ -1737,6 +1838,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id
         """,
+        # the whole cleaning pipeline in one statement: pruned-Jaccard
+        # components (cc) pick cluster representatives, the quality CTE
+        # scores + language-IDs them, the report aggregates survivors.
+        "pipeline_clean_corpus": "WITH RECURSIVE "
+        + _JACCARD_PRUNED.strip().removeprefix("WITH")
+        + """
+            , pth AS (SELECT a, b FROM jac WHERE jaccard >= 0.8)
+            , edges AS (
+                SELECT a AS s, b AS d FROM pth
+                UNION SELECT b, a FROM pth
+            )
+            , r AS (
+                SELECT s AS root, s AS node
+                FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT r.root, e.d FROM r JOIN edges e ON e.s = r.node
+            )
+            , cc AS (SELECT root AS id, MIN(node) AS comp FROM r GROUP BY root)
+            , keepset AS (
+                SELECT d.doc_id FROM documents d
+                LEFT JOIN cc c ON d.doc_id = c.id
+                WHERE COALESCE(c.comp, d.doc_id) = d.doc_id
+            )
+        """
+        + _quality_cte("qual")
+        + f"""
+            , scoredq AS (
+                SELECT {_QUALITY_EXPR} AS quality, {_LANG_EXPR} AS lang,
+                       q.n_tok
+                FROM qual q JOIN keepset k ON q.doc_id = k.doc_id
+            )
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+                   ROUND(AVG(quality), 4) AS avg_quality
+            FROM scoredq WHERE quality >= 0.5
+            GROUP BY lang ORDER BY lang
+        """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """
@@ -1781,6 +1918,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, id LIMIT 20
         """,
+        # rank on the ROUNDED cosine in both engines (the Spark side
+        # rounds before the window) so float noise can't flip ranks.
+        "ann_knn_join": _EMB_CTE
+        + f"""
+            , qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+            , scored AS (
+                SELECT qs.query_id, e.vec_id AS id,
+                       {_COS.format(a='e.v', b='qs.qv')} AS cosine
+                FROM qs JOIN e ON e.vec_id <> qs.query_id
+            )
+            , ranked AS (
+                SELECT query_id, id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, id
+                       ) AS rn
+                FROM scored
+            )
+            SELECT query_id, id, cosine FROM ranked WHERE rn <= 5
+            ORDER BY query_id, cosine DESC, id
+        """,
         "ann_ivf_topk": _EMB_CTE
         + f"""
             , dims AS (
@@ -1819,38 +1977,11 @@ def oracle_sql() -> dict[str, str]:
             FROM toks ORDER BY doc_id
         """,
         "text_quality_langid": ORACLE_DOC_TOKENS
-        + rf"""
-            , comp AS (
-                SELECT doc_id,
-                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
-                    CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
-                         ELSE length(regexp_replace(lower(coalesce(text, '')),
-                                     '[^a-z]', '', 'g')) * 1.0
-                              / length(coalesce(text, '')) END AS ar,
-                    CASE WHEN len(toks) = 0 THEN 0.0
-                         ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0
-                              / len(toks) END AS wl,
-                    CASE WHEN len(toks) = 0 THEN 0.0
-                         ELSE len(list_filter(toks,
-                                  t -> list_contains({_STOPWORDS_SQL['en']}, t))) * 1.0
-                              / len(toks) END AS sr,
-                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['en']}, t))) AS c_en,
-                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['de']}, t))) AS c_de,
-                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['fr']}, t))) AS c_fr,
-                    len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL['es']}, t))) AS c_es
-                FROM toks
-            )
-            SELECT doc_id,
-                   ROUND(0.4 * least(n_tok / 64.0, 1.0) + 0.3 * ar
-                         + 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END)
-                         + 0.1 * least(sr * 5, 1.0), 6) AS quality,
-                   CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) AND c_en > 0 THEN 'en'
-                        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) AND c_de > 0 THEN 'de'
-                        WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) AND c_fr > 0 THEN 'fr'
-                        WHEN c_es = greatest(c_en, c_de, c_fr, c_es) AND c_es > 0 THEN 'es'
-                        ELSE 'und' END AS lang_pred
-            FROM comp ORDER BY doc_id
+        + _quality_cte("qual")
+        + f"""
+            SELECT doc_id, {_QUALITY_EXPR} AS quality,
+                   {_LANG_EXPR} AS lang_pred
+            FROM qual ORDER BY doc_id
         """,
         "text_fingerprint": r"""
             WITH n AS (

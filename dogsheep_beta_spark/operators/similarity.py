@@ -247,3 +247,62 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY query row, the top-k corpus neighbors
+    by cosine — the batch-retrieval primitive (RAG candidate pull,
+    eval-set nearest-neighbor lookup, kNN-classification labeling).
+
+    (query_id, id, cosine), k rows per query, self-matches excluded
+    when ids collide.
+
+    Shape: the query set is broadcast (it is the small side by
+    definition — thousands of queries vs a 100 TB corpus); each
+    executor streams its corpus partitions once, emitting Q cosines
+    per row map-side, then ONE shuffle on query_id ranks the per-query
+    top-k.  Catalyst's WindowGroupLimit pushes the rank filter below
+    the sort, so each partition keeps k rows per query before the
+    exchange — no full N×Q sort materializes.  For corpus-side
+    pre-pruning compose with the IVF layout: filter the corpus to the
+    union of every query's probed cells first (partition pruning),
+    then knn_join the remainder.
+    """
+    from pyspark.sql import Window
+
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(q, F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                cosine_expr(
+                    F.col("v").cast("array<double>"),
+                    F.col("qv").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

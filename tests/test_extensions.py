@@ -299,3 +299,34 @@ def test_cluster_keep_flags_and_singletons(spark):
     assert out == {
         0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (4, 1), 5: (1, 0),
     }
+
+
+def test_knn_join_matches_bruteforce_and_plan(spark):
+    import math
+
+    from dogsheep_beta_spark.operators.similarity import knn_join
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_join(emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding", k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["id"], r["cosine"]))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict(rows)
+    for qid in range(3):
+        exp = sorted(
+            ((i, round(cos(vecs[qid], v), 6)) for i, v in rows if i != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:4]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == exp, qid
+    # plan: broadcast the query side (never shuffle the corpus against
+    # it) and push the per-query limit below the exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
