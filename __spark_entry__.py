@@ -805,6 +805,21 @@ def q_ann_knn_join(spark, sf_dir):
     ).orderBy("query_id", F.desc("cosine"), "id")
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Exact top-20 over the int8-QUANTIZED embedding table: quantize
+    (pure codegen, 4× smaller at rest) then rank by cosine over the
+    codes — per-vector scales cancel in cosine, so no dequantization
+    happens anywhere in the plan.  Composes quantized_vectors with the
+    unmodified brute-force operator."""
+    from dogsheep_beta_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_vectors,
+    )
+
+    qemb = quantized_vectors(_embeddings(spark, sf_dir), "vec_id", "embedding")
+    return brute_force_topk(qemb, "id", "qv8", 0, k=20)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-20 vs the vec_id=0 embedding."""
     from dogsheep_beta_spark.operators.similarity import brute_force_topk
@@ -1019,6 +1034,48 @@ def q_streaming_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_pack_contiguous(spark, sf_dir):
+    """Sequence packing, concatenate-then-chunk: documents fill
+    512-token sequences per source shard in doc_id order; a straddling
+    doc splits across the boundary.  Pure window-cumsum assignment —
+    one shuffle on the shard key (operators/packing.py)."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.packing import pack_contiguous
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        pack_contiguous(d, "doc_id", "n_tok", 512, "source")
+        .select(
+            F.col("id").alias("doc_id"),
+            "shard",
+            "n_tok",
+            "bin",
+            F.col("offset").alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Sequence packing, next-fit: docs never split; one applyInPandas
+    pass per shard (sequential fill state is inherent), shards in
+    parallel.  The oracle walks the identical decision rule with a
+    recursive CTE — full value parity for a stateful operator."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        pack_greedy(d, "doc_id", "n_tok", 512, "source")
+        .select(F.col("id").alias("doc_id"), "shard", "n_tok", "bin")
+        .orderBy("doc_id")
+    )
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """Capstone composition — the full training-data cleaning pass as
     ONE declarative plan: near-dup clustering (pruned Jaccard pairs →
@@ -1124,12 +1181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_knn_join": q_ann_knn_join,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pack_contiguous": q_pack_contiguous,
+        "pack_greedy": q_pack_greedy,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
@@ -1838,6 +1898,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id
         """,
+        "pack_contiguous": r"""
+            WITH d AS (
+                SELECT doc_id, source AS shard,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, shard, n_tok,
+                       COALESCE(SUM(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM d
+            )
+            SELECT doc_id, shard, n_tok,
+                   CAST(floor(cb / 512.0) AS BIGINT) AS bin,
+                   CAST(cb % 512 AS BIGINT) AS bin_offset
+            FROM c ORDER BY doc_id
+        """,
+        # next-fit walked row-by-row per shard: the recursive CTE's
+        # frontier holds one row per shard, stepping rn -> rn+1 with
+        # the same (overflow -> new bin) rule the pandas loop applies.
+        "pack_greedy": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source AS shard,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tok
+                FROM documents
+            ), base AS (
+                SELECT doc_id, shard, n_tok,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                       ) AS rn
+                FROM d
+            ), g AS (
+                SELECT doc_id, shard, n_tok, rn,
+                       CAST(0 AS BIGINT) AS bin, n_tok AS fill
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.doc_id, b.shard, b.n_tok, b.rn,
+                       CASE WHEN g.fill + b.n_tok > 512 AND g.fill > 0
+                            THEN g.bin + 1 ELSE g.bin END,
+                       CASE WHEN g.fill + b.n_tok > 512 AND g.fill > 0
+                            THEN b.n_tok ELSE g.fill + b.n_tok END
+                FROM g JOIN base b ON b.shard = g.shard AND b.rn = g.rn + 1
+            )
+            SELECT doc_id, shard, n_tok, bin FROM g ORDER BY doc_id
+        """,
         # the whole cleaning pipeline in one statement: pruned-Jaccard
         # components (cc) pick cluster representatives, the quality CTE
         # scores + language-IDs them, the report aggregates survivors.
@@ -1914,6 +2024,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _EMB_CTE
         + f"""
+            SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS cosine
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, id LIMIT 20
+        """,
+        # floor(x/s + 0.5) round-half-up in BOTH engines (ROUND()'s
+        # half-even/half-away variance could flip a code); cosine over
+        # the int8 codes — scales cancel, identical to dequantized.
+        "ann_quantized_topk": f"""
+            WITH e0 AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), sc AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+                FROM e0
+            ), e AS (
+                SELECT vec_id,
+                       CASE WHEN s > 0 THEN
+                           list_transform(v, x -> CAST(floor(x / s + 0.5) AS DOUBLE))
+                       ELSE list_transform(v, x -> 0.0) END AS v
+                FROM sc
+            ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
             SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS cosine
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, id LIMIT 20

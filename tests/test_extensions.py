@@ -330,3 +330,78 @@ def test_knn_join_matches_bruteforce_and_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from dogsheep_beta_spark.operators.similarity import quantized_vectors
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [127.0, -127.0, 63.5, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in quantized_vectors(emb, "vec_id", "embedding").collect()}
+    assert out[1]["scale"] == pytest.approx(1.0 / 127.0)
+    assert out[1]["qv8"] == [127, -63, 32, 0]  # floor(x/s+0.5)
+    assert out[2]["qv8"] == [127, -127, 64, 1]
+    assert out[3]["scale"] == 0.0 and out[3]["qv8"] == [0, 0, 0, 0]
+    # dequantization error bounded by scale/2 per element
+    for rid, vec in rows[:2]:
+        s = out[rid]["scale"]
+        for orig, code in zip(vec, out[rid]["qv8"]):
+            assert abs(orig - code * s) <= s / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_contiguous_chunk_math(spark):
+    from dogsheep_beta_spark.operators.packing import pack_contiguous
+
+    rows = [(1, "s", 100), (2, "s", 100), (3, "s", 100), (4, "s", 50),
+            (5, "t", 600), (6, "t", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = {r["id"]: (r["bin"], r["offset"]) for r in
+           pack_contiguous(df, "doc_id", "n", 256, "src").collect()}
+    # shard s cumsums: 0,100,200,300 → bins 0,0,0,1; offsets 0,100,200,44
+    assert got[1] == (0, 0) and got[2] == (0, 100)
+    assert got[3] == (0, 200) and got[4] == (1, 44)
+    # shard t independent; 600-token doc starts at bin 0, next at cum 600
+    assert got[5] == (0, 0) and got[6] == (2, 88)
+
+
+def test_pack_greedy_matches_python_nextfit(spark):
+    import random
+
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    rng = random.Random(11)
+    rows = [(i, f"s{i % 3}", rng.randrange(1, 300)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = {r["id"]: r["bin"] for r in
+           pack_greedy(df, "doc_id", "n", 256, "src").collect()}
+
+    exp = {}
+    for shard in {"s0", "s1", "s2"}:
+        b, fill = 0, 0
+        for i, s, n in sorted(rows):
+            if s != shard:
+                continue
+            if fill + n > 256 and fill > 0:
+                b, fill = b + 1, 0
+            exp[i] = b
+            fill += n
+    assert got == exp
+
+
+def test_pack_greedy_oversized_doc_owns_a_bin(spark):
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    rows = [(1, "s", 50), (2, "s", 999), (3, "s", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = {r["id"]: r["bin"] for r in
+           pack_greedy(df, "doc_id", "n", 256, "src").collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
