@@ -1034,6 +1034,36 @@ def q_streaming_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: md5-bucket thresholds,
+    never rand() — every re-run and every engine puts each doc in the
+    same split (operators/sampling.py).  Report: per (split, source)
+    counts + id ranges."""
+    from dogsheep_beta_spark.operators.sampling import split_assign
+
+    d = _documents(spark, sf_dir)
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exactly 10 docs per source, chosen by hash order — deterministic
+    uniform sampling per stratum; WindowGroupLimit keeps 10 rows per
+    stratum per partition before the shuffle."""
+    from dogsheep_beta_spark.operators.sampling import stratified_sample
+
+    d = _documents(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(d, "source", "doc_id", 10).orderBy("doc_id")
+
+
 def q_pack_contiguous(spark, sf_dir):
     """Sequence packing, concatenate-then-chunk: documents fill
     512-token sequences per source shard in doc_id order; a straddling
@@ -1188,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
         "pack_contiguous": q_pack_contiguous,
         "pack_greedy": q_pack_greedy,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -1897,6 +1929,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS is_keep
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id
+        """,
+        # ('0x'||hex)::BIGINT == Spark conv(hex,16,10) — the md5-bucket
+        # parity pattern the MinHash oracle already pins.
+        "sample_split": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 100 AS INT) AS bkt
+                FROM documents
+            ), s AS (
+                SELECT doc_id, source,
+                       CASE WHEN bkt < 80 THEN 'train'
+                            WHEN bkt < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM b
+            )
+            SELECT split, source, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM s GROUP BY split, source ORDER BY split, source
+        """,
+        "sample_stratified": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       md5(CAST(doc_id AS VARCHAR)) AS hh
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY hh, doc_id
+                       ) AS rn
+                FROM h
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id
         """,
         "pack_contiguous": r"""
             WITH d AS (

@@ -49,6 +49,16 @@ def cmd_index(args) -> int:
     spark = _build_session()
     if args.sources:
         register_testdata(spark, args.sources)
+        # real dogsheep sources: any .db file in the directory is
+        # ATTACHed — each table becomes a view via the partitioned
+        # rowid-range reader (sources/sqlite.py), so rule SQL reads
+        # sqlite and parquet sources identically.
+        import glob
+
+        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
+
+        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
+            register_sqlite_db(spark, db)
 
     index_path = os.path.join(args.output, "search_index")
     df = run_indexer(

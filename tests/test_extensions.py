@@ -405,3 +405,36 @@ def test_pack_greedy_oversized_doc_owns_a_bin(spark):
     got = {r["id"]: r["bin"] for r in
            pack_greedy(df, "doc_id", "n", 256, "src").collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from dogsheep_beta_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < frac_train < 0.9  # ~80% by bucket
+    # salt changes the assignment (different holdout universes)
+    c = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id", salt="v2").collect()}
+    assert c != a
+
+
+def test_stratified_sample_exact_n_and_uniformity(spark):
+    from dogsheep_beta_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(df, "src", "doc_id", 7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["src"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in per.items()} == {f"s{i}": 7 for i in range(4)}
+    # deterministic: same picks on rerun
+    out2 = stratified_sample(df, "src", "doc_id", 7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # hash order is not id order (it actually samples)
+    assert per["s0"] != set(sorted(i for i, s in rows if s == "s0")[:7])
