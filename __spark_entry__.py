@@ -1034,6 +1034,24 @@ def q_streaming_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs tagged with their
+    5-gram overlap against the eval subset (doc_id % 100 == 0 stands in
+    for a benchmark).  Eval shingle vocabulary is broadcast; the train
+    side is scanned once and shuffled only on its own id
+    (operators/dedup.py:decontaminate)."""
+    from dogsheep_beta_spark.operators.dedup import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 100 == 0)
+    tr = docs.where(F.col("doc_id") % 100 != 0)
+    return (
+        decontaminate(tr, ev, "doc_id", "text", k=5)
+        .select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment: md5-bucket thresholds,
     never rand() — every re-run and every engine puts each doc in the
@@ -1218,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
         "text_fingerprint": q_text_fingerprint,
+        "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "pack_contiguous": q_pack_contiguous,
@@ -1929,6 +1948,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS is_keep
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id
+        """,
+        "decontaminate": ORACLE_DOC_TOKENS
+        + """
+            , sh5 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 5 THEN
+                           list_distinct(list_transform(range(len(toks) - 4),
+                               i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                    toks[i+3] || ' ' || toks[i+4] || ' ' ||
+                                    toks[i+5]))
+                       ELSE []::VARCHAR[] END AS shingles
+                FROM toks
+            )
+            , s5 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh5)
+            , ev AS (
+                SELECT DISTINCT shingle FROM s5 WHERE doc_id % 100 = 0
+            )
+            , tr AS (SELECT doc_id, shingle FROM s5 WHERE doc_id % 100 <> 0)
+            , hits AS (
+                SELECT tr.doc_id, COUNT(*) AS n_hits
+                FROM tr JOIN ev ON tr.shingle = ev.shingle
+                GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id
         """,
         # ('0x'||hex)::BIGINT == Spark conv(hex,16,10) — the md5-bucket
         # parity pattern the MinHash oracle already pins.

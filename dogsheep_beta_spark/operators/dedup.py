@@ -585,3 +585,52 @@ def cluster_keep(
             (F.col(id_col) == F.col("cluster")).cast("int"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training rows tagged with their eval-set n-gram overlap — the
+    decontamination pass every published pretraining pipeline runs
+    (drop training docs that leak benchmark text).
+
+    (id, n_hits, contaminated): n_hits = how many distinct k-gram
+    shingles of the doc also appear in ANY eval doc; contaminated =
+    n_hits >= min_hits.
+
+    Shape: the eval shingle VOCABULARY (distinct shingles, eval sets
+    are small by definition) is broadcast; train shingles inner-join it
+    map-side and aggregate hit counts per doc; a final left join tags
+    every train row, zero-hit docs included.  The train side is never
+    shuffled on anything but its own id — at 100 TB the cost is one
+    scan + one broadcast probe + one id-keyed aggregation."""
+    ev = F.broadcast(
+        doc_shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+    )
+    tr = doc_shingles(train, id_col, text_col, k)
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -438,3 +438,33 @@ def test_stratified_sample_exact_n_and_uniformity(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     # hash order is not id order (it actually samples)
     assert per["s0"] != set(sorted(i for i, s in rows if s == "s0")[:7])
+
+
+def test_decontaminate_flags_leaked_ngrams(spark):
+    from dogsheep_beta_spark.operators.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over and more"),
+            (2, "completely unrelated content about spark plans"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(tr, ev, "doc_id", "text", k=5).collect()}
+    # doc 1 shares 2 distinct 5-grams ("the quick brown fox jumps",
+    # "quick brown fox jumps over"); docs 2/3 share none
+    assert got[1] == (2, 1)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    # the eval vocabulary side must be broadcast (train never shuffles
+    # against it)
+    plan = (
+        decontaminate(tr, ev, "doc_id", "text", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
