@@ -468,3 +468,20 @@ def test_decontaminate_flags_leaked_ngrams(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_empty_pairs(spark):
+    """Zero dup pairs (a clean corpus, or a threshold nothing crosses)
+    must yield an empty components table and an all-keep keep-list."""
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    comp = connected_components(pairs)
+    assert comp.count() == 0
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["is_keep"])
+           for r in cluster_keep(docs, "doc_id", comp).collect()}
+    assert out == {1: (1, 1), 2: (2, 1)}

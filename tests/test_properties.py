@@ -258,3 +258,67 @@ def test_last_writer_wins_fuzz(spark, seed):
     assert set(got) == set(per_key)
     for k, (seq, vals) in per_key.items():
         assert got[k] in vals, k
+
+
+# ---------------------------------------------------------------------------
+# packing + quantization invariants (spark-evaluated, small draws)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=25),
+    st.integers(min_value=64, max_value=300),
+)
+def test_pack_greedy_invariants(spark, toks, cap):
+    """No bin overflows (except a single oversized doc), bins are
+    contiguous from 0, docs stay in id order within bins."""
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(toks)], "doc_id long, src string, n long"
+    )
+    rows = sorted(
+        pack_greedy(df, "doc_id", "n", cap, "src").collect(),
+        key=lambda r: r["id"],
+    )
+    fills = {}
+    for r in rows:
+        fills.setdefault(r["bin"], []).append(int(r["n_tok"]))
+    assert sorted(fills) == list(range(len(fills)))  # contiguous bins
+    for members in fills.values():
+        assert sum(members) <= cap or len(members) == 1  # overflow only solo
+    # greedy never opens a new bin while the current one still fits
+    for b in range(len(fills) - 1):
+        first_next = fills[b + 1][0]
+        assert sum(fills[b]) + first_next > cap
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=3, max_size=6,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_quantize_error_bound_property(spark, vecs):
+    from dogsheep_beta_spark.operators.similarity import quantized_vectors
+
+    dim = len(vecs[0])
+    vecs = [v[:dim] + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    for r in quantized_vectors(df, "vec_id", "embedding").collect():
+        s, codes, orig = r["scale"], r["qv8"], vecs[r["id"]]
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(orig, codes):
+            # float32 storage of x introduces its own epsilon on top of
+            # the scale/2 quantization bound
+            assert abs(x - c * s) <= s / 2 + abs(x) * 1e-6 + 1e-9
