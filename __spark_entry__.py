@@ -805,6 +805,21 @@ def q_ann_knn_join(spark, sf_dir):
     ).orderBy("query_id", F.desc("cosine"), "id")
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF over DATA-DERIVED cells (not the label column): 8 seed
+    vectors chosen by hash order, one Voronoi assignment pass (the
+    SQL-expressible E-step; Lloyd refinement via kmeans_cells(iters=N)
+    is the offline build path), then the standard 2-probe search
+    against the seed table."""
+    from dogsheep_beta_spark.operators.similarity import ivf_topk, kmeans_cells
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    assigned, cents = kmeans_cells(emb, "vec_id", "embedding", k=8)
+    return ivf_topk(
+        assigned, "vec_id", "embedding", "cell", 0, k=20, nprobe=2, cents=cents
+    )
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """Exact top-20 over the int8-QUANTIZED embedding table: quantize
     (pure codegen, 4× smaller at rest) then rank by cosine over the
@@ -1230,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_knn_join": q_ann_knn_join,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2137,6 +2153,40 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             SELECT e.vec_id AS id, {_COS.format(a='e.v', b='q.qv')} AS cosine
             FROM e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, id LIMIT 20
+        """,
+        # seeds by md5(id) order; assignment + cell ranking both argmax
+        # over ROUND(cos, 6) with cell-id tie-break — identical float
+        # discipline to the Spark plan.
+        "ann_ivf_kmeans_topk": _EMB_CTE
+        + f"""
+            , seeds AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) - 1 AS cell,
+                       v AS centroid
+                FROM e
+                QUALIFY cell < 8
+            )
+            , asg AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT e.vec_id, e.v, s.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_COS.format(a='e.v', b='s.centroid')} DESC,
+                                        s.cell
+                           ) AS rn
+                    FROM e CROSS JOIN seeds s
+                ) WHERE rn = 1
+            )
+            , qc AS (
+                SELECT s.cell FROM seeds s, q
+                ORDER BY {_COS.format(a='s.centroid', b='q.qv')} DESC, s.cell
+                LIMIT 2
+            )
+            SELECT a.vec_id AS id, {_COS.format(a='a.v', b='q.qv')} AS cosine
+            FROM asg a JOIN qc ON a.cell = qc.cell, q
+            WHERE a.vec_id <> 0
             ORDER BY cosine DESC, id LIMIT 20
         """,
         # floor(x/s + 0.5) round-half-up in BOTH engines (ROUND()'s

@@ -20,7 +20,7 @@ declared queries stay literal-free and oracle-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.operators.dedup import cosine_expr
@@ -348,3 +348,79 @@ def quantized_vectors(
         s.alias("scale"),
         quantize_int8(v, s).alias("qv8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-derived IVF cells — deterministic seeds + Voronoi / Lloyd
+# ---------------------------------------------------------------------------
+
+
+def hash_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """(cell, centroid): k seed vectors chosen by md5(id) order — a
+    deterministic uniform sample of the corpus (same device as
+    operators/sampling.py), reproducible in any engine.  This replaces
+    'use the label column' with data-derived cells."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.orderBy(F.col("h"), F.col("sid"))
+    return (
+        df.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cell"),
+            F.col("sv").cast("array<double>").alias("centroid"),
+        )
+    )
+
+
+def voronoi_assign(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """Input rows + a ``cell`` column: nearest centroid by cosine
+    (ties → lowest cell id).  The centroid table is broadcast; the
+    corpus is scanned once map-side; the only shuffle is the per-id
+    argmax window, capped by WindowGroupLimit.  With k centroids this
+    is the E-step of Lloyd's and the write-path cell assignment for
+    ``write_ivf``."""
+    c = cents.select(
+        F.col("cell").alias("__cell"), F.col("centroid").alias("__centroid")
+    )
+    # 6-dp rounding before the argmax: near-equidistant vectors resolve
+    # by cell id IDENTICALLY in every engine instead of by float noise.
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "__cos",
+        F.round(
+            cosine_expr(F.col(vec_col).cast("array<double>"), F.col("__centroid")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__cos", "__centroid")
+        .withColumnRenamed("__cell", "cell")
+    )
+
+
+def kmeans_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids): hash-seeded Voronoi cells, optionally
+    refined with ``iters`` Lloyd iterations (assign → mean → repeat).
+    Deterministic end to end: seeds come from hash order, ties break on
+    cell id, means are exact.  Each refinement localCheckpoints the
+    small centroid table (same lineage discipline as
+    connected_components); the corpus itself is never checkpointed.
+    iters=0 is the SQL-expressible single Voronoi pass the declared
+    query uses; refinement is the offline index-build path."""
+    cents = hash_seeds(df, id_col, vec_col, k)
+    for _ in range(iters):
+        assigned = voronoi_assign(df, id_col, vec_col, cents)
+        cents = centroids(assigned, vec_col, "cell").localCheckpoint(eager=True)
+    assigned = voronoi_assign(df, id_col, vec_col, cents)
+    return assigned, cents

@@ -485,3 +485,41 @@ def test_connected_components_empty_pairs(spark):
     out = {r["doc_id"]: (r["cluster"], r["is_keep"])
            for r in cluster_keep(docs, "doc_id", comp).collect()}
     assert out == {1: (1, 1), 2: (2, 1)}
+
+
+def test_kmeans_cells_voronoi_and_lloyd(spark):
+    from dogsheep_beta_spark.operators.similarity import (
+        hash_seeds,
+        kmeans_cells,
+        voronoi_assign,
+    )
+
+    # two tight direction-clusters on orthogonal axes
+    rows = [(i, [10.0 + (i % 3), 0.1 * (i % 3), 0.0]) for i in range(10)] + [
+        (100 + i, [0.1 * (i % 3), 10.0 + (i % 3), 0.0]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = hash_seeds(emb, "vec_id", "embedding", 2)
+    assert [r["cell"] for r in seeds.orderBy("cell").collect()] == [0, 1]
+    # determinism: same seeds on rerun
+    s1 = [tuple(r) for r in seeds.orderBy("cell").collect()]
+    s2 = [tuple(r) for r in hash_seeds(emb, "vec_id", "embedding", 2).orderBy("cell").collect()]
+    assert s1 == s2
+
+    # voronoi: every vector lands with its own axis-cluster regardless
+    # of which cluster the hash-chosen seeds came from
+    assigned, cents = kmeans_cells(emb, "vec_id", "embedding", k=2, iters=2)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    cells_a = {got[i] for i in range(10)}
+    cells_b = {got[100 + i] for i in range(10)}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+    # refined centroids point along the cluster axes (cosine > .99)
+    import math
+    for r in cents.collect():
+        c = r["centroid"]
+        n = math.sqrt(sum(x * x for x in c))
+        assert max(abs(c[0]) / n, abs(c[1]) / n) > 0.99
+    # assignment output keeps the input columns + cell
+    assert set(assigned.columns) == {"vec_id", "embedding", "cell"}
+    va = voronoi_assign(emb, "vec_id", "embedding", cents)
+    assert {r["vec_id"]: r["cell"] for r in va.collect()} == got
