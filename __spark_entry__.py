@@ -920,6 +920,22 @@ def q_text_quality_langid(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_unigram_nll(spark, sf_dir):
+    """Perplexity-filter proxy: average unigram negative log-likelihood
+    per doc under the corpus's own unigram LM (functions/text.py:
+    unigram_nll_table).  One token explode feeds counts AND per-doc
+    aggregation; the count join is token-keyed (vocabulary doesn't
+    broadcast at scale)."""
+    from dogsheep_beta_spark.functions.text import unigram_nll_table
+
+    d = _documents(spark, sf_dir)
+    return (
+        unigram_nll_table(d, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "n_tok", "nll")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s
     (explode + codegen md5 + aggregate, see functions/text.py)."""
@@ -1251,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
+        "text_unigram_nll": q_text_unigram_nll,
         "text_fingerprint": q_text_fingerprint,
         "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
@@ -2276,6 +2293,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_QUALITY_EXPR} AS quality,
                    {_LANG_EXPR} AS lang_pred
             FROM qual ORDER BY doc_id
+        """,
+        "text_unigram_nll": ORACLE_DOC_TOKENS
+        + """
+            , tokx AS (SELECT doc_id, unnest(toks) AS t FROM toks)
+            , cnt AS (SELECT t, COUNT(*) AS c FROM tokx GROUP BY t)
+            , tot AS (SELECT COUNT(*) AS n FROM tokx)
+            SELECT doc_id, COUNT(*) AS n_tok,
+                   ROUND(AVG(-ln(c * 1.0 / n)), 6) AS nll
+            FROM tokx JOIN cnt USING (t), tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "text_fingerprint": r"""
             WITH n AS (

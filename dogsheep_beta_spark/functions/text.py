@@ -164,3 +164,48 @@ def fingerprint_table(
             "fingerprint"
         )
     )
+
+
+def unigram_nll_table(df, id_col: str, text_col: str):
+    """(id, n_tok, nll) — average unigram negative log-likelihood per
+    document under the corpus's own unigram LM: the cheap stand-in for
+    the perplexity filter public cleaning pipelines (CCNet-style) run
+    with a real LM.  Documents made of globally-rare tokens score high
+    (gibberish, OCR noise); stopword soup scores low.
+
+    Plan: one token explode feeds BOTH the corpus unigram counts and
+    the per-doc aggregation — the exploded table is persisted so the
+    corpus is tokenized once.  Count join is on the token (the unigram
+    vocabulary does NOT broadcast at 100 TB — a token-keyed shuffle
+    join is the honest plan; AQE handles the zipf head skew, and the
+    head could be salted with operators/skew.py if needed).  All
+    arithmetic is ln() on exact counts, reproducible in any engine.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"[^a-z0-9]+",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+        .persist()
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # one scalar job over the persisted explode
+    scored = (
+        tok.join(counts, "t")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.lit(float(total)))), 6
+            ).alias("nll"),
+        )
+    )
+    return scored

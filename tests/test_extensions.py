@@ -523,3 +523,24 @@ def test_kmeans_cells_voronoi_and_lloyd(spark):
     assert set(assigned.columns) == {"vec_id", "embedding", "cell"}
     va = voronoi_assign(emb, "vec_id", "embedding", cents)
     assert {r["vec_id"]: r["cell"] for r in va.collect()} == got
+
+
+def test_unigram_nll_rare_tokens_score_high(spark):
+    from dogsheep_beta_spark.functions.text import unigram_nll_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # all common
+            (2, "the the zyxwvut"),          # one rare token
+            (3, "qqqz wwwy"),                # all rare
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in unigram_nll_table(docs, "doc_id", "text").collect()}
+    assert got[1]["n_tok"] == 4 and got[2]["n_tok"] == 3
+    # corpus: the×6, zyxwvut×1, qqqz×1, wwwy×1 → total 9
+    import math
+    p_the, p_rare = 6 / 9, 1 / 9
+    assert got[1]["nll"] == pytest.approx(-math.log(p_the), abs=1e-6)
+    assert got[3]["nll"] == pytest.approx(-math.log(p_rare), abs=1e-6)
+    assert got[1]["nll"] < got[2]["nll"] < got[3]["nll"]
