@@ -703,6 +703,22 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def _jaccard_pairs(spark, sf_dir):
+    """Shared pruned Jaccard pair table, persisted once per sf_dir —
+    the pair-generation analog of the one-index-many-queries FTS
+    lifecycle: the raw pair query, the cluster keep-list, and the
+    clean-corpus pipeline all consume the same materialization instead
+    of re-tokenizing the corpus three times."""
+    from dogsheep_beta_spark.operators.dedup import jaccard_pairs
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "jac_pairs" not in c:
+        c["jac_pairs"] = jaccard_pairs(
+            _documents(spark, sf_dir), "doc_id", "text", k=3, max_bucket=100
+        ).persist()
+    return c["jac_pairs"]
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard near-dup: top-50 most similar pairs.
 
@@ -714,12 +730,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     #shingles × max_bucket².  The recall trade is explicit: pairs whose
     ONLY overlap is mass-shared boilerplate stop ranking, which is the
     desired behavior for near-dup detection."""
-    from dogsheep_beta_spark.operators.dedup import jaccard_pairs
-
     return (
-        jaccard_pairs(
-            _documents(spark, sf_dir), "doc_id", "text", k=3, max_bucket=100
-        )
+        _jaccard_pairs(spark, sf_dir)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(50)
@@ -762,13 +774,10 @@ def q_dedup_cluster_keep(spark, sf_dir):
     from dogsheep_beta_spark.operators.dedup import (
         cluster_keep,
         connected_components,
-        jaccard_pairs,
     )
 
     docs = _documents(spark, sf_dir)
-    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, max_bucket=100).filter(
-        F.col("jaccard") >= 0.8
-    )
+    pairs = _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     comp = connected_components(pairs)
     return (
         cluster_keep(docs, "doc_id", comp)
@@ -1168,13 +1177,10 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     from dogsheep_beta_spark.operators.dedup import (
         cluster_keep,
         connected_components,
-        jaccard_pairs,
     )
 
     docs = _documents(spark, sf_dir)
-    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, max_bucket=100).filter(
-        F.col("jaccard") >= 0.8
-    )
+    pairs = _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     kept = cluster_keep(docs, "doc_id", connected_components(pairs)).where(
         F.col("is_keep") == 1
     )

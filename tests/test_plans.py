@@ -101,4 +101,8 @@ def test_jaccard_max_bucket_prunes_hot_shingles(spark):
 
     import __spark_entry__ as entry
 
-    assert "max_bucket=100" in inspect.getsource(entry.q_dedup_ngram_jaccard)
+    # the SHARED pair builder (feeds ngram_jaccard + cluster_keep +
+    # pipeline_clean_corpus) must keep stop-shingle pruning wired in —
+    # check the code, not the docstring
+    src = inspect.getsource(entry._jaccard_pairs)
+    assert 'max_bucket=100' in src.split('"""')[-1]
