@@ -106,3 +106,30 @@ def test_jaccard_max_bucket_prunes_hot_shingles(spark):
     # check the code, not the docstring
     src = inspect.getsource(entry._jaccard_pairs)
     assert 'max_bucket=100' in src.split('"""')[-1]
+
+
+def test_pack_and_sample_single_shuffle_plans(spark):
+    """Scale regressions for the packing/sampling family: contiguous
+    packing is ONE exchange on the shard key (the window cumsum adds no
+    second shuffle), and stratified sampling keeps the per-stratum rank
+    filter below its single exchange (WindowGroupLimit), so the shuffle
+    carries candidates, not the corpus."""
+    from dogsheep_beta_spark.operators.packing import pack_contiguous
+    from dogsheep_beta_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i % 100) for i in range(50)],
+        "doc_id long, src string, n long",
+    )
+    pack_plan = (
+        pack_contiguous(df, "doc_id", "n", 256, "src")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pack_plan.count("Exchange") == 1
+
+    sample_plan = (
+        stratified_sample(df, "src", "doc_id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sample_plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in sample_plan
