@@ -544,3 +544,15 @@ def test_unigram_nll_rare_tokens_score_high(spark):
     assert got[1]["nll"] == pytest.approx(-math.log(p_the), abs=1e-6)
     assert got[3]["nll"] == pytest.approx(-math.log(p_rare), abs=1e-6)
     assert got[1]["nll"] < got[2]["nll"] < got[3]["nll"]
+
+
+def test_bin_stats_utilization(spark):
+    from dogsheep_beta_spark.operators.packing import bin_stats, pack_greedy
+
+    rows = [(1, "s", 200), (2, "s", 50), (3, "s", 200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    packed = pack_greedy(df, "doc_id", "n", 256, "src")
+    got = {r["bin"]: r for r in bin_stats(packed, 256).collect()}
+    assert got[0]["n_docs"] == 2 and got[0]["fill"] == 250
+    assert got[0]["utilization"] == pytest.approx(250 / 256, abs=1e-6)
+    assert got[1]["n_docs"] == 1 and got[1]["fill"] == 200
