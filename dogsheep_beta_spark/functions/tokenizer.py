@@ -14,7 +14,13 @@ Spark mapping:
 
 Two split modes:
 - ``unicode61``: split on anything that is not a Unicode letter/digit
-  (Java regex ``[^\\p{L}\\p{N}]+``) — closest to FTS5's unicode61.
+  (Java regex ``[^\\p{L}\\p{N}]+``), after diacritic REMOVAL — FTS5's
+  unicode61 defaults to ``remove_diacritics=1``
+  (/root/reference/dogsheep_beta/utils.py:90 delegates tokenizer
+  choice to FTS5), so ``café`` and ``cafe`` index to the same term.
+  Folding is a pure JVM ``translate``: precomposed Latin letters map
+  1:1 to their base letter and combining marks (U+0300–U+036F) are
+  deleted, so NFC and NFD input land on the same token.
 - ``portable``: split on ``[^a-z0-9]+`` after lowercasing — the
   oracle-checkable definition shared with DuckDB (SURVEY.md §5.3).
 """
@@ -22,6 +28,7 @@ Two split modes:
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column
@@ -31,15 +38,55 @@ from pyspark.sql import types as T
 PORTABLE_SPLIT = "[^a-z0-9]+"
 UNICODE61_SPLIT = r"[^\p{L}\p{N}]+"
 
+
+def _fold_tables() -> tuple[str, str]:
+    """(src, dst) for ``translate``: every Latin-range precomposed
+    letter whose NFD form is one ASCII base + combining marks maps to
+    the base; the combining-mark block itself is appended to src with
+    no dst counterpart, which ``translate`` treats as deletion.  Built
+    from unicodedata at import — deterministic, mirrors FTS5
+    unicode61 ``remove_diacritics=1`` over the Latin scripts."""
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):  # Latin-1 Supplement .. Latin Ext-B
+        ch = chr(cp)
+        base = "".join(
+            c for c in unicodedata.normalize("NFD", ch)
+            if not unicodedata.combining(c)
+        )
+        if base != ch and len(base) == 1 and ord(base) < 0x80:
+            src.append(ch)
+            dst.append(base)
+    marks = "".join(chr(cp) for cp in range(0x300, 0x370))
+    return "".join(src) + marks, "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _fold_tables()
+_FOLD_MAP = str.maketrans(
+    {s: (_FOLD_DST[i] if i < len(_FOLD_DST) else None)
+     for i, s in enumerate(_FOLD_SRC)}
+)
+
 # [\W_]+ ≡ anything that is not a Unicode letter/digit (underscore is a
 # separator in FTS5 unicode61, unlike in \w).
 _PY_SPLIT = {"portable": re.compile("[^a-z0-9]+"), "unicode61": re.compile(r"[\W_]+", re.UNICODE)}
 
 
+def fold_diacritics_expr(col: Column) -> Column:
+    """JVM-side diacritic folding (FTS5 remove_diacritics=1 analog)."""
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
+def fold_diacritics_py(text: str) -> str:
+    return text.translate(_FOLD_MAP)
+
+
 def tokenize_expr(col: Column, mode: str = "portable") -> Column:
     """Array of non-empty lowercase tokens — pure JVM expression."""
     pattern = PORTABLE_SPLIT if mode == "portable" else UNICODE61_SPLIT
-    toks = F.split(F.lower(F.coalesce(col, F.lit(""))), pattern)
+    text = F.lower(F.coalesce(col, F.lit("")))
+    if mode == "unicode61":
+        text = fold_diacritics_expr(text)
+    toks = F.split(text, pattern)
     return F.filter(toks, lambda x: x != "")
 
 
@@ -47,7 +94,10 @@ def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
     """Driver-side twin of tokenize_expr (for query-string tokenization)."""
     if not text:
         return []
-    return [t for t in _PY_SPLIT[mode].split(text.lower()) if t]
+    text = text.lower()
+    if mode == "unicode61":
+        text = fold_diacritics_py(text)
+    return [t for t in _PY_SPLIT[mode].split(text) if t]
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,52 @@ def build_fts_index(
     )
 
 
+def stem_fts_index(fts: FtsIndex, persist: bool = True) -> FtsIndex:
+    """Derive the Porter-stemmed index FROM an already-built unstemmed
+    index, without re-tokenizing the corpus.
+
+    Stemming is per-token, so doc lengths, n_docs and avgdl are
+    invariant; only the term dictionary changes.  The stem UDF therefore
+    runs over ``distinct(term)`` — the vocabulary, orders of magnitude
+    smaller than the token stream — and a join maps each posting to its
+    stemmed term before re-aggregating tf/positions.  Position lists of
+    distinct terms within one (doc, field) are disjoint, so
+    flatten+sort is exact.
+
+    At 100 TB this converts a second full corpus tokenize (the dominant
+    index-build cost) into vocab-sized work + one co-partitioned join.
+    """
+    from dogsheep_beta_spark.functions.tokenizer import porter_stem
+
+    @F.pandas_udf("string")
+    def stem_term(batch):
+        return batch.map(porter_stem)
+
+    vocab = fts.postings.select("term").distinct()
+    stem_map = vocab.withColumn("stem", stem_term(F.col("term")))
+    postings = (
+        fts.postings.join(stem_map, "term")
+        .groupBy(F.col("stem").alias("term"), "type", "key", "field")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                "positions"
+            ),
+        )
+    )
+    if persist:
+        postings = postings.persist()
+    return FtsIndex(
+        postings=postings,
+        doc_lengths=fts.doc_lengths,
+        n_docs=fts.n_docs,
+        avgdl=fts.avgdl,
+        mode=fts.mode,
+        stem=True,
+        fields=fts.fields,
+    )
+
+
 def write_fts_index(fts: FtsIndex, path: str, term_buckets: int = 0) -> None:
     """Persist postings/doc_lengths as Parquet.
 

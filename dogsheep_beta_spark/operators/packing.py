@@ -73,10 +73,11 @@ def pack_greedy(
 ) -> DataFrame:
     """(id, shard, n_tok, bin): next-fit packing, documents unsplit.
 
-    Per shard: walk documents in order; if the open sequence can't take
-    the next document (fill + n_tok > capacity, fill > 0), close it and
-    open the next.  An oversized document (> capacity) occupies a
-    sequence alone.  The per-shard loop is genuine sequential state —
+    Per shard: walk documents in order; if the open sequence already
+    holds at least one document and can't take the next one
+    (fill + n_tok > capacity), close it and open the next.  An oversized
+    document (> capacity) occupies a sequence alone — the guard counts
+    documents, not fill, so zero-token documents can't share its bin.  The per-shard loop is genuine sequential state —
     the honest implementation is a pandas pass per shard group, shards
     running in parallel (same shape as stateful sessionization)."""
     order_col = order_col or id_col
@@ -94,13 +95,17 @@ def pack_greedy(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__ord").reset_index(drop=True)
         bins = []
-        b, fill = 0, 0
+        b, fill, n_in_bin = 0, 0, 0
         for t in pdf["n_tok"]:
             t = int(t) if pd.notna(t) else 0
-            if fill + t > cap and fill > 0:
-                b, fill = b + 1, 0
+            # Close the open bin whenever it already holds a document and
+            # the next one would overflow — counted by docs, not by fill,
+            # so zero-token documents can't let an oversized doc share a bin.
+            if n_in_bin > 0 and fill + t > cap:
+                b, fill, n_in_bin = b + 1, 0, 0
             bins.append(b)
             fill += t
+            n_in_bin += 1
         return pd.DataFrame(
             {
                 "id": pdf["id"],

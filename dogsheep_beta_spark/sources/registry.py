@@ -68,8 +68,24 @@ def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Normalize timestamps by what the reader actually produced — the
+    # testdata generator has shipped both nano (→ long under
+    # nanosAsLong) and micro (→ TIMESTAMP_NTZ under inferTimestampNTZ)
+    # encodings across rounds, and the session may or may not honor the
+    # legacy conf.  All paths land on session-zone TIMESTAMP, which is
+    # value-preserving because the session is pinned to UTC and the
+    # stored values are naive wall times (same convention as DuckDB).
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name in ns_cols and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
     df.createOrReplaceTempView(name)
     _REGISTERED[key] = (path, df)
     return df

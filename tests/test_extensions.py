@@ -556,3 +556,20 @@ def test_bin_stats_utilization(spark):
     assert got[0]["n_docs"] == 2 and got[0]["fill"] == 250
     assert got[0]["utilization"] == pytest.approx(250 / 256, abs=1e-6)
     assert got[1]["n_docs"] == 1 and got[1]["fill"] == 200
+
+
+def test_ctx_teardown_unpersists(spark, sf_dir):
+    """The per-sf_dir caches (_jaccard_pairs, persisted documents,
+    k-means cells, FTS postings) are deliberate; teardown() is their
+    end-of-lifecycle hook — after it, nothing this entry built is still
+    pinned to executor memory and the context dict is empty."""
+    import __spark_entry__ as entry
+
+    docs = entry._documents_persisted(spark, sf_dir)
+    pairs = entry._jaccard_pairs(spark, sf_dir)
+    assert docs.is_cached and pairs.is_cached
+
+    entry.teardown(sf_dir)
+    assert sf_dir not in entry._CTX
+    assert not docs.is_cached
+    assert not pairs.is_cached

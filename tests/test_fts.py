@@ -315,3 +315,100 @@ def test_bm25_rank_parity_with_fts5(parity_index, q):
         assert math.isclose(ours[rowid], their_rank, rel_tol=1e-6, abs_tol=1e-9), (
             f"rank mismatch for {q!r} doc {rowid}: ours={ours[rowid]} fts5={their_rank}"
         )
+
+
+# ---------------------------------------------------------------------------
+# unicode61 diacritic folding (FTS5 defaults to remove_diacritics=1;
+# reference delegates tokenizer choice at utils.py:90 — café must match
+# cafe exactly as it does in FTS5)
+# ---------------------------------------------------------------------------
+
+ACCENT_TEXTS = [
+    "Café au lait",
+    "naïve résumé",
+    "Zürich Straße",           # ß is NOT a diacritic — must survive
+    "El Niño año",
+    "Crème brûlée",
+    "Łódź",                    # Ł has no combining decomposition — survives
+    "Tōkyō",
+    "café decomposed",   # NFD input folds identically to NFC
+    "señor FRANÇAIS",
+]
+
+
+@pytest.mark.parametrize("text", ACCENT_TEXTS)
+def test_unicode61_diacritic_folding_matches_fts5(text):
+    assert tokenize_py(text, "unicode61") == _fts5_terms_diacritics(text)
+
+
+def _fts5_terms_diacritics(text):
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE VIRTUAL TABLE t USING fts5(a, tokenize='unicode61')")
+    con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+    con.execute("INSERT INTO t VALUES (?)", (text,))
+    terms = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
+    con.close()
+    return terms
+
+
+def test_unicode61_expr_folds_like_py(spark):
+    """JVM translate-based folding ≡ the Python twin on real rows."""
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+    df = spark.createDataFrame([(t,) for t in ACCENT_TEXTS], "text string")
+    got = [
+        r["toks"]
+        for r in df.select(tokenize_expr(df.text, "unicode61").alias("toks"))
+        .collect()
+    ]
+    assert got == [tokenize_py(t, "unicode61") for t in ACCENT_TEXTS]
+
+
+def test_search_cafe_matches_accented_doc(spark):
+    """End-to-end: an accented doc is found by its unaccented query and
+    vice versa, through a unicode61-mode index."""
+    from dogsheep_beta_spark.indexer import build_search_index
+
+    rows = [(1, "Le menu", "Un café excellent", "2020-01-01"),
+            (2, "Plain", "a cafe downtown", "2020-01-02")]
+    spark.createDataFrame(
+        rows, "id int, title string, body string, date string"
+    ).createOrReplaceTempView("menus")
+    idx = build_search_index(
+        spark,
+        {"menus.db": {"menus": {"sql": """
+            select id as key, title, date as timestamp, body as search_1
+            from menus
+        """}}},
+    )
+    fts = build_fts_index(idx, mode="unicode61", stem=False)
+    for q in ("cafe", "café"):
+        assert sorted(result_ids(search(idx, fts, q))) == [
+            "menus.db/menus:1",
+            "menus.db/menus:2",
+        ], q
+
+
+# ---------------------------------------------------------------------------
+# derived porter index: stemming the term dictionary of a built index
+# must equal re-tokenizing the corpus with stem=True
+# ---------------------------------------------------------------------------
+
+
+def test_stem_fts_index_equals_full_rebuild(plugin_index):
+    from dogsheep_beta_spark.operators.fts_index import stem_fts_index
+
+    base = build_fts_index(plugin_index, mode="unicode61", stem=False)
+    derived = stem_fts_index(base, persist=False)
+    full = build_fts_index(plugin_index, mode="unicode61", stem=True)
+
+    def rows(fts):
+        return sorted(
+            (r["term"], r["type"], r["key"], r["field"], r["tf"],
+             tuple(r["positions"]))
+            for r in fts.postings.collect()
+        )
+
+    assert rows(derived) == rows(full)
+    assert derived.n_docs == full.n_docs
+    assert math.isclose(derived.avgdl, full.avgdl)

@@ -77,3 +77,40 @@ def test_category_facet_labels(plugin_index, spark):
     labeled = facet_ops.facet_with_labels(res.facets["category"], categories_df(spark))
     rows = {r["label"]: r["count"] for r in labeled.collect() if r["value"] is not None}
     assert rows == {"created": 2}
+
+
+def test_search_and_facets_share_one_filtered_set(plugin_index):
+    """Intentional deviation from the reference, pinned.
+
+    The reference runs search and facets as two separate Datasette
+    calls with DIVERGENT error fallbacks: the facet call retries
+    without ``_searchmode=raw`` on any non-200
+    (/root/reference/dogsheep_beta/__init__.py:241-244), while the
+    search call falls back per-query — so for a query that errors only
+    in raw mode the two paths can disagree about which docs were
+    matched.  This engine deliberately collapses both onto ONE
+    ``filtered`` DataFrame (plans/query.py:compile_plan), so the facet
+    counts always sum over exactly the docs the search returned — for
+    every query, including ones that take the escape fallback.
+    """
+    from dogsheep_beta_spark.plans.search import search_query
+
+    # "#dogfest" is a ParseError → escape fallback (the class of query
+    # where the reference's two paths could diverge).
+    res = search_query(plugin_index, _fts(plugin_index), QueryPlan(q="#dogfest"))
+    result_keys = {
+        (r["type"], r["key"]) for r in res.results.select("type", "key").collect()
+    }
+    filtered_keys = {
+        (r["type"], r["key"]) for r in res.filtered.select("type", "key").collect()
+    }
+    assert result_keys == filtered_keys  # same doc set feeds both
+    type_facet = {r["value"]: r["count"] for r in res.facets["type"].collect()}
+    assert sum(type_facet.values()) == len(filtered_keys)
+    assert type_facet == {"emails.db/emails": 1}
+
+
+def _fts(idx):
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+    return build_fts_index(idx, mode="unicode61", stem=True)

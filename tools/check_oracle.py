@@ -66,6 +66,52 @@ def values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def canon_csv(df: pd.DataFrame) -> str:
+    """Byte-level canonical CSV — a local re-implementation of the
+    driver's hash input.  Columns sorted by name, rows sorted by all
+    columns, every cell rendered to text.  Catches dtype-representation
+    drift (e.g. DuckDB HUGEINT→float64 '8570.0' vs Spark BIGINT '8570')
+    that the tolerant value diff forgives."""
+    df = canon(df).copy()
+    for c in df.columns:
+        df[c] = df[c].map(_cell_repr)
+    return df.to_csv(index=False)
+
+
+def _cell_repr(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ""
+        # stable float text: round-trip repr, 12 significant digits
+        return format(v, ".12g")
+    return str(v)
+
+
+def compare_strict(
+    name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame
+) -> list[str]:
+    import hashlib
+
+    a, b = canon_csv(spark_pd), canon_csv(duck_pd)
+    if a == b:
+        return []
+    ha = hashlib.sha256(a.encode()).hexdigest()[:12]
+    hb = hashlib.sha256(b.encode()).hexdigest()[:12]
+    la, lb = a.splitlines(), b.splitlines()
+    first = next(
+        (i for i, (x, y) in enumerate(zip(la, lb)) if x != y),
+        min(len(la), len(lb)),
+    )
+    sa = la[first] if first < len(la) else "<missing>"
+    sb = lb[first] if first < len(lb) else "<missing>"
+    return [
+        f"strict CSV hash differs: spark={ha} duck={hb}; "
+        f"first diff line {first}: spark={sa!r} duck={sb!r}"
+    ]
+
+
 def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     problems = []
     a, b = canon(spark_pd), canon(duck_pd)
@@ -95,8 +141,10 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -138,6 +186,8 @@ def main():
             continue
         t_duck = time.time() - t0
         problems = compare(name, sdf, ddf)
+        if strict and not problems:
+            problems = compare_strict(name, sdf, ddf)
         if problems:
             failures += 1
             print(f"FAIL {name} (rows spark={len(sdf)} duck={len(ddf)}):")
