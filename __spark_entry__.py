@@ -106,7 +106,7 @@ def teardown(sf_dir: str | None = None) -> None:
     for d in dirs:
         c = _CTX.pop(d, None) or {}
         for v in c.values():
-            for df in v if isinstance(v, tuple) else (v,):
+            for df in v if isinstance(v, (tuple, list)) else (v,):
                 unp = getattr(df, "unpersist", None)
                 if unp is not None:
                     unp()
@@ -738,7 +738,12 @@ def _jaccard_pairs(spark, sf_dir):
     c = _CTX.setdefault(sf_dir, {})
     if "jac_pairs" not in c:
         c["jac_pairs"] = jaccard_pairs(
-            _documents(spark, sf_dir), "doc_id", "text", k=3, max_bucket=100
+            _documents(spark, sf_dir),
+            "doc_id",
+            "text",
+            k=3,
+            max_bucket=100,
+            cache_registry=c.setdefault("_caches", []),
         ).persist()
     return c["jac_pairs"]
 
@@ -980,8 +985,9 @@ def q_text_unigram_nll(spark, sf_dir):
     from dogsheep_beta_spark.functions.text import unigram_nll_table
 
     d = _documents(spark, sf_dir)
+    reg = _CTX.setdefault(sf_dir, {}).setdefault("_caches", [])
     return (
-        unigram_nll_table(d, "doc_id", "text")
+        unigram_nll_table(d, "doc_id", "text", cache_registry=reg)
         .select(F.col("id").alias("doc_id"), "n_tok", "nll")
         .orderBy("doc_id")
     )

@@ -71,6 +71,7 @@ def main() -> None:
         ("index_build", entry._ctx),
         ("index_build_porter", entry._ctx_porter),
         ("ivf_build", entry._ivf_layout),
+        ("kmeans_build", entry._kmeans_layout),
     ):
         t0 = time.time()
         try:

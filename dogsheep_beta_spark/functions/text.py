@@ -166,7 +166,86 @@ def fingerprint_table(
     )
 
 
-def unigram_nll_table(df, id_col: str, text_col: str):
+def repetition_table(df, id_col: str, text_col: str):
+    """(id, n_bigrams, top_bigram_frac, dup_bigram_frac) — the
+    Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    repetition filters, public): documents dominated by one repeated
+    bigram, or whose bigram stream is mostly duplicates, are boilerplate
+    / spam / generation loops and get filtered before training.
+
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams;
+    - dup_bigram_frac: fraction of bigram OCCURRENCES beyond each
+      bigram's first (1 - distinct/total).
+
+    Plan: one explode of the per-doc bigram array → (id, bigram)
+    counts → per-id aggregation; both fractions come from the same
+    grouped table, so the corpus is tokenized once.  Hash aggregation
+    with map-side partials end-to-end — at 100 TB the shuffle carries
+    (id, bigram, partial-count) rows, bounded by the distinct-bigram
+    count per partition, never raw token positions.  Docs with < 2
+    tokens have no bigrams; the final left join restores them with
+    zero fractions (they are handled by length filters, not
+    repetition)."""
+    toks = tokens_expr(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_bigram_frac"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# PII patterns chosen for cross-engine regex parity: the same source
+# text matches identically under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts — pure JVM regexp_count."""
+    s = F.coalesce(col, F.lit(""))
+    return (
+        F.regexp_count(s, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(s, F.lit(PII_PHONE_RE)).cast("long"),
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders — the
+    standard pre-training PII scrub pass, as one codegen'd
+    regexp_replace chain (global replace on both engines)."""
+    s = F.coalesce(col, F.lit(""))
+    s = F.regexp_replace(s, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(s, PII_PHONE_RE, "<PHONE>")
+
+
+def unigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None = None):
     """(id, n_tok, nll) — average unigram negative log-likelihood per
     document under the corpus's own unigram LM: the cheap stand-in for
     the perplexity filter public cleaning pipelines (CCNet-style) run
@@ -196,6 +275,8 @@ def unigram_nll_table(df, id_col: str, text_col: str):
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(tok)
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = tok.count()  # one scalar job over the persisted explode
     scored = (

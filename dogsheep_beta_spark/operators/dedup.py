@@ -116,7 +116,12 @@ def _jaccard_from_shingles(s: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_bucket: int = 0
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_bucket: int = 0,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """All-pairs shingle-set Jaccard via the inverted-index join.
 
@@ -127,13 +132,19 @@ def jaccard_pairs(
     The (pruned) shingle table is persisted: it feeds the per-doc size
     aggregation AND both sides of the inverted-index self-join, so
     without the cache the tokenize→shingle→distinct pipeline runs
-    three times (the round-1 bench paid exactly that).
-    """
+    three times (the round-1 bench paid exactly that).  Pass
+    ``cache_registry`` (a list) to receive the persisted intermediate
+    and own its lifecycle — ``__spark_entry__.teardown`` unpersists
+    registered caches; without it the cache lives until the session
+    ends."""
     s = doc_shingles(df, id_col, text_col, k)
     if max_bucket:
         hot = s.groupBy("shingle").count().filter(F.col("count") > max_bucket)
         s = s.join(hot.select("shingle"), "shingle", "left_anti")
-    return _jaccard_from_shingles(s.persist())
+    s = s.persist()
+    if cache_registry is not None:
+        cache_registry.append(s)
+    return _jaccard_from_shingles(s)
 
 
 # ---------------------------------------------------------------------------
@@ -451,15 +462,56 @@ def embedding_dup_pairs(
     vec_col: str,
     block_col: str,
     min_cosine: float = 0.0,
+    gemm: bool = True,
 ) -> DataFrame:
-    """Blocked pairwise cosine: self-join on the blocking key (label /
-    LSH bucket / IVF cell), cosine on the pairs, threshold filter.
-    The blocking key is what makes this O(Σ block²) instead of O(n²)."""
+    """Blocked pairwise cosine: group on the blocking key (label /
+    LSH bucket / IVF cell), all-pairs cosine within each block,
+    threshold filter.  The blocking key is what makes this O(Σ block²)
+    instead of O(n²).
+
+    ``gemm=True`` (default) computes each block's pair matrix as ONE
+    BLAS matmul inside an Arrow-batched applyInPandas — a b×d · d×b
+    GEMM replaces b²/2 interpreted higher-order-function dot products.
+    This is the 100 TB shape too: cost is FLOPS at BLAS speed within a
+    block, one shuffle on the blocking key across blocks, and the
+    blocking contract (a block fits an executor) is the same one the
+    self-join path needs for its hash side.  ``gemm=False`` keeps the
+    pure-JVM zip_with/aggregate expression path (no Python anywhere).
+    """
     e = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
     )
+    if gemm:
+        import numpy as np
+        import pandas as pd
+
+        id_dt = e.schema["id"].dataType.simpleString()
+        out_schema = f"a {id_dt}, b {id_dt}, cosine double"
+
+        def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                    {"a": pdf["id"].dtype, "b": pdf["id"].dtype, "cosine": float}
+                )
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0.0] = np.nan  # match x/0 -> non-finite semantics
+            S = (M @ M.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(n, k=1)
+            ids = pdf["id"].to_numpy()
+            out = pd.DataFrame(
+                {"a": ids[iu], "b": ids[ju], "cosine": S[iu, ju]}
+            )
+            if min_cosine > 0:
+                out = out[out["cosine"] >= min_cosine]
+            return out
+
+        return e.groupBy("block").applyInPandas(block_pairs, out_schema)
+
     pairs = (
         e.alias("x")
         .join(e.alias("y"), "block")
@@ -608,29 +660,43 @@ def decontaminate(
     shingles of the doc also appear in ANY eval doc; contaminated =
     n_hits >= min_hits.
 
-    Shape: the eval shingle VOCABULARY (distinct shingles, eval sets
-    are small by definition) is broadcast; train shingles inner-join it
-    map-side and aggregate hit counts per doc; a final left join tags
-    every train row, zero-hit docs included.  The train side is never
-    shuffled on anything but its own id — at 100 TB the cost is one
-    scan + one broadcast probe + one id-keyed aggregation."""
+    Shape: ONE pass over train, one shuffle, no per-doc distinct.  The
+    eval shingle VOCABULARY (distinct shingles, eval sets are small by
+    definition) is broadcast with a hit marker; RAW train shingles
+    probe it map-side via explode_outer (so shingle-less docs keep
+    their row), and a conditional count-distinct per id counts the
+    hits.  Partial aggregation collapses non-hits map-side to one row
+    per (id, partition), so at 100 TB the shuffled volume is
+    proportional to the contamination plus the id set — never the
+    train shingle stream.  A per-doc-distinct-then-join plan would
+    shuffle every shingle of every training document instead."""
     ev = F.broadcast(
-        doc_shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+        eval_df.select(
+            F.explode(
+                shingles_expr(tokens_expr(F.col(text_col)), k)
+            ).alias("shingle")
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    tr = doc_shingles(train, id_col, text_col, k)
-    hits = (
-        tr.join(ev, "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            shingles_expr(tokens_expr(F.col(text_col)), k)
+        ).alias("shingle"),
     )
     return (
-        train.select(F.col(id_col).alias("id"))
-        .join(hits, "id", "left")
+        tr.join(ev, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("shingle"))
+            ).alias("n_hits")
+        )
         .select(
             "id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) >= min_hits).cast("int").alias(
-                "contaminated"
-            ),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") >= min_hits).cast("int").alias("contaminated"),
         )
     )

@@ -37,25 +37,70 @@ def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def _atomic_swap_write(df: DataFrame, path: str) -> None:
-    """Materialize ``df`` into a sibling temp dir, then swap it into
-    place.  Overwriting the directory the plan is concurrently reading
-    can recompute from deleted files (e.g. a cached block evicted
-    mid-write); writing aside and renaming closes that window.  The
-    production move is a Delta/Iceberg MERGE (transactional); this is
-    its plain-parquet analog."""
+def _publish_dir(src_dir: str, path: str) -> None:
+    """Atomically point ``path`` at the data in ``src_dir`` via a
+    versioned-directory + symlink-pointer cutover.
+
+    The naive two-rename swap (base→old, tmp→base) leaves a window in
+    which ``path`` does not exist and a concurrent read fails.  Here
+    ``path`` is a SYMLINK to ``path.__vN__``; publishing renames the
+    new data to the next version dir (invisible — nothing points at
+    it), builds a temp symlink, and ``os.rename``s it over the old one
+    — a single atomic POSIX op, so every reader sees either the old or
+    the new index, never a missing path.  The PREVIOUS version dir is
+    retained one generation (deleted on the swap after next) so a
+    reader that resolved the old link mid-query still finds its files.
+    This is the plain-filesystem analog of Delta/Iceberg's
+    pointer-to-snapshot commit; a legacy real directory at ``path`` is
+    migrated to a version dir on first publish."""
     import os
+    import re
     import shutil
 
     base = path.rstrip("/")
-    tmp, old = base + ".__tmp__", base + ".__old__"
+    parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    pat = re.compile(re.escape(name) + r"\.__v(\d+)__$")
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(parent)
+        if (m := pat.match(f))
+    )
+    nxt = (versions[-1] + 1) if versions else 1
+    if os.path.exists(base) and not os.path.islink(base):
+        # legacy real directory: migrate it into the version sequence
+        # (it becomes the retained prior generation) so the pointer
+        # swap below is the atomic rename of a symlink.
+        os.rename(base, f"{base}.__v{nxt}__")
+        versions.append(nxt)
+        nxt += 1
+    vdir = f"{base}.__v{nxt}__"
+    os.rename(src_dir, vdir)
+
+    ptr_tmp = f"{base}.__ptr__"
+    if os.path.lexists(ptr_tmp):
+        os.remove(ptr_tmp)
+    os.symlink(os.path.basename(vdir), ptr_tmp)
+    os.rename(ptr_tmp, base)  # atomic cutover
+
+    # retain exactly one prior generation for in-flight readers
+    for v in versions[:-1]:
+        shutil.rmtree(f"{base}.__v{v}__", ignore_errors=True)
+
+
+def _atomic_swap_write(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` into a sibling temp dir, then publish it at
+    ``path`` with the atomic symlink cutover (_publish_dir).  Writing
+    aside first also means the plan can read the CURRENT index while
+    computing its replacement without recomputing from deleted files.
+    The production move is a Delta/Iceberg MERGE (transactional); this
+    is its plain-parquet analog."""
+    import shutil
+
+    base = path.rstrip("/")
+    tmp = base + ".__tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old, ignore_errors=True)
+    _publish_dir(tmp, base)
 
 
 def merge_batch(
@@ -173,11 +218,7 @@ def merge_fts_batch(
         new_post, new_len = delta_post, delta_len
     _atomic_swap_write(new_post, post_path)
     _atomic_swap_write(new_len, len_path)
-    shutil.rmtree(base + ".__old__", ignore_errors=True)
-    if os.path.exists(base):
-        os.rename(base, base + ".__old__")
-    os.rename(tmp_index, base)
-    shutil.rmtree(base + ".__old__", ignore_errors=True)
+    _publish_dir(tmp_index, base)
 
 
 def incremental_fts_stream(

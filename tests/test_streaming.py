@@ -248,3 +248,45 @@ def test_merge_batch_missing_path_is_first_batch(spark, tmpdir):
     )
     merge_batch(spark, batch, 0, index_path, "db/t")
     assert spark.read.parquet(index_path).count() == 1
+
+
+def test_atomic_swap_path_always_resolvable(spark, tmpdir):
+    """The publish cutover is one atomic symlink rename: between any
+    two publishes the index path exists and reads as a complete
+    snapshot (old or new, never missing/partial), and the prior
+    generation's files survive one swap for in-flight readers."""
+    from dogsheep_beta_spark.streaming.incremental import _atomic_swap_write
+
+    path = os.path.join(str(tmpdir), "idx")
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    df2 = spark.range(10).withColumnRenamed("id", "v")
+    df3 = spark.range(3).withColumnRenamed("id", "v")
+
+    _atomic_swap_write(df1, path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 5
+    v1_target = os.path.realpath(path)
+
+    _atomic_swap_write(df2, path)
+    assert spark.read.parquet(path).count() == 10
+    # prior generation retained for readers that resolved the old link
+    assert os.path.isdir(v1_target)
+
+    _atomic_swap_write(df3, path)
+    assert spark.read.parquet(path).count() == 3
+    assert not os.path.isdir(v1_target)  # dropped after one generation
+
+
+def test_atomic_swap_migrates_legacy_real_dir(spark, tmpdir):
+    """A pre-existing plain directory index (written before the
+    pointer scheme) is migrated into the version sequence on the first
+    publish instead of hitting the non-atomic two-rename path."""
+    from dogsheep_beta_spark.streaming.incremental import _atomic_swap_write
+
+    path = os.path.join(str(tmpdir), "idx")
+    spark.range(7).write.parquet(path)  # legacy layout: real dir
+    assert not os.path.islink(path)
+
+    _atomic_swap_write(spark.range(4), path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 4
