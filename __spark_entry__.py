@@ -1006,6 +1006,54 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: most-frequent-bigram
+    share and duplicate-bigram share per document (functions/text.py:
+    repetition_table) — the boilerplate/loop filter every public
+    pretraining pipeline runs.  One bigram explode feeds both
+    fractions; map-side partial counts bound the shuffle."""
+    from dogsheep_beta_spark.functions.text import repetition_table
+
+    d = _documents(spark, sf_dir)
+    return (
+        repetition_table(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over a corpus with DETERMINISTIC
+    synthetic PII (the testdata corpus is PII-free, so each doc gets a
+    derived contact line appended — both engines build the identical
+    input, making the scrub itself the thing under test).  Counts are
+    regexp_count, redaction is a chained global regexp_replace; the
+    md5 of the scrubbed text proves byte-identical scrubbing across
+    engines.  All pure codegen — the 100 TB cost is one scan."""
+    from dogsheep_beta_spark.functions.text import pii_counts, scrub_pii
+
+    d = _documents(spark, sf_dir)
+    doctored = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    n_emails, n_phones = pii_counts(F.col("text"))
+    return doctored.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal: video frame-sampling explode shape — one row per
     sampled frame, stubbed decoder (operators/multimodal.py)."""
@@ -1346,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_langid": q_text_quality_langid,
         "text_unigram_nll": q_text_unigram_nll,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -2381,6 +2431,54 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(-ln(c * 1.0 / n)), 6) AS nll
             FROM tokx JOIN cnt USING (t), tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_repetition": ORACLE_DOC_TOKENS
+        + """
+            , bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, len(toks) + 1),
+                              i -> toks[i-1] || ' ' || toks[i])) AS g
+                FROM toks WHERE len(toks) >= 2
+            )
+            , per AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+            , s AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+                       ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6)
+                           AS dup_bigram_frac
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   COALESCE(s.dup_bigram_frac, 0.0) AS dup_bigram_frac
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "text_pii_scrub": r"""
+            WITH doctored AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com or 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS scrubbed_md5
+            FROM doctored ORDER BY doc_id
         """,
         "text_fingerprint": r"""
             WITH n AS (

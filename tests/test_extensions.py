@@ -573,3 +573,47 @@ def test_ctx_teardown_unpersists(spark, sf_dir):
     assert sf_dir not in entry._CTX
     assert not docs.is_cached
     assert not pairs.is_cached
+
+
+def test_repetition_table(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # one bigram repeated 3x
+        (2, "all words here differ fully"),  # all bigrams distinct
+        (3, "x"),                            # <2 tokens -> no bigrams
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in tx.repetition_table(df, "doc_id", "text").collect()}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert got[1]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2]["n_bigrams"] == 4
+    assert got[2]["top_bigram_frac"] == pytest.approx(0.25)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["n_bigrams"] == 0
+
+
+def test_pii_scrub_and_counts(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and call 555-123-4567 now"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io z@w.dev one phone 000-000-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ne, np_ = tx.pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ne.alias("e"),
+            np_.alias("p"),
+            tx.scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["p"]) == (1, 1)
+    assert got[1]["s"] == "mail <EMAIL> and call <PHONE> now"
+    assert (got[2]["e"], got[2]["p"]) == (0, 0)
+    assert got[2]["s"] == "no pii here"
+    assert (got[3]["e"], got[3]["p"]) == (2, 1)
+    assert "<EMAIL>" in got[3]["s"] and "<PHONE>" in got[3]["s"]

@@ -133,3 +133,59 @@ def test_pack_and_sample_single_shuffle_plans(spark):
     )
     assert sample_plan.count("Exchange") == 1
     assert "WindowGroupLimit" in sample_plan
+
+
+def test_embedding_gemm_single_shuffle(spark):
+    """Blocked GEMM cosine: exactly one exchange (hash on the blocking
+    key) feeding the per-block applyInPandas — no pair-join exchange,
+    no sort-merge join anywhere."""
+    from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"b{i % 2}") for i in range(8)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    plan = (
+        embedding_dup_pairs(df, "vec_id", "embedding", "label")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_decontaminate_broadcast_probe_single_shuffle(spark):
+    """Decontamination: the eval vocab joins broadcast (map-side
+    probe); the only exchange is the id-keyed aggregation, and partial
+    aggregation runs before it (shuffle carries partials, not the
+    train shingle stream)."""
+    from dogsheep_beta_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d the quick brown fox jumps over it" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    tr = docs.where(F.col("doc_id") % 5 != 0)
+    plan = (
+        decontaminate(tr, ev, "doc_id", "text", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly three hash exchanges, each behind a map-side HashAggregate:
+    # (1) the tiny eval-vocab distinct feeding the BroadcastExchange,
+    # (2) the (id, hit-shingle) dedup of count_distinct's expansion —
+    #     partial HashAggregate collapses every non-hit to one
+    #     (id, null) row per partition, so it carries ~contamination,
+    #     never the raw train shingle stream,
+    # (3) the final id-keyed partial_count merge (one row per id).
+    import re as _re
+
+    hash_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 3
+    assert "partial_count" in plan  # map-side partial aggregation
+    # the distinct-expansion dedup aggregate runs BEFORE its exchange
+    assert _re.search(
+        r"HashAggregate\(keys=\[id[^\]]*CASE WHEN", plan
+    ), "expected map-side (id, conditional-shingle) dedup"
