@@ -1022,6 +1022,32 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_text_length_report(spark, sf_dir):
+    """Per-source corpus length report: doc count + mean and exact
+    p50/p90/p99 whitespace-token quantiles — the distribution table
+    every dataset card publishes.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same linear-interpolation definition,
+    so the report is hash-checkable; at 100 TB swap in
+    ``percentile_approx`` (t-digest, one pass, mergeable sketches) —
+    same plan shape, documented trade."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+
+    d = _documents(spark, sf_dir).select(
+        "source", ws_token_count(F.col("text")).cast("double").alias("n_tok")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 6).alias("mean_tok"),
+            F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50_tok"),
+            F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90_tok"),
+            F.round(F.percentile("n_tok", F.lit(0.99)), 6).alias("p99_tok"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with DETERMINISTIC
     synthetic PII (the testdata corpus is PII-free, so each doc gets a
@@ -1241,6 +1267,50 @@ def q_sample_stratified(spark, sf_dir):
     return stratified_sample(d, "source", "doc_id", 10).orderBy("doc_id")
 
 
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Data mixing: per-source keep rates (src0 100%, src1 50%, src2
+    25%, src3 10%, everything else 5%) applied as deterministic hash
+    thresholds — one map-side CASE, no shuffle until the report agg
+    (operators/sampling.py:mixture_sample).  Report: kept docs + BPE
+    token budget per source, the numbers a mixture recipe is tuned
+    against."""
+    from dogsheep_beta_spark.functions.text import est_bpe_tokens
+    from dogsheep_beta_spark.operators.sampling import mixture_sample
+
+    d = _documents(spark, sf_dir)
+    kept = mixture_sample(
+        d, "source", "doc_id", MIXTURE_WEIGHTS, default_weight=0.05
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(est_bpe_tokens(F.col("text"))).cast("long").alias("bpe_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_sample_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (epoch permutation): every doc
+    ranked by seeded hash via the two-phase distributed total-order
+    rank (bucket by hash prefix + broadcast offsets — never a
+    one-partition window; operators/sampling.py:deterministic_shuffle).
+    Returns the first 100 positions of the epoch-1 order."""
+    from dogsheep_beta_spark.operators.sampling import deterministic_shuffle
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    return (
+        deterministic_shuffle(d, "doc_id", salt="epoch1")
+        .orderBy("shuffle_rank")
+        .limit(100)
+    )
+
+
 def q_pack_contiguous(spark, sf_dir):
     """Sequence packing, concatenate-then-chunk: documents fill
     512-token sequences per source shard in doc_id order; a straddling
@@ -1396,9 +1466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_length_report": q_text_length_report,
         "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
+        "sample_mixture": q_sample_mixture,
+        "sample_shuffle": q_sample_shuffle,
         "pack_contiguous": q_pack_contiguous,
         "pack_greedy": q_pack_greedy,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -2156,6 +2229,35 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM s GROUP BY split, source ORDER BY split, source
         """,
+        "sample_mixture": """
+            WITH b AS (
+                SELECT doc_id, source, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000 AS INT) AS bkt
+                FROM documents
+            ), kept AS (
+                SELECT * FROM b
+                WHERE bkt < CASE source
+                    WHEN 'src0' THEN 10000
+                    WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500
+                    WHEN 'src3' THEN 1000
+                    ELSE 500 END
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                       AS bpe_tokens,
+                   MIN(doc_id) AS min_doc
+            FROM kept GROUP BY source ORDER BY source
+        """,
+        "sample_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS shuffle_rank
+            FROM documents
+            ORDER BY shuffle_rank LIMIT 100
+        """,
         "sample_stratified": """
             WITH h AS (
                 SELECT doc_id, source,
@@ -2455,6 +2557,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.dup_bigram_frac, 0.0) AS dup_bigram_frac
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY doc_id
+        """,
+        "text_length_report": r"""
+            WITH n AS (
+                SELECT source,
+                       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END AS DOUBLE) AS n_tok
+                FROM documents
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_tok), 6) AS mean_tok,
+                   ROUND(quantile_cont(n_tok, 0.5), 6) AS p50_tok,
+                   ROUND(quantile_cont(n_tok, 0.9), 6) AS p90_tok,
+                   ROUND(quantile_cont(n_tok, 0.99), 6) AS p99_tok
+            FROM n GROUP BY source ORDER BY source
         """,
         "text_pii_scrub": r"""
             WITH doctored AS (

@@ -68,3 +68,76 @@ def stratified_sample(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Weighted per-source subsampling — the data-MIXING primitive
+    (public recipe in every pretraining report: keep source s at rate
+    w_s to hit a target corpus mixture).  A doc survives iff its hash
+    bucket (of 10_000, for 0.01% granularity) falls under its source's
+    threshold, so the decision is per-row, deterministic across
+    engines/runs/cluster sizes, and pure map-side codegen — at 100 TB
+    this is a scan with a CASE expression, no shuffle, no sampling
+    state.  Sources absent from ``weights`` get ``default_weight``."""
+    b = hash_bucket(id_col, 10_000, salt)
+    thresh = F.lit(int(default_weight * 10_000))
+    for src, w in sorted(weights.items()):
+        thresh = F.when(
+            F.col(source_col) == src, F.lit(int(w * 10_000))
+        ).otherwise(thresh)
+    return df.where(b < thresh)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "", prefix_buckets: int = 256
+) -> DataFrame:
+    """Adds ``shuffle_rank`` (1-based): the global training-order
+    position under a seeded hash permutation.  Re-runs (and re-shards)
+    reproduce the exact order; changing ``salt`` is a fresh epoch
+    permutation — the standard hash-shuffle that decorrelates adjacent
+    documents before sequence packing.
+
+    Scale shape: a bare ``row_number() OVER (ORDER BY hash)`` collapses
+    to ONE partition in Spark, so the global rank is computed in two
+    phases instead — the classic distributed total-order rank:
+
+    1. partition rows by the leading byte of the hash (a range prefix:
+       every hash in bucket b sorts before every hash in bucket b+1),
+       rank within each bucket by a partitioned window;
+    2. add each bucket's cumulative predecessor count, a
+       ``prefix_buckets``-row aggregate cumsum that broadcast-joins
+       back — so the only wide operation is one bucket-keyed exchange
+       of the corpus, never a single-partition sort."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # order-PRESERVING bucket of the leading byte (scaling, not modulo:
+    # wrap-around would interleave bucket ranges and break global order)
+    prefix_buckets = min(prefix_buckets, 256)
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") * prefix_buckets / 256
+    ).cast("int")
+    with_b = df.withColumn("__h", h).withColumn("__b", bucket)
+    w = Window.partitionBy("__b").orderBy("__h", F.col(id_col))
+    ranked = with_b.withColumn("__rn", F.row_number().over(w))
+    sizes = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = sizes.select(
+        "__b",
+        (
+            F.sum("__n").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("__off"),
+    ).fillna(0, ["__off"])
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn("shuffle_rank", (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__h", "__b", "__rn", "__off")
+    )

@@ -617,3 +617,47 @@ def test_pii_scrub_and_counts(spark):
     assert got[2]["s"] == "no pii here"
     assert (got[3]["e"], got[3]["p"]) == (2, 1)
     assert "<EMAIL>" in got[3]["s"] and "<PHONE>" in got[3]["s"]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from dogsheep_beta_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, "source", "doc_id", {"a": 1.0, "b": 0.25})
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 1000                      # keep-all is exact
+    assert 150 <= counts["b"] <= 350                # ~25% of 1000
+    # deterministic: identical on re-run
+    again = mixture_sample(df, "source", "doc_id", {"a": 1.0, "b": 0.25})
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # default_weight drops unknown sources entirely at 0.0
+    df2 = df.withColumn("source", F.lit("zzz"))
+    assert mixture_sample(df2, "source", "doc_id", {"a": 1.0}).count() == 0
+
+
+def test_deterministic_shuffle_rank_is_exact_permutation(spark):
+    from dogsheep_beta_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = deterministic_shuffle(df, "doc_id", salt="s").collect()
+    ranks = sorted(r["shuffle_rank"] for r in got)
+    assert ranks == list(range(1, 501))  # exact 1..n permutation
+    # two-phase rank == the naive single-window global rank
+    import hashlib
+
+    naive = sorted(
+        (hashlib.md5(f"s{i}".encode()).hexdigest(), i) for i in range(500)
+    )
+    expect = {i: pos + 1 for pos, (_, i) in enumerate(naive)}
+    assert all(expect[r["doc_id"]] == r["shuffle_rank"] for r in got)
+    # a different salt is a different permutation
+    other = deterministic_shuffle(df, "doc_id", salt="t").collect()
+    assert any(
+        a["shuffle_rank"] != b["shuffle_rank"]
+        for a, b in zip(sorted(got, key=lambda r: r["doc_id"]),
+                        sorted(other, key=lambda r: r["doc_id"]))
+    )

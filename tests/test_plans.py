@@ -189,3 +189,38 @@ def test_decontaminate_broadcast_probe_single_shuffle(spark):
     assert _re.search(
         r"HashAggregate\(keys=\[id[^\]]*CASE WHEN", plan
     ), "expected map-side (id, conditional-shingle) dedup"
+
+
+def test_deterministic_shuffle_no_single_partition_window(spark):
+    """Global shuffle-rank must never compile to the one-partition
+    ORDER-BY window: the only exchanges are the hash-prefix bucket
+    partitioning (corpus-wide) and the tiny bucket-size aggregate that
+    broadcasts back."""
+    from dogsheep_beta_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = (
+        deterministic_shuffle(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus shuffles on the hash-prefix bucket...
+    assert "Exchange hashpartitioning(__b" in plan
+    # ...and the only single-partition exchange is the offsets cumsum
+    # over the ≤prefix_buckets-row bucket-size AGGREGATE (tiny by
+    # construction), never the corpus rows themselves:
+    import re as _re
+
+    singles = len(_re.findall(r"Exchange SinglePartition", plan))
+    assert singles == 1
+    assert _re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*HashAggregate", plan
+    ), "single-partition exchange must sit on the bucket-size aggregate"
+    assert "BroadcastHashJoin" in plan  # offsets join small-side
+
+    from dogsheep_beta_spark.operators.sampling import mixture_sample
+
+    mplan = (
+        mixture_sample(df.withColumn("source", F.lit("a")), "source", "doc_id", {"a": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in mplan  # pure map-side filter
