@@ -1048,6 +1048,26 @@ def q_text_length_report(spark, sf_dir):
     )
 
 
+def q_text_unicode_fold(spark, sf_dir):
+    """unicode61 diacritic folding, driver-pinned: every e/a in the
+    corpus is deterministically accented (é/ä) on BOTH engines, then
+    tokenized through the unicode61 analyzer (JVM translate-fold +
+    \\p{L}\\p{N} split — FTS5 remove_diacritics=1 parity, see
+    functions/tokenizer.py); the oracle reproduces it with DuckDB's
+    strip_accents.  Equality proves café≡cafe-class matching without
+    a second corpus index build."""
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+    d = _documents(spark, sf_dir)
+    doctored = F.translate(F.col("text"), "ea", "éä")
+    toks = tokenize_expr(doctored, "unicode61")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", toks)).alias("folded_md5"),
+    ).orderBy("doc_id")
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with DETERMINISTIC
     synthetic PII (the testdata corpus is PII-free, so each doc gets a
@@ -1467,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_length_report": q_text_length_report,
+        "text_unicode_fold": q_text_unicode_fold,
         "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -2573,6 +2594,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(n_tok, 0.9), 6) AS p90_tok,
                    ROUND(quantile_cont(n_tok, 0.99), 6) AS p99_tok
             FROM n GROUP BY source ORDER BY source
+        """,
+        "text_unicode_fold": """
+            WITH doct AS (
+                SELECT doc_id,
+                       replace(replace(coalesce(text, ''), 'e', 'é'),
+                               'a', 'ä') AS t
+                FROM documents
+            ), tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           strip_accents(lower(t)), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+                FROM doct
+            )
+            SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+                   md5(array_to_string(l, ' ')) AS folded_md5
+            FROM tk ORDER BY doc_id
         """,
         "text_pii_scrub": r"""
             WITH doctored AS (

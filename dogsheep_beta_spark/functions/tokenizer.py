@@ -173,7 +173,23 @@ _STEP4 = [
 
 
 def porter_stem(word: str) -> str:
-    """Stem one lowercase token with the classic Porter algorithm."""
+    """Stem one lowercase token with the classic Porter algorithm.
+
+    FTS5's porter tokenizer runs the algorithm over the UTF-8 BYTE
+    string (fts5 porter wraps unicode61 and stems bytes, so e.g.
+    ``straße`` → ``straß``: ß is two non-vowel bytes and the final
+    ``e`` strips).  Non-ASCII tokens therefore take a byte-faithful
+    path: operate on the UTF-8 bytes via a latin-1 char↔byte
+    bijection, then decode back (surrogateescape keeps any split
+    multi-byte sequence representable)."""
+    if not word.isascii():
+        as_bytes = word.encode("utf-8").decode("latin-1")
+        stemmed = _porter_ascii(as_bytes)
+        return stemmed.encode("latin-1").decode("utf-8", errors="surrogateescape")
+    return _porter_ascii(word)
+
+
+def _porter_ascii(word: str) -> str:
     if len(word) <= 2:
         return word
     w = word

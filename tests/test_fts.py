@@ -412,3 +412,21 @@ def test_stem_fts_index_equals_full_rebuild(plugin_index):
     assert rows(derived) == rows(full)
     assert derived.n_docs == full.n_docs
     assert math.isclose(derived.avgdl, full.avgdl)
+
+
+@pytest.mark.parametrize("text", ACCENT_TEXTS + ["Café running", "naïvely matching résumés"])
+def test_porter_analyze_folds_then_stems_like_fts5(text):
+    """FTS5's default 'porter' tokenizer = unicode61 (diacritics
+    removed) + Porter; our analyze_py(mode='unicode61', stem=True)
+    must produce the identical term stream on accented input."""
+    assert analyze_py(text, "unicode61", stem=True) == _fts5_terms_porter(text)
+
+
+def _fts5_terms_porter(text):
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE VIRTUAL TABLE t USING fts5(a, tokenize='porter')")
+    con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+    con.execute("INSERT INTO t VALUES (?)", (text,))
+    terms = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
+    con.close()
+    return terms

@@ -322,3 +322,18 @@ def test_quantize_error_bound_property(spark, vecs):
             # float32 storage of x introduces its own epsilon on top of
             # the scale/2 quantization bound
             assert abs(x - c * s) <= s / 2 + abs(x) * 1e-6 + 1e-9
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet="abc defg hineéèêëßüöäłñç running résumé ",
+        max_size=40,
+    )
+)
+def test_porter_unicode61_matches_fts5_on_accented(text):
+    """Full analyzer (fold diacritics + byte-level Porter) vs FTS5's
+    own 'porter' tokenizer on accented input."""
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py
+
+    assert analyze_py(text, "unicode61", stem=True) == _fts5_terms(text, "porter")
