@@ -1118,6 +1118,23 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 _STREAM_SEQ = [0]
+_STREAM_SINKS: dict[str, list[str]] = {}
+
+
+def _stream_sink_name(spark, prefix: str) -> str:
+    """Fresh memory-sink table name with one-generation retention per
+    stream: the sink from TWO invocations ago is dropped, so repeated
+    runs (bench iterations, long sessions) don't accumulate collected
+    micro-batch output in the catalog, while the immediately previous
+    call's returned DataFrame stays readable until its successor's
+    successor — same retention policy as the index publish cutover."""
+    prev = _STREAM_SINKS.setdefault(prefix, [])
+    while len(prev) > 1:
+        spark.catalog.dropTempView(prev.pop(0))
+    _STREAM_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_SEQ[0]}"
+    prev.append(name)
+    return name
 
 
 def _normalize_ts(df, col="ts"):
@@ -1158,8 +1175,7 @@ def q_streaming_window_counts(spark, sf_dir):
     counts = windowed_event_counts(
         stream, ts_col="ts", key_col="event_type", window="1 day", watermark="1 day"
     )
-    _STREAM_SEQ[0] += 1
-    name = f"stream_win_counts_{_STREAM_SEQ[0]}"
+    name = _stream_sink_name(spark, "stream_win_counts")
     q = (
         counts.writeStream.outputMode("complete")
         .format("memory")
@@ -1202,8 +1218,7 @@ def q_streaming_sessionize(spark, sf_dir):
         spark.readStream.schema(schema).parquet(stream_dir)
     ).select("user_id", "ts")
     sessions = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800)
-    _STREAM_SEQ[0] += 1
-    name = f"stream_sessions_{_STREAM_SEQ[0]}"
+    name = _stream_sink_name(spark, "stream_sessions")
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
