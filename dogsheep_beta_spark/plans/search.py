@@ -38,6 +38,13 @@ def scored_docs(fts: FtsIndex, q: str) -> DataFrame:
         ast = escape_match(q, analyze)  # B6/H8 fallback
     docset, hits = compile_match(ast, fts)
     scored = score_phrase_hits(hits, fts.doc_lengths, fts.n_docs, fts.avgdl)
+    # No broadcast hint here on purpose: a MATCH docset is unbounded
+    # (OR of frequent terms can approach the corpus), so the compile
+    # keeps the shuffle-safe (type, key) equi-join and lets AQE convert
+    # to broadcast at runtime when the materialized docset is small.
+    # Simple term/AND docsets collapse into broadcast joins statically
+    # (pinned by tests/test_plans.py); positional queries (NEAR) keep
+    # the sort-merge fallback — selective but not provably bounded.
     return scored.join(docset, ["type", "key"], "left_semi")
 
 
