@@ -43,6 +43,19 @@ class FtsIndex:
     mode: str = "portable"
     stem: bool = False
     fields: tuple = FTS_FIELDS  # indexed columns (colspec targets, B5)
+    # >0 when postings are at rest hive-partitioned by term_pfx =
+    # md5-bucket(term) % term_partitions: exact-term MATCH lookups then
+    # carry a partition filter and scan only their buckets' directories.
+    term_partitions: int = 0
+
+
+def term_bucket_py(term: str, n: int) -> int:
+    """Driver-side twin of the term_pfx write expression (md5-bucket,
+    same scheme as operators/sampling.hash_bucket — engine-portable,
+    unlike Spark's Murmur3 ``hash``)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n
 
 
 def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> DataFrame:
@@ -165,15 +178,72 @@ def stem_fts_index(fts: FtsIndex, persist: bool = True) -> FtsIndex:
     )
 
 
-def write_fts_index(fts: FtsIndex, path: str, term_buckets: int = 0) -> None:
-    """Persist postings/doc_lengths as Parquet.
+def write_fts_index(
+    fts: FtsIndex, path: str, term_buckets: int = 0, term_partitions: int = 0
+) -> None:
+    """Persist postings/doc_lengths as Parquet, plus a meta.json so
+    ``read_fts_index`` restores a fully-usable FtsIndex.
 
-    ``term_buckets`` > 0 repartitions postings by term before write so
-    each MATCH term lookup touches a bounded file subset — the local
-    stand-in for bucketing on a real cluster (SURVEY §7.5).
+    Two at-rest layouts (SURVEY §7.5), composable:
+    - ``term_buckets`` > 0: repartition+sort by term so row-group
+      min/max stats skip whole row groups within each file;
+    - ``term_partitions`` > 0: hive-partition by ``term_pfx``
+      (md5-bucket of the term) so an exact-term MATCH lookup scans only
+      its bucket DIRECTORIES (PartitionFilters — the same pruning the
+      IVF cell layout gets; the MATCH compiler adds the bucket
+      predicate automatically via ``_scoped_postings``).
     """
+    import json
+    import os
+
     p = fts.postings
-    if term_buckets:
+    writer_partition = None
+    if term_partitions:
+        p = p.withColumn(
+            "term_pfx",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % term_partitions
+            ).cast("int"),
+        )
+        writer_partition = "term_pfx"
+    elif term_buckets:
         p = p.repartition(term_buckets, "term").sortWithinPartitions("term")
-    p.write.mode("overwrite").parquet(f"{path}/postings")
+    w = p.write.mode("overwrite")
+    if writer_partition:
+        w = w.partitionBy(writer_partition)
+    w.parquet(f"{path}/postings")
     fts.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": fts.n_docs,
+                "avgdl": fts.avgdl,
+                "mode": fts.mode,
+                "stem": fts.stem,
+                "fields": list(fts.fields),
+                "term_partitions": term_partitions,
+            },
+            fh,
+        )
+
+
+def read_fts_index(spark: SparkSession, path: str) -> FtsIndex:
+    """Restore a persisted index: postings (partition-pruned lookups
+    when the layout was written with ``term_partitions``), doc_lengths,
+    and the corpus scalars from meta.json — no corpus scan needed."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return FtsIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doc_lengths=spark.read.parquet(f"{path}/doc_lengths"),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        mode=meta["mode"],
+        stem=meta["stem"],
+        fields=tuple(meta["fields"]),
+        term_partitions=meta["term_partitions"],
+    )

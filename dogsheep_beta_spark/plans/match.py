@@ -373,10 +373,24 @@ def collect_phrases(node) -> list[Phrase]:
 
 
 def _scoped_postings(fts, phrase: Phrase) -> DataFrame:
-    """Postings restricted to the phrase's column filter (B5 ``col:``).
-    The filter sits directly on the postings scan → predicate pushdown /
-    partition pruning when postings are at rest partitioned by field."""
+    """Postings restricted to the phrase's column filter (B5 ``col:``)
+    and — when the index is at rest hive-partitioned by term bucket
+    (write_fts_index(term_partitions=N)) — to the union of the
+    phrase's term buckets, so the scan carries PartitionFilters and
+    touches only those directories.  Prefix phrases (``foo*``) are
+    unboundable under hash bucketing and skip the bucket cut."""
     p = fts.postings
+    if (
+        getattr(fts, "term_partitions", 0)
+        and phrase.tokens
+        and not phrase.prefix
+    ):
+        from dogsheep_beta_spark.operators.fts_index import term_bucket_py
+
+        buckets = sorted(
+            {term_bucket_py(t, fts.term_partitions) for t in phrase.tokens}
+        )
+        p = p.filter(F.col("term_pfx").isin(buckets))
     if phrase.fields is None:
         return p
     if not phrase.fields:  # nested filters intersected to nothing

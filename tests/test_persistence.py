@@ -127,3 +127,47 @@ def test_write_fts_index_term_buckets(spark, dogs_source, tmpdir):
     assert {r["key"]: r["dl"] for r in doclen.collect()} == {
         r["key"]: r["dl"] for r in fts.doc_lengths.collect()
     }
+
+
+def test_fts_term_partition_pruned_search(spark, dogs_source, tmpdir):
+    """The §7.5 at-rest layout end-to-end: postings hive-partitioned by
+    term bucket + meta.json; read_fts_index restores a usable index
+    whose exact-term MATCH lookups carry PartitionFilters (scan only
+    their bucket directories), and search results equal the in-memory
+    index bit-for-bit.  Prefix queries skip the (unboundable) cut but
+    still answer correctly."""
+    from dogsheep_beta_spark.operators.fts_index import (
+        build_fts_index,
+        read_fts_index,
+        write_fts_index,
+    )
+    from dogsheep_beta_spark.plans.search import search
+
+    idx = build_search_index(spark, CONFIG)
+    fts_mem = build_fts_index(idx, mode="portable", stem=False)
+    out = os.path.join(tmpdir, "fts_part")
+    write_fts_index(fts_mem, out, term_partitions=4)
+    fts_disk = read_fts_index(spark, out)
+    assert fts_disk.term_partitions == 4
+    assert fts_disk.n_docs == fts_mem.n_docs
+    assert fts_disk.avgdl == fts_mem.avgdl
+
+    for q in ("running", "chasing", "runn*"):
+        mem = [(r["type"], r["key"], r["rank"])
+               for r in search(idx, fts_mem, q).collect()]
+        disk = [(r["type"], r["key"], r["rank"])
+                for r in search(idx, fts_disk, q).collect()]
+        assert mem == disk, q
+
+    from dogsheep_beta_spark.plans.match import parse_match, compile_match
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py
+
+    ast = parse_match("running", lambda s: analyze_py(s, "portable", False))
+    docset, _ = compile_match(ast, fts_disk)
+    plan = docset._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_pfx" in plan
+    # the pruned scan must list FEWER than all 4 bucket dirs
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
+    assert m, plan[:500]
