@@ -102,10 +102,15 @@ def teardown(sf_dir: str | None = None) -> None:
     deliberate one-index-many-queries materializations; this is their
     explicit end-of-lifecycle hook so long-lived sessions don't
     accumulate one cache set per sf_dir forever."""
+    import shutil
+
     dirs = [sf_dir] if sf_dir else list(_CTX)
     for d in dirs:
         c = _CTX.pop(d, None) or {}
-        for v in c.values():
+        for k, v in c.items():
+            if k.endswith("_path") and isinstance(v, str):
+                shutil.rmtree(v, ignore_errors=True)  # at-rest layouts
+                continue
             for df in v if isinstance(v, (tuple, list)) else (v,):
                 unp = getattr(df, "unpersist", None)
                 if unp is not None:
@@ -514,6 +519,45 @@ def q_join_topk_orders(spark, sf_dir):
 def q_search_bm25_topk(spark, sf_dir):
     """B5/C2/H9/F1/D5/A9: implicit-AND full-text search, BM25 top-k."""
     return _bm25_results(spark, sf_dir, "spark join")
+
+
+def _ctx_disk_fts(spark, sf_dir):
+    """The PERSISTED term-partitioned FTS layout (A11/§7.5), written
+    once per sf_dir and served via read_fts_index — exact-term MATCH
+    lookups against it scan only their md5-bucket directories
+    (PartitionFilters; tests/test_persistence.py pins the plan)."""
+    from dogsheep_beta_spark.operators.fts_index import (
+        read_fts_index,
+        write_fts_index,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "fts_disk" not in c:
+        import tempfile
+
+        _, fts = _ctx(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="dbs_fts_part_")
+        write_fts_index(fts, path, term_partitions=8)
+        c["fts_disk_path"] = path
+        c["fts_disk"] = read_fts_index(spark, path)
+    return c["idx"], c["fts_disk"]
+
+
+def q_search_persisted_index(spark, sf_dir):
+    """The same implicit-AND BM25 search as search_bm25_topk, served
+    from the AT-REST term-partitioned index instead of the in-memory
+    build: write_fts_index(term_partitions=8) → read_fts_index →
+    partition-pruned term lookups.  Shares search_bm25_topk's oracle —
+    identical results prove the disk layout is lossless."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _ctx_disk_fts(spark, sf_dir)
+    plan = QueryPlan(q="spark join")
+    scored = scored_docs(fts, "spark join").withColumn(
+        "rank", F.round("rank", 6)
+    )
+    res = compile_plan(idx, plan, scored=scored)
+    return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
 def q_search_not(spark, sf_dir):
@@ -1467,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_rollup": q_time_bucket_rollup,
         "join_topk_orders": q_join_topk_orders,
         "search_bm25_topk": q_search_bm25_topk,
+        "search_persisted_index": q_search_persisted_index,
         "search_not": q_search_not,
         "search_or": q_search_or,
         "search_phrase": q_search_phrase,
@@ -2054,6 +2099,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "search_bm25_topk": _search_oracle(
+            [
+                ("t_spark", _term_hits("term = 'spark'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
+        ),
+        # identical oracle on purpose: the persisted term-partitioned
+        # layout must reproduce the in-memory index bit-for-bit.
+        "search_persisted_index": _search_oracle(
             [
                 ("t_spark", _term_hits("term = 'spark'")),
                 ("t_join", _term_hits("term = 'join'")),
