@@ -859,6 +859,23 @@ def q_dedup_cluster_keep(spark, sf_dir):
     )
 
 
+def q_dedup_verbatim_overlap(spark, sf_dir):
+    """Exact substring dedup at token granularity (Lee et al. 2022
+    suffix-array method, re-expressed relationally): doc pairs sharing
+    a verbatim run of >= 8 tokens, found via positional 5-shingles +
+    the alignment-diagonal gaps-and-islands rewrite
+    (operators/dedup.py:verbatim_overlap_pairs).  Every step is a
+    bounded-key hash shuffle — no suffix array, no global sort."""
+    from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
+
+    return (
+        verbatim_overlap_pairs(
+            _documents(spark, sf_dir), "doc_id", "text", k=5, min_tokens=8
+        )
+        .orderBy("a", "b")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Blocked (per-label) embedding cosine near-dup: top-50 pairs."""
     from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
@@ -1532,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cluster_keep": q_dedup_cluster_keep,
+        "dedup_verbatim_overlap": q_dedup_verbatim_overlap,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_knn_join": q_ann_knn_join,
@@ -2478,6 +2496,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 6
             ORDER BY hamming, a, b LIMIT 50
+        """,
+        "dedup_verbatim_overlap": ORACLE_DOC_TOKENS
+        + """
+            , pos AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(toks[i:i+4], ' ')) AS h
+                FROM toks, UNNEST(range(1, len(toks) - 5 + 2)) r(i)
+                WHERE len(toks) >= 5
+            )
+            , hot AS (
+                SELECT h FROM (
+                    SELECT h, COUNT(DISTINCT doc_id) AS df
+                    FROM pos GROUP BY h
+                ) WHERE df > 100
+            )
+            , pruned AS (
+                SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)
+            )
+            , co AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.pos AS pa, x.pos - y.pos AS diag
+                FROM pruned x JOIN pruned y USING (h)
+                WHERE x.doc_id < y.doc_id
+            )
+            , runs AS (
+                SELECT a, b, diag,
+                       pa - ROW_NUMBER() OVER (
+                           PARTITION BY a, b, diag ORDER BY pa
+                       ) AS island
+                FROM co
+            )
+            , lens AS (
+                SELECT a, b, COUNT(*) AS run
+                FROM runs GROUP BY a, b, diag, island
+            )
+            SELECT a, b, CAST(MAX(run) + 4 AS BIGINT) AS overlap_tokens
+            FROM lens GROUP BY a, b
+            HAVING MAX(run) + 4 >= 8
+            ORDER BY a, b
         """,
         "dedup_embedding_cosine": _EMB_CTE
         + f"""

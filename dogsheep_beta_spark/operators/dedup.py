@@ -24,7 +24,7 @@ and let AQE split stragglers.  Verification joins carry only
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.functions.tokenizer import PORTABLE_SPLIT
@@ -699,4 +699,78 @@ def decontaminate(
             F.col("n_hits").cast("long").alias("n_hits"),
             (F.col("n_hits") >= min_hits).cast("int").alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact verbatim-overlap dedup (substring dedup at token granularity)
+# ---------------------------------------------------------------------------
+
+
+def verbatim_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_tokens: int = 20,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """(a, b, overlap_tokens): doc pairs sharing a VERBATIM token run of
+    at least ``min_tokens`` — the exact-substring deduplication public
+    pretraining pipelines run after fuzzy dedup (suffix-array method of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; re-expressed relationally so it distributes).
+
+    The suffix array is replaced by the shingle-DIAGONAL trick:
+
+    1. positional k-shingles: (id, pos, md5(shingle)) — NOT distinct;
+    2. stop-shingle pruning (df > ``max_bucket``) bounds the self-join
+       exactly like the Jaccard inverted index;
+    3. equi-join on the shingle hash gives co-occurrences (a, b, pa, pb)
+       — a shared verbatim run of length L tokens contributes L-k+1
+       consecutive co-occurrences on ONE alignment diagonal pa-pb;
+    4. islands of consecutive pa per (a, b, diagonal) — the classic
+       gaps-and-islands rewrite (pa - row_number is constant within a
+       run) — give run lengths; overlap_tokens = k + run - 1;
+    5. keep the max per pair, threshold at ``min_tokens``.
+
+    Every step is a hash shuffle on a bounded key (shingle, then
+    (a, b, diag), then (a, b)) with map-side partials — no suffix
+    array, no global sort, no Python.  The diagonal trick is exact for
+    contiguous runs (what "verbatim overlap" means); repeated shingles
+    inside a doc only add diagonals, never false runs, because a run
+    needs CONSECUTIVE positions on the same diagonal."""
+    toks = tokens_expr(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "h")
+    )
+    if max_bucket:
+        hot = (
+            pos.groupBy("h")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") > max_bucket)
+        )
+        pos = pos.join(hot.select("h"), "h", "left_anti")
+    a = pos.select(F.col("id").alias("a"), F.col("pos").alias("pa"), "h")
+    b = pos.select(F.col("id").alias("b"), F.col("pos").alias("pb"), "h")
+    co = a.join(b, "h").where(F.col("a") < F.col("b"))
+    w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    runs = (
+        co.withColumn("diag", F.col("pa") - F.col("pb"))
+        .dropDuplicates(["a", "b", "diag", "pa"])
+        .withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("a", "b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("a", "b")
+        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("overlap_tokens"))
+        .where(F.col("overlap_tokens") >= min_tokens)
     )

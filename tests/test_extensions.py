@@ -661,3 +661,28 @@ def test_deterministic_shuffle_rank_is_exact_permutation(spark):
         for a, b in zip(sorted(got, key=lambda r: r["doc_id"]),
                         sorted(other, key=lambda r: r["doc_id"]))
     )
+
+
+def test_verbatim_overlap_pairs(spark):
+    from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")  # 20 toks
+    rows = [
+        (1, "intro one two three " + shared + " outro here"),
+        (2, "different start " + shared + " and a different end"),
+        (3, "totally unrelated text with no overlap at all whatsoever"),
+        (4, shared),
+        # repeated internal shingles must not splice into a longer run:
+        (5, "alpha beta gamma delta epsilon QQQ alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["overlap_tokens"]
+           for r in verbatim_overlap_pairs(df, "doc_id", "text",
+                                           k=5, min_tokens=10).collect()}
+    assert got == {(1, 2): 20, (1, 4): 20, (2, 4): 20}
+    # doc 5 shares only the 5-token prefix run with the others (<10)
+    lo = {(r["a"], r["b"]): r["overlap_tokens"]
+          for r in verbatim_overlap_pairs(df, "doc_id", "text",
+                                          k=3, min_tokens=3).collect()}
+    assert lo[(1, 5)] == 5  # exact run length, not spliced across the QQQ
