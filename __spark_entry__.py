@@ -560,6 +560,51 @@ def q_search_persisted_index(spark, sf_dir):
     return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
+def q_search_hybrid_rerank(spark, sf_dir):
+    """Hybrid retrieval (the modern BM25 + dense-vector pattern):
+    lexical top-k restricted to the documents source, re-ranked by a
+    blend of BM25 and embedding cosine vs the vec_id=0 query vector —
+    hybrid = cosine - 0.1·rank (rank is -bm25, so both terms reward
+    relevance).  Pure composition of verified pieces: the search path,
+    one broadcast of the single query vector, JVM cosine over the
+    <=100 surviving rows.  At 100 TB the cosine join touches only the
+    lexical candidates — this is re-RANKING, not brute-force ANN."""
+    from dogsheep_beta_spark.operators.dedup import cosine_expr
+
+    res = _bm25_results(
+        spark, sf_dir, "spark join",
+        QueryPlan(q="spark join", type="docs.db/documents"),
+    )
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = res.join(
+        emb.select(F.col("vec_id").cast("string").alias("key"), "embedding"),
+        "key",
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_expr(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qe").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .select(
+            "type",
+            "key",
+            "rank",
+            "cosine",
+            F.round(F.col("cosine") - 0.1 * F.col("rank"), 6).alias("hybrid"),
+        )
+        .orderBy(F.desc("hybrid"), "type", "key")
+        .limit(50)
+    )
+
+
 def q_search_not(spark, sf_dir):
     """B5/C5: NOT compiles to an anti-join over the postings doc-sets."""
     return _bm25_results(spark, sf_dir, "window NOT spark")
@@ -1529,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk_orders": q_join_topk_orders,
         "search_bm25_topk": q_search_bm25_topk,
         "search_persisted_index": q_search_persisted_index,
+        "search_hybrid_rerank": q_search_hybrid_rerank,
         "search_not": q_search_not,
         "search_or": q_search_or,
         "search_phrase": q_search_phrase,
@@ -2163,6 +2209,32 @@ def oracle_sql() -> dict[str, str]:
             'SELECT type, "key" FROM t_spark',
             extra_where="WHERE si.category = 1 AND si.is_public = 1",
         ),
+        "search_hybrid_rerank": "WITH lex AS ("
+        + _search_oracle(
+            [
+                ("t_spark", _term_hits("term = 'spark'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
+            extra_where="WHERE m.type = 'docs.db/documents'",
+        )
+        + """
+        ), ev AS (
+            SELECT CAST(vec_id AS VARCHAR) AS "key",
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qv AS (SELECT v AS qe FROM ev WHERE "key" = '0')
+        SELECT l.type, l."key", l.rank,
+               """
+        + _COS.format(a="e.v", b="q.qe")
+        + """ AS cosine,
+               ROUND("""
+        + _COS.format(a="e.v", b="q.qe")
+        + """ - 0.1 * l.rank, 6) AS hybrid
+        FROM lex l JOIN ev e ON l."key" = e."key", qv q
+        ORDER BY hybrid DESC, l.type, l."key"
+        LIMIT 50
+        """,
         "search_count_facets": ORACLE_FTS_CTE
         + """
             , t_spark AS (
