@@ -224,3 +224,22 @@ def test_deterministic_shuffle_no_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in mplan  # pure map-side filter
+
+
+def test_verbatim_overlap_no_cartesian(spark):
+    """Substring dedup must stay a bounded-key equi-join pipeline:
+    the shingle self-join is keyed on the hash (no cartesian/nested
+    loop), and run detection is a partitioned window."""
+    from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = (
+        verbatim_overlap_pairs(df, "doc_id", "text", k=5, min_tokens=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
