@@ -516,6 +516,77 @@ def q_join_topk_orders(spark, sf_dir):
     )
 
 
+def _bucketed_tables(spark, sf_dir):
+    """customer/orders written hash-bucketed by custkey, once per
+    sf_dir — the write-time shuffle that makes every later custkey join
+    Exchange-free (operators/bucketed.py).  The at-rest layout lives in
+    a temp dir tied to the _CTX lifecycle (teardown removes it)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dogsheep_beta_spark.operators.bucketed import write_bucketed
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "bucketed" not in c:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(), f"dbs_bucketed_{tag}")
+        register_testdata(spark, sf_dir, tables=("customer", "orders"))
+        names = (f"bkt_customer_{tag}", f"bkt_orders_{tag}")
+        write_bucketed(
+            spark.table("customer"), names[0], "c_custkey", 8,
+            os.path.join(base, "customer"),
+        )
+        write_bucketed(
+            spark.table("orders"), names[1], "o_custkey", 8,
+            os.path.join(base, "orders"),
+        )
+        c["bucketed"] = names
+        c["bucketed_path"] = base
+    return c["bucketed"]
+
+
+def q_join_bucketed_colocated(spark, sf_dir):
+    """Segment revenue over the BUCKETED layout: the customer⋈orders
+    join consumes the at-rest hash distribution — zero Exchange on
+    either join side (plan-pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange); the only
+    shuffle left is the 5-row segment aggregate."""
+    from dogsheep_beta_spark.operators.bucketed import bucketed_join
+
+    cust, orders = _bucketed_tables(spark, sf_dir)
+    return (
+        bucketed_join(spark, cust, orders, "c_custkey", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-resistant events⋈customer: the big probe side is salted
+    (stable xxhash of the pk, not rand()) and the dim replicated
+    n_salts×, so a pathologically hot user lands on 8 reducers instead
+    of one straggler (operators/skew.py).  The driver oracle is the
+    PLAIN join — salting must be invisible in the result."""
+    from dogsheep_beta_spark.operators.skew import salted_join
+
+    register_testdata(spark, sf_dir, tables=("events", "customer"))
+    big = spark.table("events")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(big, dim, "user_id", n_salts=8, tie_break="event_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
 def q_search_bm25_topk(spark, sf_dir):
     """B5/C2/H9/F1/D5/A9: implicit-AND full-text search, BM25 top-k."""
     return _bm25_results(spark, sf_dir, "spark join")
@@ -1572,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks_after_error": q_range_join_clicks_after_error,
         "time_bucket_rollup": q_time_bucket_rollup,
         "join_topk_orders": q_join_topk_orders,
+        "join_bucketed_colocated": q_join_bucketed_colocated,
+        "join_skew_salted": q_join_skew_salted,
         "search_bm25_topk": q_search_bm25_topk,
         "search_persisted_index": q_search_persisted_index,
         "search_hybrid_rerank": q_search_hybrid_rerank,
@@ -2161,6 +2234,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        # plain-join oracle on purpose: the bucketed at-rest layout must
+        # be invisible in the values (it only changes WHERE rows sit).
+        "join_bucketed_colocated": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        # plain-join oracle on purpose: salting must be invisible too.
+        "join_skew_salted": """
+            SELECT c_mktsegment, event_type, COUNT(*) AS n
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type
+            ORDER BY c_mktsegment, event_type
         """,
         "search_bm25_topk": _search_oracle(
             [

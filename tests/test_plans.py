@@ -243,3 +243,33 @@ def test_verbatim_overlap_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located fact⋈fact: both sides written bucketed by the join key
+    (same bucket count) must sort-merge join with ZERO Exchange nodes —
+    the write-time shuffle replaces every query-time shuffle.  This is
+    the layout contract `join_bucketed_colocated` relies on."""
+    from dogsheep_beta_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    register_testdata(spark, SF_DIR, tables=("customer", "orders"))
+    write_bucketed(
+        spark.table("customer"), "t_bkt_cust", "c_custkey", 4,
+        str(tmp_path / "cust"),
+    )
+    write_bucketed(
+        spark.table("orders"), "t_bkt_ord", "o_custkey", 4,
+        str(tmp_path / "ord"),
+    )
+    joined = bucketed_join(spark, "t_bkt_cust", "t_bkt_ord", "c_custkey", "o_custkey")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # neither side reshuffles
+    # same content as the plain join
+    plain = spark.table("customer").join(
+        spark.table("orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_ord")
