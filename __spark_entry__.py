@@ -1170,6 +1170,40 @@ def q_text_unigram_nll(spark, sf_dir):
     )
 
 
+def q_text_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine top-50 pairs — the lexical twin of
+    dedup_embedding_cosine: L2-normalized tf·ln(N/df) weights, term-
+    keyed inverted-index self-join, hash-agg dot products.  Two scale
+    cuts, both mirrored by the oracle: vectors truncate to each doc's
+    8 rarest terms (top_m — the standard sparse-retrieval cap), and
+    terms whose kept posting list exceeds N/10 docs are dropped
+    (max_bucket — this synthetic corpus has a 31-term vocabulary where
+    every term is a "stop term" by Zipf standards, so without the
+    bucket cap the join is Σdf² ≈ N²·V dense: 129M products at sf0.1,
+    0.7M with it)."""
+    from dogsheep_beta_spark.operators.similarity import tfidf_cosine_pairs
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "tfidf_pairs" not in c:
+        d = _documents(spark, sf_dir)
+        n = d.count()
+        c["tfidf_pairs"] = tfidf_cosine_pairs(
+            d,
+            "doc_id",
+            "text",
+            top_m=8,
+            max_bucket=n // 10,
+            n_docs=n,
+            cache_registry=c.setdefault("_caches", []),
+        ).persist()
+    return (
+        c["tfidf_pairs"]
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(50)
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s
     (explode + codegen md5 + aggregate, see functions/text.py)."""
@@ -1681,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_langid": q_text_quality_langid,
         "text_unigram_nll": q_text_unigram_nll,
         "text_fingerprint": q_text_fingerprint,
+        "text_tfidf_cosine": q_text_tfidf_cosine,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_length_report": q_text_length_report,
@@ -2923,6 +2958,42 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
                        AS scrubbed_md5
             FROM doctored ORDER BY doc_id
+        """,
+        "text_tfidf_cosine": ORACLE_DOC_TOKENS
+        + """
+            , t AS (SELECT doc_id, unnest(toks) AS term FROM toks)
+            , tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+            )
+            , dfr AS (
+                SELECT term, count(*) AS dfc FROM tf GROUP BY term
+            )
+            , wall AS (
+                SELECT doc_id, tf.term, dfc,
+                       tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents) / dfc) AS w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY dfc ASC, tf.term ASC) AS rn
+                FROM tf JOIN dfr USING (term)
+            )
+            , wkept AS (SELECT doc_id, term, w FROM wall WHERE rn <= 8)
+            , kdf AS (
+                SELECT term FROM wkept GROUP BY term
+                HAVING count(*) <= (SELECT count(*) FROM documents) / 10
+            )
+            , w AS (SELECT doc_id, wkept.term, w FROM wkept JOIN kdf USING (term))
+            , nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id)
+            , wn AS (
+                SELECT w.doc_id, term, w / nrm AS wn
+                FROM w JOIN nrm USING (doc_id)
+                WHERE nrm > 0
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(SUM(a.wn * b.wn), 6) AS cosine
+            FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            ORDER BY cosine DESC, a, b
+            LIMIT 50
         """,
         "text_fingerprint": r"""
             WITH n AS (

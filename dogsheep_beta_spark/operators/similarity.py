@@ -424,3 +424,119 @@ def kmeans_cells(
         cents = centroids(assigned, vec_col, "cell").localCheckpoint(eager=True)
     assigned = voronoi_assign(df, id_col, vec_col, cents)
     return assigned, cents
+
+
+# ---------------------------------------------------------------------------
+# Sparse similarity: TF-IDF cosine over the token inverted index
+# ---------------------------------------------------------------------------
+
+
+def tfidf_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 0,
+    top_m: int = 0,
+    max_bucket: int = 0,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """L2-normalized TF-IDF weights per (doc, term) — the sparse-vector
+    twin of the dense embedding table.
+
+    tf = term count in doc; idf = ln(N / df); weight = tf·idf,
+    normalized so Σw² = 1 per doc (over the KEPT terms).  Two scale
+    controls, both deterministic and oracle-mirrorable:
+
+    - ``max_df`` drops terms appearing in more than that many docs —
+      the stop-term cut for Zipfian corpora (a term in 10^6 docs
+      contributes 10^12 candidate pairs and ~zero idf signal; same
+      contract as dedup.jaccard_pairs' max_bucket).
+    - ``top_m`` keeps only each doc's m rarest terms (order: dfc asc,
+      term asc — fully tied down).  This bounds vector length per doc
+      regardless of df distribution, the standard sparse-retrieval
+      truncation; idf/df stay GLOBAL (computed before the cut).
+    - ``max_bucket`` then drops terms whose KEPT posting list exceeds
+      that many docs — the inverted-index bucket cap that bounds the
+      pair join to #terms × max_bucket² products even when the corpus
+      is so dense that every doc keeps the same rare terms (callers
+      typically pass N/10).  Applied before normalization, so the
+      final vectors are unit-length over exactly the joined features.
+
+    N is passed in (or counted once) and inlined as a literal: one
+    scalar job, not a cross-joined aggregate through the plan.
+    """
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+    n = n_docs if n_docs is not None else df.count()
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    if max_df:
+        dfreq = dfreq.filter(F.col("dfc") <= max_df)
+    w = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        F.col("dfc"),
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("dfc"))).alias("w"),
+    )
+    if top_m:
+        rn = F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("dfc"), F.asc("term"))
+        )
+        w = w.withColumn("__rn", rn).filter(F.col("__rn") <= top_m)
+    w = w.select("id", "term", "w")
+    if max_bucket:
+        kdf = w.groupBy("term").agg(F.count(F.lit(1)).alias("kdfc"))
+        w = w.join(
+            F.broadcast(kdf.filter(F.col("kdfc") <= max_bucket).select("term")),
+            "term",
+        )
+    norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        w.join(norm, "id")
+        .filter(F.col("nrm") > 0)
+        .select("id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 0,
+    top_m: int = 0,
+    max_bucket: int = 0,
+    n_docs: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """All-pairs sparse cosine via the term-keyed inverted-index join.
+
+    cosine(a, b) = Σ_term wn_a·wn_b — exactly a self-equi-join of the
+    normalized weight table on ``term`` followed by a (a, b) hash
+    aggregation.  Join cost is Σ_term df² — bounded by
+    #terms × max_df² under the stop-term cut, never all-pairs.  The
+    weight table feeds both join sides, so it is persisted once
+    (register via ``cache_registry`` for lifecycle ownership).
+    """
+    wn = tfidf_weights(
+        df,
+        id_col,
+        text_col,
+        max_df=max_df,
+        top_m=top_m,
+        max_bucket=max_bucket,
+        n_docs=n_docs,
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(wn)
+    a = wn.select(F.col("id").alias("a"), "term", F.col("wn").alias("wa"))
+    b = wn.select(F.col("id").alias("b"), "term", F.col("wn").alias("wb"))
+    return (
+        a.join(b, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
+    )

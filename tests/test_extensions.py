@@ -686,3 +686,72 @@ def test_verbatim_overlap_pairs(spark):
           for r in verbatim_overlap_pairs(df, "doc_id", "text",
                                           k=3, min_tokens=3).collect()}
     assert lo[(1, 5)] == 5  # exact run length, not spliced across the QQQ
+
+
+def test_tfidf_cosine_matches_numpy_and_truncates(spark):
+    """tfidf_cosine_pairs == a numpy reimplementation of the same spec
+    (global idf, per-doc top_m rarest truncation, L2 norm), and the
+    max_bucket cut drops hot terms from candidates AND weights."""
+    import math
+
+    from dogsheep_beta_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+        tfidf_weights,
+    )
+
+    rows = [
+        (1, "apple banana cherry apple"),
+        (2, "apple banana date"),
+        (3, "cherry date elderberry"),
+        (4, "fig grape apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python twin of the spec
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    dfc = {}
+    for toks in docs.values():
+        for term in set(toks):
+            dfc[term] = dfc.get(term, 0) + 1
+    vecs = {}
+    for i, toks in docs.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        kept = sorted(tf, key=lambda t: (dfc[t], t))[:2]  # top_m=2
+        w = {t: tf[t] * math.log(n / dfc[t]) for t in kept}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        vecs[i] = {t: x / nrm for t, x in w.items()}
+    expect = {}
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(
+                va * vecs[b][t] for t, va in vecs[a].items() if t in vecs[b]
+            )
+            if dot:
+                expect[(a, b)] = round(dot, 6)
+
+    got = {
+        (r["a"], r["b"]): round(r["cosine"], 6)
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", top_m=2).collect()
+        if round(r["cosine"], 6) != 0.0
+    }
+    assert got == expect
+
+    # unit norms
+    wn = tfidf_weights(df, "doc_id", "text", top_m=2).collect()
+    norms = {}
+    for r in wn:
+        norms[r["id"]] = norms.get(r["id"], 0.0) + r["wn"] ** 2
+    assert all(abs(v - 1.0) < 1e-9 for v in norms.values())
+
+    # max_bucket=1 drops every term appearing in >1 doc post-truncation
+    capped = tfidf_weights(df, "doc_id", "text", top_m=2, max_bucket=1).collect()
+    kept_terms = {r["term"] for r in capped}
+    assert "apple" not in kept_terms  # hot term gone
+    assert all(abs(sum(
+        r["wn"] ** 2 for r in capped if r["id"] == i
+    ) - 1.0) < 1e-9 for i in {r["id"] for r in capped})
