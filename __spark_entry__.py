@@ -457,6 +457,31 @@ def q_range_join_clicks_after_error(spark, sf_dir):
     )
 
 
+def q_scd2_user_history(spark, sf_dir):
+    """SCD2 dimension history replayed from the event log: per-user
+    validity intervals of the event_type attribute (consecutive
+    duplicates collapsed, open interval flagged current).  One shuffle
+    on user_id for both windows (operators/temporal.py:scd2_intervals)."""
+    from dogsheep_beta_spark.operators.temporal import scd2_intervals
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    iv = scd2_intervals(
+        spark.table("events"),
+        "user_id",
+        "ts",
+        ["event_type"],
+        tie_break="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from")
+
+
 def q_time_bucket_rollup(spark, sf_dir):
     """Time-bucket rollup (hypertable continuous-aggregate analog):
     hourly event counts + value sums per event type."""
@@ -494,6 +519,49 @@ def q_agg_rollup_orders(spark, sf_dir):
             F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
         )
     )
+
+
+def q_agg_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (rollup's superset; Spark expands grouping sets map-side,
+    one shuffle)."""
+    register_testdata(spark, sf_dir, tables=("orders",))
+    return (
+        spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_matrix(spark, sf_dir):
+    """Daily × event-type count matrix via relational pivot.  The pivot
+    values are DECLARED (not discovered), so the plan is a single
+    groupBy pass — no extra distinct-values job, which is the pivot
+    scale trap (an unbounded value set also explodes the schema)."""
+    register_testdata(spark, sf_dir, tables=("events",))
+    p = (
+        spark.table("events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
+    ).orderBy("day")
 
 
 def q_join_topk_orders(spark, sf_dir):
@@ -1676,7 +1744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "range_join_clicks_after_error": q_range_join_clicks_after_error,
         "time_bucket_rollup": q_time_bucket_rollup,
+        "scd2_user_history": q_scd2_user_history,
         "join_topk_orders": q_join_topk_orders,
+        "agg_cube_orders": q_agg_cube_orders,
+        "pivot_event_matrix": q_pivot_event_matrix,
         "join_bucketed_colocated": q_join_bucketed_colocated,
         "join_skew_salted": q_join_skew_salted,
         "search_bm25_topk": q_search_bm25_topk,
@@ -2249,6 +2320,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_id, e.user_id
             ORDER BY error_id
         """,
+        "scd2_user_history": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(event_type) OVER w AS prev_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM ordered
+                WHERE prev_ts IS NULL
+                   OR prev_type IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f')
+                       AS valid_to,
+                   CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+            FROM changes
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from
+        """,
         "time_bucket_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS bucket_ts,
@@ -2269,6 +2364,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "agg_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "pivot_event_matrix": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) FILTER (event_type = 'click')    AS click,
+                   COUNT(*) FILTER (event_type = 'error')    AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS view
+            FROM events
+            GROUP BY 1
+            ORDER BY day
         """,
         # plain-join oracle on purpose: the bucketed at-rest layout must
         # be invisible in the values (it only changes WHERE rows sit).

@@ -197,3 +197,50 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log.
+
+    Collapses consecutive rows whose ``attr_cols`` are unchanged, then
+    assigns each surviving change a validity interval:
+    ``valid_from`` = its timestamp, ``valid_to`` = the NEXT change's
+    timestamp (null = current row, flagged ``is_current``).  The
+    standard lakehouse dimension-history build (MERGE-based SCD2
+    replayed as one declarative pass).
+
+    Shape: two windows over the same (key, ts, tie_break) partitioning
+    — change capture via lag, interval close via lead — so the whole
+    operator is ONE shuffle on the key.  Per-key state is a single
+    previous-row comparison; skewed keys split under AQE like the
+    other temporal windows.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_break).asc()] if tie_break else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prevs = [F.lag(c).over(w).alias(f"__prev_{c}") for c in attr_cols]
+    # first row per key always opens an interval; later rows only when
+    # some attribute differs null-safely (null→null is NOT a change).
+    # Window expressions are materialized as columns first — Spark
+    # rejects them directly inside a filter.
+    keep = [key_col, ts_col, *attr_cols] + ([tie_break] if tie_break else [])
+    tagged = df.select(
+        *keep, *prevs, F.lag(F.col(ts_col)).over(w).alias("__prev_ts")
+    )
+    changed = F.col("__prev_ts").isNull()
+    for c in attr_cols:
+        changed = changed | ~F.col(f"__prev_{c}").eqNullSafe(F.col(c))
+    changes = tagged.filter(changed)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

@@ -221,3 +221,35 @@ def test_asof_plan_single_shuffle(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(k") == 1
+
+
+def test_scd2_intervals_collapse_and_null_safety(spark):
+    """Consecutive duplicates collapse, null→null is not a change, the
+    first row always opens an interval, open intervals flag current."""
+    from datetime import datetime
+
+    from dogsheep_beta_spark.operators.temporal import scd2_intervals
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: a a b b a  →  a[0,2) b[2,4) a[4,∞)
+        (1, t(0), "a", 1), (1, t(1), "a", 2), (1, t(2), "b", 3),
+        (1, t(3), "b", 4), (1, t(4), "a", 5),
+        # user 2: null null x null  →  null[0,2) x[2,3) null[3,∞)
+        (2, t(0), None, 6), (2, t(1), None, 7), (2, t(2), "x", 8),
+        (2, t(3), None, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, attr string, event_id long"
+    )
+    got = [
+        (r["user_id"], r["attr"], r["valid_from"].second,
+         r["valid_to"].second if r["valid_to"] else None, r["is_current"])
+        for r in scd2_intervals(
+            df, "user_id", "ts", ["attr"], tie_break="event_id"
+        ).orderBy("user_id", "valid_from").collect()
+    ]
+    assert got == [
+        (1, "a", 0, 2, 0), (1, "b", 2, 4, 0), (1, "a", 4, None, 1),
+        (2, None, 0, 2, 0), (2, "x", 2, 3, 0), (2, None, 3, None, 1),
+    ]
