@@ -457,6 +457,31 @@ def q_range_join_clicks_after_error(spark, sf_dir):
     )
 
 
+def q_window_running_total(spark, sf_dir):
+    """Per-user running value total over event time — cumulative-frame
+    window (ROWS UNBOUNDED PRECEDING), one shuffle on user_id; the
+    sequential in-frame sum order is pinned by (ts, event_id) so the
+    float accumulation is identical on both engines."""
+    from pyspark.sql import Window
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spark.table("events")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.round(F.sum("value").over(w), 6).alias("running_value"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
 def q_scd2_user_history(spark, sf_dir):
     """SCD2 dimension history replayed from the event log: per-user
     validity intervals of the event_type attribute (consecutive
@@ -1476,6 +1501,43 @@ def q_streaming_window_counts(spark, sf_dir):
     ).orderBy("day_epoch", "event_type")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): with availableNow over the bounded stream,
+    exactly one row per key survives — so the oracle is SELECT
+    DISTINCT.  State stays bounded by the watermark horizon, the
+    property that distinguishes this from streaming dropDuplicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import streaming_dedup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_events_dedup_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = _normalize_ts(
+        spark.readStream.schema(schema).parquet(stream_dir)
+    ).select("user_id", "event_type", "ts")
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 day"
+    )
+    name = _stream_sink_name(spark, "stream_dedup")
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based sessionization over the events stream.  Emits every
@@ -1745,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks_after_error": q_range_join_clicks_after_error,
         "time_bucket_rollup": q_time_bucket_rollup,
         "scd2_user_history": q_scd2_user_history,
+        "window_running_total": q_window_running_total,
         "join_topk_orders": q_join_topk_orders,
         "agg_cube_orders": q_agg_cube_orders,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1802,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
+        "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
     }
 
@@ -3140,5 +3204,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
                    event_type, COUNT(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day_epoch, event_type
+        """,
+        # bounded availableNow stream → exactly one survivor per key,
+        # so streaming dedup converges to batch DISTINCT.
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type
+            FROM events
+            ORDER BY user_id, event_type
+        """,
+        "window_running_total": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS running_value
+            FROM events
+            ORDER BY user_id, ts, event_id
         """,
     }

@@ -72,6 +72,7 @@ def main() -> None:
         ("index_build_porter", entry._ctx_porter),
         ("ivf_build", entry._ivf_layout),
         ("kmeans_build", entry._kmeans_layout),
+        ("bucketed_layout_build", entry._bucketed_tables),
     ):
         t0 = time.time()
         try:

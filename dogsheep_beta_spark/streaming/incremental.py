@@ -269,6 +269,29 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked streaming deduplication — the ingest-side exact-dedup
+    analog of operators/dedup.exact_dedup.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    only until the watermark passes it, so state is bounded by the
+    keys arriving inside the watermark horizon — the property that
+    lets a dedup-on-ingest pipeline run forever.  (Plain streaming
+    ``dropDuplicates`` without a watermark accumulates every key ever
+    seen.)  Emits each key's FIRST arrival; downstream sees an
+    exactly-once keyed stream.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def streaming_sessionize(
     stream_df: DataFrame,
     key_col: str = "user_id",
