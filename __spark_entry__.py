@@ -1671,6 +1671,27 @@ def q_sample_mixture(spark, sf_dir):
     )
 
 
+def q_sample_quality_weighted(spark, sf_dir):
+    """Quality-weighted corpus thinning: per-doc keep probability =
+    the composite quality score, applied as a deterministic per-row
+    hash threshold (operators/sampling.py:quality_weighted_sample) —
+    rand()-free curriculum subsampling, one map-side pass.  Report:
+    survivors + mean quality per source."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.sampling import quality_weighted_sample
+
+    d = _documents(spark, sf_dir).withColumn("q", quality_score(F.col("text")))
+    kept = quality_weighted_sample(d, "doc_id", "q", salt="qw1")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sample_shuffle(spark, sf_dir):
     """Deterministic global shuffle (epoch permutation): every doc
     ranked by seeded hash via the two-phase distributed total-order
@@ -1858,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "sample_mixture": q_sample_mixture,
+        "sample_quality_weighted": q_sample_quality_weighted,
         "sample_shuffle": q_sample_shuffle,
         "pack_contiguous": q_pack_contiguous,
         "pack_greedy": q_pack_greedy,
@@ -2731,6 +2753,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
                        AS bpe_tokens,
                    MIN(doc_id) AS min_doc
+            FROM kept GROUP BY source ORDER BY source
+        """,
+        "sample_quality_weighted": ORACLE_DOC_TOKENS
+        + _quality_cte("qual")
+        + f"""
+            , scored AS (
+                SELECT d.doc_id, d.source, {_QUALITY_EXPR} AS q
+                FROM documents d JOIN qual USING (doc_id)
+            )
+            , kept AS (
+                SELECT * FROM scored
+                WHERE CAST(('0x' || substr(md5('qw1' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT % 1000000 AS BIGINT)
+                      < CAST(ROUND(least(greatest(q, 0.0), 1.0) * 1000000)
+                             AS BIGINT)
+            )
+            SELECT source, COUNT(*) AS n_kept,
+                   ROUND(AVG(q), 6) AS avg_quality
             FROM kept GROUP BY source ORDER BY source
         """,
         "sample_shuffle": """

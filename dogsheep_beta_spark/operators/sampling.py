@@ -141,3 +141,20 @@ def deterministic_shuffle(
         .withColumn("shuffle_rank", (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__h", "__b", "__rn", "__off")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame, id_col: str, p_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli thinning with a PER-ROW keep probability
+    (curriculum/quality-weighted subsampling): keep a row iff its
+    stable hash bucket over 10^6 falls below round(p · 10^6).
+
+    Same no-rand() contract as the split/mixture samplers — a re-run,
+    another engine, or a different cluster keeps exactly the same rows
+    — but the threshold varies row-by-row with ``p_col`` (clamped to
+    [0, 1]), so higher-quality docs survive proportionally more often.
+    Pure map-side expression; no shuffle, no sampling state."""
+    p = F.least(F.greatest(F.col(p_col), F.lit(0.0)), F.lit(1.0))
+    thr = F.round(p * 1_000_000).cast("long")
+    return df.where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
