@@ -1297,6 +1297,19 @@ def q_text_tfidf_cosine(spark, sf_dir):
     )
 
 
+def q_text_compression_ratio(spark, sf_dir):
+    """zlib compressibility per doc (Gopher-family quality signal) —
+    Arrow-batched mapInPandas (zlib has no SQL twin, so this query is
+    rows-only checked: deliberately NO oracle_sql entry, the same
+    weaker gate as the stateful streaming ops).  Determinism inside
+    the Python boundary is pinned by tests/test_extensions.py against
+    hand-computed zlib sizes."""
+    from dogsheep_beta_spark.functions.text import compression_ratio_table
+
+    d = _documents(spark, sf_dir)
+    return compression_ratio_table(d, "doc_id", "text").orderBy("doc_id")
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min-4 of 8-char-shingle md5s
     (explode + codegen md5 + aggregate, see functions/text.py)."""
@@ -1871,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_nll": q_text_unigram_nll,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf_cosine": q_text_tfidf_cosine,
+        "text_compression_ratio": q_text_compression_ratio,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_length_report": q_text_length_report,

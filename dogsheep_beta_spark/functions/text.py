@@ -290,3 +290,41 @@ def unigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | Non
         )
     )
     return scored
+
+
+def compression_ratio_table(df, id_col: str, text_col: str):
+    """(id, n_bytes, zlib_bytes, compression_ratio) per document — the
+    Gopher/RefinedWeb-family compressibility quality signal: highly
+    repetitive boilerplate compresses far below natural prose, so a
+    low ratio flags template/spam docs the n-gram repetition filters
+    miss.
+
+    zlib (level 6, the public pipelines' default) has no SQL
+    equivalent, so this is one of the few honest Python boundaries in
+    the engine: an Arrow-batched ``mapInPandas`` that sees thousands
+    of rows per invocation — never a row-at-a-time UDF.  Everything
+    around it (schema, ordering, downstream aggregation) stays
+    relational; the declared query is rows-only checked (no oracle),
+    the same weaker gate as the custom stateful streaming ops.
+    """
+    import pandas as pd  # noqa: F401 (Arrow batch type)
+
+    schema = f"{id_col} long, n_bytes long, zlib_bytes long, compression_ratio double"
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            raw = texts.str.encode("utf-8")
+            n_bytes = raw.str.len()
+            zbytes = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pdf[[id_col]].copy()
+            out["n_bytes"] = n_bytes.astype("int64")
+            out["zlib_bytes"] = zbytes.astype("int64")
+            out["compression_ratio"] = (
+                (n_bytes / zbytes.where(zbytes > 0)).fillna(0.0).round(6)
+            )
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)

@@ -755,3 +755,30 @@ def test_tfidf_cosine_matches_numpy_and_truncates(spark):
     assert all(abs(sum(
         r["wn"] ** 2 for r in capped if r["id"] == i
     ) - 1.0) < 1e-9 for i in {r["id"] for r in capped})
+
+
+def test_compression_ratio_table(spark):
+    """mapInPandas zlib features == hand-computed zlib level-6 sizes;
+    repetitive text compresses measurably better than varied text."""
+    import zlib
+
+    from dogsheep_beta_spark.functions.text import compression_ratio_table
+
+    rows = [
+        (1, "abcabcabc" * 50),
+        (2, "the quick brown fox jumps over the lazy dog in many ways"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["zlib_bytes"], r["compression_ratio"])
+        for r in compression_ratio_table(df, "doc_id", "text").collect()
+    }
+    for i, text in rows:
+        raw = (text or "").encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        expect_ratio = round(len(raw) / z, 6) if z > 0 else 0.0
+        assert got[i] == (len(raw), z, expect_ratio)
+    # repetitive doc 1 compresses much harder than prose doc 2
+    assert got[1][2] > got[2][2] * 3
