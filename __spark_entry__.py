@@ -546,6 +546,34 @@ def q_agg_rollup_orders(spark, sf_dir):
     )
 
 
+def q_join_outer_orphans(spark, sf_dir):
+    """Outer-join coverage: FULL OUTER customer⋈orders rolled up into
+    per-segment totals with orphan counts on both sides (customers
+    with no orders / orders whose custkey misses).  NULL segment rows
+    from the right-orphan side are labeled explicitly."""
+    register_testdata(spark, sf_dir, tables=("customer", "orders"))
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<no-customer>")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.sum(
+                F.when(
+                    F.col("o_orderkey").isNull() & F.col("c_custkey").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_customers_no_orders"),
+        )
+        .orderBy("segment")
+    )
+
+
 def q_agg_cube_orders(spark, sf_dir):
     """CUBE over (status, priority): all four grouping combinations in
     one pass (rollup's superset; Spark expands grouping sets map-side,
@@ -1843,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_history": q_scd2_user_history,
         "window_running_total": q_window_running_total,
         "join_topk_orders": q_join_topk_orders,
+        "join_outer_orphans": q_join_outer_orphans,
         "agg_cube_orders": q_agg_cube_orders,
         "pivot_event_matrix": q_pivot_event_matrix,
         "join_bucketed_colocated": q_join_bucketed_colocated,
@@ -2464,6 +2493,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "join_outer_orphans": """
+            SELECT COALESCE(c_mktsegment, '<no-customer>') AS segment,
+                   COUNT(o_orderkey) AS n_orders,
+                   COUNT(DISTINCT c_custkey) AS n_customers,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL
+                             AND c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_customers_no_orders
+            FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
+            ORDER BY segment
         """,
         "agg_cube_orders": """
             SELECT o_orderstatus, o_orderpriority,
