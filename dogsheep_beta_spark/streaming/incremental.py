@@ -221,6 +221,51 @@ def merge_fts_batch(
     _publish_dir(tmp_index, base)
 
 
+def delete_fts_docs(
+    spark: SparkSession,
+    deletes: DataFrame,
+    index_path: str,
+    fts_path: str,
+) -> None:
+    """Tombstone maintenance — remove (type, key) docs from the
+    persisted index AND its FTS sidecars (A10's missing third verb:
+    merge_fts_batch covers insert/update, this covers delete — the
+    analog of the reference's FTS delete trigger firing on row
+    removal, utils.py:90).
+
+    One anti-join per table against the broadcast-size tombstone set;
+    work is O(index-partition scan) with no tokenization, and every
+    output publishes via the same atomic symlink cutover as the merge
+    path.  BM25 corpus stats (N, avgdl) are derived downstream from
+    doc_lengths, so they follow automatically.  On Delta/Iceberg this
+    is a MERGE ... WHEN MATCHED THEN DELETE.
+    """
+    import os
+
+    keys = F.broadcast(deletes.select("type", "key").distinct())
+    targets = [index_path, os.path.join(fts_path, "postings"),
+               os.path.join(fts_path, "doc_lengths")]
+    survivors = []
+    for path in targets:
+        existing = _read_existing(spark, path)
+        if existing is None:
+            survivors.append(None)
+            continue
+        kept = existing.join(keys, ["type", "key"], "left_anti")
+        # materialize before any path is swapped: each plan must read
+        # its CURRENT files, not a half-published mixture
+        base = path.rstrip("/")
+        tmp = base + ".__tmp__"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        survivors.append((tmp, base))
+    for pair in survivors:
+        if pair is not None:
+            _publish_dir(*pair)
+
+
 def incremental_fts_stream(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -290,3 +290,56 @@ def test_atomic_swap_migrates_legacy_real_dir(spark, tmpdir):
     _atomic_swap_write(spark.range(4), path)
     assert os.path.islink(path)
     assert spark.read.parquet(path).count() == 4
+
+
+def test_delete_fts_docs_tombstones(spark, tmpdir):
+    """delete_fts_docs removes the doc from index + postings +
+    doc_lengths atomically; the surviving index equals a batch rebuild
+    over the surviving corpus (so BM25 stats follow)."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.streaming.incremental import (
+        delete_fts_docs,
+        incremental_fts_stream,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    index_path = os.path.join(tmpdir, "index")
+    fts_path = os.path.join(tmpdir, "fts")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    schema = "key int, title string, search_1 string"
+    rows = [(1, "alpha beta", "gamma"), (2, "beta beta", None), (3, "alpha", "x")]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_fts_stream(spark, stream, index_path, fts_path, "s.db/t", ckpt)
+    q.awaitTermination(60)
+
+    deletes = spark.createDataFrame(
+        [("s.db/t", "2")], "type string, key string"
+    )
+    delete_fts_docs(spark, deletes, index_path, fts_path)
+
+    idx = {r["key"] for r in spark.read.parquet(index_path).collect()}
+    assert idx == {"1", "3"}
+    post_keys = {
+        r["key"]
+        for r in spark.read.parquet(os.path.join(fts_path, "postings")).collect()
+    }
+    assert "2" not in post_keys
+    # survivors' postings identical to a batch rebuild of the survivors
+    def canon(df):
+        return sorted(
+            (r["term"], r["key"], r["field"], r["tf"])
+            for r in df.collect()
+        )
+    rebuilt = build_fts_index(spark.read.parquet(index_path), persist=False)
+    assert canon(spark.read.parquet(os.path.join(fts_path, "postings"))) == canon(
+        rebuilt.postings
+    )
+    lens = {
+        r["key"]: r["dl"]
+        for r in spark.read.parquet(os.path.join(fts_path, "doc_lengths")).collect()
+    }
+    assert lens == {r["key"]: r["dl"] for r in rebuilt.doc_lengths.collect()}
+    # idempotent: deleting an absent key is a no-op
+    delete_fts_docs(spark, deletes, index_path, fts_path)
+    assert {r["key"] for r in spark.read.parquet(index_path).collect()} == {"1", "3"}
