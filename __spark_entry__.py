@@ -107,10 +107,17 @@ def teardown(sf_dir: str | None = None) -> None:
     dirs = [sf_dir] if sf_dir else list(_CTX)
     for d in dirs:
         c = _CTX.pop(d, None) or {}
+        # drop bucketed catalog entries before their files vanish
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            for t in c.get("bucketed", ()):
+                active.sql(f"DROP TABLE IF EXISTS {t}")
         for k, v in c.items():
             if k.endswith("_path") and isinstance(v, str):
                 shutil.rmtree(v, ignore_errors=True)  # at-rest layouts
                 continue
+            if k == "bucketed":
+                continue  # table names, handled above
             for df in v if isinstance(v, (tuple, list)) else (v,):
                 unp = getattr(df, "unpersist", None)
                 if unp is not None:

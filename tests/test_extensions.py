@@ -567,12 +567,17 @@ def test_ctx_teardown_unpersists(spark, sf_dir):
 
     docs = entry._documents_persisted(spark, sf_dir)
     pairs = entry._jaccard_pairs(spark, sf_dir)
+    bkt_cust, bkt_ord = entry._bucketed_tables(spark, sf_dir)
     assert docs.is_cached and pairs.is_cached
+    assert spark.catalog.tableExists(bkt_cust)
 
     entry.teardown(sf_dir)
     assert sf_dir not in entry._CTX
     assert not docs.is_cached
     assert not pairs.is_cached
+    # bucketed catalog entries dropped with their files
+    assert not spark.catalog.tableExists(bkt_cust)
+    assert not spark.catalog.tableExists(bkt_ord)
 
 
 def test_repetition_table(spark):
