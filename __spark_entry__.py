@@ -804,6 +804,47 @@ def q_search_hybrid_rerank(spark, sf_dir):
     )
 
 
+def q_search_keyset_page(spark, sf_dir):
+    """Page 2 (rows 51-100) of a search via KEYSET pagination: filter
+    strictly-after the page-1 cursor in the (rank, type, key) total
+    order, then top-50 — the scale-correct pagination (OFFSET re-sorts
+    and discards 50+k rows per page and gets linearly worse per page;
+    the keyset plan is cursor-filter + TakeOrderedAndProject at every
+    depth).  The cursor itself is computed declaratively (top-50 →
+    reverse top-1) and broadcast; the oracle uses ROW_NUMBER 51-100,
+    which is value-identical under the same total order."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    _, fts = _ctx(spark, sf_dir)
+    scored = scored_docs(fts, "spark").withColumn("rank", F.round("rank", 6))
+    fwd = [F.asc("rank"), F.asc("type"), F.asc("key")]
+    cur = (
+        scored.orderBy(*fwd)
+        .limit(50)
+        .orderBy(F.desc("rank"), F.desc("type"), F.desc("key"))
+        .limit(1)
+        .select(
+            F.col("rank").alias("c_rank"),
+            F.col("type").alias("c_type"),
+            F.col("key").alias("c_key"),
+        )
+    )
+    after = scored.join(F.broadcast(cur)).where(
+        (F.col("rank") > F.col("c_rank"))
+        | (
+            (F.col("rank") == F.col("c_rank"))
+            & (
+                (F.col("type") > F.col("c_type"))
+                | (
+                    (F.col("type") == F.col("c_type"))
+                    & (F.col("key") > F.col("c_key"))
+                )
+            )
+        )
+    )
+    return after.select("type", "key", "rank").orderBy(*fwd).limit(50)
+
+
 def q_search_not(spark, sf_dir):
     """B5/C5: NOT compiles to an anti-join over the postings doc-sets."""
     return _bm25_results(spark, sf_dir, "window NOT spark")
@@ -1886,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "search_persisted_index": q_search_persisted_index,
         "search_hybrid_rerank": q_search_hybrid_rerank,
+        "search_keyset_page": q_search_keyset_page,
         "search_not": q_search_not,
         "search_or": q_search_or,
         "search_phrase": q_search_phrase,
@@ -2564,6 +2606,26 @@ def oracle_sql() -> dict[str, str]:
             ],
             'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
         ),
+        # oracle paginates with ROW_NUMBER 51-100 — value-identical to
+        # the engine's keyset cursor under the same (rank, type, key)
+        # total order; the ENGINE deliberately never materializes a
+        # global row number (see q_search_keyset_page).
+        "search_keyset_page": ORACLE_FTS_CTE
+        + _hits_block("t_spark", _term_hits("term = 'spark'"))
+        + """
+, scored AS (
+    SELECT type, "key", ROUND(-SUM(c), 6) AS rank
+    FROM t_spark_c GROUP BY type, "key"
+)
+, ordered AS (
+    SELECT type, "key", rank,
+           ROW_NUMBER() OVER (ORDER BY rank ASC, type ASC, "key" ASC) AS rn
+    FROM scored
+)
+SELECT type, "key", rank FROM ordered
+WHERE rn BETWEEN 51 AND 100
+ORDER BY rank, type, "key"
+""",
         "search_not": _search_oracle(
             [
                 ("t_window", _term_hits("term = 'window'")),
