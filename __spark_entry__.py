@@ -1897,6 +1897,124 @@ def q_media_feature_metadata(spark, sf_dir):
     )
 
 
+def _jsonl_dir(spark, sf_dir):
+    """One-time per sf_dir: materialize documents as JSONL (the format
+    dogsheep's upstream APIs and every public LLM corpus actually ship
+    in) so the ingestion query runs against genuine newline-delimited
+    JSON files written by Spark's own JSON sink."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "jsonl_dir" not in c:
+        import os
+        import tempfile
+
+        from dogsheep_beta_spark.sources.jsonl import write_jsonl
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        path = os.path.join(tempfile.mkdtemp(prefix="dbs_jsonl_"), "documents")
+        write_jsonl(spark.table("documents"), path, num_files=4)
+        c["jsonl_dir"] = path
+    return c["jsonl_dir"]
+
+
+def q_jsonl_source_ingest(spark, sf_dir):
+    """A1 format path: documents round-tripped through newline-delimited
+    JSON (sources/jsonl.py) and read back with an EXPLICIT schema — no
+    inference scan, PERMISSIVE corrupt-line quarantine — then aggregated
+    per source.  The oracle aggregates the parquet original, so a hash
+    match proves the JSONL round-trip is lossless, text escaping
+    included."""
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources.jsonl import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = read_jsonl(spark, _jsonl_dir(spark, sf_dir), schema)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_corpus_percentiles(spark, sf_dir):
+    """Corpus length-distribution report: exact percentiles + moments of
+    n_chars per source — the shape report a pretraining mix is tuned
+    against.  ``percentile`` is Spark's exact linear-interpolation
+    aggregate (same definition as DuckDB quantile_cont), computed in one
+    partial-aggregated pass; at 100 TB swap to ``percentile_approx``
+    (t-digest sketch, mergeable map-side) — same query shape."""
+    register_testdata(spark, sf_dir, tables=("documents",))
+    d = spark.table("documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Heavy hitters: top-50 terms by document frequency.  One
+    tokenize + array_distinct + explode (term appears once per doc, so
+    COUNT(*) IS document frequency — no count-distinct shuffle), then
+    a partial-aggregated groupBy and a TakeOrderedAndProject top-k.
+    The vocabulary-frequency report every tokenizer/BPE training run
+    starts from."""
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+    d = _documents(spark, sf_dir)
+    terms = d.select(
+        F.explode(
+            F.array_distinct(tokenize_expr(F.col("text"), mode="portable"))
+        ).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Iterative graph analytics: 3-iteration PageRank power method over
+    the user↔event_type bipartite graph (operators/graph.py) — the
+    link-authority prior a web-scale corpus ranks domains with.  The
+    oracle unrolls the identical supersteps as chained CTEs, so the
+    distributed join-loop is pinned to the SQL definition of the same
+    fixed-point step."""
+    from dogsheep_beta_spark.operators.graph import bipartite_edges, pagerank
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    edges = bipartite_edges(spark.table("events"), "user_id", "event_type")
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -1981,6 +2099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
+        "jsonl_source_ingest": q_jsonl_source_ingest,
+        "corpus_percentiles": q_corpus_percentiles,
+        "vocab_topk": q_vocab_topk,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -3384,5 +3506,89 @@ ORDER BY rank, type, "key"
                    ), 6) AS running_value
             FROM events
             ORDER BY user_id, ts, event_id
+        """,
+        # the Spark side reads JSONL materialized from the SAME parquet;
+        # equality proves the JSON round-trip (text escaping included)
+        # is lossless — mirror of the sqlite_source_ingest contract.
+        "jsonl_source_ingest": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "corpus_percentiles": """
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.90), 4) AS p90,
+                   ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   ROUND(stddev_samp(n_chars), 4) AS sd_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "vocab_topk": ORACLE_DOC_TOKENS
+        + """
+            , t AS (SELECT doc_id, unnest(toks) AS term FROM toks)
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM t GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        # the power-iteration supersteps unrolled as chained CTEs — the
+        # SQL statement of exactly what operators/graph.py:pagerank
+        # computes per iteration (contribs on dst, teleport + damping).
+        "graph_pagerank": """
+            WITH e0 AS (
+                SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                                't:' || event_type AS dst
+                FROM events
+            ),
+            ed AS (
+                SELECT src, dst FROM e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM e0
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM ed),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            c1 AS (
+                SELECT ed.dst AS node, SUM(r0.rank / deg.deg) AS c
+                FROM ed JOIN r0 ON r0.node = ed.src
+                        JOIN deg ON deg.src = ed.src
+                GROUP BY ed.dst
+            ),
+            r1 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + 0.85 * COALESCE(c1.c, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+            ),
+            c2 AS (
+                SELECT ed.dst AS node, SUM(r1.rank / deg.deg) AS c
+                FROM ed JOIN r1 ON r1.node = ed.src
+                        JOIN deg ON deg.src = ed.src
+                GROUP BY ed.dst
+            ),
+            r2 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + 0.85 * COALESCE(c2.c, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+            ),
+            c3 AS (
+                SELECT ed.dst AS node, SUM(r2.rank / deg.deg) AS c
+                FROM ed JOIN r2 ON r2.node = ed.src
+                        JOIN deg ON deg.src = ed.src
+                GROUP BY ed.dst
+            ),
+            r3 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + 0.85 * COALESCE(c3.c, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node
+            )
+            SELECT node, ROUND(rank, 6) AS rank FROM r3
+            ORDER BY rank DESC, node ASC LIMIT 20
         """,
     }

@@ -787,3 +787,86 @@ def test_compression_ratio_table(spark):
         assert got[i] == (len(raw), z, expect_ratio)
     # repetitive doc 1 compresses much harder than prose doc 2
     assert got[1][2] > got[2][2] * 3
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (sources/jsonl.py) and PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources import jsonl as jl
+
+    rows = [
+        (1, 'line with "quotes" and \n newline and \t tab', "a"),
+        (2, "unicode: café über naïve ☃", "b"),
+        (3, None, "a"),  # NULL text must survive
+        (4, "control char: \x07 bell", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    path = str(tmp_path / "docs")
+    jl.write_jsonl(df, path, num_files=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("src", T.StringType()),
+        ]
+    )
+    back = jl.read_jsonl(spark, path, schema)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {r[0]: r[1] for r in rows}  # byte-lossless, NULL included
+
+    # corrupt line quarantine: append a truncated JSON line to one file
+    import glob
+    import os
+
+    part = sorted(glob.glob(os.path.join(path, "part-*")))[0]
+    with open(part, "a") as f:
+        f.write('{"doc_id": 99, "text": "trunc\n')
+    crc = os.path.join(path, "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):  # hand-edit invalidates Hadoop's checksum
+        os.remove(crc)
+    spark.catalog.refreshByPath(path)  # file grew after the first scan
+    clean = jl.read_jsonl(spark, path, schema)
+    assert clean.count() == 4  # corrupt line dropped, typed rows intact
+    bad = jl.corrupt_records(spark, path, schema)
+    assert bad.count() == 1
+    assert "trunc" in bad.collect()[0][jl.CORRUPT_COL]
+
+    inferred = jl.sample_jsonl_schema(spark, path, sample_lines=100)
+    assert {f.name for f in inferred.fields} >= {"doc_id", "src"}
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular symmetric graph the stationary distribution is
+    uniform — 3 iterations from a uniform start must stay uniform."""
+    from dogsheep_beta_spark.operators.graph import pagerank
+
+    # 4-cycle, both directions: every node has degree 2
+    edges = [(a, b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]]
+    edges += [(b, a) for a, b in edges]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    assert len(ranks) == 4
+    for v in ranks.values():
+        assert abs(v - 0.25) < 1e-12
+    # no dangling nodes -> total mass conserved at 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from dogsheep_beta_spark.operators.graph import bipartite_edges, pagerank
+
+    df = spark.createDataFrame(
+        [(u, "hub") for u in range(5)] + [(0, "solo")],
+        "user_id int, event_type string",
+    )
+    e = bipartite_edges(df, "user_id", "event_type")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert ranks["t:hub"] > ranks["t:solo"]
+    assert ranks["u:0"] > ranks["u:1"]  # u:0 also touches solo
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
