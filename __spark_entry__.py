@@ -2015,6 +2015,59 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_join_bloom_pruned(spark, sf_dir):
+    """Catalyst runtime bloom filter (operators/runtime_filter.py): the
+    lineitem fact is semi-joined to urgent orders through an injected
+    ``might_contain`` probe pushed below the fact-side shuffle — at
+    100 TB, shuffled bytes ∝ matches, not the fact table.  The bloom is
+    a pure overapproximation, so the result is exactly the plain
+    semi-join the oracle runs; injection is plan-asserted in
+    tests/test_plans.py."""
+    from dogsheep_beta_spark.operators.runtime_filter import (
+        bloom_pruned_semi_join,
+    )
+
+    register_testdata(spark, sf_dir, tables=("lineitem", "orders"))
+    li = spark.table("lineitem")
+    urgent = spark.table("orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    pruned = bloom_pruned_semi_join(
+        li, urgent, li.l_orderkey == urgent.o_orderkey
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_chunk_sliding_window(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.py): 32-token
+    windows, stride 24 (8-token overlap), map-only — one tokenize, one
+    explode, zero shuffles.  md5 of each chunk keeps the oracle
+    comparison byte-exact without hauling full chunk text through the
+    hash gate."""
+    from dogsheep_beta_spark.operators.chunking import sliding_chunks
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    d = spark.table("documents")
+    return (
+        sliding_chunks(d, "doc_id", "text", window=32, stride=24)
+        .select(
+            F.col("id").alias("doc_id"),
+            "chunk_idx",
+            "n_tok",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -2103,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_percentiles": q_corpus_percentiles,
         "vocab_topk": q_vocab_topk,
         "graph_pagerank": q_graph_pagerank,
+        "join_bloom_pruned": q_join_bloom_pruned,
+        "chunk_sliding_window": q_chunk_sliding_window,
     }
 
 
@@ -3590,5 +3645,41 @@ ORDER BY rank, type, "key"
             )
             SELECT node, ROUND(rank, 6) AS rank FROM r3
             ORDER BY rank DESC, node ASC LIMIT 20
+        """,
+        # the bloom probe is an overapproximation with exact semi-join
+        # verification built into the plan, so the oracle is simply the
+        # plain semi-join.
+        "join_bloom_pruned": """
+            SELECT l_returnflag, COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "chunk_sliding_window": ORACLE_DOC_TOKENS
+        + """
+            , base AS (SELECT doc_id, toks, len(toks) AS n FROM toks)
+            , nc AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n = 0 THEN 0
+                            WHEN n <= 32 THEN 1
+                            ELSE 1 + CAST(CEIL((n - 32) / 24.0) AS BIGINT)
+                       END AS n_chunks
+                FROM base)
+            , c AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(n_chunks)) AS chunk_idx
+                FROM nc)
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(len(toks[chunk_idx * 24 + 1 :
+                                 least(chunk_idx * 24 + 32, n)]) AS INT)
+                       AS n_tok,
+                   md5(array_to_string(
+                       toks[chunk_idx * 24 + 1 :
+                            least(chunk_idx * 24 + 32, n)], ' ')) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx
         """,
     }

@@ -1,0 +1,77 @@
+"""Sliding-window document chunking (training-data pipeline extension).
+
+Every LLM pretraining/embedding pipeline slices documents into
+fixed-size token windows with overlap (context-window packing inputs,
+RAG passage extraction, embedding-model inputs).  This is the
+chunker: tokenize once, emit one row per (doc, window) — all inside
+whole-stage codegen.
+
+Spark-first shape: ONE pass, zero shuffles, zero Python.
+
+    tokens   = split(lower(text))             -- codegen expression
+    n_chunks = 0           if n = 0
+               1           if n <= window
+               1 + ceil((n - window)/stride)  otherwise
+    explode(sequence(0, n_chunks-1))          -- one row per window
+    slice(tokens, i*stride + 1, window)       -- the chunk
+
+At 100 TB this is a map-only operator: chunk rows inherit the input's
+partitioning, the explode fan-out (~n/stride per doc) is bounded and
+local, and nothing crosses the network.  The final chunk is the
+shorter tail (no padding) — padding/packing is `operators/packing.py`'s
+job downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+
+def _n_chunks(n: Column, window: int, stride: int) -> Column:
+    return (
+        F.when(n == 0, F.lit(0))
+        .when(n <= window, F.lit(1))
+        .otherwise(
+            1 + F.ceil((n - F.lit(window)).cast("double") / F.lit(stride))
+        )
+        .cast("int")
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+    mode: str = "portable",
+) -> DataFrame:
+    """(id, chunk_idx, n_tok, chunk_text) — overlapping token windows.
+
+    ``stride < window`` gives overlap (window - stride tokens shared
+    between consecutive chunks); ``stride = window`` is disjoint
+    chunking.  Zero-token documents produce zero chunks.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokenize_expr(F.col(text_col), mode=mode)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    nc = _n_chunks(F.col("__n"), window, stride)
+    # guard: sequence(0, -1) auto-reverses to [0, -1] in Spark, so an
+    # empty doc must map to an empty array, not a descending sequence
+    idx = F.when(nc > 0, F.sequence(F.lit(0), nc - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = base.select("id", "__toks", "__n", F.explode(idx).alias("chunk_idx"))
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window)
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.size(piece).alias("n_tok"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

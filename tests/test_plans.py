@@ -284,3 +284,63 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == plain.count()
     spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
     spark.sql("DROP TABLE IF EXISTS t_bkt_ord")
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """The bloom-pruned semi-join must carry Catalyst's injected
+    might_contain probe on the fact side (operators/runtime_filter.py)
+    — the shuffled-bytes ∝ matches contract at 100 TB."""
+    from dogsheep_beta_spark.operators.runtime_filter import (
+        bloom_pruned_semi_join,
+    )
+
+    register_testdata(spark, SF_DIR, tables=("lineitem", "orders"))
+    li = spark.table("lineitem")
+    dim = spark.table("orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    j = bloom_pruned_semi_join(li, dim, li.l_orderkey == dim.o_orderkey)
+    opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt and "bloom_filter_agg" in opt
+    # overapproximation + exact join == plain semi-join
+    plain = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi")
+    assert sorted(r["l_orderkey"] for r in j.select("l_orderkey").collect()) == sorted(
+        r["l_orderkey"] for r in plain.select("l_orderkey").collect()
+    )
+
+
+def test_sliding_chunks_semantics_and_map_only_plan(spark):
+    from dogsheep_beta_spark.operators.chunking import sliding_chunks
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    out = sliding_chunks(df, "doc_id", "text", window=4, stride=3)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 10 tokens, w=4 s=3 -> 1 + ceil(6/3) = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[(1, 2)]["n_tok"] == 4
+    # doc 2: 3 tokens <= window -> single whole-doc chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tok"] == 3
+    # empty / NULL docs emit no chunks
+    assert not any(k[0] in (3, 4) for k in rows)
+    # map-only: no exchange anywhere in the chunker plan
+    assert "Exchange" not in _plan(out)
+
+
+def test_sliding_chunks_tail_never_empty(spark):
+    """Stride landing exactly on the end must not emit an empty tail
+    chunk (n=6, w=3, s=3 -> exactly 2 chunks, not 3)."""
+    from dogsheep_beta_spark.operators.chunking import sliding_chunks
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    out = sliding_chunks(df, "doc_id", "text", window=3, stride=3).collect()
+    assert [(r["chunk_idx"], r["chunk_text"]) for r in sorted(out, key=lambda r: r["chunk_idx"])] == [
+        (0, "a b c"),
+        (1, "d e f"),
+    ]
