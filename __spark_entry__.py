@@ -2015,6 +2015,30 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.py:pq_*): 4 subspaces × 8
+    hash-seeded codes; vectors compressed to 4 bytes, query scored via
+    the ADC lookup table (broadcast m×k partial-IP join + one partial
+    agg) — the compressed-domain scan that reads m bytes/vector instead
+    of 4d at 100 TB.  Deterministic end to end (md5-ordered seeds,
+    rounded argmin, code-id tiebreaks), so fully SQL-oracled."""
+    from dogsheep_beta_spark.operators.similarity import (
+        _query_vec,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    register_testdata(spark, sf_dir, tables=("embeddings",))
+    e = spark.table("embeddings")
+    cb = pq_codebooks(e, "vec_id", "embedding", m=4, k=8)
+    codes = pq_encode(
+        e.where(F.col("vec_id") != 0), "vec_id", "embedding", cb, m=4
+    )
+    q = _query_vec(e, "vec_id", "embedding", 0)
+    return pq_adc_topk(codes, cb, q, m=4, topk=20)
+
+
 def q_join_bloom_pruned(spark, sf_dir):
     """Catalyst runtime bloom filter (operators/runtime_filter.py): the
     lineitem fact is semi-joined to urgent orders through an injected
@@ -2158,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "join_bloom_pruned": q_join_bloom_pruned,
         "chunk_sliding_window": q_chunk_sliding_window,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -3681,5 +3706,56 @@ ORDER BY rank, type, "key"
                        toks[chunk_idx * 24 + 1 :
                             least(chunk_idx * 24 + 32, n)], ' ')) AS chunk_md5
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        # PQ mirrored step by step: md5-ordered seeds -> per-subspace
+        # codebooks -> rounded-L2 argmin encode (code-id tiebreak) ->
+        # ADC lookup-table sum.  L2 is the squared-difference sum, NOT
+        # the dot-product expansion, to match the engine's float path.
+        "ann_pq_topk": _EMB_CTE
+        + """
+            , seeds AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) - 1 AS code,
+                       v
+                FROM e
+                QUALIFY code < 8
+            )
+            , subs AS (SELECT unnest(range(4)) AS sub)
+            , cb AS (
+                SELECT subs.sub, seeds.code,
+                       seeds.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS c
+                FROM seeds CROSS JOIN subs
+            )
+            , sv AS (
+                SELECT e.vec_id, subs.sub,
+                       e.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS vs
+                FROM e CROSS JOIN subs WHERE e.vec_id <> 0
+            )
+            , enc AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT sv.vec_id, sv.sub, cb.code,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY sv.vec_id, sv.sub
+                               ORDER BY ROUND(list_sum(list_transform(
+                                   range(16),
+                                   i -> (sv.vs[i + 1] - cb.c[i + 1])
+                                        * (sv.vs[i + 1] - cb.c[i + 1])
+                               )), 6) ASC, cb.code ASC
+                           ) AS rn
+                    FROM sv JOIN cb ON sv.sub = cb.sub
+                ) WHERE rn = 1
+            )
+            , lut AS (
+                SELECT cb.sub, cb.code,
+                       list_dot_product(
+                           cb.c, q.qv[cb.sub * 16 + 1 : cb.sub * 16 + 16]
+                       ) AS part
+                FROM cb, q
+            )
+            SELECT enc.vec_id AS id, ROUND(SUM(lut.part), 6) AS adc_ip
+            FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+            GROUP BY enc.vec_id
+            ORDER BY adc_ip DESC, id ASC LIMIT 20
         """,
     }

@@ -540,3 +540,122 @@ def tfidf_cosine_pairs(
         .groupBy("a", "b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _dot_expr(va, vb):
+    """Plain inner product, JVM-side (zip_with multiply + aggregate)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _l2sq_expr(va, vb):
+    """Σ(aᵢ−bᵢ)² — computed as the squared-difference sum in BOTH the
+    engine and the oracle (NOT the a·a−2a·b+b·b expansion: a different
+    float expression could flip an argmin tie)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+) -> DataFrame:
+    """(sub, code, centroid): one k-entry codebook per subspace.
+
+    Codebook entries are the k hash-seeded sample vectors (md5(id)
+    order — the same deterministic device as ``hash_seeds``) sliced
+    into ``m`` contiguous subvectors.  Deterministic and
+    SQL-expressible; the offline build can Lloyd-refine each subspace
+    with ``kmeans_cells`` on the sliced columns — same downstream
+    encode/ADC path."""
+    seeds = hash_seeds(df, id_col, vec_col, k).select(
+        F.col("cell").alias("code"), "centroid"
+    )
+    sub_d = (F.size("centroid") / m).cast("int")
+    return seeds.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("centroid"),
+    ).select(
+        "sub",
+        "code",
+        F.slice("centroid", F.col("sub") * sub_d + 1, sub_d).alias("centroid"),
+    )
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: DataFrame, m: int
+) -> DataFrame:
+    """(id, sub, code): each vector compressed to m codebook indices.
+
+    One explode into subvectors (map-side), broadcast join against the
+    m×k codebook table, then a WindowGroupLimit argmin per (id, sub).
+    6-dp rounding before the argmin + code-id tiebreak keep the
+    assignment engine-portable (same discipline as voronoi_assign).
+    At 100 TB the output is the compressed index: m small ints per
+    vector instead of d floats — write it partitioned, keep codebooks
+    beside it (the ``write_ivf`` layout pattern)."""
+    vec = F.col(vec_col).cast("array<double>")
+    sub_d = (F.size("__v") / m).cast("int")
+    subv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        vec.alias("__v"),
+    ).select(
+        "id", "sub", F.slice("__v", F.col("sub") * sub_d + 1, sub_d).alias("vs")
+    )
+    cb = codebooks.select(
+        F.col("sub").alias("__sub"),
+        F.col("code"),
+        F.col("centroid").alias("__c"),
+    )
+    scored = subv.join(
+        F.broadcast(cb), subv.sub == cb.__sub
+    ).withColumn("__d2", F.round(_l2sq_expr(F.col("vs"), F.col("__c")), 6))
+    w = Window.partitionBy("id", "sub").orderBy(F.asc("__d2"), F.asc("code"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    qdf: DataFrame,
+    m: int,
+    topk: int = 20,
+) -> DataFrame:
+    """(id, adc_ip): asymmetric-distance top-k in the compressed domain.
+
+    The query is NOT quantized: a lookup table (sub, code) → partial
+    inner product against the query subvector is built from the m×k
+    codebook (tiny, broadcast), then each vector's approximate score is
+    the sum of its m table entries — a broadcast join plus one partial
+    aggregation, never touching the original floats.  That is the whole
+    point at 100 TB: the scan reads m bytes/vector, not 4d."""
+    sub_d = (F.size("qv") / m).cast("int")
+    lut = codebooks.crossJoin(qdf).select(
+        "sub",
+        "code",
+        _dot_expr(
+            F.col("centroid"),
+            F.slice(F.col("qv").cast("array<double>"), F.col("sub") * sub_d + 1, sub_d),
+        ).alias("part"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("part"), 6).alias("adc_ip"))
+        .orderBy(F.desc("adc_ip"), F.asc("id"))
+        .limit(topk)
+    )

@@ -870,3 +870,36 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert ranks["t:hub"] > ranks["t:solo"]
     assert ranks["u:0"] > ranks["u:1"]  # u:0 also touches solo
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pq_encode_and_adc_exact_for_seed_vectors(spark):
+    """A vector that IS a codebook seed must encode to itself in every
+    subspace (d2 = 0), so its ADC score equals its exact inner product
+    with the query — the PQ invariant that makes the compressed-domain
+    scan trustworthy."""
+    import numpy as np
+
+    from dogsheep_beta_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((10, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, "vec_id", "embedding", m=2, k=10)  # ALL vectors seed
+    codes = pq_encode(df, "vec_id", "embedding", cb, m=2)
+    assert codes.count() == 20  # 10 vectors x 2 subspaces
+    # every vector is a seed -> its two codes point at its own slices
+    qdf = spark.createDataFrame(
+        [([float(x) for x in vecs[0]],)], "qv array<double>"
+    )
+    top = pq_adc_topk(codes, cb, qdf, m=2, topk=10).collect()
+    got = {r["id"]: r["adc_ip"] for r in top}
+    for i in range(10):
+        exact = round(float(np.dot(vecs[i], vecs[0])), 6)
+        assert abs(got[i] - exact) < 1e-6, (i, got[i], exact)
