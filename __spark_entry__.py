@@ -2015,6 +2015,53 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def _csv_dir(spark, sf_dir):
+    """One-time per sf_dir: documents as quoted multi-line CSV."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "csv_dir" not in c:
+        import os
+        import tempfile
+
+        from dogsheep_beta_spark.sources.csv import write_csv
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        path = os.path.join(tempfile.mkdtemp(prefix="dbs_csv_"), "documents")
+        write_csv(spark.table("documents"), path, num_files=4)
+        c["csv_dir"] = path
+    return c["csv_dir"]
+
+
+def q_csv_source_ingest(spark, sf_dir):
+    """A1 format path #3: documents round-tripped through quoted
+    multi-line CSV (sources/csv.py) — embedded newlines/quotes/commas
+    and NULLs must survive — aggregated per source against the parquet
+    oracle, mirroring the sqlite/jsonl lossless-round-trip contract."""
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources.csv import read_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = read_csv(spark, _csv_dir(spark, sf_dir), schema)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (similarity.py:pq_*): 4 subspaces × 8
     hash-seeded codes; vectors compressed to 4 bytes, query scored via
@@ -2183,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_pruned": q_join_bloom_pruned,
         "chunk_sliding_window": q_chunk_sliding_window,
         "ann_pq_topk": q_ann_pq_topk,
+        "csv_source_ingest": q_csv_source_ingest,
     }
 
 
@@ -3757,5 +3805,13 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # CSV round-trip losslessness, same contract as sqlite/jsonl.
+        "csv_source_ingest": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

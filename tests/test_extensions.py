@@ -903,3 +903,30 @@ def test_pq_encode_and_adc_exact_for_seed_vectors(spark):
     for i in range(10):
         exact = round(float(np.dot(vecs[i], vecs[0])), 6)
         assert abs(got[i] - exact) < 1e-6, (i, got[i], exact)
+
+
+def test_csv_roundtrip_newlines_quotes_nulls(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources import csv as cs
+
+    rows = [
+        (1, 'embedded "quotes", commas, and\nnewlines\r\nhere', "a"),
+        (2, "", "b"),          # empty string must stay '' (not NULL)
+        (3, None, "a"),        # NULL must stay NULL
+        (4, "unicode: café ☃ tab\there", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    path = str(tmp_path / "docs")
+    cs.write_csv(df, path, num_files=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("src", T.StringType()),
+        ]
+    )
+    back = cs.read_csv(spark, path, schema)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {r[0]: r[1] for r in rows}
