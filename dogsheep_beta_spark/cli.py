@@ -1,9 +1,16 @@
 """CLI — the Spark analog of ``dogsheep-beta index`` (reference
-cli.py:5-41).
+cli.py:5-41) plus a ``search`` command covering the Datasette page's
+query surface (reference __init__.py:22-60: q, sort, type/category/
+is_public/date filters, count, facets).
 
     python -m dogsheep_beta_spark.cli index OUTPUT_PATH CONFIG \\
         [--tokenize porter|none] [-d DB ...] [--sources DIR] \\
         [--partition-by-type] [--term-buckets N]
+
+    python -m dogsheep_beta_spark.cli search INDEX_PATH [QUERY] \\
+        [--sort newest|oldest] [--type T] [--category N] \\
+        [--is-public 0|1] [--date YYYY-MM-DD] [--limit N] \\
+        [--count] [--facets]
 
 Differences from the reference, by design (SURVEY §7.0): the "index DB"
 is a Parquet directory (``search_index/`` + ``fts/postings`` +
@@ -77,6 +84,43 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Query a written index directory — the CLI twin of the Datasette
+    ``/-/beta`` page.  Results print as JSON lines (stable field order);
+    ``--count``/``--facets`` add the page's count and facet blocks."""
+    import json
+
+    from dogsheep_beta_spark.operators.fts_index import read_fts_index
+    from dogsheep_beta_spark.plans.query import QueryPlan
+    from dogsheep_beta_spark.plans.search import search_query
+
+    spark = _build_session()
+    index_df = spark.read.parquet(os.path.join(args.index, "search_index"))
+    fts = read_fts_index(spark, os.path.join(args.index, "fts"))
+
+    plan = QueryPlan(
+        q=args.query,
+        sort=args.sort,
+        type=args.type,
+        category=args.category,
+        is_public=args.is_public,
+        date=args.date,
+    )
+    result = search_query(index_df, fts, plan)
+    rows = result.results.limit(args.limit).collect()
+    for r in rows:
+        d = r.asDict()
+        print(json.dumps(d, default=str, sort_keys=True))
+    if args.count:
+        n = result.filtered.count()
+        print(json.dumps({"count": n}))
+    if args.facets:
+        for name, fdf in result.facets.items():
+            vals = [v.asDict() for v in fdf.collect()]
+            print(json.dumps({"facet": name, "values": vals}, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dogsheep-beta-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -112,6 +156,20 @@ def main(argv: list[str] | None = None) -> int:
         help="repartition postings by term into N buckets on write",
     )
     ix.set_defaults(func=cmd_index)
+
+    se = sub.add_parser("search", help="query a written index directory")
+    se.add_argument("index", help="index directory written by `index`")
+    se.add_argument("query", nargs="?", default=None, help="MATCH query (omit for timeline)")
+    se.add_argument("--sort", choices=["newest", "oldest"], default=None)
+    se.add_argument("--type", default=None, help="filter: type equals")
+    se.add_argument("--category", type=int, default=None)
+    se.add_argument("--is-public", dest="is_public", type=int, default=None)
+    se.add_argument("--date", default=None, help="timestamp date YYYY-MM-DD")
+    se.add_argument("--limit", type=int, default=40)
+    se.add_argument("--count", action="store_true", help="print filtered count")
+    se.add_argument("--facets", action="store_true", help="print facet blocks")
+    se.set_defaults(func=cmd_search)
+
     args = p.parse_args(argv)
     return args.func(args)
 

@@ -60,6 +60,58 @@ docs.db:
     assert os.path.exists(os.path.join(out, "fts", "postings"))
     assert os.path.exists(os.path.join(out, "fts", "doc_lengths"))
 
+    # query the index we just wrote: the search command is the CLI twin
+    # of the reference's Datasette page (q + count + facets)
+    import json
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dogsheep_beta_spark.cli",
+            "search",
+            out,
+            "the",
+            "--limit",
+            "5",
+            "--count",
+            "--facets",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    results = [l for l in lines if "key" in l and "rank" in l]
+    counts = [l for l in lines if "count" in l]
+    facets = [l for l in lines if "facet" in l]
+    assert 1 <= len(results) <= 5
+    assert counts and counts[0]["count"] >= len(results)
+    assert any(f["facet"] == "type" for f in facets)
+    # timeline mode (no query): newest-first, no rank column
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dogsheep_beta_spark.cli",
+            "search",
+            out,
+            "--sort",
+            "newest",
+            "--limit",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    tl = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(tl) == 3 and all("rank" not in r for r in tl)
+
 
 def test_salted_agg_count_matches_plain(spark):
     df = spark.createDataFrame(
