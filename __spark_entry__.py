@@ -2086,6 +2086,21 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_text_bigram_nll(spark, sf_dir):
+    """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
+    add-1-smoothed conditional bigram NLL per doc, one persisted bigram
+    explode feeding counts + prefix counts + per-doc agg."""
+    from dogsheep_beta_spark.functions.text import bigram_nll_table
+
+    d = _documents(spark, sf_dir)
+    reg = _CTX.setdefault(sf_dir, {}).setdefault("_caches", [])
+    return (
+        bigram_nll_table(d, "doc_id", "text", cache_registry=reg)
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "nll")
+        .orderBy("doc_id")
+    )
+
+
 def q_join_bloom_pruned(spark, sf_dir):
     """Catalyst runtime bloom filter (operators/runtime_filter.py): the
     lineitem fact is semi-joined to urgent orders through an injected
@@ -2231,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sliding_window": q_chunk_sliding_window,
         "ann_pq_topk": q_ann_pq_topk,
         "csv_source_ingest": q_csv_source_ingest,
+        "text_bigram_nll": q_text_bigram_nll,
     }
 
 
@@ -3805,6 +3821,39 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # add-1-smoothed conditional bigram LM, mirrored exactly:
+        # P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), natural log, parallel
+        # unnest zips the (w1, w2) streams in lockstep.
+        "text_bigram_nll": ORACLE_DOC_TOKENS
+        + """
+            , bp AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, len(toks) + 1),
+                              i -> toks[i-1])) AS w1,
+                       unnest(list_transform(range(2, len(toks) + 1),
+                              i -> toks[i])) AS w2
+                FROM toks WHERE len(toks) >= 2
+            )
+            , c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bp GROUP BY w1, w2)
+            , c1 AS (SELECT w1, COUNT(*) AS c1 FROM bp GROUP BY w1)
+            , vv AS (
+                SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+                FROM (SELECT unnest(toks) AS t FROM toks)
+            )
+            , sc AS (
+                SELECT bp.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       ROUND(AVG(-ln((c2.c2 + 1) / (c1.c1 + vv.v))), 6) AS nll
+                FROM bp JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                     CROSS JOIN vv
+                GROUP BY bp.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   sc.nll
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # CSV round-trip losslessness, same contract as sqlite/jsonl.
         "csv_source_ingest": """

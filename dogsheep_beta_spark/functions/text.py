@@ -328,3 +328,69 @@ def compression_ratio_table(df, id_col: str, text_col: str):
             yield out
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None = None):
+    """(id, n_bigrams, nll) — average conditional bigram negative
+    log-likelihood per document under the corpus's own add-1-smoothed
+    bigram LM: P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V).  One step up the
+    n-gram ladder from ``unigram_nll_table`` toward the real-LM
+    perplexity filter (CCNet-style) — bigram NLL separates shuffled-
+    word-salad from natural prose, which unigram NLL cannot.
+
+    Plan: ONE bigram explode (struct of w1, w2) is persisted and feeds
+    the bigram counts, the prefix counts, AND the per-doc aggregation.
+    Both count joins are n-gram-keyed shuffle joins (the bigram table
+    does NOT broadcast at 100 TB); the vocabulary size enters as one
+    scalar aggregate, same device as the FTS corpus stats.  Docs with
+    < 2 tokens return n_bigrams = 0, nll NULL (length filters own
+    them)."""
+    toks = tokens_expr(F.col(text_col))
+    pair_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("w1"),
+                F.element_at(toks, i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(pair_structs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(pairs)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).collect()[0][0]
+    ) or 0
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + F.lit(1))
+                        / (F.col("c1") + F.lit(float(vocab)))
+                    )
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "nll",
+        )
+    )

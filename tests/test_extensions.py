@@ -930,3 +930,25 @@ def test_csv_roundtrip_newlines_quotes_nulls(spark, tmp_path):
     back = cs.read_csv(spark, path, schema)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == {r[0]: r[1] for r in rows}
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from dogsheep_beta_spark.functions.text import bigram_nll_table
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in bigram_nll_table(df, "doc_id", "text").collect()}
+    # corpus: c(a,b)=3, c(b,a)=1; prefix c(a)=3, c(b)=1; V=3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["nll"] - round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["nll"] - round(-math.log(p_ab), 6)) < 1e-9
+    # short / empty docs: zero bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["nll"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["nll"] is None
