@@ -344,3 +344,25 @@ def test_sliding_chunks_tail_never_empty(spark):
         (0, "a b c"),
         (1, "d e f"),
     ]
+
+
+def test_pq_plans_broadcast_and_topk(spark):
+    """PQ scale shapes: codebook joins broadcast (never shuffle the
+    corpus on codes), ADC top-k compiles to TakeOrderedAndProject."""
+    from dogsheep_beta_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    register_testdata(spark, SF_DIR, tables=("embeddings",))
+    e = spark.table("embeddings")
+    cb = pq_codebooks(e, "vec_id", "embedding", m=4, k=8)
+    codes = pq_encode(e, "vec_id", "embedding", cb, m=4)
+    qdf = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    top = pq_adc_topk(codes, cb, qdf, m=4, topk=20)
+    enc_plan = _plan(codes)
+    top_plan = _plan(top)
+    assert "BroadcastHashJoin" in enc_plan and "SortMergeJoin" not in enc_plan
+    assert "TakeOrderedAndProject" in top_plan
+    assert "SortMergeJoin" not in top_plan
