@@ -2111,6 +2111,7 @@ def q_join_bloom_pruned(spark, sf_dir):
     tests/test_plans.py."""
     from dogsheep_beta_spark.operators.runtime_filter import (
         bloom_pruned_semi_join,
+        freeze_bloom_plan,
     )
 
     register_testdata(spark, sf_dir, tables=("lineitem", "orders"))
@@ -2121,7 +2122,7 @@ def q_join_bloom_pruned(spark, sf_dir):
     pruned = bloom_pruned_semi_join(
         li, urgent, li.l_orderkey == urgent.o_orderkey
     )
-    return (
+    return freeze_bloom_plan(
         pruned.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

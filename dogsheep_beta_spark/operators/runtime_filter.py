@@ -39,18 +39,34 @@ def bloom_pruned_semi_join(
 ) -> DataFrame:
     """fact ⋉ dim with a Catalyst-injected bloom runtime filter.
 
+    The SHUFFLE_HASH hint keeps the dim side out of a broadcast (at
+    100 TB a selective dim doesn't broadcast; the hint makes local mode
+    execute that same shape).  NOTE: transformations applied AFTER this
+    join build a fresh QueryExecution that re-optimizes under the
+    session's live confs — finish composing the query, then call
+    ``freeze_bloom_plan`` on the FINAL DataFrame."""
+    return fact.join(dim.hint("SHUFFLE_HASH"), cond, "left_semi")
+
+
+def freeze_bloom_plan(df: DataFrame) -> DataFrame:
+    """Force Catalyst to optimize ``df`` NOW under the 100-TB-regime
+    runtime-filter confs, then restore the session.
+
     InjectRuntimeFilter (correctly) skips joins whose dim side is
     broadcastable-by-size — a broadcast join probes map-side anyway, so
     a bloom filter would be pure overhead.  At 100 TB a selective dim
     is far above the broadcast threshold and injection fires on its
     own; locally the KB-sized dim would suppress the very plan we need
     to pin.  So the local-mode shim: temporarily drop the broadcast
-    threshold, force Catalyst to optimize NOW (QueryExecution caches
-    its optimized plan, so the injected bloom survives), then restore
-    every session conf — later queries in the shared driver session
-    keep their broadcast plans."""
-    spark = fact.sparkSession
-    joined = fact.join(dim.hint("SHUFFLE_HASH"), cond, "left_semi")
+    threshold and size gates, materialize the optimized logical plan
+    (the DataFrame's QueryExecution caches it, so the injected bloom
+    survives execution), then restore every conf — later queries in
+    the shared driver session keep their broadcast plans.
+
+    Must be called on the LAST DataFrame of the query: any further
+    transformation re-optimizes from the logical plan under live confs
+    and silently drops the injected filter."""
+    spark = df.sparkSession
     overrides = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter."
@@ -61,13 +77,11 @@ def bloom_pruned_semi_join(
     try:
         for k, v in overrides.items():
             spark.conf.set(k, v)
-        # materialize the optimized logical plan under the 100-TB-regime
-        # confs; the DataFrame's QueryExecution caches it for execution
-        joined._jdf.queryExecution().optimizedPlan()
+        df._jdf.queryExecution().optimizedPlan()
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return joined
+    return df

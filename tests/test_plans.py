@@ -292,6 +292,7 @@ def test_bloom_runtime_filter_injected(spark):
     — the shuffled-bytes ∝ matches contract at 100 TB."""
     from dogsheep_beta_spark.operators.runtime_filter import (
         bloom_pruned_semi_join,
+        freeze_bloom_plan,
     )
 
     register_testdata(spark, SF_DIR, tables=("lineitem", "orders"))
@@ -299,9 +300,19 @@ def test_bloom_runtime_filter_injected(spark):
     dim = spark.table("orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey")
-    j = bloom_pruned_semi_join(li, dim, li.l_orderkey == dim.o_orderkey)
+    j = freeze_bloom_plan(
+        bloom_pruned_semi_join(li, dim, li.l_orderkey == dim.o_orderkey)
+    )
     opt = j._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in opt and "bloom_filter_agg" in opt
+    # the DECLARED query must carry the filter in its final plan too —
+    # downstream transforms re-optimize and would silently drop it if
+    # the freeze were applied to an intermediate DataFrame
+    import __spark_entry__ as entry
+
+    q = entry.q_join_bloom_pruned(spark, SF_DIR)
+    qopt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in qopt and "bloom_filter_agg" in qopt
     # overapproximation + exact join == plain semi-join
     plain = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi")
     assert sorted(r["l_orderkey"] for r in j.select("l_orderkey").collect()) == sorted(
