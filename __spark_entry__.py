@@ -2086,6 +2086,44 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_streaming_ivf_upsert(spark, sf_dir):
+    """Streaming ANN-index maintenance (streaming/incremental.py:
+    streaming_ivf_upsert): the embeddings table replayed as a stream,
+    each micro-batch Voronoi-assigned against the PERSISTED centroid
+    table and appended into a fresh cell-partitioned layout.  The final
+    at-rest state must equal the batch assignment — per-cell counts
+    and id ranges are the oracle-checked fingerprint of that state."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import streaming_ivf_upsert
+
+    _, cents = _ivf_layout(spark, sf_dir)  # persisted broadcast-sized table
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_emb_stream_")
+    os.symlink(path, os.path.join(stream_dir, "embeddings.parquet"))
+    work = tempfile.mkdtemp(prefix="dbs_ivf_upsert_")
+    layout = os.path.join(work, "cells")
+    ckpt = os.path.join(work, "ckpt")
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    q = streaming_ivf_upsert(stream, cents, layout, ckpt)
+    q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    out = (
+        spark.read.parquet(layout)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+            F.max("vec_id").cast("long").alias("max_vec"),
+        )
+        .orderBy("cell")
+    )
+    return out
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
     add-1-smoothed conditional bigram NLL per doc, one persisted bigram
@@ -2248,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "csv_source_ingest": q_csv_source_ingest,
         "text_bigram_nll": q_text_bigram_nll,
+        "streaming_ivf_upsert": q_streaming_ivf_upsert,
     }
 
 
@@ -3822,6 +3861,37 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # the streamed, appended layout must equal the batch Voronoi
+        # assignment against the label-cell centroids — same rounded
+        # argmax + lowest-cell tiebreak as voronoi_assign.
+        "streaming_ivf_upsert": _EMB_CTE
+        + f"""
+            , dims AS (
+                SELECT label, generate_subscripts(v, 1) - 1 AS dim,
+                       unnest(v) AS x
+                FROM e
+            ), cdim AS (
+                SELECT label, dim, AVG(x) AS mx FROM dims GROUP BY label, dim
+            ), cents AS (
+                SELECT label, list(mx ORDER BY dim) AS centroid
+                FROM cdim GROUP BY label
+            ), asg AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, cents.label AS cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_COS.format(a='e.v', b='cents.centroid')}
+                                            DESC,
+                                        cents.label
+                           ) AS rn
+                    FROM e CROSS JOIN cents
+                ) WHERE rn = 1
+            )
+            SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vecs,
+                   CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+                   CAST(MAX(vec_id) AS BIGINT) AS max_vec
+            FROM asg GROUP BY cell ORDER BY cell
         """,
         # add-1-smoothed conditional bigram LM, mirrored exactly:
         # P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), natural log, parallel

@@ -406,3 +406,61 @@ def streaming_sessionize(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN-index maintenance: IVF cell upsert
+# ---------------------------------------------------------------------------
+
+
+def merge_ivf_batch(
+    batch_df: DataFrame,
+    cents: DataFrame,
+    layout_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """foreachBatch body: Voronoi-assign the micro-batch of embeddings
+    against the PERSISTED centroid table and append the rows into the
+    cell-partitioned IVF layout — the embedding-index twin of the
+    incremental FTS maintenance above.
+
+    Append-only is correct here: partition-wise parquet appends are
+    atomic per file, a probe reads whole cell directories, and centroid
+    drift is an offline concern (periodic ``write_ivf`` rebuild, like
+    the reference's full FTS rebuild) — the streaming path never
+    recomputes centroids, so each batch is one broadcast join + one
+    partitioned write, O(batch) work regardless of index size."""
+    from dogsheep_beta_spark.operators.similarity import voronoi_assign
+
+    assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(layout_path)
+    )
+
+
+def streaming_ivf_upsert(
+    stream_df: DataFrame,
+    cents: DataFrame,
+    layout_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Wire an embedding stream into the IVF layout via foreachBatch."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_ivf_batch(
+                bdf, cents, layout_path, id_col, vec_col
+            )
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

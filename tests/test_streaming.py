@@ -343,3 +343,53 @@ def test_delete_fts_docs_tombstones(spark, tmpdir):
     # idempotent: deleting an absent key is a no-op
     delete_fts_docs(spark, deletes, index_path, fts_path)
     assert {r["key"] for r in spark.read.parquet(index_path).collect()} == {"1", "3"}
+
+
+def test_streaming_ivf_upsert_converges_to_batch(spark, tmpdir):
+    """Micro-batched embedding ingest (maxFilesPerTrigger=1, so the
+    assignment genuinely happens incrementally) must leave the same
+    cell-partitioned state as one batch Voronoi assignment."""
+    import numpy as np
+
+    from dogsheep_beta_spark.operators.similarity import (
+        centroids,
+        voronoi_assign,
+    )
+    from dogsheep_beta_spark.streaming.incremental import streaming_ivf_upsert
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        cell = i % 4
+        base = np.zeros(8)
+        base[cell] = 1.0
+        v = base + rng.standard_normal(8) * 0.05
+        rows.append((i, [float(x) for x in v], cell))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = centroids(df, "embedding", "label")
+
+    src = os.path.join(tmpdir, "src")
+    df.repartition(4).write.parquet(src)  # several files -> several batches
+    layout = os.path.join(tmpdir, "cells")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_ivf_upsert(stream, cents, layout, ckpt)
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(layout).select("vec_id", "cell").collect()
+    }
+    batch = {
+        (r["vec_id"], int(r["cell"]))
+        for r in voronoi_assign(df, "vec_id", "embedding", cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) == 40
+    # the at-rest layout is hive-partitioned by cell (probe prunes dirs)
+    assert any(d.startswith("cell=") for d in os.listdir(layout))
