@@ -2086,6 +2086,31 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_sample_curriculum_deciles(spark, sf_dir):
+    """Curriculum quality deciles (operators/sampling.py:value_deciles):
+    NOT a global ntile window (one-partition collapse) — n-1 exact
+    percentile thresholds from one partial-agg pass, broadcast back,
+    rows bucketed map-side.  Report = per-decile doc counts + score
+    band."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.sampling import value_deciles
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        value_deciles(d, "quality", 10)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_streaming_ivf_upsert(spark, sf_dir):
     """Streaming ANN-index maintenance (streaming/incremental.py:
     streaming_ivf_upsert): the embeddings table replayed as a stream,
@@ -2287,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_ingest": q_csv_source_ingest,
         "text_bigram_nll": q_text_bigram_nll,
         "streaming_ivf_upsert": q_streaming_ivf_upsert,
+        "sample_curriculum_deciles": q_sample_curriculum_deciles,
     }
 
 
@@ -3861,6 +3887,29 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # value-threshold deciles mirrored: same interpolated quantile
+        # thresholds (exact order statistics — bit-identical), same
+        # strictly-greater bucketing, ties fall to the lower decile.
+        "sample_curriculum_deciles": ORACLE_DOC_TOKENS
+        + _quality_cte("qual")
+        + f"""
+            , scored AS (SELECT doc_id, {_QUALITY_EXPR} AS q FROM qual)
+            , thr AS (
+                SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS t
+                FROM scored
+            )
+            , dd AS (
+                SELECT doc_id, q,
+                       1 + list_sum(list_transform(thr.t,
+                           x -> CASE WHEN q > x THEN 1 ELSE 0 END)) AS decile
+                FROM scored CROSS JOIN thr
+            )
+            SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+                   ROUND(AVG(q), 6) AS avg_quality,
+                   MIN(q) AS min_quality, MAX(q) AS max_quality
+            FROM dd GROUP BY decile ORDER BY decile
         """,
         # the streamed, appended layout must equal the batch Voronoi
         # assignment against the label-cell centroids — same rounded

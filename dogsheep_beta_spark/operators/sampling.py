@@ -158,3 +158,43 @@ def quality_weighted_sample(
     p = F.least(F.greatest(F.col(p_col), F.lit(0.0)), F.lit(1.0))
     thr = F.round(p * 1_000_000).cast("long")
     return df.where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
+
+
+def value_deciles(
+    df: DataFrame, score_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Adds ``decile`` (1..n_buckets): value-threshold quantile buckets
+    over ``score_col`` — the curriculum-ordering primitive (train on
+    top-decile docs first, drop the bottom decile, mix by bucket).
+
+    Scale shape: NOT ``ntile()`` — a global NTILE window collapses to
+    one partition.  Instead the n-1 interpolated quantile thresholds
+    come from ONE partial-aggregated ``percentile`` pass (exact order
+    statistics — bit-identical across engines), broadcast back as a
+    1-row array, and each row buckets map-side by counting thresholds
+    strictly below its score.  Rows tied with a threshold fall in the
+    LOWER bucket; at 100 TB swap ``percentile`` for
+    ``percentile_approx`` (t-digest) with the same query shape.
+
+    Threshold-bucketing is deliberately NOT row-count-balanced under
+    heavy ties (every tied row lands in one bucket) — that is the
+    semantics a quality curriculum wants: equal scores, equal
+    treatment."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = df.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(str(q) + 'D' for q in qs)}))"
+        ).alias("__thr")
+    )
+    return df.crossJoin(F.broadcast(thr)).select(
+        df["*"],
+        (
+            1
+            + F.aggregate(
+                F.col("__thr"),
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.col(score_col) > t, 1).otherwise(0),
+            )
+        ).cast("int").alias("decile"),
+    )

@@ -952,3 +952,25 @@ def test_bigram_nll_hand_computed(spark):
     # short / empty docs: zero bigrams, NULL score
     assert out[3]["n_bigrams"] == 0 and out[3]["nll"] is None
     assert out[4]["n_bigrams"] == 0 and out[4]["nll"] is None
+
+
+def test_value_deciles_thresholds_and_ties(spark):
+    from dogsheep_beta_spark.operators.sampling import value_deciles
+
+    # 100 distinct scores 0..99 -> exact 10-per-decile split
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id int, s double"
+    )
+    out = value_deciles(df, "s", 10)
+    per = {
+        r["decile"]: r["n"]
+        for r in out.groupBy("decile").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {d: 10 for d in range(1, 11)}
+    # monotone: higher score never lands in a lower decile
+    rows = sorted((r["s"], r["decile"]) for r in out.collect())
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    # heavy ties: all-equal scores collapse into ONE bucket
+    tied = spark.createDataFrame([(i, 5.0) for i in range(20)], "id int, s double")
+    buckets = {r["decile"] for r in value_deciles(tied, "s", 10).collect()}
+    assert len(buckets) == 1
