@@ -2086,6 +2086,16 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """Estimator-calibration report (dedup.py:minhash_calibration):
+    per-bin MinHash signature-agreement estimate vs exact Jaccard over
+    the LSH candidates — the curve a deployment reads before trusting
+    signature-only thresholds at scale."""
+    from dogsheep_beta_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(_documents(spark, sf_dir), "doc_id", "text")
+
+
 def q_sample_curriculum_deciles(spark, sf_dir):
     """Curriculum quality deciles (operators/sampling.py:value_deciles):
     NOT a global ntile window (one-partition collapse) — n-1 exact
@@ -2313,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_nll": q_text_bigram_nll,
         "streaming_ivf_upsert": q_streaming_ivf_upsert,
         "sample_curriculum_deciles": q_sample_curriculum_deciles,
+        "dedup_minhash_calibration": q_dedup_minhash_calibration,
     }
 
 
@@ -2502,6 +2513,73 @@ SELECT c.a, c.b, ROUND(j.jaccard, 6) AS jaccard
 FROM cand c JOIN jac j ON c.a = j.a AND c.b = j.b
 ORDER BY jaccard DESC, c.a, c.b
 LIMIT 50
+"""
+    )
+
+
+def _minhash_calibration_oracle(bins: int = 8) -> str:
+    """Per-bin calibration of the MinHash estimator vs exact Jaccard —
+    mirrors operators/dedup.py:minhash_calibration (same signature
+    family, same candidates, same binning)."""
+    from dogsheep_beta_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(16)
+
+    def mh(i):
+        a, b = params[i]
+        return (
+            f"list_min(list_transform(hbase, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        )
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, CAST({mh(2 * bi)} AS VARCHAR) || '|' || "
+        f"CAST({mh(2 * bi + 1)} AS VARCHAR) AS bucket "
+        "FROM shb WHERE len(shingles) > 0"
+        for bi in range(8)
+    )
+    sig_list = ", ".join(mh(i) for i in range(16))
+    return (
+        ORACLE_SHINGLES3
+        + f"""
+, shb AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_PRIME})
+               AS hbase
+    FROM sh
+)
+, banded AS ({bands})
+, cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+, cids AS (SELECT a AS id FROM cand UNION SELECT b FROM cand)
+, cs AS (SELECT * FROM s WHERE doc_id IN (SELECT id FROM cids))
+, csz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id)
+"""
+        + _JACCARD_TAIL.format(src="cs", szsrc="csz")
+        + f"""
+, sigs AS (
+    SELECT doc_id, [{sig_list}] AS sig
+    FROM shb WHERE len(shingles) > 0
+)
+, scored AS (
+    SELECT c.a, c.b, j.jaccard,
+           list_sum(list_transform(range(16),
+               i -> CASE WHEN xs.sig[i + 1] = ys.sig[i + 1]
+                    THEN 1 ELSE 0 END)) / 16.0 AS est
+    FROM cand c
+    JOIN jac j ON c.a = j.a AND c.b = j.b
+    JOIN sigs xs ON xs.doc_id = c.a
+    JOIN sigs ys ON ys.doc_id = c.b
+)
+SELECT CAST(least(floor(est * {bins}), {bins - 1}) AS INT) AS bin,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(est), 6) AS avg_est,
+       ROUND(AVG(jaccard), 6) AS avg_jaccard,
+       ROUND(AVG(ABS(est - jaccard)), 6) AS mae
+FROM scored GROUP BY bin ORDER BY bin
 """
     )
 
@@ -3337,6 +3415,7 @@ ORDER BY rank, type, "key"
             GROUP BY lang ORDER BY lang
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_minhash_calibration": _minhash_calibration_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """
             , hs AS (

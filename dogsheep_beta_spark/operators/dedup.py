@@ -774,3 +774,76 @@ def verbatim_overlap_pairs(
         .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("overlap_tokens"))
         .where(F.col("overlap_tokens") >= min_tokens)
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    bins: int = 8,
+) -> DataFrame:
+    """(bin, n_pairs, avg_est, avg_jaccard, mae) — does the MinHash
+    estimator actually track exact Jaccard on THIS corpus?
+
+    For every LSH candidate pair, the signature-agreement estimate
+    (fraction of equal minhash components — the textbook unbiased
+    Jaccard estimator) is joined against the exact shingle Jaccard the
+    verifier computed, and binned.  Per-bin mean estimate vs mean exact
+    vs mean |error| is the calibration curve a deployment reads before
+    trusting thresholds at 100 TB, where exact verification of every
+    pair is the expensive step being traded away.
+
+    Same signature family as ``minhash_lsh_pairs`` (identical
+    ``minhash_params`` constants), so the report audits exactly the
+    estimator in production.  One extra map-pass over the corpus to
+    rebuild signatures — a diagnostic, not a hot path."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, n_hashes, bands)
+    pre = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
+    s = pre.select("id", F.explode("shingles").alias("shingle"))
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    params = minhash_params(n_hashes)
+    sigs = s.groupBy("id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    xs = sigs.select(
+        F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]
+    )
+    ys = sigs.select(
+        F.col("id").alias("b"), *[F.col(f"m{i}").alias(f"ym{i}") for i in range(n_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"xm{i}") == F.col(f"ym{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    scored = (
+        pairs.join(xs, "a")
+        .join(ys, "b")
+        .select("a", "b", "jaccard", agree.alias("est"))
+    )
+    b = F.least(F.floor(F.col("est") * bins), F.lit(bins - 1)).cast("int")
+    return (
+        scored.select(b.alias("bin"), "est", "jaccard")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est"), 6).alias("avg_est"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias("mae"),
+        )
+        .orderBy("bin")
+    )

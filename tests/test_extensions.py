@@ -974,3 +974,24 @@ def test_value_deciles_thresholds_and_ties(spark):
     tied = spark.createDataFrame([(i, 5.0) for i in range(20)], "id int, s double")
     buckets = {r["decile"] for r in value_deciles(tied, "s", 10).collect()}
     assert len(buckets) == 1
+
+
+def test_minhash_calibration_identical_docs_bin(spark, docs):
+    """Identical docs (jaccard 1.0) must land in the top bin with
+    est = 1.0 and zero error; every bin's MAE stays within the
+    theoretical sd of a 16-component estimator (~0.125) + slack."""
+    ident = docs.sparkSession.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    only = dd.minhash_calibration(ident, "doc_id", "text").collect()
+    assert len(only) == 1
+    r = only[0]
+    assert r["bin"] == 7 and r["avg_est"] == 1.0
+    assert r["avg_jaccard"] == 1.0 and r["mae"] == 0.0
+    # mixed corpus: every bin's MAE within the 16-component estimator's
+    # theoretical sd (~0.125) + slack, bins in range
+    out = dd.minhash_calibration(docs, "doc_id", "text").collect()
+    assert out
+    for r in out:
+        assert 0 <= r["bin"] <= 7 and r["mae"] <= 0.3
