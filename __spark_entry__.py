@@ -2086,6 +2086,20 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (functions/text.py:
+    char_entropy_table): bits/char per document via the single-pass
+    ln(n) − Σc·ln(c)/n identity — the pure-SQL twin of the zlib
+    compressibility score."""
+    from dogsheep_beta_spark.functions.text import char_entropy_table
+
+    return (
+        char_entropy_table(_documents(spark, sf_dir), "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "n_chars", "entropy_bits")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_minhash_calibration(spark, sf_dir):
     """Estimator-calibration report (dedup.py:minhash_calibration):
     per-bin MinHash signature-agreement estimate vs exact Jaccard over
@@ -2324,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_upsert": q_streaming_ivf_upsert,
         "sample_curriculum_deciles": q_sample_curriculum_deciles,
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 
@@ -3966,6 +3981,30 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # single-pass entropy identity H = ln(n) - Σ c·ln(c) / n,
+        # identical char extraction (substr walk) in both engines.
+        "text_char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, unnest(list_transform(
+                           range(length(coalesce(text, ''))),
+                           i -> substr(text, CAST(i + 1 AS INT), 1))) AS ch
+                FROM documents
+            )
+            , per AS (
+                SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+            )
+            , st AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                       ROUND((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c))
+                             / ln(2.0), 6) AS entropy_bits
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(st.n_chars, 0) AS BIGINT) AS n_chars,
+                   st.entropy_bits
+            FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # value-threshold deciles mirrored: same interpolated quantile
         # thresholds (exact order statistics — bit-identical), same

@@ -394,3 +394,53 @@ def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None
             "nll",
         )
     )
+
+
+def char_entropy_table(df, id_col: str, text_col: str):
+    """(id, n_chars, entropy_bits) — Shannon entropy of the character
+    distribution per document, in bits/char.  The standard encoded-blob
+    detector in public cleaning pipelines: base64 dumps and minified
+    blobs sit near the alphabet's max entropy, repeated-padding spam
+    sits near 0, natural prose lands in between (~4 bits for English).
+    Complements the zlib compressibility signal with a pure-SQL twin.
+
+    Plan: one char explode → (id, char) counts → per-doc aggregation;
+    partial aggregation bounds the shuffle by distinct (doc, char)
+    pairs (≤ alphabet size per doc), never raw character rows.  The
+    entropy uses the single-pass identity H = ln(n) − Σc·ln(c)/n (no
+    second join or window for the per-doc total).  Empty and NULL docs
+    return n_chars = 0 with NULL entropy."""
+    import math
+
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        # sequence(1, 0) auto-reverses to [1, 0] in Spark, so empty/NULL
+        # text must map to an empty array, not two empty-string chars
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(coalesce({text_col}, '')) > 0 THEN "
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substring({text_col}, i, 1)) "
+                f"ELSE array() END"
+            )
+        ).alias("ch"),
+    )
+    per = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    stats = per.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.round(
+            (F.log(n) - F.sum(F.col("c") * F.log("c")) / n)
+            / F.lit(math.log(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            "entropy_bits",
+        )
+    )

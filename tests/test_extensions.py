@@ -995,3 +995,26 @@ def test_minhash_calibration_identical_docs_bin(spark, docs):
     assert out
     for r in out:
         assert 0 <= r["bin"] <= 7 and r["mae"] <= 0.3
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from dogsheep_beta_spark.functions.text import char_entropy_table
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in char_entropy_table(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_bits"] == 0.0          # single symbol
+    assert out[2]["entropy_bits"] == 1.0          # two equiprobable symbols
+    assert out[3]["entropy_bits"] == 2.0          # four equiprobable symbols
+    assert out[3]["n_chars"] == 4
+    assert out[4]["n_chars"] == 0 and out[4]["entropy_bits"] is None
+    assert out[5]["n_chars"] == 0 and out[5]["entropy_bits"] is None
+    # skewed: H(1/4, 3/4) hand-computed
+    df2 = spark.createDataFrame([(9, "aaab")], "doc_id int, text string")
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    got = char_entropy_table(df2, "doc_id", "text").collect()[0]["entropy_bits"]
+    assert abs(got - round(h, 6)) < 1e-9
