@@ -2086,6 +2086,21 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_events_robust_outliers(spark, sf_dir):
+    """Robust per-user outlier detection (temporal.py:robust_outliers):
+    median/MAD z-score over event values — two grouped exact-percentile
+    shuffles, joined back map-side.  z > 2 flags the spike events."""
+    from dogsheep_beta_spark.operators.temporal import robust_outliers
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    return (
+        robust_outliers(ev, "user_id", "value", z_threshold=2.0)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "robust_z")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_text_char_entropy(spark, sf_dir):
     """Character-entropy quality signal (functions/text.py:
     char_entropy_table): bits/char per document via the single-pass
@@ -2339,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_curriculum_deciles": q_sample_curriculum_deciles,
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
         "text_char_entropy": q_text_char_entropy,
+        "events_robust_outliers": q_events_robust_outliers,
     }
 
 
@@ -3981,6 +3997,33 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # median/MAD robust z-score, exact group percentiles both
+        # sides; MAD = 0 groups flag nothing by definition.
+        "events_robust_outliers": """
+            WITH med AS (
+                SELECT user_id, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY user_id
+            )
+            , wm AS (
+                SELECT e.event_id, e.user_id, e.value, med.med
+                FROM events e JOIN med USING (user_id)
+            )
+            , mad AS (
+                SELECT user_id, quantile_cont(abs(value - med), 0.5) AS mad
+                FROM wm GROUP BY user_id
+            )
+            , sc AS (
+                SELECT wm.user_id, wm.event_id,
+                       ROUND(wm.value, 6) AS value,
+                       ROUND(abs(wm.value - wm.med) / (1.4826 * mad.mad), 6)
+                           AS robust_z,
+                       mad.mad
+                FROM wm JOIN mad USING (user_id)
+            )
+            SELECT user_id, event_id, value, robust_z
+            FROM sc WHERE mad > 0 AND robust_z > 2.0
+            ORDER BY user_id, event_id
         """,
         # single-pass entropy identity H = ln(n) - Σ c·ln(c) / n,
         # identical char extraction (substr walk) in both engines.

@@ -189,31 +189,38 @@ def porter_stem(word: str) -> str:
     return _porter_ascii(word)
 
 
+def _ends(w: str, suffix: str) -> bool:
+    """FTS5's fts5PorterEndsWith contract: the suffix must be PROPER
+    (strictly shorter than the word) to match — a bare suffix word
+    ('ies', 'sses', 'eed') falls through to the later, shorter rules
+    exactly as fts5_tokenize.c does."""
+    return len(w) > len(suffix) and w.endswith(suffix)
+
+
 def _porter_ascii(word: str) -> str:
     if len(word) <= 2:
         return word
     w = word
 
     # Step 1a
-    if w.endswith("sses"):
+    if _ends(w, "sses"):
         w = w[:-2]
-    elif w.endswith("ies"):
+    elif _ends(w, "ies"):
         w = w[:-2]
-    elif w.endswith("ss"):
-        pass
-    elif w.endswith("s"):
+    elif w[-1] == "s" and w[-2] != "s":
         w = w[:-1]
 
-    # Step 1b
-    if w.endswith("eed"):
+    # Step 1b ('eed' failing the proper-suffix test falls THROUGH to
+    # the 'ed' rule — fts5: 'eed' -> 'e' via ed-removal)
+    if _ends(w, "eed"):
         if _measure(w[:-3]) > 0:
             w = w[:-1]
     else:
         flag = False
-        if w.endswith("ed") and _has_vowel(w[:-2]):
+        if _ends(w, "ed") and _has_vowel(w[:-2]):
             w = w[:-2]
             flag = True
-        elif w.endswith("ing") and _has_vowel(w[:-3]):
+        elif _ends(w, "ing") and _has_vowel(w[:-3]):
             w = w[:-3]
             flag = True
         if flag:
@@ -225,12 +232,12 @@ def _porter_ascii(word: str) -> str:
                 w += "e"
 
     # Step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
+    if _ends(w, "y") and _has_vowel(w[:-1]):
         w = w[:-1] + "i"
 
     # Step 2
     for suf, rep in _STEP2:
-        if w.endswith(suf):
+        if _ends(w, suf):
             stem = w[: -len(suf)]
             if _measure(stem) > 0:
                 w = stem + rep
@@ -238,7 +245,7 @@ def _porter_ascii(word: str) -> str:
 
     # Step 3
     for suf, rep in _STEP3:
-        if w.endswith(suf):
+        if _ends(w, suf):
             stem = w[: -len(suf)]
             if _measure(stem) > 0:
                 w = stem + rep
@@ -246,7 +253,7 @@ def _porter_ascii(word: str) -> str:
 
     # Step 4
     for suf in _STEP4:
-        if w.endswith(suf):
+        if _ends(w, suf):
             stem = w[: -len(suf)]
             if suf == "ion":
                 if stem.endswith(("s", "t")) and _measure(stem) > 1:

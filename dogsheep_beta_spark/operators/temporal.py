@@ -244,3 +244,48 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value is a robust outlier within its key group:
+    |v − median| > z · 1.4826 · MAD — the median/MAD z-score that a
+    telemetry or metrics pipeline runs instead of mean/stddev (one bad
+    sensor spike corrupts a mean; the median shrugs it off).
+
+    Plan: two grouped EXACT percentile aggregations (median, then
+    median absolute deviation) — each a partial-aggregated shuffle on
+    the key, joined back map-side.  At 100 TB swap ``percentile`` for
+    ``percentile_approx`` per group, same shape.  Groups with MAD = 0
+    (over half the values identical) flag nothing: a degenerate scale
+    estimate must not turn every tie-breaking row into an "outlier".
+
+    Adds ``robust_z`` (rounded 6dp) to the surviving rows."""
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(med, key_col)
+    mad = (
+        with_med.groupBy(key_col)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+        )
+    )
+    scored = with_med.join(mad, key_col).withColumn(
+        "robust_z",
+        F.round(
+            F.abs(F.col(value_col) - F.col("__med"))
+            / (F.lit(1.4826) * F.col("__mad")),
+            6,
+        ),
+    )
+    return (
+        scored.where(
+            (F.col("__mad") > 0) & (F.col("robust_z") > F.lit(z_threshold))
+        )
+        .drop("__med", "__mad")
+    )

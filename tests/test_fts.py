@@ -430,3 +430,22 @@ def _fts5_terms_porter(text):
     terms = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
     con.close()
     return terms
+
+
+def test_porter_proper_suffix_parity_goldens():
+    """FTS5's fts5PorterEndsWith only matches PROPER suffixes, so
+    bare-suffix words fall through to shorter rules ('ies'->'ie' via
+    the s-rule, 'sses'->'sse', 'eed'->'e' via the ed-rule).  Probed
+    against real FTS5 (hypothesis counterexample 'iès' round 3)."""
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py, porter_stem
+
+    goldens = {
+        "ies": "ie", "sses": "sse", "eed": "e", "ed": "ed", "ing": "ing",
+        "ties": "ti", "caresses": "caress", "agreed": "agre",
+        "as": "as", "gas": "ga", "this": "thi", "atlas": "atla",
+        "ational": "ation", "eing": "e", "ooed": "oo",
+    }
+    for w, exp in goldens.items():
+        assert porter_stem(w) == exp, (w, porter_stem(w), exp)
+    # the original counterexample: diacritic fold then byte-Porter
+    assert analyze_py("iès", "unicode61", stem=True) == ["ie"]

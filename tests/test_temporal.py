@@ -253,3 +253,20 @@ def test_scd2_intervals_collapse_and_null_safety(spark):
         (1, "a", 0, 2, 0), (1, "b", 2, 4, 0), (1, "a", 4, None, 1),
         (2, None, 0, 2, 0), (2, "x", 2, 3, 0), (2, None, 3, None, 1),
     ]
+
+
+def test_robust_outliers_median_mad(spark):
+    from dogsheep_beta_spark.operators.temporal import robust_outliers
+
+    # group a: values 1..9 (med 5, |dev| med 2) + one wild spike
+    rows = [("a", i, float(i)) for i in range(1, 10)] + [("a", 99, 100.0)]
+    # group b: constant values -> MAD 0 -> never flags, even the odd one out
+    rows += [("b", i, 7.0) for i in range(5)] + [("b", 50, 7.5)]
+    df = spark.createDataFrame(rows, "k string, event_id int, value double")
+    out = robust_outliers(df, "k", "value", z_threshold=3.0).collect()
+    flagged = {(r["k"], r["event_id"]) for r in out}
+    assert flagged == {("a", 99)}
+    z = [r["robust_z"] for r in out if r["event_id"] == 99][0]
+    # med=5.5 over 10 values? exact: median of [1..9,100] = 5.5; MAD of
+    # |v-5.5| = [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5] -> median 2.5
+    assert abs(z - round(abs(100 - 5.5) / (1.4826 * 2.5), 6)) < 1e-9
