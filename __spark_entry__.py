@@ -2086,6 +2086,27 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (temporal.py:funnel_steps): per-user
+    earliest view → click → purchase completion, aggregated into the
+    stage-count conversion report.  Monotonically shrinking key-joins,
+    one partial-aggregated shuffle per stage."""
+    from dogsheep_beta_spark.operators.temporal import funnel_steps
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    f = funnel_steps(
+        spark.table("events"), "user_id", "event_type", "ts",
+        ["view", "click", "purchase"],
+    )
+    return f.agg(
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click"),
+        F.count("t3").cast("long").alias("n_purchase"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("click_rate"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("purchase_rate"),
+    )
+
+
 def q_events_robust_outliers(spark, sf_dir):
     """Robust per-user outlier detection (temporal.py:robust_outliers):
     median/MAD z-score over event values — two grouped exact-percentile
@@ -2355,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
         "text_char_entropy": q_text_char_entropy,
         "events_robust_outliers": q_events_robust_outliers,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -3997,6 +4019,32 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # stage-by-stage strictly-after funnel, mirrored per stage.
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            )
+            , s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            )
+            , s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+                   ROUND((SELECT COUNT(*) FROM s2) * 1.0
+                         / (SELECT COUNT(*) FROM s1), 6) AS click_rate,
+                   ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                         / (SELECT COUNT(*) FROM s2), 6) AS purchase_rate
         """,
         # median/MAD robust z-score, exact group percentiles both
         # sides; MAD = 0 groups flag nothing by definition.

@@ -289,3 +289,43 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """(key, t1..tn): earliest strictly-ordered completion time of each
+    funnel stage per key — t_i is the first ``steps[i]`` event AFTER
+    t_{i-1}, NULL from the first broken stage on.  The classic product
+    funnel (view → click → purchase) as pure relational algebra.
+
+    Plan: one filtered min-aggregate per stage (n-1 equi-joins on the
+    key, each bounded by survivors of the previous stage — the funnel
+    SHRINKS monotonically, so later stages join ever-smaller sets).
+    Each stage is a partial-aggregated shuffle on the key; no windows,
+    no per-key state, no event-order assumptions."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.select(
+            F.col(key_col).alias("key"),
+            F.col(type_col).alias("__ty"),
+            F.col(ts_col).alias("__ts"),
+        ).where(F.col("__ty") == step)
+        nxt = (
+            ev.join(out.select("key", f"t{i - 1}"), "key")
+            .where(F.col("__ts") > F.col(f"t{i - 1}"))
+            .groupBy("key")
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "key", "left")
+    return out

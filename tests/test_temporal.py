@@ -270,3 +270,30 @@ def test_robust_outliers_median_mad(spark):
     # med=5.5 over 10 values? exact: median of [1..9,100] = 5.5; MAD of
     # |v-5.5| = [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5] -> median 2.5
     assert abs(z - round(abs(100 - 5.5) / (1.4826 * 2.5), 6)) < 1e-9
+
+
+def test_funnel_steps_strict_order_and_breaks(spark):
+    from dogsheep_beta_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1 completes in order
+        (1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),
+        # u2: click BEFORE view -> funnel breaks at click
+        (2, "click", 5.0), (2, "view", 10.0), (2, "purchase", 30.0),
+        # u3: view only
+        (3, "view", 1.0),
+        # u4: never views (purchase alone doesn't count)
+        (4, "purchase", 1.0),
+        # u5: completes; earliest qualifying times picked, not earliest overall
+        (5, "view", 10.0), (5, "click", 8.0), (5, "click", 12.0),
+        (5, "purchase", 11.0), (5, "purchase", 15.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts double")
+    out = {r["key"]: r for r in funnel_steps(df, "user_id", "event_type", "ts",
+                                             ["view", "click", "purchase"]).collect()}
+    assert out[1]["t3"] == 30.0
+    # u2's only click (t=5) precedes the first view (t=10): broken funnel
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[3]["t2"] is None
+    assert 4 not in out  # never entered the funnel
+    assert (out[5]["t1"], out[5]["t2"], out[5]["t3"]) == (10.0, 12.0, 15.0)
