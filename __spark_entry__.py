@@ -2086,6 +2086,44 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_sessions_error_overlap(spark, sf_dir):
+    """Interval-overlap join (temporal.py:interval_join): user sessions
+    × ±120 s error windows, canonical-bucket candidate generation (one
+    equi-join on (user, bucket), no distinct re-shuffle), exact overlap
+    refine.  Per-session count of overlapping error windows."""
+    from dogsheep_beta_spark.operators.temporal import (
+        interval_join,
+        session_stats,
+    )
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events")
+    sessions = session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    ).select(
+        "user_id",
+        "session_seq",
+        F.unix_micros("session_start").alias("s_start"),
+        # half-open: a session is a closed point set; +1µs keeps
+        # zero-length (single-event) sessions non-empty
+        (F.unix_micros("session_end") + 1).alias("s_end"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        "event_id",
+        (F.unix_micros("ts") - 120_000_000).alias("w_start"),
+        (F.unix_micros("ts") + 120_000_000).alias("w_end"),
+    ).withColumnRenamed("e_user", "user_id")
+    pairs = interval_join(
+        sessions, errors, ["user_id"], "s_start", "s_end", "w_start", "w_end"
+    )
+    return (
+        pairs.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_error_windows"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel analysis (temporal.py:funnel_steps): per-user
     earliest view → click → purchase completion, aggregated into the
@@ -2377,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": q_text_char_entropy,
         "events_robust_outliers": q_events_robust_outliers,
         "events_funnel": q_events_funnel,
+        "sessions_error_overlap": q_sessions_error_overlap,
     }
 
 
@@ -4019,6 +4058,43 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # sessions × error-windows overlap in integer epoch-µs on both
+        # sides (identical truncation), plain inequality join as oracle.
+        "sessions_error_overlap": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_seq
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, session_seq,
+                       epoch_us(MIN(ts)) AS s_start,
+                       epoch_us(MAX(ts)) + 1 AS s_end
+                FROM sess GROUP BY user_id, session_seq
+            ), errwin AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) - 120000000 AS w_start,
+                       epoch_us(ts) + 120000000 AS w_end
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT s.user_id, s.session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_error_windows
+            FROM sessions s JOIN errwin e
+              ON s.user_id = e.user_id
+             AND s.s_start < e.w_end AND e.w_start < s.s_end
+            GROUP BY s.user_id, s.session_seq
+            ORDER BY s.user_id, s.session_seq
         """,
         # stage-by-stage strictly-after funnel, mirrored per stage.
         "events_funnel": """

@@ -329,3 +329,63 @@ def funnel_steps(
         )
         out = out.join(nxt, "key", "left")
     return out
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-overlap join (half-open: a.start < b.end AND
+    b.start < a.end) — the interval×interval sibling of ``range_join``.
+
+    Both sides explode onto fixed-width buckets; the equi-join on
+    (keys…, bucket) generates candidates that hash-shuffle like any
+    join.  A pair overlapping several shared buckets would match
+    repeatedly, so the join CLAIMS exactly one canonical bucket — the
+    later of the two start buckets — instead of deduplicating with a
+    distinct (which would re-shuffle the whole candidate set).  Bounds
+    are BIGINT epoch-µs columns, so bucket math is integer arithmetic
+    in whole-stage codegen.
+
+    Returns candidates refined by the exact overlap predicate, both
+    sides' columns (a's first)."""
+    def buckets(df, s, e):
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width),
+                    # half-open end: bucket of (end - 1); degenerate
+                    # (empty) intervals still land in their start bucket
+                    F.greatest(
+                        F.floor((F.col(e) - 1) / bucket_width),
+                        F.floor(F.col(s) / bucket_width),
+                    ),
+                )
+            ),
+        )
+
+    ab = buckets(a, a_start, a_end)
+    bb = buckets(b, b_start, b_end).withColumnRenamed("_bucket", "_bucket_b")
+    canonical = F.greatest(
+        F.floor(F.col(a_start) / bucket_width),
+        F.floor(F.col(b_start) / bucket_width),
+    )
+    cond = [ab[k] == bb[k] for k in keys]
+    cond.append(ab["_bucket"] == bb["_bucket_b"])
+    return (
+        ab.join(bb, cond)
+        .where(
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(b_start) < F.col(a_end))
+            & (F.col("_bucket") == canonical)
+        )
+        .drop("_bucket", "_bucket_b")
+        .drop(*[bb[k] for k in keys])
+    )

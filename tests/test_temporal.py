@@ -297,3 +297,30 @@ def test_funnel_steps_strict_order_and_breaks(spark):
     assert out[3]["t2"] is None
     assert 4 not in out  # never entered the funnel
     assert (out[5]["t1"], out[5]["t2"], out[5]["t3"]) == (10.0, 12.0, 15.0)
+
+
+def test_interval_join_no_duplicate_pairs_and_exact(spark):
+    """Candidate generation across many shared buckets must yield each
+    overlapping pair EXACTLY once (canonical-bucket claim), and match a
+    brute-force inequality join."""
+    from dogsheep_beta_spark.operators.temporal import interval_join
+
+    W = 1_000  # tiny bucket width so intervals span many buckets
+    a = spark.createDataFrame(
+        [(1, 10, 0, 5_000), (1, 11, 4_000, 9_000), (2, 20, 0, 100)],
+        "k int, aid int, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [(1, 100, 4_500, 4_600),   # inside both a-intervals
+         (1, 101, 8_999, 20_000),  # overlaps only aid 11 at its edge
+         (1, 102, 9_000, 9_100),   # touches end (half-open: no overlap)
+         (2, 200, 100, 200),       # touches end of aid 20: no overlap
+         (3, 300, 0, 10)],         # wrong key
+        "k int, bid int, bs long, be long",
+    )
+    out = interval_join(a, b, ["k"], "s", "e", "bs", "be", bucket_width=W)
+    pairs = sorted((r["aid"], r["bid"]) for r in out.collect())
+    assert pairs == [(10, 100), (11, 100), (11, 101)]
+    # exactly once each, despite interval 10 and window 100 sharing
+    # multiple candidate buckets
+    assert len(pairs) == len(set(pairs))
