@@ -2086,6 +2086,78 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, m=4, topk=20)
 
 
+def q_events_decayed_score(spark, sf_dir):
+    """Recency-weighted engagement (temporal.py:decayed_score): per-user
+    Σ value · 2^(−age/half-life) against the corpus max timestamp —
+    broadcast reference instant, map-side decay weight, one partial-agg
+    shuffle.  Half-life 7 days."""
+    from dogsheep_beta_spark.operators.temporal import decayed_score
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    return (
+        decayed_score(
+            spark.table("events"), "user_id", "ts", "value",
+            half_life_seconds=7 * 86400,
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_multi_format_union(spark, sf_dir):
+    """A1 capstone: the SAME documents table served from four storage
+    formats — parquet view, real sqlite .db (rowid-range mapInPandas
+    scan), JSONL, and quoted CSV — unioned into ONE DataFrame plan and
+    aggregated per storage.  The reference ATTACHes heterogeneous .db
+    files (utils.py:36-40); this engine's version of 'any storage, same
+    rule SQL'.  Equality of all four per-storage aggregate rows proves
+    every ingestion path is lossless."""
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources.csv import read_csv
+    from dogsheep_beta_spark.sources.jsonl import read_jsonl
+    from dogsheep_beta_spark.sources.sqlite import read_sqlite_table
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    variants = [
+        ("parquet", spark.table("documents")),
+        ("sqlite", read_sqlite_table(
+            spark, _sqlite_db(spark, sf_dir), "documents", num_partitions=8
+        )),
+        ("jsonl", read_jsonl(spark, _jsonl_dir(spark, sf_dir), schema)),
+        ("csv", read_csv(spark, _csv_dir(spark, sf_dir), schema)),
+    ]
+    unioned = None
+    for name, df in variants:
+        part = df.select(
+            F.lit(name).alias("storage"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+        )
+        unioned = part if unioned is None else unioned.unionByName(part)
+    return (
+        unioned.groupBy("storage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list(F.md5("text")))
+                )
+            ).alias("corpus_digest"),
+        )
+        .orderBy("storage")
+    )
+
+
 def q_sessions_error_overlap(spark, sf_dir):
     """Interval-overlap join (temporal.py:interval_join): user sessions
     × ±120 s error windows, canonical-bucket candidate generation (one
@@ -2416,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_outliers": q_events_robust_outliers,
         "events_funnel": q_events_funnel,
         "sessions_error_overlap": q_sessions_error_overlap,
+        "multi_format_union": q_multi_format_union,
+        "events_decayed_score": q_events_decayed_score,
     }
 
 
@@ -4058,6 +4132,32 @@ ORDER BY rank, type, "key"
             FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
             GROUP BY enc.vec_id
             ORDER BY adc_ip DESC, id ASC LIMIT 20
+        """,
+        # closed-form exponential decay against the corpus max ts,
+        # µs integer age arithmetic in both engines.
+        "events_decayed_score": """
+            WITH ref AS (SELECT MAX(ts) AS r FROM events)
+            SELECT user_id,
+                   ROUND(SUM(value * POWER(2.0,
+                       -(epoch_us(ref.r) - epoch_us(ts))
+                       / (7 * 86400 * 1000000.0))), 6) AS decayed_score
+            FROM events CROSS JOIN ref
+            GROUP BY user_id ORDER BY user_id
+        """,
+        # every storage path must reproduce the parquet corpus exactly:
+        # one aggregate over the original, replicated per storage tag.
+        "multi_format_union": """
+            WITH agg AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                       md5(string_agg(md5(text), '' ORDER BY md5(text)))
+                           AS corpus_digest
+                FROM documents
+            )
+            SELECT s.storage, agg.n_docs, agg.total_chars, agg.corpus_digest
+            FROM (VALUES ('csv'), ('jsonl'), ('parquet'), ('sqlite'))
+                 s(storage), agg
+            ORDER BY s.storage
         """,
         # sessions × error-windows overlap in integer epoch-µs on both
         # sides (identical truncation), plain inequality join as oracle.

@@ -389,3 +389,36 @@ def interval_join(
         .drop("_bucket", "_bucket_b")
         .drop(*[bb[k] for k in keys])
     )
+
+
+def decayed_score(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+) -> DataFrame:
+    """(key, decayed_score): exponentially time-decayed value sum —
+    recency-weighted engagement with a half-life, the freshness prior
+    recommendation/data-mixing pipelines apply to interaction counts.
+
+    score(key) = Σ v_i · 2^(−(t_ref − t_i)/half_life), with t_ref the
+    corpus max timestamp — data-derived, so the result is a pure
+    function of the table (reproducible, oracle-checkable; a wall-clock
+    t_ref would not be).  The reference instant enters as a broadcast
+    1-row aggregate; the decay weight is a map-side codegen expression;
+    the sum is one partial-aggregated shuffle on the key.  O(n), no
+    windows — the recurrence form (ewma·α + v) needs ordered state,
+    this closed form doesn't."""
+    ref = df.agg(F.max(ts_col).alias("__ref"))
+    hl_us = float(half_life_seconds) * 1_000_000.0
+    weight = F.pow(
+        F.lit(2.0),
+        -(F.unix_micros(F.col("__ref")) - F.unix_micros(F.col(ts_col)))
+        / F.lit(hl_us),
+    )
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(F.round(F.sum(F.col(value_col) * weight), 6).alias("decayed_score"))
+    )

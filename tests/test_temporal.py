@@ -324,3 +324,20 @@ def test_interval_join_no_duplicate_pairs_and_exact(spark):
     # exactly once each, despite interval 10 and window 100 sharing
     # multiple candidate buckets
     assert len(pairs) == len(set(pairs))
+
+
+def test_decayed_score_half_life(spark):
+    from dogsheep_beta_spark.operators.temporal import decayed_score
+
+    # ref = max ts = t0 + 7d.  Event exactly one half-life old weighs
+    # 0.5; an event AT the reference weighs 1.0.
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), 10.0),   # 7 days before ref -> 5.0
+        (1, ts("2024-01-08 00:00:00"), 4.0),    # at ref -> 4.0
+        (2, ts("2024-01-04 12:00:00"), 8.0),    # half a half-life -> 8/sqrt(2)
+    ]
+    df = spark.createDataFrame(rows, "user int, t timestamp, value double")
+    out = {r["user"]: r["decayed_score"]
+           for r in decayed_score(df, "user", "t", "value", 7 * 86400).collect()}
+    assert out[1] == 9.0
+    assert abs(out[2] - round(8.0 / 2 ** 0.5, 6)) < 1e-9
