@@ -4066,7 +4066,9 @@ ORDER BY rank, type, "key"
                 SELECT doc_id, toks, n,
                        CASE WHEN n = 0 THEN 0
                             WHEN n <= 32 THEN 1
-                            ELSE 1 + CAST(CEIL((n - 32) / 24.0) AS BIGINT)
+                            ELSE least(
+                                1 + CAST(CEIL((n - 32) / 24.0) AS BIGINT),
+                                CAST(CEIL(n / 24.0) AS BIGINT))
                        END AS n_chunks
                 FROM base)
             , c AS (

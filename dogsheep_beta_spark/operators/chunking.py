@@ -31,11 +31,17 @@ from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
 
 
 def _n_chunks(n: Column, window: int, stride: int) -> Column:
+    # enough windows to reach the end (1 + ceil((n-w)/s)), capped by the
+    # number of in-range starts (ceil(n/s)) — without the cap, stride >
+    # window emits an empty chunk whose start falls past the last token
     return (
         F.when(n == 0, F.lit(0))
         .when(n <= window, F.lit(1))
         .otherwise(
-            1 + F.ceil((n - F.lit(window)).cast("double") / F.lit(stride))
+            F.least(
+                1 + F.ceil((n - F.lit(window)).cast("double") / F.lit(stride)),
+                F.ceil(n.cast("double") / F.lit(stride)),
+            )
         )
         .cast("int")
     )

@@ -337,3 +337,73 @@ def test_porter_unicode61_matches_fts5_on_accented(text):
     from dogsheep_beta_spark.functions.tokenizer import analyze_py
 
     assert analyze_py(text, "unicode61", stem=True) == _fts5_terms(text, "porter")
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_sliding_chunks_coverage_invariants(spark, tok_counts, window, stride):
+    """Every token position is covered by ≥1 chunk; chunk starts step by
+    exactly `stride`; no chunk is empty; last chunk reaches the end."""
+    from dogsheep_beta_spark.operators.chunking import sliding_chunks
+
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(tok_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string") if rows else None
+    if df is None:
+        return
+    out = sliding_chunks(df, "doc_id", "text", window=window, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, n in enumerate(tok_counts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not chunks
+            continue
+        assert chunks, (i, n)
+        assert chunks[0]["chunk_idx"] == 0
+        covered = set()
+        for c in chunks:
+            assert 1 <= c["n_tok"] <= window  # never empty, never over
+            start = c["chunk_idx"] * stride
+            assert start < n  # every chunk starts on a real token
+            covered.update(range(start, start + c["n_tok"]))
+        if stride <= window:
+            assert covered == set(range(n))  # full coverage, no gaps
+        else:  # gap chunking samples every stride-th window
+            assert covered == {
+                p
+                for s0 in range(0, n, stride)
+                for p in range(s0, min(s0 + window, n))
+            }
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=60
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=10, deadline=None)
+def test_value_deciles_invariants(spark, scores, n_buckets):
+    """Buckets in [1, n]; monotone in score; rows tied on score always
+    share a bucket."""
+    from dogsheep_beta_spark.operators.sampling import value_deciles
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "id int, s double"
+    )
+    out = value_deciles(df, "s", n_buckets).collect()
+    assert len(out) == len(scores)
+    pairs = sorted(((r["s"], r["decile"]) for r in out))
+    for (s1, d1), (s2, d2) in zip(pairs, pairs[1:]):
+        assert 1 <= d1 <= n_buckets and 1 <= d2 <= n_buckets
+        assert d1 <= d2
+        if s1 == s2:
+            assert d1 == d2
