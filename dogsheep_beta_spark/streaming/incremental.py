@@ -464,3 +464,30 @@ def streaming_ivf_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_ivf_layout(
+    spark: SparkSession,
+    layout_path: str,
+    files_per_cell: int = 1,
+) -> None:
+    """Compact a streamed-into IVF layout: every ``merge_ivf_batch``
+    append adds one file per touched cell, so a long-running stream
+    grows a small-files problem (open/seek cost per probe approaches
+    O(#batches), not O(#cells)).  Rewrite each cell directory down to
+    ``files_per_cell`` files and publish with the same atomic symlink
+    cutover the FTS index uses — readers see the old generation until
+    the swap, then the compacted one, never a partial.
+
+    Content is untouched (pinned by test): compaction is a pure
+    physical-layout operation, the plain-parquet analog of Delta
+    OPTIMIZE / Iceberg rewrite_data_files."""
+    df = spark.read.parquet(layout_path)
+    compacted = df.repartition(files_per_cell, F.col("cell"))
+    base = layout_path.rstrip("/")
+    tmp = base + ".__tmp__"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    _publish_dir(tmp, base)

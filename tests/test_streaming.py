@@ -393,3 +393,43 @@ def test_streaming_ivf_upsert_converges_to_batch(spark, tmpdir):
     assert streamed == batch and len(streamed) == 40
     # the at-rest layout is hive-partitioned by cell (probe prunes dirs)
     assert any(d.startswith("cell=") for d in os.listdir(layout))
+
+
+def test_compact_ivf_layout_shrinks_files_preserves_content(spark, tmpdir):
+    """After many micro-batch appends, compaction must cut the file
+    count per cell to the target while leaving the row set untouched,
+    and the layout must remain hive-partitioned (probe still prunes)."""
+    import glob
+
+    from dogsheep_beta_spark.streaming.incremental import compact_ivf_layout
+
+    layout = os.path.join(tmpdir, "cells")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    # simulate 5 streamed appends: one file per cell per batch
+    for b in range(5):
+        (
+            df.where(F.col("vec_id") % 5 == b)
+            .repartition(1)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(layout)
+        )
+    before = set(
+        (r["vec_id"], int(r["cell"])) for r in spark.read.parquet(layout).collect()
+    )
+    n_files_before = len(glob.glob(os.path.join(layout, "cell=*", "*.parquet")))
+    assert n_files_before >= 15  # ≥1 file per (cell, batch)
+
+    compact_ivf_layout(spark, layout, files_per_cell=1)
+    spark.catalog.refreshByPath(layout)
+    after = set(
+        (r["vec_id"], int(r["cell"])) for r in spark.read.parquet(layout).collect()
+    )
+    assert after == before and len(after) == 30
+    n_files_after = len(
+        glob.glob(os.path.join(layout + "/", "cell=*", "*.parquet"))
+    )
+    assert n_files_after == 3  # one file per cell
