@@ -972,8 +972,10 @@ def _sqlite_db(spark, sf_dir):
         from dogsheep_beta_spark.sources.sqlite import write_sqlite_table
 
         register_testdata(spark, sf_dir, tables=("documents",))
-        path = os.path.join(tempfile.mkdtemp(prefix="dbs_sqlite_"), "docs.db")
+        tmp = tempfile.mkdtemp(prefix="dbs_sqlite_")
+        path = os.path.join(tmp, "docs.db")
         write_sqlite_table(spark.table("documents"), path, "documents")
+        c["sqlite_tmp_path"] = tmp  # *_path: teardown rmtrees it
         c["sqlite_db"] = path
     return c["sqlite_db"]
 
@@ -1897,6 +1899,24 @@ def q_media_feature_metadata(spark, sf_dir):
     )
 
 
+def _documents_schema():
+    """The ONE schema for explicit-schema document reads (JSONL/CSV and
+    the multi-format union).  CSV matches columns by POSITION, so a
+    single shared definition is what keeps the three readers from
+    silently diverging if the table ever changes."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
 def _jsonl_dir(spark, sf_dir):
     """One-time per sf_dir: materialize documents as JSONL (the format
     dogsheep's upstream APIs and every public LLM corpus actually ship
@@ -1910,8 +1930,10 @@ def _jsonl_dir(spark, sf_dir):
         from dogsheep_beta_spark.sources.jsonl import write_jsonl
 
         register_testdata(spark, sf_dir, tables=("documents",))
-        path = os.path.join(tempfile.mkdtemp(prefix="dbs_jsonl_"), "documents")
+        tmp = tempfile.mkdtemp(prefix="dbs_jsonl_")
+        path = os.path.join(tmp, "documents")
         write_jsonl(spark.table("documents"), path, num_files=4)
+        c["jsonl_tmp_path"] = tmp  # *_path: teardown rmtrees it
         c["jsonl_dir"] = path
     return c["jsonl_dir"]
 
@@ -1923,19 +1945,9 @@ def q_jsonl_source_ingest(spark, sf_dir):
     per source.  The oracle aggregates the parquet original, so a hash
     match proves the JSONL round-trip is lossless, text escaping
     included."""
-    from pyspark.sql import types as T
-
     from dogsheep_beta_spark.sources.jsonl import read_jsonl
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
+    schema = _documents_schema()
     docs = read_jsonl(spark, _jsonl_dir(spark, sf_dir), schema)
     return (
         docs.groupBy("source")
@@ -2025,8 +2037,10 @@ def _csv_dir(spark, sf_dir):
         from dogsheep_beta_spark.sources.csv import write_csv
 
         register_testdata(spark, sf_dir, tables=("documents",))
-        path = os.path.join(tempfile.mkdtemp(prefix="dbs_csv_"), "documents")
+        tmp = tempfile.mkdtemp(prefix="dbs_csv_")
+        path = os.path.join(tmp, "documents")
         write_csv(spark.table("documents"), path, num_files=4)
+        c["csv_tmp_path"] = tmp  # *_path: teardown rmtrees it
         c["csv_dir"] = path
     return c["csv_dir"]
 
@@ -2036,19 +2050,9 @@ def q_csv_source_ingest(spark, sf_dir):
     multi-line CSV (sources/csv.py) — embedded newlines/quotes/commas
     and NULLs must survive — aggregated per source against the parquet
     oracle, mirroring the sqlite/jsonl lossless-round-trip contract."""
-    from pyspark.sql import types as T
-
     from dogsheep_beta_spark.sources.csv import read_csv
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
+    schema = _documents_schema()
     docs = read_csv(spark, _csv_dir(spark, sf_dir), schema)
     return (
         docs.groupBy("source")
@@ -2111,22 +2115,12 @@ def q_multi_format_union(spark, sf_dir):
     files (utils.py:36-40); this engine's version of 'any storage, same
     rule SQL'.  Equality of all four per-storage aggregate rows proves
     every ingestion path is lossless."""
-    from pyspark.sql import types as T
-
     from dogsheep_beta_spark.sources.csv import read_csv
     from dogsheep_beta_spark.sources.jsonl import read_jsonl
     from dogsheep_beta_spark.sources.sqlite import read_sqlite_table
 
     register_testdata(spark, sf_dir, tables=("documents",))
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
+    schema = _documents_schema()
     variants = [
         ("parquet", spark.table("documents")),
         ("sqlite", read_sqlite_table(
@@ -2299,9 +2293,18 @@ def q_streaming_ivf_upsert(spark, sf_dir):
     schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="dbs_emb_stream_")
     os.symlink(path, os.path.join(stream_dir, "embeddings.parquet"))
-    work = tempfile.mkdtemp(prefix="dbs_ivf_upsert_")
+    # one cached work dir per sf_dir (teardown rmtrees *_path keys);
+    # wiped per invocation so a re-run replays the stream instead of
+    # appending duplicates into the previous generation
+    c = _CTX.setdefault(sf_dir, {})
+    work = c.get("ivf_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_ivf_upsert_")
+        c["ivf_stream_path"] = work
     layout = os.path.join(work, "cells")
     ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(layout, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     q = streaming_ivf_upsert(stream, cents, layout, ckpt)
     q.awaitTermination(120)

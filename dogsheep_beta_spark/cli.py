@@ -107,7 +107,18 @@ def cmd_search(args) -> int:
         date=args.date,
     )
     result = search_query(index_df, fts, plan)
-    rows = result.results.limit(args.limit).collect()
+    # the compiled plan itself caps at the reference's page limits
+    # (__init__.py:23,42: 40 timeline / 100 search) — clamp and say so
+    # rather than silently returning fewer rows than asked
+    from dogsheep_beta_spark.plans.query import SEARCH_LIMIT, TIMELINE_LIMIT
+
+    cap = SEARCH_LIMIT if plan.is_search else TIMELINE_LIMIT
+    if args.limit > cap:
+        print(
+            f"note: limit capped at {cap} (reference page limit)",
+            file=sys.stderr,
+        )
+    rows = result.results.limit(min(args.limit, cap)).collect()
     for r in rows:
         d = r.asDict()
         print(json.dumps(d, default=str, sort_keys=True))
@@ -165,7 +176,13 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--category", type=int, default=None)
     se.add_argument("--is-public", dest="is_public", type=int, default=None)
     se.add_argument("--date", default=None, help="timestamp date YYYY-MM-DD")
-    se.add_argument("--limit", type=int, default=40)
+    se.add_argument(
+        "--limit",
+        type=int,
+        default=40,
+        help="max rows (capped at the reference page limits: "
+        "40 timeline / 100 search)",
+    )
     se.add_argument("--count", action="store_true", help="print filtered count")
     se.add_argument("--facets", action="store_true", help="print facet blocks")
     se.set_defaults(func=cmd_search)

@@ -412,16 +412,21 @@ def char_entropy_table(df, id_col: str, text_col: str):
     return n_chars = 0 with NULL entropy."""
     import math
 
+    # project to a fixed internal name first so the expr below never
+    # interpolates a caller-supplied column name (names with spaces or
+    # backticks would break the generated SQL)
     chars = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).select(
+        "id",
         # sequence(1, 0) auto-reverses to [1, 0] in Spark, so empty/NULL
         # text must map to an empty array, not two empty-string chars
         F.explode(
             F.expr(
-                f"CASE WHEN length(coalesce({text_col}, '')) > 0 THEN "
-                f"transform(sequence(1, length({text_col})),"
-                f" i -> substring({text_col}, i, 1)) "
-                f"ELSE array() END"
+                "CASE WHEN length(coalesce(__t, '')) > 0 THEN "
+                "transform(sequence(1, length(__t)),"
+                " i -> substring(__t, i, 1)) "
+                "ELSE array() END"
             )
         ).alias("ch"),
     )

@@ -168,6 +168,26 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_signatures(s: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, m0..m{n-1}) from an exploded (id, shingle) table — the ONE
+    definition of the production signature family, shared by the LSH
+    pair generator AND the calibration report so the two can never
+    drift.  Codegen'd column exprs + hash aggregation with map-side
+    combine: ONE md5 per shingle row, n_hashes affine mins — no
+    interpreted lambdas anywhere."""
+    params = minhash_params(n_hashes)
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    return s.groupBy("id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
 def minhash_signature(shingles, n_hashes: int, seed: int = 42):
     """Array of ``n_hashes`` minhashes in ONE pass over the shingles.
 
@@ -217,7 +237,6 @@ def minhash_lsh_pairs(
     only candidates (≪ n²) reach verification.
     """
     r = n_hashes // bands
-    params = minhash_params(n_hashes)
     # per-doc shingle sets — persisted because they feed BOTH the
     # signature aggregation and the per-pair verification (tokenize/
     # shingle exactly once).  shingle-less docs drop out here (they
@@ -231,19 +250,7 @@ def minhash_lsh_pairs(
         .persist()
     )
     s = pre.select("id", F.explode("shingles").alias("shingle"))
-    # signature build as codegen'd column exprs + hash aggregation with
-    # map-side combine: ONE md5 per shingle row, n_hashes affine mins —
-    # no interpreted lambda functions anywhere.
-    base = (
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-        % MINHASH_PRIME
-    )
-    sigs = s.groupBy("id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
+    sigs = _minhash_signatures(s, n_hashes)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -809,17 +816,7 @@ def minhash_calibration(
         .where(F.size("shingles") > 0)
     )
     s = pre.select("id", F.explode("shingles").alias("shingle"))
-    base = (
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-        % MINHASH_PRIME
-    )
-    params = minhash_params(n_hashes)
-    sigs = s.groupBy("id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
+    sigs = _minhash_signatures(s, n_hashes)
     xs = sigs.select(
         F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]
     )

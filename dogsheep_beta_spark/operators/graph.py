@@ -45,6 +45,11 @@ def pagerank(
     fixed so the distributed loop and the SQL oracle compute the same
     function.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            "checkpoint_every must be >= 1; pass a value > iterations "
+            "to disable checkpointing entirely"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
 
     nodes = (

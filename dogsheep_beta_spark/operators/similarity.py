@@ -565,6 +565,24 @@ def _l2sq_expr(va, vb):
     )
 
 
+def _pq_sub_d(size_col: Column, m: int) -> Column:
+    """dim/m with a loud runtime guard: PQ silently dropping the
+    trailing dim%m dimensions would corrupt every ADC score, so a
+    non-divisible dimension raises instead."""
+    return (
+        F.when(size_col % m == 0, size_col / m)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"PQ requires dim divisible by m={m}; got dim="),
+                    size_col.cast("string"),
+                )
+            )
+        )
+        .cast("int")
+    )
+
+
 def pq_codebooks(
     df: DataFrame, id_col: str, vec_col: str, m: int, k: int
 ) -> DataFrame:
@@ -579,7 +597,7 @@ def pq_codebooks(
     seeds = hash_seeds(df, id_col, vec_col, k).select(
         F.col("cell").alias("code"), "centroid"
     )
-    sub_d = (F.size("centroid") / m).cast("int")
+    sub_d = _pq_sub_d(F.size("centroid"), m)
     return seeds.select(
         "code",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -604,7 +622,7 @@ def pq_encode(
     vector instead of d floats — write it partitioned, keep codebooks
     beside it (the ``write_ivf`` layout pattern)."""
     vec = F.col(vec_col).cast("array<double>")
-    sub_d = (F.size("__v") / m).cast("int")
+    sub_d = _pq_sub_d(F.size("__v"), m)
     subv = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -643,7 +661,7 @@ def pq_adc_topk(
     the sum of its m table entries — a broadcast join plus one partial
     aggregation, never touching the original floats.  That is the whole
     point at 100 TB: the scan reads m bytes/vector, not 4d."""
-    sub_d = (F.size("qv") / m).cast("int")
+    sub_d = _pq_sub_d(F.size("qv"), m)
     lut = codebooks.crossJoin(qdf).select(
         "sub",
         "code",

@@ -26,7 +26,14 @@ _OPTS = {
     "quote": '"',
     "escape": '"',
     "multiLine": "true",
-    "nullValue": "\\N",  # distinguish NULL from empty string
+    # Hive/MySQL's \N convention: keeps NULL distinguishable from ''.
+    # KNOWN LIMIT (inherent to CSV, not this reader): a field whose
+    # text is the literal 2-char string \N reads back as NULL — CSV has
+    # no out-of-band null marker, and Spark's reader applies nullValue
+    # after unquoting, so no sentinel can be collision-free.  Pinned by
+    # test_csv_null_sentinel_collision_documented; corpora where \N is
+    # live content should ship as JSONL (sources/jsonl.py, lossless).
+    "nullValue": "\\N",
 }
 
 
@@ -47,7 +54,12 @@ def read_csv(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     """Schema-on-read CSV scan; malformed rows dropped
-    (``DROPMALFORMED``), audit them via ``corrupt_csv_records``."""
+    (``DROPMALFORMED``), audit them via ``corrupt_csv_records``.
+
+    Spark CSV gotcha (column pruning): a query that reads NO columns —
+    a bare ``count()`` — parses nothing, so malformed rows are not
+    dropped from it; any query touching real columns sees the typed,
+    filtered rows.  Pinned by test_corrupt_csv_records_quarantine."""
     return (
         spark.read.schema(schema)
         .options(**_OPTS)
@@ -60,9 +72,10 @@ def corrupt_csv_records(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     """Rows that fail the typed parse, PERMISSIVE-captured into an
-    explicit corrupt column (the from_json trick has no CSV analog, but
-    CSV's corrupt column CAN be selected when another column is also
-    referenced — we keep the first schema field for that reason)."""
+    explicit corrupt column.  The ``.cache()`` is the load-bearing
+    workaround for Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    restriction (the documented remedy: materialize the parsed result,
+    then select the corrupt column) — do not remove it."""
     corrupt = "_corrupt_record"
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]

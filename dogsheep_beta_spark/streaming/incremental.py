@@ -481,9 +481,20 @@ def compact_ivf_layout(
 
     Content is untouched (pinned by test): compaction is a pure
     physical-layout operation, the plain-parquet analog of Delta
-    OPTIMIZE / Iceberg rewrite_data_files."""
+    OPTIMIZE / Iceberg rewrite_data_files.
+
+    ``files_per_cell`` salts the shuffle key so a big cell rewrites in
+    up to that many parallel tasks/files (hash collisions between
+    (cell, salt) pairs may merge some, so it is an upper bound, not an
+    exact count) — plain ``repartition(n, cell)`` would funnel each
+    whole cell through one task, the single-writer bottleneck this
+    maintenance op exists to avoid at scale."""
     df = spark.read.parquet(layout_path)
-    compacted = df.repartition(files_per_cell, F.col("cell"))
+    n_cells = df.select("cell").distinct().count()
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+    compacted = df.repartition(
+        max(n_cells * files_per_cell, 1), F.col("cell"), salt
+    )
     base = layout_path.rstrip("/")
     tmp = base + ".__tmp__"
     import shutil

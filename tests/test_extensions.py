@@ -1018,3 +1018,64 @@ def test_char_entropy_hand_computed(spark):
     h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     got = char_entropy_table(df2, "doc_id", "text").collect()[0]["entropy_bits"]
     assert abs(got - round(h, 6)) < 1e-9
+
+
+def test_csv_null_sentinel_collision_documented(spark, tmp_path):
+    """CSV cannot express NULL out of band: a field whose content is the
+    literal 2-char string backslash-N collides with the sentinel and
+    reads back NULL.  Pinned so the documented limitation stays true
+    (and directs such corpora to the lossless JSONL path)."""
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources import csv as cs
+
+    df = spark.createDataFrame([(1, "\\N"), (2, "ok")], "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    cs.write_csv(df, path)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    got = {r["doc_id"]: r["text"] for r in cs.read_csv(spark, path, schema).collect()}
+    assert got == {1: None, 2: "ok"}  # the documented collision
+
+
+def test_corrupt_csv_records_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dogsheep_beta_spark.sources import csv as cs
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    cs.write_csv(df, path)
+    import glob
+    import os
+
+    part = sorted(glob.glob(os.path.join(path, "part-*")))[0]
+    with open(part, "a") as f:
+        f.write('"not-a-number","oops"\n')
+    crc = os.path.join(path, "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(path)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    bad = cs.corrupt_csv_records(spark, path, schema).collect()
+    assert len(bad) == 1 and "not-a-number" in bad[0][0]
+    # NB: a bare count() prunes all columns, so nothing gets parsed and
+    # DROPMALFORMED drops nothing — materialize the columns to validate
+    assert len(cs.read_csv(spark, path, schema).collect()) == 2
+
+
+def test_pq_rejects_non_divisible_dim(spark):
+    import pytest as _pytest
+
+    from dogsheep_beta_spark.operators.similarity import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(i, [float(j) for j in range(10)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, "vec_id", "embedding", m=4, k=2)  # 10 % 4 != 0
+    with _pytest.raises(Exception, match="divisible"):
+        cb.collect()
