@@ -2107,14 +2107,31 @@ def q_events_decayed_score(spark, sf_dir):
     )
 
 
+def _orc_dir(spark, sf_dir):
+    """One-time per sf_dir: documents as ORC (Spark's second native
+    columnar format — self-describing, no schema/quarantine dance)."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "orc_dir" not in c:
+        import os
+        import tempfile
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        tmp = tempfile.mkdtemp(prefix="dbs_orc_")
+        path = os.path.join(tmp, "documents")
+        spark.table("documents").coalesce(4).write.orc(path)
+        c["orc_tmp_path"] = tmp  # *_path: teardown rmtrees it
+        c["orc_dir"] = path
+    return c["orc_dir"]
+
+
 def q_multi_format_union(spark, sf_dir):
-    """A1 capstone: the SAME documents table served from four storage
+    """A1 capstone: the SAME documents table served from five storage
     formats — parquet view, real sqlite .db (rowid-range mapInPandas
-    scan), JSONL, and quoted CSV — unioned into ONE DataFrame plan and
-    aggregated per storage.  The reference ATTACHes heterogeneous .db
-    files (utils.py:36-40); this engine's version of 'any storage, same
-    rule SQL'.  Equality of all four per-storage aggregate rows proves
-    every ingestion path is lossless."""
+    scan), JSONL, quoted CSV, and ORC — unioned into ONE DataFrame plan
+    and aggregated per storage.  The reference ATTACHes heterogeneous
+    .db files (utils.py:36-40); this engine's version of 'any storage,
+    same rule SQL'.  Equality of all five per-storage aggregate rows
+    proves every ingestion path is lossless."""
     from dogsheep_beta_spark.sources.csv import read_csv
     from dogsheep_beta_spark.sources.jsonl import read_jsonl
     from dogsheep_beta_spark.sources.sqlite import read_sqlite_table
@@ -2128,6 +2145,7 @@ def q_multi_format_union(spark, sf_dir):
         )),
         ("jsonl", read_jsonl(spark, _jsonl_dir(spark, sf_dir), schema)),
         ("csv", read_csv(spark, _csv_dir(spark, sf_dir), schema)),
+        ("orc", spark.read.orc(_orc_dir(spark, sf_dir))),
     ]
     unioned = None
     for name, df in variants:
@@ -4160,8 +4178,8 @@ ORDER BY rank, type, "key"
                 FROM documents
             )
             SELECT s.storage, agg.n_docs, agg.total_chars, agg.corpus_digest
-            FROM (VALUES ('csv'), ('jsonl'), ('parquet'), ('sqlite'))
-                 s(storage), agg
+            FROM (VALUES ('csv'), ('jsonl'), ('orc'), ('parquet'),
+                         ('sqlite')) s(storage), agg
             ORDER BY s.storage
         """,
         # sessions × error-windows overlap in integer epoch-µs on both

@@ -407,3 +407,75 @@ def test_value_deciles_invariants(spark, scores, n_buckets):
         assert d1 <= d2
         if s1 == s2:
             assert d1 == d2
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_interval_join_fuzz_vs_bruteforce(spark, seed):
+    """Random interval sets: bucketed canonical-claim join == plain
+    inequality join, each pair exactly once, across bucket widths."""
+    from dogsheep_beta_spark.operators.temporal import interval_join
+
+    rng = random.Random(seed)
+    A = [
+        (rng.randrange(3), i, s, s + rng.randrange(0, 5000))
+        for i, s in enumerate(rng.randrange(0, 20000) for _ in range(60))
+    ]
+    B = [
+        (rng.randrange(3), i, s, s + rng.randrange(0, 5000))
+        for i, s in enumerate(rng.randrange(0, 20000) for _ in range(60))
+    ]
+    a = spark.createDataFrame(A, "k int, aid int, s long, e long")
+    b = spark.createDataFrame(B, "k int, bid int, bs long, be long")
+    expect = sorted(
+        (aid, bid)
+        for (ka, aid, s, e) in A
+        for (kb, bid, bs, be) in B
+        if ka == kb and s < be and bs < e
+    )
+    for width in (100, 1024, 7000):
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_join(
+                a, b, ["k"], "s", "e", "bs", "be", bucket_width=width
+            ).collect()
+        )
+        assert got == expect, width
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_funnel_fuzz_vs_bruteforce(spark, seed):
+    from dogsheep_beta_spark.operators.temporal import funnel_steps
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    rows = [
+        (rng.randrange(6), i, rng.choice(types), float(rng.randrange(1000)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "u int, eid int, ty string, t double")
+    got = {
+        r["key"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(df, "u", "ty", "t", types).collect()
+    }
+
+    def brute(u):
+        evs = [(t, ty) for (uu, _, ty, t) in rows if uu == u]
+        cur = None
+        out = []
+        for step in types:
+            cand = [
+                t for (t, ty) in evs
+                if ty == step and (cur is None or t > cur)
+            ]
+            if not cand:
+                out += [None] * (len(types) - len(out))
+                break
+            cur = min(cand)
+            out.append(cur)
+        return tuple(out)
+
+    for u in range(6):
+        if any(ty == "view" for (uu, _, ty, _) in rows if uu == u):
+            assert got[u] == brute(u), u
+        else:
+            assert u not in got
