@@ -1099,12 +1099,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16)+LSH(8 bands × 2): verified candidates, top-50."""
+    """MinHash(16)+LSH(8 bands × 2): verified candidates, top-50.
+
+    ``max_bucket=1000`` engages the hot-bucket chain cap (a bucket
+    wider than 1000 docs yields w-1 chained candidates instead of w²/2
+    all-pairs) — far above any bucket width in this corpus, so results
+    are identical to the uncapped plan and the oracle is unchanged,
+    while the query exercises the production-scale join shape."""
     from dogsheep_beta_spark.operators.dedup import minhash_lsh_pairs
 
     return (
         minhash_lsh_pairs(
-            _documents(spark, sf_dir), "doc_id", "text", k=3, n_hashes=16, bands=8
+            _documents(spark, sf_dir), "doc_id", "text", k=3, n_hashes=16,
+            bands=8, max_bucket=1000,
         )
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "a", "b")
@@ -1150,14 +1157,17 @@ def q_dedup_verbatim_overlap(spark, sf_dir):
     """Exact substring dedup at token granularity (Lee et al. 2022
     suffix-array method, re-expressed relationally): doc pairs sharing
     a verbatim run of >= 8 tokens, found via positional 5-shingles +
-    the alignment-diagonal gaps-and-islands rewrite
-    (operators/dedup.py:verbatim_overlap_pairs).  Every step is a
-    bounded-key hash shuffle — no suffix array, no global sort."""
+    the alignment-diagonal trick with run detection fused into the
+    per-pair aggregation (operators/dedup.py:verbatim_overlap_pairs) —
+    one shuffle on the shingle hash, one on the pair key.  No suffix
+    array, no global sort, no window."""
     from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
 
+    c = _CTX.setdefault(sf_dir, {})
     return (
         verbatim_overlap_pairs(
-            _documents(spark, sf_dir), "doc_id", "text", k=5, min_tokens=8
+            _documents(spark, sf_dir), "doc_id", "text", k=5, min_tokens=8,
+            cache_registry=c.setdefault("_caches", []),
         )
         .orderBy("a", "b")
     )

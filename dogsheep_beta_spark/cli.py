@@ -27,6 +27,17 @@ import os
 import sys
 
 
+def _positive_int(s: str) -> int:
+    """argparse type for ``--limit``: reject <1 with a friendly message
+    BEFORE a Spark session spins up (a negative value would otherwise
+    surface as a raw IllegalArgumentException from DataFrame.limit, and
+    0 would silently print nothing)."""
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def _build_session(cpus: str | None = None):
     from pyspark.sql import SparkSession
 
@@ -178,9 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--date", default=None, help="timestamp date YYYY-MM-DD")
     se.add_argument(
         "--limit",
-        type=int,
+        type=_positive_int,
         default=40,
-        help="max rows (capped at the reference page limits: "
+        help="max rows, >= 1 (capped at the reference page limits: "
         "40 timeline / 100 search)",
     )
     se.add_argument("--count", action="store_true", help="print filtered count")

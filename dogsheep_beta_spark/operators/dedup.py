@@ -225,6 +225,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 8,
     verify_k: int | None = None,
+    max_bucket: int = 0,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
 
@@ -235,6 +236,20 @@ def minhash_lsh_pairs(
     At 100 TB this is THE scalable near-dup plan: signature build is a
     map-only pass, banding shuffles once on (band_id, band_hash), and
     only candidates (≪ n²) reach verification.
+
+    ``max_bucket`` bounds the band self-join against mass-duplicated
+    corpora (the sibling of ``jaccard_pairs``' stop-shingle cap): a
+    bucket holding w docs normally yields w(w-1)/2 candidate rows in
+    ONE join task, so a single 10^6-way exact-dup class is a 5·10^11-row
+    straggler.  Buckets wider than ``max_bucket`` switch from all-pairs
+    to a CHAIN — docs ranked by id within the bucket, one candidate per
+    consecutive rank — so a hot bucket contributes w-1 candidates, not
+    O(w²).  Chained docs are mutual near-dups with overwhelming
+    probability (they agreed on a full band), so the chain keeps the
+    duplicate CLASS connected and ``connected_components`` transitivity
+    recovers exactly the same clusters; only the non-adjacent pair rows
+    (redundant for clustering) are skipped.  Candidate count is thereby
+    bounded by Σ_small w² + Σ_hot (w−1).  0 disables the cap.
     """
     r = n_hashes // bands
     # per-doc shingle sets — persisted because they feed BOTH the
@@ -268,13 +283,49 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     ).persist()
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
-    )
+    if max_bucket:
+        # Hot-bucket keys are few by definition (each one is a wide
+        # duplicate class), so they broadcast: the split below is two
+        # map-side joins, no extra shuffle of the banded table.
+        widths = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("w")
+        )
+        hot_keys = F.broadcast(
+            widths.where(F.col("w") > max_bucket).select("band", "bucket")
+        )
+        cold = banded.join(hot_keys, ["band", "bucket"], "left_anti")
+        pair_src = (
+            cold.alias("x")
+            .join(cold.alias("y"), ["band", "bucket"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        hot = banded.join(hot_keys, ["band", "bucket"], "left_semi")
+        rk = F.row_number().over(
+            Window.partitionBy("band", "bucket").orderBy("id")
+        )
+        ranked = hot.withColumn("r", rk)
+        chain = (
+            ranked.alias("x")
+            .join(
+                ranked.alias("y"),
+                [
+                    F.col("x.band") == F.col("y.band"),
+                    F.col("x.bucket") == F.col("y.bucket"),
+                    F.col("x.r") + 1 == F.col("y.r"),
+                ],
+            )
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        cand = pair_src.unionByName(chain).distinct()
+    else:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
     # verification per candidate PAIR: join each pair to its two
     # shingle sets and intersect map-side.  O(#candidates × set size) —
     # NOT the inverted-index join over candidate docs, whose cost is
@@ -721,6 +772,7 @@ def verbatim_overlap_pairs(
     k: int = 8,
     min_tokens: int = 20,
     max_bucket: int = 100,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(a, b, overlap_tokens): doc pairs sharing a VERBATIM token run of
     at least ``min_tokens`` — the exact-substring deduplication public
@@ -736,17 +788,21 @@ def verbatim_overlap_pairs(
     3. equi-join on the shingle hash gives co-occurrences (a, b, pa, pb)
        — a shared verbatim run of length L tokens contributes L-k+1
        consecutive co-occurrences on ONE alignment diagonal pa-pb;
-    4. islands of consecutive pa per (a, b, diagonal) — the classic
-       gaps-and-islands rewrite (pa - row_number is constant within a
-       run) — give run lengths; overlap_tokens = k + run - 1;
-    5. keep the max per pair, threshold at ``min_tokens``.
+    4. ONE aggregation per pair: collect the distinct (diag, pa) hits,
+       sort them (lexicographic = by diagonal, then position), and scan
+       the sorted array with a codegen'd ``aggregate`` fold that tracks
+       the longest consecutive-pa run within each diagonal;
+       overlap_tokens = k + max_run − 1, thresholded at ``min_tokens``.
 
-    Every step is a hash shuffle on a bounded key (shingle, then
-    (a, b, diag), then (a, b)) with map-side partials — no suffix
-    array, no global sort, no Python.  The diagonal trick is exact for
-    contiguous runs (what "verbatim overlap" means); repeated shingles
-    inside a doc only add diagonals, never false runs, because a run
-    needs CONSECUTIVE positions on the same diagonal."""
+    Step 4 fuses what a first-cut plan does in FOUR keyed shuffles
+    (dropDuplicates on (a,b,diag,pa) → window sort by (a,b,diag) →
+    islands groupBy → per-pair max) into a single shuffle on (a, b):
+    ``collect_set`` dedups, ``sort_array`` orders, and the linear fold
+    replaces the gaps-and-islands window — all inside the JVM, no
+    Python.  Per-pair state is bounded by the co-occurrence count of
+    that pair (≤ min(len_a, len_b) after stop-shingle pruning), i.e.
+    doc-length-shaped, not corpus-shaped — safe at 100 TB where the
+    shuffle count, not data volume, dominated this operator's cost."""
     toks = tokens_expr(F.col(text_col))
     sh = F.when(
         F.size(toks) >= k,
@@ -755,30 +811,65 @@ def verbatim_overlap_pairs(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # persisted: the positional shingle stream feeds the hot-shingle
+    # aggregate AND both sides of the self-join — without the cache the
+    # tokenize→shingle→md5 explode runs three times (as does the
+    # hot-shingle count, once per join side).  Same lifecycle contract
+    # as jaccard_pairs: pass ``cache_registry`` to own the unpersist.
     pos = df.select(
         F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "h")
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(pos)
     if max_bucket:
         hot = (
             pos.groupBy("h")
             .agg(F.count_distinct("id").alias("df"))
             .filter(F.col("df") > max_bucket)
         )
-        pos = pos.join(hot.select("h"), "h", "left_anti")
+        # hot shingles are few (each is shared by > max_bucket docs):
+        # broadcast the anti-join so the positional stream is pruned
+        # map-side instead of shuffling once just to subtract them.
+        pos = pos.join(F.broadcast(hot.select("h")), "h", "left_anti")
     a = pos.select(F.col("id").alias("a"), F.col("pos").alias("pa"), "h")
     b = pos.select(F.col("id").alias("b"), F.col("pos").alias("pb"), "h")
-    co = a.join(b, "h").where(F.col("a") < F.col("b"))
-    w = Window.partitionBy("a", "b", "diag").orderBy("pa")
-    runs = (
-        co.withColumn("diag", F.col("pa") - F.col("pb"))
-        .dropDuplicates(["a", "b", "diag", "pa"])
-        .withColumn("island", F.col("pa") - F.row_number().over(w))
-        .groupBy("a", "b", "diag", "island")
-        .agg(F.count(F.lit(1)).alias("run"))
+    co = (
+        a.join(b, "h")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.struct(
+                (F.col("pa") - F.col("pb")).alias("diag"),
+                F.col("pa").alias("pa"),
+            ).alias("hit"),
+        )
+    )
+    # fold state: (d, p) = previous hit's diagonal/position, run = length
+    # of the current consecutive run, best = longest run seen so far.
+    zero = F.struct(
+        F.lit(None).cast("int").alias("d"),
+        F.lit(None).cast("int").alias("p"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        cont = (acc["d"].eqNullSafe(x["diag"])) & (acc["p"] + 1 == x["pa"])
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x["diag"].alias("d"),
+            x["pa"].alias("p"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        F.sort_array(F.collect_set("hit")), zero, step, lambda acc: acc["best"]
     )
     return (
-        runs.groupBy("a", "b")
-        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("overlap_tokens"))
+        co.groupBy("a", "b")
+        .agg((max_run + F.lit(k - 1)).cast("long").alias("overlap_tokens"))
         .where(F.col("overlap_tokens") >= min_tokens)
     )
 

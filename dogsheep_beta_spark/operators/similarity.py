@@ -361,11 +361,18 @@ def hash_seeds(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
     operators/sampling.py), reproducible in any engine.  This replaces
     'use the label column' with data-derived cells."""
     h = F.md5(F.col(id_col).cast("string"))
+    # the k smallest md5(id) rows via orderBy+limit — compiles to
+    # TakeOrderedAndProject (per-partition top-k, merge of k×partitions
+    # candidates on the driver side of the exchange), NOT a global
+    # single-partition window over the corpus.  The ranking window that
+    # numbers the cells then runs over exactly k rows (k ≪ corpus), so
+    # its one-partition sort is k·log k — the seed table, not the data.
+    top = df.select(
+        F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"), h.alias("h")
+    ).orderBy("h", "sid").limit(k)
     w = Window.orderBy(F.col("h"), F.col("sid"))
     return (
-        df.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"), h.alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        top.withColumn("rn", F.row_number().over(w))
         .select(
             (F.col("rn") - 1).cast("int").alias("cell"),
             F.col("sv").cast("array<double>").alias("centroid"),

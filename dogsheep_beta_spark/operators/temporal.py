@@ -124,10 +124,12 @@ def time_bucket(ts_col, bucket_seconds: int):
     """Fixed-width time bucket (the hypertable-rollup bucketing unit):
     floor the µs epoch to the bucket width, back to a timestamp.
     Equivalent to DuckDB ``time_bucket(INTERVAL, ts)`` for widths that
-    divide a day."""
+    divide a day.  ``floor`` (not a truncating cast) so pre-1970
+    timestamps — negative epochs — bucket downward exactly like DuckDB,
+    instead of rounding toward zero."""
     width = bucket_seconds * 1_000_000
     return F.timestamp_micros(
-        (F.unix_micros(ts_col) / width).cast("long") * width
+        F.floor(F.unix_micros(ts_col) / width).cast("long") * width
     )
 
 
@@ -157,20 +159,22 @@ def range_join(
     Returns all (interval × matching point) rows with both sides'
     columns (interval columns first).
     """
+    # floor (not truncating cast): negative epochs bucket downward like
+    # time_bucket/interval_join, so no double-width bucket at epoch 0.
     width = bucket_seconds * 1_000_000
     pb = points.withColumn(
-        "_bucket", (F.unix_micros(F.col(point_ts)) / width).cast("long")
+        "_bucket", F.floor(F.unix_micros(F.col(point_ts)) / width).cast("long")
     )
     ib = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_ts)) / width).cast("long"),
+                F.floor(F.unix_micros(F.col(start_ts)) / width).cast("long"),
                 # half-open end: the bucket of (end - 1µs); guard
                 # degenerate (empty) intervals to a single bucket
                 F.greatest(
-                    ((F.unix_micros(F.col(end_ts)) - 1) / width).cast("long"),
-                    (F.unix_micros(F.col(start_ts)) / width).cast("long"),
+                    F.floor((F.unix_micros(F.col(end_ts)) - 1) / width).cast("long"),
+                    F.floor(F.unix_micros(F.col(start_ts)) / width).cast("long"),
                 ),
             )
         ),

@@ -8,8 +8,9 @@ module: explicit schema (inference is a second full scan — never at
 the same rule SQL runs downstream.
 
 CSV-specific care: documents contain newlines, quotes, and commas, so
-the writer quotes/escapes (``quoteAll`` + backslash escape) and the
-reader enables ``multiLine`` — a text round-trip must be lossless,
+the writer quotes every field and doubles embedded quotes (``quoteAll``
+with ``escape='"'`` — RFC-4180 quote-doubling, what generic CSV readers
+expect) and the reader enables ``multiLine`` — a round-trip is lossless,
 which the ``csv_source_ingest`` oracle pins byte-exactly.  multiLine
 CSV sacrifices intra-file split parallelism (a quoted newline means
 line boundaries aren't record boundaries), so the writer keeps files

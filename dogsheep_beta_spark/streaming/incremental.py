@@ -466,6 +466,21 @@ def streaming_ivf_upsert(
     return writer.start()
 
 
+def _list_data_files(root: str) -> dict[str, str]:
+    """relpath → abspath of every data file under ``root`` (symlinks
+    followed; _SUCCESS/metadata/hidden files skipped)."""
+    import os
+
+    out: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(root, followlinks=True):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            full = os.path.join(dirpath, f)
+            out[os.path.relpath(full, root)] = full
+    return out
+
+
 def compact_ivf_layout(
     spark: SparkSession,
     layout_path: str,
@@ -483,22 +498,56 @@ def compact_ivf_layout(
     physical-layout operation, the plain-parquet analog of Delta
     OPTIMIZE / Iceberg rewrite_data_files.
 
+    Safe against a CONCURRENTLY APPENDING stream: the op snapshots the
+    data-file list up front, compacts exactly that snapshot (explicit
+    file list + basePath, so Spark cannot lazily pick up files that
+    arrive mid-job), then at publish time re-lists the source and
+    copies any files that appeared after the snapshot into the new
+    generation before the cutover — so batches appended during a long
+    compaction survive the retention sweep instead of dying with the
+    superseded version dir.  The residual race (a file landing between
+    the re-list and the symlink rename, microseconds) is the
+    plain-filesystem limit; a deployment that needs a zero-window
+    guarantee quiesces the stream around compaction or moves the layout
+    to a transactional table format (Delta OPTIMIZE concurrent-write
+    semantics).
+
     ``files_per_cell`` salts the shuffle key so a big cell rewrites in
     up to that many parallel tasks/files (hash collisions between
     (cell, salt) pairs may merge some, so it is an upper bound, not an
     exact count) — plain ``repartition(n, cell)`` would funnel each
     whole cell through one task, the single-writer bottleneck this
     maintenance op exists to avoid at scale."""
-    df = spark.read.parquet(layout_path)
+    import os
+    import shutil
+
+    base = layout_path.rstrip("/")
+    real = os.path.realpath(base)
+    snapshot = _list_data_files(real)
+    if not snapshot:
+        return
+    df = spark.read.option("basePath", real).parquet(
+        *sorted(snapshot.values())
+    )
     n_cells = df.select("cell").distinct().count()
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
     compacted = df.repartition(
         max(n_cells * files_per_cell, 1), F.col("cell"), salt
     )
-    base = layout_path.rstrip("/")
     tmp = base + ".__tmp__"
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
     compacted.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+
+    # migrate concurrent appends: anything not in the snapshot was
+    # written by the stream while we compacted — carry it into the new
+    # generation verbatim (same cell=… relpath) before publishing.
+    late = {
+        rel: full
+        for rel, full in _list_data_files(real).items()
+        if rel not in snapshot
+    }
+    for rel, full in late.items():
+        dst = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(full, dst)
     _publish_dir(tmp, base)

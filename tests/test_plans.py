@@ -240,20 +240,62 @@ def test_deterministic_shuffle_no_single_partition_window(spark):
 def test_verbatim_overlap_no_cartesian(spark):
     """Substring dedup must stay a bounded-key equi-join pipeline:
     the shingle self-join is keyed on the hash (no cartesian/nested
-    loop), and run detection is a partitioned window."""
+    loop), and run detection is FUSED into the per-pair aggregation —
+    no Window operator anywhere (the old gaps-and-islands plan paid
+    four keyed shuffles after the join; the fold pays one)."""
     from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
 
     df = spark.createDataFrame(
         [(i, "a b c d e f g h i j k l") for i in range(6)],
         "doc_id long, text string",
     )
+    reg = []
     plan = (
-        verbatim_overlap_pairs(df, "doc_id", "text", k=5, min_tokens=8)
+        verbatim_overlap_pairs(
+            df, "doc_id", "text", k=5, min_tokens=8, cache_registry=reg
+        )
         ._jdf.queryExecution().executedPlan().toString()
     )
+    for c in reg:
+        c.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "Window" not in plan  # run detection lives in the aggregate
+    # hot-shingle pruning is a map-side broadcast anti-join
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A mass-duplicated corpus (one 1000-way exact-dup class) must NOT
+    produce O(w²) candidate pairs when ``max_bucket`` is set: hot
+    buckets emit a rank-chain (w−1 rows per band), and connected
+    components over the verified chain still recover the entire
+    duplicate class as ONE cluster."""
+    from dogsheep_beta_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    n = 1000
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)] + [(n, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=8, max_bucket=50
+    ).persist()
+    n_pairs = pairs.count()
+    # uncapped: 8 bands × 1000²/2 ≈ 4M candidates collapsing to ~500k
+    # distinct pairs; chained: ≤ w−1 distinct pairs (every band chains
+    # the same id order, so the 8 chains coincide)
+    assert n_pairs <= n - 1
+    # transitivity recovers the full class from the chain
+    comp = connected_components(pairs.filter(F.col("jaccard") >= 0.99))
+    n_nodes = comp.count()
+    n_comps = comp.select("comp").distinct().count()
+    pairs.unpersist()
+    assert n_nodes == n and n_comps == 1
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

@@ -433,3 +433,52 @@ def test_compact_ivf_layout_shrinks_files_preserves_content(spark, tmpdir):
         glob.glob(os.path.join(layout + "/", "cell=*", "*.parquet"))
     )
     assert n_files_after == 3  # one file per cell
+
+
+def test_compact_ivf_migrates_concurrent_appends(spark, tmpdir, monkeypatch):
+    """A file appended by the stream WHILE compaction runs (after the
+    snapshot listing, before publish) must survive into the new
+    generation — the re-list-at-publish migration.  Simulated by
+    injecting an append just before the publish-time re-list."""
+    import glob
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    layout = os.path.join(tmpdir, "cells")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 3) for i in range(12)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    for b in range(3):
+        (
+            df.where(F.col("vec_id") % 3 == b)
+            .repartition(1)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(layout)
+        )
+    # a "late" batch staged aside, to be dropped in mid-compaction
+    late_src = os.path.join(tmpdir, "late")
+    spark.createDataFrame(
+        [(99, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    ).repartition(1).write.parquet(late_src)
+    late_part = glob.glob(os.path.join(late_src, "part-*.parquet"))[0]
+
+    real_list = inc._list_data_files
+    calls = {"n": 0}
+
+    def listing_with_append(root):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the publish-time re-list
+            dst = os.path.join(root, "cell=1", "late-append.parquet")
+            shutil.copy2(late_part, dst)
+        return real_list(root)
+
+    monkeypatch.setattr(inc, "_list_data_files", listing_with_append)
+    inc.compact_ivf_layout(spark, layout, files_per_cell=1)
+    spark.catalog.refreshByPath(layout)
+    got = {
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(layout).select("vec_id", "cell").collect()
+    }
+    assert (99, 1) in got and len(got) == 13
