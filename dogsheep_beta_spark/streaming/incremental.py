@@ -37,13 +37,13 @@ def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def _publish_dir(src_dir: str, path: str) -> None:
+def _publish_dir(src_dir: str, path: str, hidden: bool = False) -> None:
     """Atomically point ``path`` at the data in ``src_dir`` via a
     versioned-directory + symlink-pointer cutover.
 
     The naive two-rename swap (base→old, tmp→base) leaves a window in
     which ``path`` does not exist and a concurrent read fails.  Here
-    ``path`` is a SYMLINK to ``path.__vN__``; publishing renames the
+    ``path`` is a SYMLINK to a version dir; publishing renames the
     new data to the next version dir (invisible — nothing points at
     it), builds a temp symlink, and ``os.rename``s it over the old one
     — a single atomic POSIX op, so every reader sees either the old or
@@ -52,17 +52,32 @@ def _publish_dir(src_dir: str, path: str) -> None:
     reader that resolved the old link mid-query still finds its files.
     This is the plain-filesystem analog of Delta/Iceberg's
     pointer-to-snapshot commit; a legacy real directory at ``path`` is
-    migrated to a version dir on first publish."""
+    migrated to a version dir on first publish.
+
+    ``hidden=True`` keeps the version dirs (and the transient pointer)
+    under a dot-prefixed sibling ``.__gen__/`` directory instead of
+    next to ``path``.  Required when ``path`` is a hive PARTITION dir
+    (``type=X``) inside a live table root: Spark's file listing skips
+    dot/underscore-prefixed entries, so the machinery stays invisible
+    to partition discovery — a bare ``type=X.__v1__`` sibling would
+    otherwise be parsed as a partition named ``X.__v1__``."""
     import os
     import re
     import shutil
 
     base = path.rstrip("/")
     parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    if hidden:
+        gen_parent = os.path.join(parent, ".__gen__")
+        os.makedirs(gen_parent, exist_ok=True)
+        ptr_tmp = os.path.join(parent, f".{name}.__ptr__")
+    else:
+        gen_parent = parent
+        ptr_tmp = f"{base}.__ptr__"
     pat = re.compile(re.escape(name) + r"\.__v(\d+)__$")
     versions = sorted(
         int(m.group(1))
-        for f in os.listdir(parent)
+        for f in os.listdir(gen_parent)
         if (m := pat.match(f))
     )
     nxt = (versions[-1] + 1) if versions else 1
@@ -70,21 +85,22 @@ def _publish_dir(src_dir: str, path: str) -> None:
         # legacy real directory: migrate it into the version sequence
         # (it becomes the retained prior generation) so the pointer
         # swap below is the atomic rename of a symlink.
-        os.rename(base, f"{base}.__v{nxt}__")
+        os.rename(base, os.path.join(gen_parent, f"{name}.__v{nxt}__"))
         versions.append(nxt)
         nxt += 1
-    vdir = f"{base}.__v{nxt}__"
+    vdir = os.path.join(gen_parent, f"{name}.__v{nxt}__")
     os.rename(src_dir, vdir)
 
-    ptr_tmp = f"{base}.__ptr__"
     if os.path.lexists(ptr_tmp):
         os.remove(ptr_tmp)
-    os.symlink(os.path.basename(vdir), ptr_tmp)
+    os.symlink(os.path.relpath(vdir, parent), ptr_tmp)
     os.rename(ptr_tmp, base)  # atomic cutover
 
     # retain exactly one prior generation for in-flight readers
     for v in versions[:-1]:
-        shutil.rmtree(f"{base}.__v{v}__", ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(gen_parent, f"{name}.__v{v}__"), ignore_errors=True
+        )
 
 
 def _atomic_swap_write(df: DataFrame, path: str) -> None:
@@ -113,11 +129,14 @@ def merge_batch(
     """foreachBatch body: conform the micro-batch and upsert it into
     the Parquet index (read → union → dedup → temp-write → swap).
 
-    Local-mode simplification of a Delta/Iceberg MERGE: at cluster
-    scale the same conform+dedup plan feeds ``MERGE WHEN MATCHED``
-    instead of a full rewrite, but the *semantics* (per-pk
-    last-writer-wins with the batch as the newer writer) are identical.
-    """
+    MONOLITHIC-layout variant: every batch re-reads and rewrites the
+    whole index — O(index) I/O per batch, fine for a small single-type
+    index, wrong for a long-running stream at scale.  Use
+    ``merge_batch_scoped`` (partition-by-type layout, O(touched
+    partitions) per batch) for the production shape; the semantics
+    (per-pk last-writer-wins with the batch as the newer writer) are
+    identical, as is the Delta/Iceberg ``MERGE WHEN MATCHED``
+    equivalent both variants approximate on plain parquet."""
     incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
     existing = _read_existing(spark, index_path)
     if existing is not None:
@@ -129,6 +148,106 @@ def merge_batch(
     _atomic_swap_write(merged, index_path)
 
 
+def _read_partitioned(
+    spark: SparkSession, path: str, types: list[str]
+) -> DataFrame | None:
+    """The live partition-by-type layout restricted to the given type
+    values, or None if none of those partitions exist yet.
+
+    The touched ``type=…`` directories are selected EXPLICITLY (hive
+    partition names unescaped and matched against ``types``) and read
+    with ``basePath``, rather than scan-then-filter: a post-hoc
+    partition filter prunes the scan but schema inference still opens
+    parquet footers across every partition — this way untouched
+    partitions are never opened at all, which is what makes the scoped
+    merge O(touched), not O(index).  (Pinned by test: a merge for type
+    B succeeds even when type A's files are corrupt.)"""
+    import os
+    from urllib.parse import unquote
+
+    base = path.rstrip("/")
+    if not os.path.isdir(base):
+        return None
+    want = set(types)
+    sel = [
+        os.path.join(base, e)
+        for e in sorted(os.listdir(base))
+        if e.startswith("type=") and unquote(e[len("type="):]) in want
+    ]
+    if not sel:
+        return None
+    return spark.read.option("basePath", base).parquet(*sel)
+
+
+def _publish_partitions(stage_dir: str, live_dir: str) -> None:
+    """Publish every ``type=…`` partition dir the staging write
+    produced onto the live layout, one atomic symlink cutover per
+    partition (hidden version dirs — invisible to Spark's listing).
+    Partitions NOT present in the stage are never touched: their files
+    stay byte-identical.  Isolation is per-partition (a reader racing
+    the publish can see partition A at batch N and partition B at
+    N−1 for an instant) — the same level Hive dynamic partition
+    overwrite and per-partition commits give; whole-table snapshot
+    isolation is what a transactional format (Delta/Iceberg) buys."""
+    import os
+    import shutil
+
+    os.makedirs(live_dir, exist_ok=True)
+    for entry in sorted(os.listdir(stage_dir)):
+        if not entry.startswith("type="):
+            continue
+        _publish_dir(
+            os.path.join(stage_dir, entry),
+            os.path.join(live_dir, entry),
+            hidden=True,
+        )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def merge_batch_scoped(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    type_tag: str,
+) -> None:
+    """Partition-scoped foreachBatch body: upsert the micro-batch into
+    a ``partitionBy("type")`` index layout, rewriting ONLY the type
+    partitions present in the batch.
+
+    ``merge_batch`` (the monolithic-layout variant) re-reads and
+    re-writes the ENTIRE index every micro-batch — O(index) I/O that is
+    a scale-killer on a long-running stream over a 100 TB corpus.  Here
+    the read is partition-pruned to the batch's type(s), the merged
+    result is staged partitioned-by-type, and each touched partition
+    publishes with its own atomic cutover; untouched partitions' files
+    are never opened, so per-batch work is O(touched partitions ∪
+    batch), independent of total index size.  This is the reference's
+    per-row FTS trigger semantics (utils.py:90) expressed at partition
+    granularity — and the plain-parquet analog of a Delta/Iceberg
+    ``MERGE WHEN MATCHED`` whose file rewrite set is clustered by the
+    partition key.  Same last-writer-wins semantics as merge_batch
+    (convergence-tested against the batch indexer)."""
+    import os
+    import shutil
+
+    incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
+    base = index_path.rstrip("/")
+    types = [type_tag]
+    existing = _read_partitioned(spark, base, types)
+    if existing is not None:
+        merged = last_writer_wins(
+            union_conformed([existing.withColumn("load_seq", F.lit(0)), incoming])
+        )
+    else:
+        merged = last_writer_wins(incoming)
+    stage = base + ".__stage__"
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("type").parquet(stage)
+    os.makedirs(base, exist_ok=True)
+    _publish_partitions(stage, base)
+
+
 def incremental_index_stream(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -136,13 +255,19 @@ def incremental_index_stream(
     type_tag: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    partitioned: bool = False,
 ):
-    """Wire a conformed stream into the index via foreachBatch merge."""
+    """Wire a conformed stream into the index via foreachBatch merge.
+
+    ``partitioned=True`` selects the partition-by-type layout +
+    partition-scoped merge (O(touched) per batch — the shape to run at
+    scale); default keeps the monolithic single-directory layout."""
+    body = merge_batch_scoped if partitioned else merge_batch
     writer = (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda bdf, bid: merge_batch(spark, bdf, bid, index_path, type_tag)
+            lambda bdf, bid: body(spark, bdf, bid, index_path, type_tag)
         )
     )
     if trigger_available_now:
@@ -266,6 +391,77 @@ def delete_fts_docs(
             _publish_dir(*pair)
 
 
+def merge_fts_batch_scoped(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    fts_path: str,
+    type_tag: str,
+) -> None:
+    """Partition-scoped incremental FTS maintenance (A10 at scale):
+    index, postings AND doc_lengths all live in ``partitionBy("type")``
+    layouts, and a micro-batch rewrites only the type partitions it
+    touches.
+
+    Same three steps as ``merge_fts_batch`` — upsert the index
+    partition, anti-join the batch's (type, key) docs out of the
+    postings/doc_lengths partitions, tokenize ONLY the incoming docs
+    and append their rows — but every read is partition-pruned and
+    every write is a per-partition cutover, so a batch for type X does
+    zero I/O against the postings of every other type.  Tokenization
+    stays O(batch); partition rewrite is O(touched partitions).  The
+    postings-by-type layout serves the MAINTENANCE path; the search
+    path's term-bucketed layout (write_fts_index) is produced from it
+    by the periodic rebuild, exactly as the reference's batch indexer
+    rebuilds FTS over the trigger-maintained table (utils.py:57-63)."""
+    import os
+    import shutil
+
+    from dogsheep_beta_spark.operators.fts_index import postings_and_lengths
+
+    incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
+    base = index_path.rstrip("/")
+    types = [type_tag]
+    existing = _read_partitioned(spark, base, types)
+    if existing is not None:
+        merged = last_writer_wins(
+            union_conformed([existing.withColumn("load_seq", F.lit(0)), incoming])
+        )
+    else:
+        merged = last_writer_wins(incoming)
+    # stage the merged index partitions FIRST: the postings delta below
+    # reads this stable snapshot, and no live path changes until all
+    # three outputs are staged.
+    stage_idx = base + ".__stage__"
+    shutil.rmtree(stage_idx, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("type").parquet(stage_idx)
+    merged_disk = spark.read.parquet(stage_idx)
+
+    batch_keys = incoming.select("type", "key").distinct()
+    touched = merged_disk.join(batch_keys, ["type", "key"], "left_semi")
+    delta_post, delta_len = postings_and_lengths(touched)
+
+    stages = []
+    for name, delta in (("postings", delta_post), ("doc_lengths", delta_len)):
+        live = os.path.join(fts_path, name)
+        old = _read_partitioned(spark, live, types)
+        if old is not None:
+            new = old.join(batch_keys, ["type", "key"], "left_anti").unionByName(
+                delta
+            )
+        else:
+            new = delta
+        stage = live.rstrip("/") + ".__stage__"
+        shutil.rmtree(stage, ignore_errors=True)
+        new.write.mode("overwrite").partitionBy("type").parquet(stage)
+        stages.append((stage, live))
+    for stage, live in stages:
+        _publish_partitions(stage, live)
+    os.makedirs(base, exist_ok=True)
+    _publish_partitions(stage_idx, base)
+
+
 def incremental_fts_stream(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -273,13 +469,18 @@ def incremental_fts_stream(
     fts_path: str,
     type_tag: str,
     checkpoint_dir: str,
+    partitioned: bool = False,
 ):
-    """Wire a conformed stream into index + FTS via foreachBatch."""
+    """Wire a conformed stream into index + FTS via foreachBatch.
+
+    ``partitioned=True`` selects the partition-scoped merge (O(touched
+    partitions) per batch instead of a full index+postings rewrite)."""
+    body = merge_fts_batch_scoped if partitioned else merge_fts_batch
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda bdf, bid: merge_fts_batch(
+            lambda bdf, bid: body(
                 spark, bdf, bid, index_path, fts_path, type_tag
             )
         )

@@ -482,3 +482,222 @@ def test_compact_ivf_migrates_concurrent_appends(spark, tmpdir, monkeypatch):
         for r in spark.read.parquet(layout).select("vec_id", "cell").collect()
     }
     assert (99, 1) in got and len(got) == 13
+
+
+def _file_stats(root):
+    """(relpath, size, mtime_ns) of every data file under root,
+    following symlinks — the byte-identity fingerprint for untouched
+    partitions."""
+    out = set()
+    for dirpath, _dirs, files in os.walk(root, followlinks=True):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            full = os.path.join(dirpath, f)
+            st = os.stat(full)
+            out.add((os.path.relpath(full, root), st.st_size, st.st_mtime_ns))
+    return out
+
+
+def test_scoped_merge_converges_and_leaves_other_partitions_untouched(
+    spark, tmpdir
+):
+    """Partition-scoped merge: (1) converges to the batch build exactly
+    like the monolithic merge; (2) a batch for type B does ZERO I/O
+    against type A's partition — its files (and the version dir the
+    symlink resolves to) are byte-identical afterwards."""
+    from dogsheep_beta_spark.operators.conform import conform
+    from dogsheep_beta_spark.operators.upsert import (
+        last_writer_wins,
+        union_conformed,
+    )
+    from dogsheep_beta_spark.streaming.incremental import merge_batch_scoped
+
+    index_path = os.path.join(tmpdir, "pidx")
+    schema = "key int, title string, timestamp string"
+    rows_a1 = [(1, "one", "2024-01-01"), (2, "two", "2024-01-02")]
+    rows_b = [(7, "seven", "2024-01-05")]
+    rows_a2 = [(2, "two-updated", "2024-01-03"), (3, "three", "2024-01-04")]
+
+    merge_batch_scoped(
+        spark, spark.createDataFrame(rows_a1, schema), 0, index_path, "a.db/t"
+    )
+    merge_batch_scoped(
+        spark, spark.createDataFrame(rows_b, schema), 1, index_path, "b.db/t"
+    )
+    # fingerprint type A's partition before an unrelated type-B merge
+    # and a type-A update merge
+    a_dir = next(
+        os.path.join(index_path, e)
+        for e in os.listdir(index_path)
+        if e.startswith("type=a.db")
+    )
+    a_real_before = os.path.realpath(a_dir)
+    a_stats_before = _file_stats(a_real_before)
+
+    merge_batch_scoped(
+        spark, spark.createDataFrame(rows_a2, schema), 2, index_path, "a.db/t"
+    )
+    # type B untouched by the type-A merge
+    b_dir = next(
+        os.path.join(index_path, e)
+        for e in os.listdir(index_path)
+        if e.startswith("type=b.db")
+    )
+    # type A's OLD version dir still has identical bytes (retained one
+    # generation), and the symlink moved to a NEW version
+    assert _file_stats(a_real_before) == a_stats_before
+    assert os.path.realpath(a_dir) != a_real_before
+
+    spark.catalog.refreshByPath(index_path)
+    got = {
+        (r["type"], r["key"]): r["title"]
+        for r in spark.read.parquet(index_path).collect()
+    }
+    b1 = conform(spark.createDataFrame(rows_a1, schema), "a.db/t").withColumn(
+        "load_seq", F.lit(0)
+    )
+    b2 = conform(spark.createDataFrame(rows_a2, schema), "a.db/t").withColumn(
+        "load_seq", F.lit(1)
+    )
+    bb = conform(spark.createDataFrame(rows_b, schema), "b.db/t").withColumn(
+        "load_seq", F.lit(0)
+    )
+    expected = {
+        (r["type"], r["key"]): r["title"]
+        for r in last_writer_wins(union_conformed([b1, b2, bb])).collect()
+    }
+    assert got == expected and len(got) == 4
+    del b_dir
+
+
+def test_scoped_merge_untouched_partition_not_even_opened(spark, tmpdir):
+    """Stronger than byte-identity: a type-B merge must not READ type
+    A's files.  Corrupt type A's partition on disk; the type-B merge
+    still succeeds (a full-index rewrite would throw)."""
+    from dogsheep_beta_spark.streaming.incremental import merge_batch_scoped
+
+    index_path = os.path.join(tmpdir, "pidx2")
+    schema = "key int, title string, timestamp string"
+    merge_batch_scoped(
+        spark, spark.createDataFrame([(1, "x", "2024-01-01")], schema),
+        0, index_path, "a.db/t",
+    )
+    a_dir = next(
+        os.path.join(index_path, e)
+        for e in os.listdir(index_path)
+        if e.startswith("type=a.db")
+    )
+    for f in os.listdir(os.path.realpath(a_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(os.path.realpath(a_dir), f), "w") as fh:
+                fh.write("corrupt")
+    # partition-pruned merge for b never opens a.db's files
+    merge_batch_scoped(
+        spark, spark.createDataFrame([(9, "y", "2024-01-02")], schema),
+        1, index_path, "b.db/t",
+    )
+
+
+def test_scoped_incremental_index_stream(spark, tmpdir):
+    """The partitioned=True stream wiring converges across restarts
+    exactly like the monolithic one (same assertions as
+    test_incremental_merge_converges_to_batch)."""
+    src = os.path.join(tmpdir, "src")
+    index_path = os.path.join(tmpdir, "index")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    rows1 = [(1, "one", "2024-01-01"), (2, "two", "2024-01-02")]
+    rows2 = [(2, "two-updated", "2024-01-03"), (3, "three", "2024-01-04")]
+    schema = "key int, title string, timestamp string"
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_index_stream(
+        spark, stream, index_path, "s.db/items", ckpt, partitioned=True
+    )
+    q.awaitTermination(60)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_index_stream(
+        spark, stream, index_path, "s.db/items", ckpt, partitioned=True
+    )
+    q.awaitTermination(60)
+
+    spark.catalog.refreshByPath(index_path)
+    final = {r["key"]: r["title"] for r in spark.read.parquet(index_path).collect()}
+    assert final == {"1": "one", "2": "two-updated", "3": "three"}
+
+
+def test_scoped_fts_converges_to_batch(spark, tmpdir):
+    """Partition-scoped FTS maintenance == full batch rebuild over the
+    same final corpus, and another type's postings partition is
+    byte-identical after an unrelated merge."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.streaming.incremental import merge_fts_batch_scoped
+
+    index_path = os.path.join(tmpdir, "index")
+    fts_path = os.path.join(tmpdir, "fts")
+    schema = "key int, title string, search_1 string"
+    rows1 = [(1, "alpha beta", "gamma"), (2, "beta beta", None)]
+    rows_other = [(50, "zeta omega", "psi")]
+    rows2 = [(2, "delta", "beta gamma"), (3, "alpha", "alpha")]
+
+    merge_fts_batch_scoped(
+        spark, spark.createDataFrame(rows1, schema), 0,
+        index_path, fts_path, "s.db/t",
+    )
+    merge_fts_batch_scoped(
+        spark, spark.createDataFrame(rows_other, schema), 1,
+        index_path, fts_path, "o.db/t",
+    )
+    post_live = os.path.join(fts_path, "postings")
+    o_dir = next(
+        os.path.join(post_live, e)
+        for e in os.listdir(post_live)
+        if e.startswith("type=o.db")
+    )
+    o_real = os.path.realpath(o_dir)
+    o_stats = _file_stats(o_real)
+
+    merge_fts_batch_scoped(
+        spark, spark.createDataFrame(rows2, schema), 2,
+        index_path, fts_path, "s.db/t",
+    )
+    # o.db's postings partition: same version dir, same bytes
+    assert os.path.realpath(o_dir) == o_real
+    assert _file_stats(o_real) == o_stats
+
+    spark.catalog.refreshByPath(index_path)
+    spark.catalog.refreshByPath(post_live)
+    spark.catalog.refreshByPath(os.path.join(fts_path, "doc_lengths"))
+
+    def canon(df):
+        return sorted(
+            (r["term"], r["type"], r["key"], r["field"], r["tf"],
+             tuple(r["positions"]))
+            for r in df.collect()
+        )
+
+    streamed = canon(spark.read.parquet(post_live))
+    batch_fts = build_fts_index(spark.read.parquet(index_path), persist=False)
+    assert streamed == canon(batch_fts.postings)
+    got_len = {
+        (r["type"], r["key"]): r["dl"]
+        for r in spark.read.parquet(
+            os.path.join(fts_path, "doc_lengths")
+        ).collect()
+    }
+    assert got_len == {
+        (r["type"], r["key"]): r["dl"]
+        for r in batch_fts.doc_lengths.collect()
+    }
+    idx = {
+        (r["type"], r["key"]): r["title"]
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert idx == {
+        ("s.db/t", "1"): "alpha beta",
+        ("s.db/t", "2"): "delta",
+        ("s.db/t", "3"): "alpha",
+        ("o.db/t", "50"): "zeta omega",
+    }
