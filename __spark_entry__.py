@@ -860,9 +860,44 @@ def q_search_phrase(spark, sf_dir):
     return _bm25_results(spark, sf_dir, '"batch stream"')
 
 
+def _ctx_prefix_fts(spark, sf_dir):
+    """The persisted LEXICOGRAPHIC term layout (term_scheme="prefix":
+    term_pfx = "p" + term[:2] directory key), written once per sf_dir.
+    Unlike the md5-bucket layout (_ctx_disk_fts), a ``prefix*`` MATCH
+    against this one carries PartitionFilters too — the hash scheme
+    cannot bound a prefix, so its prefix queries scan every bucket
+    (plans/match.py:_scoped_postings; pinned by
+    tests/test_persistence.py::test_fts_prefix_scheme_prunes_exact_and_prefix)."""
+    from dogsheep_beta_spark.operators.fts_index import (
+        read_fts_index,
+        write_fts_index,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "fts_prefix" not in c:
+        import tempfile
+
+        _, fts = _ctx(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="dbs_fts_pfx_")
+        write_fts_index(fts, path, term_scheme="prefix")
+        c["fts_prefix_path"] = path
+        c["fts_prefix"] = read_fts_index(spark, path)
+    return c["idx"], c["fts_prefix"]
+
+
 def q_search_prefix(spark, sf_dir):
-    """B5: prefix* — startswith over the term dictionary."""
-    return _bm25_results(spark, sf_dir, "wind*")
+    """B5: prefix* — startswith over the term dictionary, served from
+    the PERSISTED prefix-partitioned layout so the startswith lookup is
+    partition-pruned to the matching first-2-chars directories (the
+    scale path for the prefix query family).  Results identical to the
+    in-memory index — shares the same oracle."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _ctx_prefix_fts(spark, sf_dir)
+    plan = QueryPlan(q="wind*")
+    scored = scored_docs(fts, "wind*").withColumn("rank", F.round("rank", 6))
+    res = compile_plan(idx, plan, scored=scored)
+    return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
 def q_search_escape_fallback(spark, sf_dir):

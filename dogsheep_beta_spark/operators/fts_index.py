@@ -47,6 +47,13 @@ class FtsIndex:
     # md5-bucket(term) % term_partitions: exact-term MATCH lookups then
     # carry a partition filter and scan only their buckets' directories.
     term_partitions: int = 0
+    # partitioning scheme for the at-rest layout: "hash" (md5 buckets —
+    # balanced, but a prefix* query is unboundable and scans every
+    # bucket) or "prefix" (term_pfx = "p" + first 2 chars of the term —
+    # LEXICOGRAPHIC directory key, so exact terms AND prefix* queries
+    # both partition-prune; skew follows the bigram distribution, which
+    # sortWithinPartitions row-group stats absorb within a directory).
+    term_scheme: str = "hash"
 
 
 def term_bucket_py(term: str, n: int) -> int:
@@ -56,6 +63,15 @@ def term_bucket_py(term: str, n: int) -> int:
     import hashlib
 
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n
+
+
+def term_prefix_py(term: str) -> str:
+    """Driver-side twin of the PREFIX-scheme term_pfx write expression:
+    a letter sentinel + the term's first two characters.  The sentinel
+    keeps hive partition-value type inference from turning digit-led
+    prefixes ("12…") into an int partition column, which would break
+    string comparisons against the directory key."""
+    return "p" + term[:2]
 
 
 def _field_tokens(index_df: DataFrame, field: str, mode: str, stem: bool) -> DataFrame:
@@ -179,26 +195,49 @@ def stem_fts_index(fts: FtsIndex, persist: bool = True) -> FtsIndex:
 
 
 def write_fts_index(
-    fts: FtsIndex, path: str, term_buckets: int = 0, term_partitions: int = 0
+    fts: FtsIndex,
+    path: str,
+    term_buckets: int = 0,
+    term_partitions: int = 0,
+    term_scheme: str = "hash",
 ) -> None:
     """Persist postings/doc_lengths as Parquet, plus a meta.json so
     ``read_fts_index`` restores a fully-usable FtsIndex.
 
-    Two at-rest layouts (SURVEY §7.5), composable:
+    Three at-rest layouts (SURVEY §7.5):
     - ``term_buckets`` > 0: repartition+sort by term so row-group
       min/max stats skip whole row groups within each file;
-    - ``term_partitions`` > 0: hive-partition by ``term_pfx``
-      (md5-bucket of the term) so an exact-term MATCH lookup scans only
-      its bucket DIRECTORIES (PartitionFilters — the same pruning the
-      IVF cell layout gets; the MATCH compiler adds the bucket
-      predicate automatically via ``_scoped_postings``).
+    - ``term_partitions`` > 0 (scheme "hash"): hive-partition by
+      ``term_pfx`` (md5-bucket of the term) so an exact-term MATCH
+      lookup scans only its bucket DIRECTORIES (PartitionFilters — the
+      same pruning the IVF cell layout gets; the MATCH compiler adds
+      the bucket predicate automatically via ``_scoped_postings``).
+      Balanced, but a ``prefix*`` query is unboundable under hashing
+      and scans every bucket;
+    - ``term_scheme="prefix"``: hive-partition by the LEXICOGRAPHIC
+      key ``term_pfx = "p" + term[:2]`` so exact terms AND ``prefix*``
+      queries both carry PartitionFilters (an equality for prefixes of
+      length ≥ 2, a StartsWith for single-char prefixes — both prune
+      directories).  Files are additionally sorted by term within each
+      partition, so row-group stats narrow the in-directory scan.
+      Partition count follows the corpus's leading-bigram dictionary
+      (≲ #alphabet² dirs); skewed bigrams make bigger directories, not
+      broken pruning.
     """
     import json
     import os
 
     p = fts.postings
     writer_partition = None
-    if term_partitions:
+    if term_scheme == "prefix":
+        p = (
+            p.withColumn("term_pfx", F.concat(F.lit("p"), F.substring("term", 1, 2)))
+            .repartition("term_pfx")
+            .sortWithinPartitions("term")
+        )
+        writer_partition = "term_pfx"
+        term_partitions = 0
+    elif term_partitions:
         p = p.withColumn(
             "term_pfx",
             (
@@ -223,6 +262,7 @@ def write_fts_index(
                 "stem": fts.stem,
                 "fields": list(fts.fields),
                 "term_partitions": term_partitions,
+                "term_scheme": term_scheme,
             },
             fh,
         )
@@ -246,4 +286,5 @@ def read_fts_index(spark: SparkSession, path: str) -> FtsIndex:
         stem=meta["stem"],
         fields=tuple(meta["fields"]),
         term_partitions=meta["term_partitions"],
+        term_scheme=meta.get("term_scheme", "hash"),
     )

@@ -374,13 +374,35 @@ def collect_phrases(node) -> list[Phrase]:
 
 def _scoped_postings(fts, phrase: Phrase) -> DataFrame:
     """Postings restricted to the phrase's column filter (B5 ``col:``)
-    and — when the index is at rest hive-partitioned by term bucket
-    (write_fts_index(term_partitions=N)) — to the union of the
-    phrase's term buckets, so the scan carries PartitionFilters and
-    touches only those directories.  Prefix phrases (``foo*``) are
-    unboundable under hash bucketing and skip the bucket cut."""
+    and — when the index is at rest hive-partitioned by a term key
+    (write_fts_index ``term_partitions=N`` / ``term_scheme="prefix"``)
+    — to the union of the phrase's term partitions, so the scan carries
+    PartitionFilters and touches only those directories.
+
+    Hash scheme: exact terms prune to their md5 buckets; ``foo*`` is
+    unboundable under hashing and skips the cut.  Prefix scheme
+    (term_pfx = "p" + term[:2], lexicographic): exact terms prune by
+    equality, and prefix phrases prune too — an equality on the
+    first-2-chars key when the typed prefix has ≥ 2 chars, a StartsWith
+    (still a partition filter: a directory-set cut) for a single-char
+    prefix."""
     p = fts.postings
-    if (
+    if getattr(fts, "term_scheme", "hash") == "prefix" and phrase.tokens:
+        from dogsheep_beta_spark.operators.fts_index import term_prefix_py
+
+        full = phrase.tokens[:-1] if phrase.prefix else phrase.tokens
+        last = phrase.tokens[-1] if phrase.prefix else None
+        vals = sorted({term_prefix_py(t) for t in full})
+        pred = F.col("term_pfx").isin(vals) if vals else None
+        if last is not None:
+            if len(last) >= 2:
+                lp = F.col("term_pfx") == term_prefix_py(last)
+            else:
+                lp = F.col("term_pfx").startswith("p" + last)
+            pred = lp if pred is None else (pred | lp)
+        if pred is not None:
+            p = p.filter(pred)
+    elif (
         getattr(fts, "term_partitions", 0)
         and phrase.tokens
         and not phrase.prefix

@@ -171,3 +171,53 @@ def test_fts_term_partition_pruned_search(spark, dogs_source, tmpdir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
     assert m, plan[:500]
+
+
+def test_fts_prefix_scheme_prunes_exact_and_prefix(spark, dogs_source, tmpdir):
+    """The lexicographic term layout (term_scheme="prefix"): results
+    identical to the in-memory index for exact, stemless AND prefix
+    queries, and — unlike the hash layout — a ``prefix*`` MATCH carries
+    PartitionFilters on the first-2-chars directory key."""
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py
+    from dogsheep_beta_spark.operators.fts_index import (
+        build_fts_index,
+        read_fts_index,
+        write_fts_index,
+    )
+    from dogsheep_beta_spark.plans.match import compile_match, parse_match
+    from dogsheep_beta_spark.plans.search import search
+
+    idx = build_search_index(spark, CONFIG)
+    fts_mem = build_fts_index(idx, mode="portable", stem=False)
+    out = os.path.join(tmpdir, "fts_prefix")
+    write_fts_index(fts_mem, out, term_scheme="prefix")
+    fts_disk = read_fts_index(spark, out)
+    assert fts_disk.term_scheme == "prefix"
+    assert fts_disk.term_partitions == 0
+
+    for q in ("running", "chasing", "runn*", "r*", '"running" OR chas*'):
+        mem = [(r["type"], r["key"], r["rank"])
+               for r in search(idx, fts_mem, q).collect()]
+        disk = [(r["type"], r["key"], r["rank"])
+                for r in search(idx, fts_disk, q).collect()]
+        assert mem == disk, q
+
+    def match_plan(q):
+        ast = parse_match(q, lambda s: analyze_py(s, "portable", False))
+        docset, _ = compile_match(ast, fts_disk)
+        return docset._jdf.queryExecution().executedPlan().toString()
+
+    # exact term: equality partition filter on the directory key
+    plan = match_plan("running")
+    assert "PartitionFilters" in plan and "term_pfx" in plan
+    assert "pru" in plan  # "p" + "ru"
+    # prefix with >= 2 chars: ALSO pruned (the hash layout can't)
+    plan = match_plan("runn*")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
+    assert m and "pru" in m.group(1), plan[:800]
+    # single-char prefix: StartsWith directory cut
+    plan = match_plan("r*")
+    m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
+    assert m and "StartsWith" in m.group(1), plan[:800]
