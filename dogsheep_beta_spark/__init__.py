@@ -22,6 +22,7 @@ from dogsheep_beta_spark.indexer import build_search_index, run_indexer
 from dogsheep_beta_spark.operators.fts_index import build_fts_index, write_fts_index
 from dogsheep_beta_spark.plans.query import QueryPlan, compile_plan, timeline_query
 from dogsheep_beta_spark.plans.search import search, search_query
+from dogsheep_beta_spark.page import beta_page, page_context, render_page
 
 __version__ = "0.1.0"
 
@@ -39,4 +40,7 @@ __all__ = [
     "timeline_query",
     "search",
     "search_query",
+    "beta_page",
+    "page_context",
+    "render_page",
 ]

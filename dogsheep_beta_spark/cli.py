@@ -143,6 +143,55 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_page(args) -> int:
+    """Render the full /-/beta page (reference templates/beta.html:
+    form, count + sort links, facet sidebar, rendered results) for one
+    request against a written index — HTML to stdout or ``-o``.
+
+    ``--config`` + ``--sources`` enable per-type display templates and
+    display_sql hydration (the rule views must be registered for the
+    :key/:q point queries to run); without them results fall back to
+    the ``<pre>`` JSON rendering, like the reference."""
+    from dogsheep_beta_spark.config import parse_metadata
+    from dogsheep_beta_spark.operators.fts_index import read_fts_index
+    from dogsheep_beta_spark.page import beta_page
+
+    spark = _build_session()
+    rules = {}
+    if args.config:
+        with open(args.config) if args.config != "-" else sys.stdin as f:
+            rules = parse_metadata(f.read())
+    if args.sources:
+        import glob
+
+        from dogsheep_beta_spark.sources.registry import register_testdata
+        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
+
+        register_testdata(spark, args.sources)
+        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
+            register_sqlite_db(spark, db)
+
+    index_df = spark.read.parquet(os.path.join(args.index, "search_index"))
+    fts = read_fts_index(spark, os.path.join(args.index, "fts"))
+    req = {}
+    if args.query:
+        req["q"] = args.query
+    for k in ("sort", "type", "category", "is_public", "date"):
+        v = getattr(args, k)
+        if v is not None:
+            req["timestamp__date" if k == "date" else k] = str(v)
+    html_out = beta_page(
+        spark, index_df, fts, req, rules, template_debug=args.template_debug
+    )
+    if args.output and args.output != "-":
+        with open(args.output, "w") as f:
+            f.write(html_out)
+        print(f"wrote {args.output}", file=sys.stderr)
+    else:
+        print(html_out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dogsheep-beta-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -197,6 +246,22 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--count", action="store_true", help="print filtered count")
     se.add_argument("--facets", action="store_true", help="print facet blocks")
     se.set_defaults(func=cmd_search)
+
+    pg = sub.add_parser(
+        "page", help="render the full beta.html page for one request"
+    )
+    pg.add_argument("index", help="index directory written by `index`")
+    pg.add_argument("query", nargs="?", default=None, help="MATCH query (omit for timeline)")
+    pg.add_argument("--sort", choices=["newest", "oldest"], default=None)
+    pg.add_argument("--type", default=None, help="filter: type equals")
+    pg.add_argument("--category", type=int, default=None)
+    pg.add_argument("--is-public", dest="is_public", type=int, default=None)
+    pg.add_argument("--date", default=None, help="timestamp date YYYY-MM-DD")
+    pg.add_argument("--config", default=None, help="rules file for display templates")
+    pg.add_argument("--sources", default=None, help="source dir for display_sql hydration")
+    pg.add_argument("--template-debug", action="store_true")
+    pg.add_argument("-o", "--output", default=None, help="write HTML here instead of stdout")
+    pg.set_defaults(func=cmd_page)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -140,3 +140,43 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(big, small, "k", n_salts=4, tie_break="payload").collect()
     )
     assert salted == plain and len(plain) == 200
+
+
+def test_cli_page_renders_beta_html(tmpdir):
+    """`page` subcommand: index a source, render the full beta.html
+    structure to a file — form, count line, facet sidebar, result divs
+    with data-table-key attributes."""
+    config = os.path.join(tmpdir, "rules.yml")
+    with open(config, "w") as f:
+        f.write(
+            """
+docs.db:
+    documents:
+        sql: |-
+            select doc_id as key, source as title, text as search_1,
+                   1 as category from documents
+"""
+        )
+    out = os.path.join(tmpdir, "index")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "dogsheep_beta_spark.cli", "index", out,
+         config, "--sources", "/root/testdata/sf0.001",
+         "--tokenize", "none", "-d", "docs.db"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    html_path = os.path.join(tmpdir, "page.html")
+    proc = subprocess.run(
+        [sys.executable, "-m", "dogsheep_beta_spark.cli", "page", out,
+         "the", "--config", config, "-o", html_path],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    html = open(html_path).read()
+    assert '<input type="search" name="q" value="the" id="q">' in html
+    assert "Got " in html and "<strong>relevance</strong>" in html
+    assert 'class="facet"' in html and "<h2>type</h2>" in html
+    assert 'data-table-key="docs.db/documents:' in html
+    assert ">newest</a>" in html and ">oldest</a>" in html

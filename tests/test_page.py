@@ -1,0 +1,390 @@
+"""Ported page goldens — the reference's BeautifulSoup assertions over
+the rendered /-/beta page (reference tests/test_plugin.py:11-230),
+re-targeted at ``page.beta_page``'s HTML output.
+
+Fixture = the reference's ds fixture verbatim (tests/test_plugin.py:
+250-358): emails.db/emails ×2 + github.db/commits ×2, the same YAML
+rules (display + display_sql with :key/:q), porter tokenization.
+
+One documented deviation: the reference breaks equal-timestamp ties by
+SQLite rowid (an insertion-order artifact); this engine's declared
+deterministic tie-break is ascending (type, key) (SURVEY §7.3 item 3),
+so the two 2020-08-01T00:05:02 rows order emails-before-commits here.
+Expected lists below encode OUR tie-break; every non-tied ordering is
+the reference's.
+"""
+
+from html.parser import HTMLParser
+
+import pytest
+
+from dogsheep_beta_spark import build_fts_index, build_search_index
+from dogsheep_beta_spark.page import beta_page
+
+CONFIG = {
+    "emails.db": {
+        "emails": {
+            "display_sql": "select * from emails where id = :key",
+            "display": (
+                "<p>Email from {{ display.from_ }}, "
+                "subject {{ display.subject }}"
+            ),
+            "sql": """
+                select
+                    id as key,
+                    subject as title,
+                    date as timestamp,
+                    0 as is_public,
+                    body as search_1
+                from
+                    emails
+            """,
+        }
+    },
+    "github.db": {
+        "commits": {
+            "display_sql": """
+                select
+                    commits.sha,
+                    commits.message,
+                    commits.committer_date,
+                    commits.repo_name,
+                    :q as their_query
+                from commits where sha = :key
+            """,
+            "display": (
+                "<p>Commit to {{ display.repo_name }} on "
+                "{{ display.committer_date }}</p>\n"
+                '<p>{{ display.message }} - {{ display.sha }}</p>\n'
+                '<p>User searched for: "{{ display.their_query }}"</p>'
+            ),
+            "sql": """
+                select
+                    sha as key,
+                    'Commit to ' || commits.repo_name as title,
+                    committer_date as timestamp,
+                    1 as category,
+                    1 as is_public,
+                    message as search_1
+                from
+                    commits
+            """,
+        }
+    },
+}
+
+SHA1 = "a5b39c5049b28997528bb0eca52730ab6febabeaba54cfcba0ab5d70e7207523"
+SHA2 = "5becbf70d64951e2910314ef5227d19b11c25b0c9586934941366da8997e57cb"
+
+
+@pytest.fixture()
+def page_ctx(spark):
+    spark.createDataFrame(
+        [
+            (SHA1, "Another commit to things", "dogsheep/dogsheep-beta",
+             "2020-08-01T00:05:02"),
+            (SHA2, "Added some tests", "dogsheep/dogsheep-beta",
+             "2020-08-02T12:35:48"),
+        ],
+        "sha string, message string, repo_name string, committer_date string",
+    ).createOrReplaceTempView("commits")
+    spark.createDataFrame(
+        [
+            (1, "Hey there #dogfest", "An email about things",
+             "blah@example.com", "2020-08-01T00:05:02"),
+            (2, "What's going on", "Another email about things",
+             "blah@example.com", "2020-08-02T00:05:02"),
+        ],
+        "id int, subject string, body string, from_ string, date string",
+    ).createOrReplaceTempView("emails")
+    idx = build_search_index(spark, CONFIG).persist()
+    fts = build_fts_index(idx, mode="portable", stem=True)  # porter default
+    yield spark, idx, fts
+    idx.unpersist()
+    for df in (fts.postings, fts.doc_lengths):
+        df.unpersist()
+
+
+class _PageScrape(HTMLParser):
+    """Stdlib stand-in for the reference's BeautifulSoup queries (no
+    bs4 in this environment): collects the facet structure exactly as
+    test_plugin.py:29-44 does — h2 name; per-li selected flag, first
+    <a> href, .label text, .count text — plus data-table-key values in
+    document order."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.facets = []
+        self.table_keys = []
+        self._in_facet = False
+        self._li = None
+        self._capture = None  # "h2" | "label" | "count"
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        cls = (a.get("class") or "").split()
+        if "data-table-key" in a:
+            self.table_keys.append(a["data-table-key"])
+        if tag == "div" and "facet" in cls:
+            self._in_facet = True
+            self.facets.append({"name": "", "values": []})
+            return
+        if not self._in_facet:
+            return
+        if tag == "h2":
+            self._capture = "h2"
+        elif tag == "li":
+            self._li = {
+                "selected": "selected" in cls,
+                "count": None,
+                "url": None,
+                "label": "",
+            }
+            self.facets[-1]["values"].append(self._li)
+        elif self._li is not None and tag == "a":
+            if self._li["url"] is None:  # li.find("a")["href"] = first a
+                self._li["url"] = a.get("href")
+            if "label" in cls:
+                self._capture = "label"
+        elif self._li is not None and tag == "span":
+            if "label" in cls:
+                self._capture = "label"
+            elif "count" in cls:
+                self._capture = "count"
+
+    def handle_endtag(self, tag):
+        if tag in ("h2", "a", "span"):
+            self._capture = None
+        elif tag == "li":
+            self._li = None
+        elif tag == "div" and self._in_facet and self._li is None:
+            self._in_facet = False
+
+    def handle_data(self, data):
+        if self._capture == "h2" and self._in_facet:
+            self.facets[-1]["name"] += data.strip()
+        elif self._capture == "label" and self._li is not None:
+            self._li["label"] += data.strip()
+        elif self._capture == "count" and self._li is not None:
+            c = data.strip()
+            if c:
+                self._li["count"] = int(c.replace(",", ""))
+
+
+def scrape(html_text):
+    p = _PageScrape()
+    p.feed(html_text)
+    return p
+
+
+def test_search_page_fragments_and_facet_golden(page_ctx):
+    """reference tests/test_plugin.py:11-108 (test_search)."""
+    spark, idx, fts = page_ctx
+    html_blank = beta_page(spark, idx, fts, {}, CONFIG)
+    assert '<input type="search" name="q" value="" id="q">' in html_blank
+
+    html = beta_page(spark, idx, fts, {"q": "things"}, CONFIG)
+    for fragment in (
+        "<p>Got 3 results",
+        "<p>Email from blah@example.com, subject Hey there",
+        "<p>Email from blah@example.com, subject What&#39;s going on",
+        "<p>Commit to dogsheep/dogsheep-beta on 2020-08-01T00:05:02",
+        '<p>User searched for: "things"</p>',
+    ):
+        assert fragment in html, fragment
+
+    got = [
+        {
+            "name": f["name"],
+            "values": [
+                {
+                    "selected": v["selected"],
+                    "count": v["count"],
+                    "url": v["url"],
+                    "label": v["label"],
+                }
+                for v in f["values"]
+            ],
+        }
+        for f in scrape(html).facets
+    ]
+    assert got == [
+        {
+            "name": "type",
+            "values": [
+                {
+                    "selected": False,
+                    "count": 2,
+                    "url": "?type=emails.db%2Femails&q=things",
+                    "label": "emails.db/emails",
+                },
+                {
+                    "selected": False,
+                    "count": 1,
+                    "url": "?type=github.db%2Fcommits&q=things",
+                    "label": "github.db/commits",
+                },
+            ],
+        },
+        {
+            "name": "category",
+            "values": [
+                {
+                    "selected": False,
+                    "count": 1,
+                    "url": "?category=1&q=things",
+                    "label": "created",
+                }
+            ],
+        },
+        {
+            "name": "is_public",
+            "values": [
+                {
+                    "selected": False,
+                    "count": 2,
+                    "url": "?is_public=0&q=things",
+                    "label": "0",
+                },
+                {
+                    "selected": False,
+                    "count": 1,
+                    "url": "?is_public=1&q=things",
+                    "label": "1",
+                },
+            ],
+        },
+        {
+            "name": "timestamp",
+            "values": [
+                {
+                    "selected": False,
+                    "count": 2,
+                    "url": "?timestamp__date=2020-08-01&q=things",
+                    "label": "2020-08-01",
+                },
+                {
+                    "selected": False,
+                    "count": 1,
+                    "url": "?timestamp__date=2020-08-02&q=things",
+                    "label": "2020-08-02",
+                },
+            ],
+        },
+    ]
+
+
+# our deterministic (type, key) tie-break orders the two
+# 2020-08-01T00:05:02 rows emails-before-commits (see module docstring)
+ALL_RESULTS = [
+    f"github.db/commits:{SHA2}",
+    "emails.db/emails:2",
+    "emails.db/emails:1",
+    f"github.db/commits:{SHA1}",
+]
+
+
+@pytest.mark.parametrize(
+    "q,expected",
+    (
+        ("", ALL_RESULTS),
+        (" ", ALL_RESULTS),
+        ("things NOT email", [f"github.db/commits:{SHA1}"]),
+        ("#dogfest", ["emails.db/emails:1"]),
+        ("github-to-sqlite", []),
+    ),
+)
+def test_advanced_search(page_ctx, q, expected):
+    """reference tests/test_plugin.py:119-152 (FTS query-language
+    corpus incl. the escape-fts fallback path)."""
+    spark, idx, fts = page_ctx
+    html = beta_page(spark, idx, fts, {"q": q}, CONFIG)
+    page = scrape(html)
+    assert page.table_keys == expected
+    if expected:
+        assert any(f["values"] for f in page.facets), "no facet results"
+
+
+@pytest.mark.parametrize(
+    "sort,expected",
+    (
+        ("", ["emails.db/emails:1", "emails.db/emails:2"]),
+        ("newest", ["emails.db/emails:2", "emails.db/emails:1"]),
+        ("oldest", ["emails.db/emails:1", "emails.db/emails:2"]),
+    ),
+)
+def test_search_order(page_ctx, sort, expected):
+    """reference tests/test_plugin.py:155-193: relevance ranks the
+    shorter doc first (real BM25 dl effect), explicit sorts override,
+    sort links + hidden-field preservation."""
+    spark, idx, fts = page_ctx
+    args = {"q": "email"}
+    if sort:
+        args["sort"] = sort
+    html = beta_page(spark, idx, fts, args, CONFIG)
+    assert scrape(html).table_keys == expected
+    sort_label = sort or "relevance"
+    assert f"<strong>{sort_label}</strong>" in html
+    if sort_label != "relevance":
+        assert (
+            f'<input type="hidden" name="sort" value="{sort_label}">' in html
+        )
+    for sort_order in ("relevance", "newest", "oldest"):
+        if sort_order != sort_label:
+            assert f">{sort_order}</a>" in html
+
+
+OLDEST_RESULTS = [
+    "emails.db/emails:1",
+    f"github.db/commits:{SHA1}",
+    "emails.db/emails:2",
+    f"github.db/commits:{SHA2}",
+]
+
+
+@pytest.mark.parametrize(
+    "sort,expected",
+    (
+        ("", ALL_RESULTS),
+        ("newest", ALL_RESULTS),
+        ("oldest", OLDEST_RESULTS),
+    ),
+)
+def test_search_order_for_timeline(page_ctx, sort, expected):
+    """reference tests/test_plugin.py:204-230: timeline mode never
+    offers a relevance link; default label is newest."""
+    spark, idx, fts = page_ctx
+    args = {"sort": sort} if sort else {}
+    html = beta_page(spark, idx, fts, args, CONFIG)
+    assert scrape(html).table_keys == expected
+    sort_label = sort or "newest"
+    assert f"<strong>{sort_label}</strong>" in html
+    assert ">relevance</a>" not in html
+    other = "oldest" if sort_label == "newest" else "newest"
+    assert f">{other}</a>" in html
+
+
+def test_selected_facet_toggle_removes_filter(page_ctx):
+    """A selected facet value renders with the ✖ toggle whose URL drops
+    the filter (templates/beta.html:67-72, __init__.py:246-257), and
+    the active filter is preserved as a hidden form field."""
+    spark, idx, fts = page_ctx
+    html = beta_page(
+        spark, idx, fts, {"q": "things", "type": "emails.db/emails"}, CONFIG
+    )
+    page = scrape(html)
+    # relevance: email 1 (dl=7) outscores email 2 (dl=8) on BM25
+    assert page.table_keys == ["emails.db/emails:1", "emails.db/emails:2"]
+    type_facet = next(f for f in page.facets if f["name"] == "type")
+    assert type_facet["values"] == [
+        {
+            "selected": True,
+            "count": 2,
+            "url": "?q=things",
+            "label": "emails.db/emails",
+        }
+    ]
+    assert (
+        '<input type="hidden" name="type" value="emails.db/emails">' in html
+    )
+    assert "Got 2 results" in html
