@@ -2,11 +2,13 @@
 
 Design: media is an opaque ``binary`` column plus typed metadata
 (SURVEY task brief).  The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signatures — is real and tested; the actual
-codec work is STUBBED (the decode libraries are not in this container)
-behind ``decode_stub`` / a deterministic fake feature extractor, so the
-pipeline shape is verifiable end-to-end today and the codec drops in
-later.
+Arrow batch shape, UDF signatures — is real and tested.  Decoding is
+real for PNG images and PCM WAV audio via the pure-stdlib codecs in
+``functions/codecs.py`` (this container has no PIL/ffmpeg);
+``extract_features`` sniffs each row's magic bytes and routes to the
+matching decoder, falling back to the deterministic hash features for
+bytes no codec claims.  Video decode remains an honest stub
+(``decode_stub`` raises — no stdlib route to a video codec).
 
 At 100 TB: media bytes dominate — keep them in their own column chunk
 (parquet does), never shuffle them (all transforms below are map-only
@@ -42,12 +44,15 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_stub(content: bytes, kind: str):
-    """Placeholder for the real codec (PIL/ffmpeg/soundfile).
+    """Placeholder for codecs with no stdlib implementation (video).
 
-    Raises so nobody mistakes the fake features for real decoding."""
+    Raises so nobody mistakes the fake features for real decoding.
+    PNG/WAV do NOT go through here — they decode for real via
+    functions/codecs.py."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries not "
-        "present in this environment; wire PIL/ffmpeg here"
+        "present in this environment; PNG/WAV decode via "
+        "functions/codecs.py, video needs ffmpeg wired here"
     )
 
 
@@ -77,14 +82,37 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
-    """Map-only Arrow-batched feature extraction over the media table —
-    the slot where a real codec (PIL/ffmpeg) plugs in.
+def _row_features(content: bytes) -> list[float]:
+    """Route one row's bytes to the matching REAL decoder by magic
+    bytes (PNG → image decode + stats, RIFF/WAVE → PCM decode + stats);
+    unrecognized bytes fall back to the deterministic hash features so
+    mixed corpora keep flowing.  A corrupt file that CLAIMS a supported
+    magic raises — silent fake features for a broken PNG would poison
+    the feature column."""
+    from dogsheep_beta_spark.functions.codecs import (
+        audio_features,
+        image_features,
+        sniff_kind,
+    )
 
-    ``mapInPandas`` keeps the binary column inside one pass — no
-    shuffle of content bytes; output carries only small features.
-    Column pruning keeps the Arrow transfer to (media_id, kind,
-    content); JVM-expressible metadata lives in ``media_metadata``.
+    sniffed = sniff_kind(content)
+    if sniffed == "image":
+        return image_features(content)
+    if sniffed == "audio":
+        return audio_features(content)
+    return _fake_features(content)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """Map-only Arrow-batched feature extraction over the media table.
+
+    Real codecs (stdlib PNG/WAV — functions/codecs.py) run per row for
+    recognized containers; everything else gets the deterministic
+    fallback features.  ``mapInPandas`` keeps the binary column inside
+    one pass — no shuffle of content bytes; output carries only small
+    features.  Column pruning keeps the Arrow transfer to (media_id,
+    kind, content); JVM-expressible metadata lives in
+    ``media_metadata``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,7 +121,9 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": pdf["content"].map(lambda c: _fake_features(c or b"")),
+                    "features": pdf["content"].map(
+                        lambda c: _row_features(c or b"")
+                    ),
                 }
             )
 

@@ -1,0 +1,193 @@
+"""Pure-stdlib media codecs: PNG decode (all five filter types,
+palette expansion) and PCM WAV decode, plus their integration into the
+Arrow-batched feature extractor (multimodal.extract_features)."""
+
+import struct
+import zlib
+
+import pytest
+
+from dogsheep_beta_spark.functions.codecs import (
+    PNG_SIG,
+    audio_features,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    image_features,
+    sniff_kind,
+)
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    for channels in (1, 2, 3, 4):
+        w, h = 3, 2
+        px = bytes(range(w * h * channels))
+        data = encode_png(w, h, channels, px)
+        assert sniff_kind(data) == "image"
+        gw, gh, gch, gpx = decode_png(data)
+        assert (gw, gh, gch, gpx) == (w, h, channels, px)
+
+
+def _png_with_filters(width, height, channels, pixels, filters):
+    """Build a PNG whose scanlines use the GIVEN filter types, applying
+    each filter's forward transform by hand — exercises the decoder's
+    unfilter paths (the library encoder only emits filter 0)."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in zip(range(height), filters):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            up = prev[i]
+            up_left = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - (left + up) // 2
+            else:
+                v = line[i] - paeth(left, up, up_left)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    w, h, ch = 4, 5, 3
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+    data = _png_with_filters(w, h, ch, px, filters=[0, 1, 2, 3, 4])
+    assert decode_png(data) == (w, h, ch, px)
+
+
+def test_png_palette_expands_to_rgb():
+    # 2x2 palette image: indices 0..3 into a 4-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = bytes([0, 0, 1, 0, 2, 3])  # two scanlines, filter 0
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(data)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # interlaced flag set
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
+def test_image_features_known_values():
+    # 1x1 gray pixel of value 255 -> mean 1.0, std 0, aspect 1
+    data = encode_png(1, 1, 1, bytes([255]))
+    f = image_features(data)
+    assert f == [1.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0, 1.0]
+    # 2x1 RGB: (0,0,0) and (255,255,255) -> mean 0.5
+    data = encode_png(2, 1, 3, bytes([0, 0, 0, 255, 255, 255]))
+    f = image_features(data)
+    assert f[0:3] == [2.0, 1.0, 3.0]
+    assert f[3] == pytest.approx(0.5)
+    assert f[7] == 2.0  # aspect
+
+
+def test_wav_roundtrip_and_features():
+    samples = [0, 16384, -16384, 32767, -32768, 0, 0, 0]
+    data = encode_wav(samples, sample_rate=8000)
+    assert sniff_kind(data) == "audio"
+    n_ch, rate, width, n_frames, frames = decode_wav(data)
+    assert (n_ch, rate, width, n_frames) == (1, 8000, 2, len(samples))
+    f = audio_features(data)
+    assert f[0] == 1.0 and f[1] == 8000.0 and f[2] == len(samples)
+    assert f[3] == pytest.approx(len(samples) / 8000)
+    assert f[6] == pytest.approx(32768 / 32768.0)  # peak
+    assert 0 < f[7] < 1  # zero crossings present
+
+
+def test_extract_features_routes_real_codecs(spark):
+    """End-to-end through the Arrow mapInPandas pass: a real PNG row
+    and a real WAV row decode for REAL (recognizable dimensional
+    features), while unrecognized bytes keep the deterministic hash
+    fallback."""
+    from dogsheep_beta_spark.operators.multimodal import (
+        _fake_features,
+        extract_features,
+    )
+
+    png = encode_png(3, 2, 3, bytes(range(18)))
+    wav = encode_wav([100, -100, 200, -200], sample_rate=4000)
+    blob = b"just some text bytes"
+    media = spark.createDataFrame(
+        [
+            (1, "image", png, "image/png", None),
+            (2, "audio", wav, "audio/wav", None),
+            (3, "image", blob, "application/octet-stream", None),
+        ],
+        "media_id long, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media).collect()
+    }
+    assert got[1] == image_features(png)
+    assert got[1][0:3] == [3.0, 2.0, 3.0]  # real width/height/channels
+    assert got[2] == audio_features(wav)
+    assert got[2][1] == 4000.0  # real sample rate
+    assert got[3] == _fake_features(blob)
+
+
+def test_extract_features_corrupt_png_raises(spark):
+    """Bytes that CLAIM the PNG magic but are corrupt must fail the
+    job, not silently degrade to fake features."""
+    from dogsheep_beta_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image", PNG_SIG + b"garbage", "image/png", None)],
+        "media_id long, kind string, content binary, mime string, "
+        "meta map<string,string>",
+    )
+    with pytest.raises(Exception):
+        extract_features(media).collect()
