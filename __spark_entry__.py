@@ -4437,3 +4437,139 @@ ORDER BY rank, type, "key"
             FROM documents GROUP BY source ORDER BY source
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# steady-state streaming bench hook (not a queries() entry)
+# ---------------------------------------------------------------------------
+
+
+def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
+    """Marginal micro-batch cost of the streaming operators, in seconds
+    per batch — the number the designs actually optimize.
+
+    The cold ``queries()`` timings for the streaming entries pay the
+    full query lifecycle (checkpoint init, source listing, start/stop)
+    once per bench run, which swamps the per-batch cost on a bounded
+    test corpus (BASELINE.md round-3 note).  Here each stream's source
+    is split into ``n_batches`` files and replayed through ONE
+    availableNow query with maxFilesPerTrigger=1; per-batch wall time
+    comes from Spark's own progress metrics
+    (durationMs.triggerExecution), and the reported figure is the
+    MEDIAN over batches after the first — startup, codegen and state
+    bootstrap land in batch 0, steady state is the rest.  A real
+    deployment pays the lifecycle once per stream and the marginal cost
+    forever, so this is the scale-relevant number.
+    """
+    import os
+    import shutil
+    import statistics
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_dedup,
+        streaming_ivf_upsert,
+        streaming_sessionize,
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tmp_dirs: list[str] = []
+
+    def batched_src(path: str) -> tuple[str, object]:
+        d = tempfile.mkdtemp(prefix="dbs_steady_src_")
+        tmp_dirs.append(d)
+        df = spark.read.parquet(path)
+        df.repartition(n_batches).write.mode("overwrite").parquet(d)
+        return d, df.schema
+
+    def measure(start_query) -> float:
+        ck = tempfile.mkdtemp(prefix="dbs_steady_ck_")
+        tmp_dirs.append(ck)
+        q = start_query(ck)
+        q.awaitTermination(600)
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        steady = durs[1:] or durs  # drop the bootstrap batch
+        return round(statistics.median(steady), 3)
+
+    out = {}
+    ev_dir, ev_schema = batched_src(os.path.join(sf_dir, "events.parquet"))
+
+    def ev_stream():
+        return _normalize_ts(
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(ev_dir)
+        )
+
+    def start_dedup(ck):
+        deduped = streaming_dedup(
+            ev_stream().select("user_id", "event_type", "ts"),
+            ["user_id", "event_type"], ts_col="ts", watermark="1 day",
+        )
+        return (
+            deduped.writeStream.outputMode("append").format("memory")
+            .queryName(_stream_sink_name(spark, "steady_dedup"))
+            .option("checkpointLocation", os.path.join(ck, "c"))
+            .trigger(availableNow=True).start()
+        )
+
+    def start_sessionize(ck):
+        sessions = streaming_sessionize(
+            ev_stream().select("user_id", "ts"), "user_id", "ts",
+            gap_seconds=1800,
+        )
+        return (
+            sessions.writeStream.outputMode("append").format("memory")
+            .queryName(_stream_sink_name(spark, "steady_sess"))
+            .option("checkpointLocation", os.path.join(ck, "c"))
+            .trigger(availableNow=True).start()
+        )
+
+    def start_window_counts(ck):
+        counts = windowed_event_counts(
+            ev_stream(), ts_col="ts", key_col="event_type",
+            window="1 day", watermark="1 day",
+        )
+        return (
+            counts.writeStream.outputMode("complete").format("memory")
+            .queryName(_stream_sink_name(spark, "steady_win"))
+            .option("checkpointLocation", os.path.join(ck, "c"))
+            .trigger(availableNow=True).start()
+        )
+
+    emb_dir, emb_schema = batched_src(os.path.join(sf_dir, "embeddings.parquet"))
+    _, cents = _ivf_layout(spark, sf_dir)
+
+    def start_ivf(ck):
+        layout = tempfile.mkdtemp(prefix="dbs_steady_ivf_")
+        tmp_dirs.append(layout)
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(emb_dir)
+        )
+        return streaming_ivf_upsert(
+            stream, cents, layout, os.path.join(ck, "c")
+        )
+
+    for name, starter in (
+        ("streaming_dedup", start_dedup),
+        ("streaming_sessionize", start_sessionize),
+        ("streaming_window_counts", start_window_counts),
+        ("streaming_ivf_upsert", start_ivf),
+    ):
+        try:
+            out[name] = measure(starter)
+        except Exception as e:  # one broken stream must not hide the rest
+            out[name] = -1.0
+            import sys
+
+            print(f"# steady-state error in {name}: {e}", file=sys.stderr)
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -97,6 +97,17 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
 
+    # steady-state streaming: marginal per-micro-batch cost measured
+    # from StreamingQuery progress metrics (median over batches after
+    # the first), reported beside the cold lifecycle-inclusive numbers
+    # above — the cold figure prices query start/stop, this one prices
+    # what a long-running deployment actually pays per batch.
+    try:
+        streaming_per_batch = entry.streaming_steady_state(spark, sf_dir)
+    except Exception as e:
+        streaming_per_batch = {}
+        print(f"# bench streaming steady-state failed: {e}", file=sys.stderr)
+
     # DuckDB single-node oracle timings over the same parquet views —
     # the per-query 2x bar, machine-checked each round.
     duck: dict[str, float] = {}
@@ -136,6 +147,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "duckdb": duck,
+                "streaming_per_batch": streaming_per_batch,
                 "iterations": ITERS,
                 "cold_total_sec": round(cold_total, 3),
                 "sf": sf,
