@@ -2454,6 +2454,118 @@ def q_chunk_sliding_window(spark, sf_dir):
     )
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    tolerance=`` semantics): each click annotated with the most recent
+    prior view, but a match older than 5 minutes is refused — the
+    feature-freshness gate every online-feature pipeline applies.
+    Same one-shuffle union+window plan as asof_join_clicks_views; the
+    matched timestamp rides the same window, so the gate is a post-
+    window CASE, not another join.  DuckDB oracle: ASOF LEFT JOIN +
+    staleness CASE."""
+    from dogsheep_beta_spark.operators.temporal import as_of_join
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.round("value", 2).alias("view_value"),
+    )
+    joined = as_of_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_id", "view_value"],
+        right_tiebreak="view_id",
+        tolerance_seconds=300,
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "view_id",
+        "view_value",
+    ).orderBy(F.asc("click_id")).limit(500)
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Gap-filled hourly rollup (time_bucket_gapfill / locf analog —
+    the timeline UI skips empty hours, a rate monitor can't): every
+    hour in each event_type's [min, max] span appears, zero-filled
+    counts/sums and a forward-filled gauge.  Spine = per-key
+    sequence+explode (one partial-agg shuffle, map-side explode), one
+    (key, bucket) join, one window pass for locf — never wider than
+    the densified output.  DuckDB oracle: generate_series +
+    last_value IGNORE NULLS."""
+    from dogsheep_beta_spark.operators.temporal import gap_fill, time_bucket
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    rollup = (
+        spark.table("events")
+        .groupBy(
+            time_bucket(F.col("ts"), 3600).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_gauge"),
+        )
+    )
+    dense = gap_fill(
+        rollup,
+        key_cols=["event_type"],
+        bucket_col="bucket",
+        bucket_seconds=3600,
+        zero_cols=["n_events", "sum_value"],
+        ffill_cols=["avg_gauge"],
+    )
+    return dense.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "avg_gauge",
+    ).orderBy("event_type", "bucket_ts")
+
+
+def q_window_time_range_avg(spark, sf_dir):
+    """Trailing 1-hour moving aggregates per user — a time-RANGE
+    window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW), the moving-average / rate-limiter primitive.  The frame runs
+    over unix_micros so the interval bound is exact; RANGE (not ROWS)
+    so same-microsecond rows share a frame deterministically.  Sums go
+    through DECIMAL so in-frame float association order (Spark
+    recompute vs DuckDB segment tree) cannot drift the hash.  One
+    shuffle on user_id."""
+    from dogsheep_beta_spark.operators.temporal import rolling_time_agg
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = rolling_time_agg(
+        ev, key_cols=["user_id"], ts_col="ts", value_col="value",
+        range_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "n_window",
+        F.col("sum_window").cast("double").alias("sum_hour"),
+        F.round(
+            F.col("sum_window").cast("double") / F.col("n_window"), 6
+        ).alias("avg_hour"),
+    ).orderBy("user_id", "ts", "n_window")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -2556,6 +2668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_error_overlap": q_sessions_error_overlap,
         "multi_format_union": q_multi_format_union,
         "events_decayed_score": q_events_decayed_score,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "events_gap_fill": q_events_gap_fill,
+        "window_time_range_avg": q_window_time_range_avg,
     }
 
 
@@ -4435,6 +4550,91 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # ASOF LEFT JOIN + staleness gate: a match older than 300 s is
+        # refused (pandas merge_asof tolerance semantics).
+        "asof_join_tolerance": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'
+            ), views AS (
+                SELECT user_id, ts, event_id AS view_id,
+                       ROUND(value, 2) AS view_value
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.click_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(v.ts)
+                             > 300 * 1000000
+                        THEN NULL ELSE v.view_id END AS view_id,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(v.ts)
+                             > 300 * 1000000
+                        THEN NULL ELSE v.view_value END AS view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.click_id ASC
+            LIMIT 500
+        """,
+        # gap-filled hourly rollup: dense per-type hour spine via
+        # generate_series, zero-filled counts/sums, locf gauge via
+        # last_value IGNORE NULLS.
+        "events_gap_fill": """
+            WITH rollup AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket,
+                       COUNT(*) AS n_events,
+                       ROUND(SUM(value), 2) AS sum_value,
+                       ROUND(AVG(value), 4) AS avg_gauge
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM rollup GROUP BY 1
+            ), spine AS (
+                SELECT s.event_type, unnest(generate_series(
+                           s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+                FROM span s
+            ), dense AS (
+                SELECT sp.event_type, sp.bucket,
+                       COALESCE(r.n_events, 0) AS n_events,
+                       COALESCE(r.sum_value, 0) AS sum_value,
+                       last_value(r.avg_gauge IGNORE NULLS) OVER (
+                           PARTITION BY sp.event_type ORDER BY sp.bucket
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS avg_gauge
+                FROM spine sp LEFT JOIN rollup r
+                  ON r.event_type = sp.event_type AND r.bucket = sp.bucket
+            )
+            SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   event_type, n_events,
+                   ROUND(sum_value, 2) AS sum_value, avg_gauge
+            FROM dense
+            ORDER BY event_type, bucket_ts
+        """,
+        # trailing 1-hour RANGE frame; DECIMAL sum so in-frame float
+        # association order (recompute vs segment tree) cannot drift.
+        "window_time_range_avg": """
+            WITH ev AS (
+                SELECT user_id, ts,
+                       CAST(value AS DECIMAL(18,6)) AS value
+                FROM events
+            ), agg AS (
+                SELECT user_id, ts,
+                       COUNT(*) OVER w AS n_window,
+                       SUM(value) OVER w AS sum_window
+                FROM ev
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW)
+            )
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   n_window,
+                   CAST(sum_window AS DOUBLE) AS sum_hour,
+                   ROUND(CAST(sum_window AS DOUBLE) / n_window, 6)
+                       AS avg_hour
+            FROM agg
+            ORDER BY user_id, ts, n_window
         """,
     }
 

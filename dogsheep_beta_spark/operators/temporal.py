@@ -36,6 +36,7 @@ def as_of_join(
     right_cols: list[str],
     strict: bool = False,
     right_tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``right_cols`` from the most recent
     right row with ``right_ts <= left_ts`` (``<`` when ``strict``),
@@ -44,6 +45,14 @@ def as_of_join(
 
     ``right_tiebreak``: a right column ordering simultaneous right rows
     so the surviving match is deterministic (highest wins).
+
+    ``tolerance_seconds``: maximum staleness (pandas ``merge_asof
+    tolerance=``): a match older than ``left_ts - tolerance`` is
+    discarded — the right slots revert to NULL, exactly as if no prior
+    row existed.  Feature pipelines use this to refuse stale features
+    (a 3-day-old price is worse than no price).  Implemented by
+    carrying the matched row's timestamp through the same
+    last(ignorenulls) window — zero extra shuffles.
     """
     lcols = left.columns
     # left rows carry their payload + NULL right slots; right rows the
@@ -54,6 +63,7 @@ def as_of_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_rtb"),
+        F.lit(None).cast("long").alias("_mts"),
         *[F.col(c) for c in lcols if c not in on],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
     )
@@ -67,6 +77,7 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         rtb.alias("_rtb"),
+        F.unix_micros(F.col(right_ts)).alias("_mts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in right_cols],
     )
@@ -79,6 +90,19 @@ def as_of_join(
     merged = lt.unionByName(rt)
     for c in right_cols:
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        # staleness gate: the carried match timestamp rides the same
+        # window, so this is a pure post-window CASE — no extra pass.
+        matched_ts = F.last("_mts", ignorenulls=True).over(w)
+        merged = merged.withColumn("_mts", matched_ts)
+        stale = (
+            F.unix_micros(F.col("_ts")) - F.col("_mts")
+            > tolerance_seconds * 1_000_000
+        )
+        for c in right_cols:
+            merged = merged.withColumn(
+                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+            )
     return merged.where(F.col("_side") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),
@@ -425,4 +449,125 @@ def decayed_score(
         df.crossJoin(F.broadcast(ref))
         .groupBy(key_col)
         .agg(F.round(F.sum(F.col(value_col) * weight), 6).alias("decayed_score"))
+    )
+
+
+def gap_fill(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    bucket_seconds: int,
+    zero_cols: list[str] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a time-bucket rollup: emit one row for EVERY bucket in
+    each key's [min, max] bucket span, not just buckets that had data —
+    the hypertable ``time_bucket_gapfill`` / Timescale ``locf`` analog
+    (the reference's timeline UI simply skips empty days; a training
+    curriculum or rate monitor can't).
+
+    ``zero_cols`` fill missing buckets with 0 (counts/sums);
+    ``ffill_cols`` carry the last observed value forward (gauges), NULL
+    before the first observation.
+
+    Scale shape — no join at all, the as_of_join union+window device:
+    the dense spine (per-key ``sequence(min, max, step)`` + map-side
+    ``explode``; one partial-aggregated shuffle for the span) is
+    UNIONed under the rollup rows, and one key-partitioned window pass
+    resolves both fills — per-bucket values via a RANGE(0,0) frame
+    over the bucket epoch (exactly the same-bucket rows), locf via
+    last-ignorenulls over the cumulative frame.  Two hash exchanges
+    total (span agg + window), vs four for the naive spine⋈rollup
+    formulation, and nothing is ever wider than the densified result.
+    A key whose span is pathologically long (one event in 1970, one
+    today) makes its own spine huge — that's inherent to the ask; cap
+    spans upstream if it bites.
+    """
+    zero_cols = zero_cols or []
+    ffill_cols = ffill_cols or []
+    val_cols = [
+        c for c in rollup.columns if c not in (*key_cols, bucket_col)
+    ]
+    step = F.lit(bucket_seconds * 1_000_000).cast("long")
+    spine = (
+        rollup.groupBy(*key_cols)
+        .agg(
+            F.min(F.unix_micros(F.col(bucket_col))).alias("__lo"),
+            F.max(F.unix_micros(F.col(bucket_col))).alias("__hi"),
+        )
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), step)
+            ).alias("__us"),
+        )
+        .select(
+            *key_cols,
+            F.timestamp_micros(F.col("__us")).alias(bucket_col),
+            F.lit(1).alias("__spine"),
+            *[
+                F.lit(None).cast(rollup.schema[c].dataType).alias(c)
+                for c in val_cols
+            ],
+        )
+    )
+    tagged = rollup.select(
+        *key_cols, bucket_col, F.lit(0).alias("__spine"), *val_cols
+    )
+    merged = spine.unionByName(tagged)
+    us = F.unix_micros(F.col(bucket_col))
+    # same-bucket frame: RANGE (0,0) over the bucket epoch pairs every
+    # spine row with its bucket's (≤1) rollup row — an equi-join's
+    # worth of work inside the window, no Exchange for it.
+    w_bucket = Window.partitionBy(*key_cols).orderBy(us).rangeBetween(0, 0)
+    w_ffill = (
+        Window.partitionBy(*key_cols)
+        .orderBy(us, F.col("__spine"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged
+    for c in val_cols:
+        if c in ffill_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_ffill))
+        else:
+            filled = F.max(c).over(w_bucket)
+            if c in zero_cols:
+                filled = F.coalesce(filled, F.lit(0))
+            out = out.withColumn(c, filled)
+    return out.where(F.col("__spine") == 1).drop("__spine")
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    range_seconds: int,
+) -> DataFrame:
+    """Trailing time-RANGE window aggregates: for each row, the
+    count and sum of ``value_col`` over the last ``range_seconds`` of
+    the same key — the moving-average / rate-limiter primitive
+    (``RANGE BETWEEN INTERVAL x PRECEDING AND CURRENT ROW``).  Raw
+    aggregates, no rounding: callers pick the presentation (and a
+    DECIMAL value column makes the sum exact — float association
+    order differs between engines' frame algorithms).
+
+    Spark's ``rangeBetween`` frames need a numeric ordering, so the
+    frame runs over ``unix_micros(ts)`` — exact microsecond semantics,
+    identical to the ANSI interval frame.  One shuffle on the key;
+    whole-stage codegen keeps the frame scan tight; rows at the same
+    microsecond share a frame (RANGE, not ROWS — deterministic under
+    ties, unlike a ROWS frame over a non-unique ordering)."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(us)
+        .rangeBetween(-range_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(value_col).over(w).alias("sum_window"),
     )

@@ -419,3 +419,59 @@ def test_pq_plans_broadcast_and_topk(spark):
     assert "BroadcastHashJoin" in enc_plan and "SortMergeJoin" not in enc_plan
     assert "TakeOrderedAndProject" in top_plan
     assert "SortMergeJoin" not in top_plan
+
+
+def test_temporal_extensions_plan_shapes(spark):
+    """New temporal family stays one-shuffle-per-key-stage:
+    tolerance as-of adds NO shuffle over the base as-of (gate is a
+    post-window CASE in the same Window operator); rolling_time_agg is
+    one exchange + one Window; gap_fill's spine never exceeds two
+    hash exchanges on the key (span agg + dense join) plus the locf
+    window reusing the join's partitioning."""
+    from datetime import datetime
+
+    from dogsheep_beta_spark.operators.temporal import (
+        as_of_join,
+        gap_fill,
+        rolling_time_agg,
+    )
+
+    t0 = datetime(2024, 1, 1, 10)
+    df = spark.createDataFrame(
+        [(1, t0, 1.0)], "k int, t timestamp, v double"
+    )
+    base = as_of_join(
+        df, df.selectExpr("k", "t as rt", "v as rv"),
+        on=["k"], left_ts="t", right_ts="rt", right_cols=["rv"],
+    )
+    tol = as_of_join(
+        df, df.selectExpr("k", "t as rt", "v as rv"),
+        on=["k"], left_ts="t", right_ts="rt", right_cols=["rv"],
+        tolerance_seconds=60,
+    )
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    tol_plan = tol._jdf.queryExecution().executedPlan().toString()
+    assert tol_plan.count("Exchange") == base_plan.count("Exchange")
+    assert tol_plan.count("Window") == base_plan.count("Window")
+
+    roll_plan = (
+        rolling_time_agg(df, ["k"], "t", "v", 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert roll_plan.count("Exchange") == 1
+    assert roll_plan.count("Window") == 1
+
+    rollup = spark.createDataFrame(
+        [("a", t0, 1, 1.0)], "key string, bucket timestamp, n long, g double"
+    )
+    gf_plan = (
+        gap_fill(rollup, ["key"], "bucket", 3600,
+                 zero_cols=["n"], ffill_cols=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", gf_plan)) == 2
+    assert "Join" not in gf_plan
+    assert "Exchange SinglePartition" not in gf_plan
+    assert "CartesianProduct" not in gf_plan and "NestedLoop" not in gf_plan

@@ -341,3 +341,94 @@ def test_decayed_score_half_life(spark):
            for r in decayed_score(df, "user", "t", "value", 7 * 86400).collect()}
     assert out[1] == 9.0
     assert abs(out[2] - round(8.0 / 2 ** 0.5, 6)) < 1e-9
+
+
+def test_asof_tolerance_refuses_stale_match(spark):
+    left, right = _frames(spark)
+    out = as_of_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        right_cols=["rid", "rval"],
+        tolerance_seconds=3600,
+    )
+    rows = {r["lval"]: r for r in out.collect()}
+    # L1 at 10:00 matches the simultaneous 10:00 row — staleness 0.
+    assert rows["L1"]["rid"] == 101
+    # L2 at 12:00: nearest prior is 11:00 → 3600 s old, within (<=) tol.
+    assert rows["L2"]["rid"] == 102
+    # with a tighter tolerance the same match is refused.
+    tight = as_of_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        right_cols=["rid", "rval"],
+        tolerance_seconds=1800,
+    )
+    trows = {r["lval"]: r for r in tight.collect()}
+    assert trows["L2"]["rid"] is None and trows["L2"]["rval"] is None
+    # no-match rows stay NULL, never resurrected by the gate.
+    assert trows["L3"]["rid"] is None and trows["L4"]["rid"] is None
+
+
+def test_gap_fill_zero_and_locf(spark):
+    from dogsheep_beta_spark.operators.temporal import gap_fill
+
+    rollup = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:00:00"), 2, 1.5),
+            ("a", ts("2024-01-01 03:00:00"), 1, 9.0),  # hours 1,2 missing
+            ("b", ts("2024-01-01 01:00:00"), 5, 4.0),
+        ],
+        "key string, bucket timestamp, n long, gauge double",
+    )
+    dense = gap_fill(
+        rollup,
+        key_cols=["key"],
+        bucket_col="bucket",
+        bucket_seconds=3600,
+        zero_cols=["n"],
+        ffill_cols=["gauge"],
+    ).orderBy("key", "bucket")
+    rows = dense.collect()
+    a = [r for r in rows if r["key"] == "a"]
+    # spine covers every hour in [min, max] inclusive.
+    assert [r["bucket"].hour for r in a] == [0, 1, 2, 3]
+    assert [r["n"] for r in a] == [2, 0, 0, 1]
+    # locf carries 1.5 across the gap, then the 03:00 observation wins.
+    assert [r["gauge"] for r in a] == [1.5, 1.5, 1.5, 9.0]
+    # single-bucket key: spine is just that bucket, untouched values.
+    b = [r for r in rows if r["key"] == "b"]
+    assert len(b) == 1 and b[0]["n"] == 5 and b[0]["gauge"] == 4.0
+
+
+def test_rolling_time_agg_range_frame(spark):
+    from dogsheep_beta_spark.operators.temporal import rolling_time_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0),
+            (1, ts("2024-01-01 10:30:00"), 2.0),
+            # exactly 1 h after the first row — RANGE bound is inclusive,
+            # so the 10:00 row is still in frame here.
+            (1, ts("2024-01-01 11:00:00"), 4.0),
+            (1, ts("2024-01-01 12:01:00"), 8.0),  # everything expired
+            (2, ts("2024-01-01 10:15:00"), 16.0),  # other key isolated
+        ],
+        "k int, t timestamp, v double",
+    )
+    out = rolling_time_agg(
+        df, key_cols=["k"], ts_col="t", value_col="v", range_seconds=3600
+    ).orderBy("k", "t")
+    got = [(r["k"], r["n_window"], r["sum_window"]) for r in out.collect()]
+    assert got == [
+        (1, 1, 1.0),
+        (1, 2, 3.0),
+        (1, 3, 7.0),
+        (1, 1, 8.0),
+        (2, 1, 16.0),
+    ]
