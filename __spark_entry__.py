@@ -2454,6 +2454,29 @@ def q_chunk_sliding_window(spark, sf_dir):
     )
 
 
+def q_chunk_paragraphs(spark, sf_dir):
+    """Paragraph-boundary segmentation (structure-preserving chunking,
+    the natural-boundary complement of chunk_sliding_window): one row
+    per blank-line-separated paragraph, map-only, zero shuffles —
+    split + filter + posexplode all in codegen.  md5 of the paragraph
+    keeps the declared result narrow; the boundary semantics carry the
+    hash gate."""
+    from dogsheep_beta_spark.operators.chunking import paragraph_chunks
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    d = spark.table("documents")
+    return (
+        paragraph_chunks(d, "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"),
+            "para_idx",
+            "n_chars",
+            F.md5("para_text").alias("para_md5"),
+        )
+        .orderBy("doc_id", "para_idx")
+    )
+
+
 def q_asof_join_tolerance(spark, sf_dir):
     """As-of join with a staleness tolerance (pandas ``merge_asof
     tolerance=`` semantics): each click annotated with the most recent
@@ -2671,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": q_asof_join_tolerance,
         "events_gap_fill": q_events_gap_fill,
         "window_time_range_avg": q_window_time_range_avg,
+        "chunk_paragraphs": q_chunk_paragraphs,
     }
 
 
@@ -4550,6 +4574,24 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # identical split/keep regex semantics in Java regex and RE2;
+        # generate_subscripts is 1-based like para_idx.
+        "chunk_paragraphs": """
+            WITH parts AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(coalesce(text, ''),
+                                              '\\n{2,}'),
+                           x -> regexp_matches(x, '\\S')) AS ps
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(ps, 1) AS INT) AS para_idx,
+                   CAST(length(unnest(ps)) AS INT) AS n_chars,
+                   md5(unnest(ps)) AS para_md5
+            FROM parts
+            ORDER BY doc_id, para_idx
         """,
         # ASOF LEFT JOIN + staleness gate: a match older than 300 s is
         # refused (pandas merge_asof tolerance semantics).

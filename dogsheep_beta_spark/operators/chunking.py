@@ -81,3 +81,36 @@ def sliding_chunks(
         F.size(piece).alias("n_tok"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def paragraph_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, para_idx, n_chars, para_text) — structure-based
+    segmentation: one row per blank-line-separated paragraph, the
+    boundary-preserving complement of the token windows above (RAG
+    passage extraction and quality scoring both prefer natural
+    boundaries when the document has them).
+
+    Same map-only contract: ``split`` on the ``\\n{2,}`` separator,
+    ``filter`` drops whitespace-only fragments, ``posexplode`` emits
+    the surviving paragraphs with a 1-based index among the KEPT
+    paragraphs — all codegen expressions, zero shuffles, zero Python;
+    the fan-out is bounded by the document's own paragraph count.
+    Both the separator regex and the keep test (``\\n{2,}`` split,
+    contains-``\\S`` match) mean the same thing to Java regex and RE2,
+    so the op is exactly oracle-expressible."""
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n{2,}")
+    kept = F.filter(parts, lambda x: x.rlike(r"\S"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(kept).alias("para_pos", "para_text"),
+    )
+    return ex.select(
+        "id",
+        (F.col("para_pos") + 1).alias("para_idx"),
+        F.length("para_text").alias("n_chars"),
+        "para_text",
+    )

@@ -475,3 +475,29 @@ def test_temporal_extensions_plan_shapes(spark):
     assert "Join" not in gf_plan
     assert "Exchange SinglePartition" not in gf_plan
     assert "CartesianProduct" not in gf_plan and "NestedLoop" not in gf_plan
+
+
+def test_paragraph_chunks_boundaries_and_map_only(spark):
+    """Blank-line splitting: 2+ newlines separate, single newlines stay
+    inside a paragraph, whitespace-only fragments are dropped, index
+    counts only kept paragraphs — and the plan is pure map-side."""
+    from dogsheep_beta_spark.operators.chunking import paragraph_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "first para\nstill first\n\nsecond\n\n\n\t \n\nthird"),
+            (2, "   \n\n  "),  # nothing survives
+            (3, None),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = paragraph_chunks(df, "doc_id", "text").orderBy("id", "para_idx")
+    rows = [(r["id"], r["para_idx"], r["para_text"]) for r in out.collect()]
+    assert rows == [
+        (1, 1, "first para\nstill first"),
+        (1, 2, "second"),
+        (1, 3, "third"),
+        (4, 1, "single"),
+    ]
+    assert "Exchange" not in _plan(paragraph_chunks(df, "doc_id", "text"))
