@@ -287,23 +287,28 @@ def robust_outliers(
 
     Plan: two grouped EXACT percentile aggregations (median, then
     median absolute deviation) — each a partial-aggregated shuffle on
-    the key, joined back map-side.  At 100 TB swap ``percentile`` for
-    ``percentile_approx`` per group, same shape.  Groups with MAD = 0
-    (over half the values identical) flag nothing: a degenerate scale
-    estimate must not turn every tie-breaking row into an "outlier".
+    the key, joined back map-side.  The MAD aggregation CARRIES the
+    median through (``first(__med)`` — constant within the group), so
+    the per-row scoring needs one broadcast stats join, not two, and
+    the median subtree is never evaluated twice.  At 100 TB swap
+    ``percentile`` for ``percentile_approx`` per group, same shape.
+    Groups with MAD = 0 (over half the values identical) flag nothing:
+    a degenerate scale estimate must not turn every tie-breaking row
+    into an "outlier".
 
     Adds ``robust_z`` (rounded 6dp) to the surviving rows."""
     med = df.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
-    with_med = df.join(med, key_col)
-    mad = (
-        with_med.groupBy(key_col)
+    stats = (
+        df.join(F.broadcast(med), key_col)
+        .groupBy(key_col)
         .agg(
-            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad"),
+            F.first("__med").alias("__med"),
         )
     )
-    scored = with_med.join(mad, key_col).withColumn(
+    scored = df.join(F.broadcast(stats), key_col).withColumn(
         "robust_z",
         F.round(
             F.abs(F.col(value_col) - F.col("__med"))
@@ -553,21 +558,42 @@ def rolling_time_agg(
     order differs between engines' frame algorithms).
 
     Spark's ``rangeBetween`` frames need a numeric ordering, so the
-    frame runs over ``unix_micros(ts)`` — exact microsecond semantics,
-    identical to the ANSI interval frame.  One shuffle on the key;
-    whole-stage codegen keeps the frame scan tight; rows at the same
-    microsecond share a frame (RANGE, not ROWS — deterministic under
-    ties, unlike a ROWS frame over a non-unique ordering)."""
+    frames run over ``unix_micros(ts)`` — exact microsecond semantics,
+    identical to the ANSI interval frame.  Rows at the same microsecond
+    share a frame (RANGE, not ROWS — deterministic under ties, unlike a
+    ROWS frame over a non-unique ordering).
+
+    NOT the naive sliding frame: Spark evaluates a bounded-both-ends
+    RANGE frame by rescanning the frame buffer per row — O(rows ×
+    frame width), quadratic on dense keys (measured 11× DuckDB's
+    segment tree at sf0.1).  Frames whose start is UNBOUNDED and whose
+    end only advances are evaluated INCREMENTALLY (each row is added
+    once, never rescanned), so the trailing window is computed as the
+    difference of two cumulative frames:
+
+        sum[t-r, t]  =  sum(-inf, t]  -  sum(-inf, t-r)
+
+    (integer µs: the subtracted frame ends at ``-(r·10⁶+1)``, i.e.
+    strictly before the inclusive window start).  Subtraction is only
+    exact when the sum is — another reason the value column should be
+    DECIMAL.  Both frames share one partition ordering: one shuffle,
+    one sort, O(n) total."""
     us = F.unix_micros(F.col(ts_col))
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(us)
-        .rangeBetween(-range_seconds * 1_000_000, 0)
+    wb = Window.partitionBy(*key_cols).orderBy(us)
+    w_all = wb.rangeBetween(Window.unboundedPreceding, 0)
+    w_before = wb.rangeBetween(
+        Window.unboundedPreceding, -(range_seconds * 1_000_000 + 1)
     )
+    zero = F.lit(0).cast(df.schema[value_col].dataType)
     return df.select(
         *key_cols,
         F.col(ts_col),
         F.col(value_col),
-        F.count(F.lit(1)).over(w).alias("n_window"),
-        F.sum(value_col).over(w).alias("sum_window"),
+        (
+            F.count(F.lit(1)).over(w_all) - F.count(F.lit(1)).over(w_before)
+        ).alias("n_window"),
+        (
+            F.sum(value_col).over(w_all)
+            - F.coalesce(F.sum(value_col).over(w_before), zero)
+        ).alias("sum_window"),
     )
