@@ -674,6 +674,59 @@ def _bucketed_tables(spark, sf_dir):
     return c["bucketed"]
 
 
+def _zorder_layout(spark, sf_dir):
+    """events re-clustered in Morton order over (event_type-hash,
+    ts-day), once per sf_dir — the multi-dim data-skipping layout
+    (operators/zorder.py, the OPTIMIZE ZORDER analog of the 1-D
+    sort_by_timestamp layout).  Same temp-dir lifecycle as the
+    bucketed layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dogsheep_beta_spark.operators.zorder import write_zordered
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "zorder_path" not in c:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"dbs_zorder_{tag}")
+        register_testdata(spark, sf_dir, tables=("events",))
+        write_zordered(
+            spark.table("events"), path,
+            [("event_type", "hash"), ("ts", "day")], n_files=32,
+        )
+        c["zorder_path"] = path
+    return c["zorder_path"]
+
+
+def q_index_zorder_scan(spark, sf_dir):
+    """Two-dimensionally-filtered rollup served from the Morton-ordered
+    layout: `event_type = … AND ts range` — the timeline page's filter
+    pair.  Either predicate alone prunes most files via ordinary
+    Parquet min/max stats (footer-verified in tests/test_persistence.py);
+    the layout is invisible in values, so the oracle is the plain scan."""
+    path = _zorder_layout(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day")
+    )
+
+
 def q_join_bucketed_colocated(spark, sf_dir):
     """Segment revenue over the BUCKETED layout: the customer⋈orders
     join consumes the at-rest hash distribution — zero Exchange on
@@ -2695,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "window_time_range_avg": q_window_time_range_avg,
         "chunk_paragraphs": q_chunk_paragraphs,
+        "index_zorder_scan": q_index_zorder_scan,
     }
 
 
@@ -4574,6 +4628,19 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # the Morton layout is invisible in values — plain-scan oracle,
+        # same contract as join_bucketed_colocated.
+        "index_zorder_scan": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-10'
+              AND ts < TIMESTAMP '2024-01-20'
+            GROUP BY 1
+            ORDER BY day
         """,
         # identical split/keep regex semantics in Java regex and RE2;
         # generate_subscripts is 1-based like para_idx.

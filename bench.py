@@ -73,6 +73,7 @@ def main() -> None:
         ("ivf_build", entry._ivf_layout),
         ("kmeans_build", entry._kmeans_layout),
         ("bucketed_layout_build", entry._bucketed_tables),
+        ("zorder_layout_build", entry._zorder_layout),
     ):
         t0 = time.time()
         try:

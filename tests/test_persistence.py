@@ -221,3 +221,84 @@ def test_fts_prefix_scheme_prunes_exact_and_prefix(spark, dogs_source, tmpdir):
     plan = match_plan("r*")
     m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
     assert m and "StartsWith" in m.group(1), plan[:800]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Footer-level data-skipping evidence for the Morton layout: with
+    rows clustered by interleaved (type-hash, day) bits, BOTH a type
+    equality filter and a day range filter overlap only a small
+    fraction of the files' min/max stats — while the 1-D
+    timestamp-sorted layout prunes only its own dimension and the
+    type filter must open every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dogsheep_beta_spark.operators.zorder import write_zordered
+
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"type_{i % 4}", i, base + timedelta(days=(i // 4) % 256))
+        for i in range(32_768)
+    ]
+    df = spark.createDataFrame(rows, "type string, key long, ts timestamp")
+
+    zpath = str(tmp_path / "zorder")
+    tpath = str(tmp_path / "tsorted")
+    write_zordered(df, zpath, [("type", "hash"), ("ts", "day")], n_files=32)
+    (
+        df.repartitionByRange(32, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    def stats(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            tmin = tmax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if col.path_in_schema == "type":
+                        tmin = st.min if tmin is None else min(tmin, st.min)
+                        tmax = st.max if tmax is None else max(tmax, st.max)
+                    elif col.path_in_schema == "ts":
+                        dmin = st.min if dmin is None else min(dmin, st.min)
+                        dmax = st.max if dmax is None else max(dmax, st.max)
+            out.append((tmin, tmax, dmin, dmax))
+        return out
+
+    zstats, tstats = stats(zpath), stats(tpath)
+    assert len(zstats) == 32 and len(tstats) == 32
+
+    def hits_type(ss, t):
+        return sum(1 for tmin, tmax, _, _ in ss if tmin <= t <= tmax)
+
+    def hits_days(ss, lo, hi):
+        return sum(
+            1 for _, _, dmin, dmax in ss
+            if dmin is not None and not (dmax < lo or dmin > hi)
+        )
+
+    # type equality: z-order bounds each file to a slice of type space;
+    # the timestamp layout interleaves all types through every file.
+    assert hits_type(tstats, "type_2") == 32
+    assert hits_type(zstats, "type_2") <= 16
+
+    # day range (16 of 256 days): both layouts prune, z-order must
+    # still skip at least half the files despite ALSO clustering type.
+    lo, hi = base + timedelta(days=100), base + timedelta(days=115)
+    assert hits_days(tstats, lo, hi) <= 4
+    assert hits_days(zstats, lo, hi) <= 16
+
+    # the layout is invisible to values: same result set either way.
+    a = spark.read.parquet(zpath).orderBy("key").collect()
+    b = spark.read.parquet(tpath).orderBy("key").collect()
+    assert a == b
