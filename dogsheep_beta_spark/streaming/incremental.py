@@ -752,3 +752,41 @@ def compact_ivf_layout(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copy2(full, dst)
     _publish_dir(tmp, base)
+
+
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: each left event paired
+    with every right event of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — attribution / impression-to-
+    click joining as a continuous query (the batch twin is
+    ``operators.temporal.range_join``).
+
+    This is Spark's native stream-stream join; what makes it safe on an
+    unbounded stream is the pairing of BOTH watermarks with the
+    event-time range predicate: the engine derives, for each side, how
+    old a buffered row can still possibly match (watermark + lookback)
+    and evicts state beyond it.  Per-key state is therefore bounded by
+    rate x (watermark + lookback) — a sliding pane, not the stream's
+    history.  No output-mode caveats: inner interval joins emit exactly
+    the matched pairs, append-only.
+
+    Both inputs must carry event-time columns; the caller picks the
+    watermark to trade lateness tolerance against state size."""
+    l = left_stream.withWatermark(left_ts, watermark).alias("l")
+    r = right_stream.withWatermark(right_ts, watermark).alias("r")
+    lk = F.col(f"l.{key_col}")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (lk == F.col(f"r.{key_col}"))
+        & (rt <= lt)
+        & (rt >= lt - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner")

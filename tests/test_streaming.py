@@ -701,3 +701,75 @@ def test_scoped_fts_converges_to_batch(spark, tmpdir):
         ("s.db/t", "3"): "alpha",
         ("o.db/t", "50"): "zeta omega",
     }
+
+
+def test_streaming_interval_join_converges_across_batches(spark, tmpdir):
+    """Pairs spanning micro-batch boundaries must still match (the
+    watermark buffers the right side until the left arrives): three
+    single-file batches, left/right events interleaved across them,
+    result == the batch inequality join."""
+    from datetime import datetime, timezone
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_interval_join,
+    )
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 10, minute, tzinfo=timezone.utc)
+
+    # (user, ts, side, id) — right rows arrive in EARLIER batches than
+    # the left rows that match them, and vice versa.
+    rows = [
+        (1, ts(0), "r", 100),
+        (1, ts(4), "l", 200),   # matches 100 (4 min lookback window: 5m)
+        (2, ts(1), "r", 101),
+        (1, ts(20), "l", 201),  # matches nothing (100 too old)
+        (2, ts(5), "l", 202),   # matches 101 (arrives one batch earlier)
+        (2, ts(6), "r", 102),   # after 202: must NOT match it
+        (2, ts(9), "l", 203),   # 101 is 8 min old (> 5m): only 102
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    src = str(tmpdir.join("ssj_src"))
+    os.makedirs(src)
+    schema = "user_id long, ts timestamp, side string, id long"
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}"), mode="overwrite"
+        )
+    files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    flat = str(tmpdir.join("ssj_flat"))
+    os.makedirs(flat)
+    for i, f in enumerate(files):
+        shutil.copy(f, os.path.join(flat, f"part-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    left = stream.where(F.col("side") == "l").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("id").alias("l_id")
+    )
+    right = stream.where(F.col("side") == "r").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("id").alias("r_id")
+    )
+    joined = streaming_interval_join(
+        left, right, "user_id", "l_ts", "r_ts", lookback_seconds=300
+    ).select(F.col("l.l_id").alias("l_id"), F.col("r.r_id").alias("r_id"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_conv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_id"], r["r_id"]) for r in spark.table("ssj_conv").collect()
+    }
+    assert got == {(200, 100), (202, 101), (203, 102)}
