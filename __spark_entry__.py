@@ -2507,6 +2507,31 @@ def q_chunk_sliding_window(spark, sf_dir):
     )
 
 
+def q_rule_sql_udfs(spark, sf_dir):
+    """Rule-style SQL exercising the engine's SQL-callable functions
+    (H11 — datasette pre-registers escape_fts for every query; here the
+    whole dbs_* family is in scope for rule SQL).  The bodies are pure
+    SQL expressions that inline into this plan — the oracle replicates
+    each one in DuckDB SQL, so the surface is value-pinned end-to-end,
+    not just unit-tested."""
+    from dogsheep_beta_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               dbs_token_count(text) AS n_tok,
+               dbs_hash_bucket(CAST(doc_id AS STRING), 100) AS bucket,
+               dbs_intcomma(CAST(n_chars AS BIGINT)) AS chars_fmt,
+               dbs_escape_fts(substring(text, 1, 40)) AS head_q
+        FROM documents ORDER BY doc_id
+        """
+    )
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join (native Structured
     Streaming state join): every view within 6 hours before each
@@ -2813,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_paragraphs": q_chunk_paragraphs,
         "index_zorder_scan": q_index_zorder_scan,
         "streaming_interval_join": q_streaming_interval_join,
+        "rule_sql_udfs": q_rule_sql_udfs,
     }
 
 
@@ -4692,6 +4718,32 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # each dbs_* SQL function replicated in DuckDB SQL: tokenizer
+        # split, first-8-md5-hex bucket, {:,} formatting, quote-escape.
+        "rule_sql_udfs": """
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+'),
+                       x -> x <> '')) AS INT) AS n_tok,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 100 AS INT)
+                       AS bucket,
+                   format('{:,}', CAST(n_chars AS BIGINT)) AS chars_fmt,
+                   array_to_string(
+                       list_transform(
+                           list_filter(
+                               string_split_regex(
+                                   coalesce(substring(text, 1, 40), ''),
+                                   '\\s+'),
+                               x -> len(list_filter(
+                                   string_split_regex(lower(x),
+                                                      '[^a-z0-9]+'),
+                                   y -> y <> '')) > 0),
+                           t -> '"' || replace(t, '"', ' ') || '"'),
+                       ' ') AS head_q
+            FROM documents ORDER BY doc_id
         """,
         # one availableNow batch ⇒ the stream-stream join emits exactly
         # the batch inequality join (inclusive bounds both engines).

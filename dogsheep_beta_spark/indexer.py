@@ -46,6 +46,12 @@ def build_search_index(
     rules = rules_from_config(config, databases)
     if not rules:
         raise ValueError("no rules to index")
+    # rule SQL runs with the engine's SQL functions in scope (H11) —
+    # the reference's rules likewise run where datasette/SQLite helper
+    # functions are pre-registered.  Idempotent per session.
+    from dogsheep_beta_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
     parts = [
         rule_output(spark, rule).withColumn("load_seq", F.lit(i))
         for i, rule in enumerate(rules)
