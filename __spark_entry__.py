@@ -2507,6 +2507,39 @@ def q_chunk_sliding_window(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level dedup report (the paragraph-hash pass public
+    pipelines run between doc-level dedup and quality filtering —
+    paragraphs repeated across documents are boilerplate headers /
+    footers / licenses): md5 per kept paragraph (map-only chunker),
+    one partial-aggregated shuffle on the hash, then a per-source
+    rollup of total vs distinct vs cross-document-shared paragraphs.
+    The boilerplate-detection core (hashes spanning >1 doc) is
+    semantics-pinned on a synthetic corpus in tests/test_plans.py;
+    this declared query pins the same aggregation over real data."""
+    from dogsheep_beta_spark.operators.chunking import paragraph_chunks
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    paras = paragraph_chunks(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    per_hash = paras.groupBy("source", F.md5("para_text").alias("h")).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.count_distinct("id").alias("docs"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_paragraphs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum((F.col("docs") > 1).cast("long")).alias("n_shared"),
+            F.max("occ").cast("long").alias("max_occurrences"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_rule_sql_udfs(spark, sf_dir):
     """Rule-style SQL exercising the engine's SQL-callable functions
     (H11 — datasette pre-registers escape_fts for every query; here the
@@ -2839,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_zorder_scan": q_index_zorder_scan,
         "streaming_interval_join": q_streaming_interval_join,
         "rule_sql_udfs": q_rule_sql_udfs,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -4718,6 +4752,31 @@ ORDER BY rank, type, "key"
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # same paragraph extraction as chunk_paragraphs; per-source
+        # rollup of total / distinct / cross-doc-shared paragraph hashes.
+        "dedup_paragraphs": """
+            WITH parts AS (
+                SELECT doc_id, source,
+                       list_filter(
+                           string_split_regex(coalesce(text, ''),
+                                              '\\n{2,}'),
+                           x -> regexp_matches(x, '\\S')) AS ps
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, source, md5(unnest(ps)) AS h FROM parts
+            ), per_hash AS (
+                SELECT source, h, COUNT(*) AS occ,
+                       COUNT(DISTINCT doc_id) AS docs
+                FROM paras GROUP BY source, h
+            )
+            SELECT source,
+                   CAST(SUM(occ) AS BIGINT) AS n_paragraphs,
+                   COUNT(*) AS n_unique,
+                   CAST(SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST(MAX(occ) AS BIGINT) AS max_occurrences
+            FROM per_hash GROUP BY source ORDER BY source
         """,
         # each dbs_* SQL function replicated in DuckDB SQL: tokenizer
         # split, first-8-md5-hex bucket, {:,} formatting, quote-escape.

@@ -67,6 +67,7 @@ def run_indexer(
     partition_by_type: bool = False,
     compact_partitions: int = 0,
     sort_by_timestamp: bool = False,
+    zorder: bool = False,
 ) -> DataFrame:
     """Build and persist search_index as Parquet (the full A5→A8/A11 path).
 
@@ -79,11 +80,42 @@ def run_indexer(
     - ``sort_by_timestamp`` sorts rows within each output file so the
       parquet min/max stats make timeline scans skip whole row groups
       (the B-tree-on-timestamp analog, A8).
+    - ``zorder`` instead clusters files in Morton order over
+      (type-hash, timestamp-day) — `operators/zorder.py`, the OPTIMIZE
+      ZORDER analog: the timeline page's `type = … AND date = …` filter
+      pair then prunes on BOTH dimensions via ordinary file stats,
+      without partitioning's directory explosion.  File count comes
+      from ``compact_partitions`` (default 32).
     """
     df = build_search_index(spark, config, databases)
-    if compact_partitions:
+    if zorder:
+        from dogsheep_beta_spark.operators.zorder import zorder_key
+
+        # timestamp is a lexicographic ISO string (F4); its first 19
+        # chars parse to a second-resolution timestamp for the day dim.
+        z = zorder_key(
+            [
+                (F.col("type"), "hash"),
+                (
+                    F.coalesce(
+                        F.to_timestamp(
+                            F.substring(F.col("timestamp"), 1, 19)
+                        ),
+                        F.lit("1970-01-01").cast("timestamp"),
+                    ),
+                    "day",
+                ),
+            ]
+        )
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(compact_partitions or 32, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif compact_partitions:
         df = df.repartition(compact_partitions)
-    if sort_by_timestamp:
+    if sort_by_timestamp and not zorder:
         df = df.sortWithinPartitions(F.col("timestamp").desc_nulls_last())
     writer = df.write.mode("overwrite")
     if partition_by_type:

@@ -302,3 +302,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(zpath).orderBy("key").collect()
     b = spark.read.parquet(tpath).orderBy("key").collect()
     assert a == b
+
+
+def test_run_indexer_zorder_layout_value_neutral(spark, tmp_path):
+    """run_indexer(zorder=True): Morton clustering is a pure physical
+    layout — the persisted index holds exactly the rows of the plain
+    build, and the write lands the requested file count."""
+    import glob
+
+    from dogsheep_beta_spark.indexer import run_indexer
+
+    rows = [
+        (i, f"dog{i}", "running fast", f"2020-08-{(i % 27) + 1:02d} 04:00:00")
+        for i in range(64)
+    ]
+    spark.createDataFrame(
+        rows, "id int, name string, likes string, created string"
+    ).createOrReplaceTempView("dogs")
+    config = {
+        "dogs.db": {
+            "dogs": {
+                "sql": """
+                    select id as key, name as title,
+                           created as timestamp, likes as search_1
+                    from dogs
+                """
+            }
+        }
+    }
+    plain = run_indexer(
+        spark, config, str(tmp_path / "plain")
+    ).orderBy("key").collect()
+    zord = run_indexer(
+        spark, config, str(tmp_path / "zord"), zorder=True,
+        compact_partitions=4,
+    ).orderBy("key").collect()
+    assert zord == plain
+    assert len(glob.glob(str(tmp_path / "zord" / "*.parquet"))) == 4

@@ -501,3 +501,32 @@ def test_paragraph_chunks_boundaries_and_map_only(spark):
         (4, 1, "single"),
     ]
     assert "Exchange" not in _plan(paragraph_chunks(df, "doc_id", "text"))
+
+
+def test_paragraph_boilerplate_detection(spark):
+    """The cross-document paragraph-hash core of q_dedup_paragraphs:
+    a footer shared by 3 docs is flagged (docs>1), unique paragraphs
+    are not, and within-doc repetition alone is not cross-doc."""
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha body\n\n{footer}"),
+            (2, f"beta body\n\n{footer}"),
+            (3, f"gamma body\n\n{footer}"),
+            (4, "self echo\n\nself echo"),  # repeated only inside doc 4
+        ],
+        "doc_id long, text string",
+    )
+    from dogsheep_beta_spark.operators.chunking import paragraph_chunks
+
+    paras = paragraph_chunks(df, "doc_id", "text")
+    per_hash = paras.groupBy(F.md5("para_text").alias("h")).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.count_distinct("id").alias("docs"),
+        F.min("para_text").alias("t"),
+    )
+    shared = {r["t"]: r for r in per_hash.where(F.col("docs") > 1).collect()}
+    assert set(shared) == {footer}
+    assert shared[footer]["occ"] == 3 and shared[footer]["docs"] == 3
+    echo = per_hash.where(F.col("t") == "self echo").collect()[0]
+    assert echo["occ"] == 2 and echo["docs"] == 1
