@@ -85,6 +85,7 @@ def cmd_index(args) -> int:
         index_path,
         databases=list(args.database) or None,
         partition_by_type=args.partition_by_type,
+        zorder=args.zorder,
     )
     # FTS rebuild after the bulk load, like the reference (utils.py:57-63)
     stem = args.tokenize == "porter"
@@ -225,6 +226,12 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=0,
         help="repartition postings by term into N buckets on write",
+    )
+    ix.add_argument(
+        "--zorder",
+        action="store_true",
+        help="cluster index files in Morton order over (type, day) so "
+        "type AND date filters both prune via file stats",
     )
     ix.set_defaults(func=cmd_index)
 
