@@ -5045,6 +5045,38 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             .trigger(availableNow=True).start()
         )
 
+    def start_interval_join(ck):
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_interval_join,
+        )
+
+        def side(event_type, id_alias, ts_alias):
+            return (
+                ev_stream()
+                .where(F.col("event_type") == event_type)
+                .select(
+                    "user_id",
+                    F.col("ts").alias(ts_alias),
+                    F.col("event_id").alias(id_alias),
+                )
+            )
+
+        joined = streaming_interval_join(
+            side("click", "click_id", "c_ts"),
+            side("view", "view_id", "v_ts"),
+            key_col="user_id",
+            left_ts="c_ts",
+            right_ts="v_ts",
+            lookback_seconds=21600,
+        )
+        return (
+            joined.select("l.click_id", "r.view_id")
+            .writeStream.outputMode("append").format("memory")
+            .queryName(_stream_sink_name(spark, "steady_ssj"))
+            .option("checkpointLocation", os.path.join(ck, "c"))
+            .trigger(availableNow=True).start()
+        )
+
     emb_dir, emb_schema = batched_src(os.path.join(sf_dir, "embeddings.parquet"))
     _, cents = _ivf_layout(spark, sf_dir)
 
@@ -5064,6 +5096,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
         ("streaming_window_counts", start_window_counts),
+        ("streaming_interval_join", start_interval_join),
         ("streaming_ivf_upsert", start_ivf),
     ):
         try:
