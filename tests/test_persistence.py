@@ -339,3 +339,34 @@ def test_run_indexer_zorder_layout_value_neutral(spark, tmp_path):
     ).orderBy("key").collect()
     assert zord == plain
     assert len(glob.glob(str(tmp_path / "zord" / "*.parquet"))) == 4
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The codegen bit-interleave equals a literal Python Morton
+    encode, including negative-modulo day handling."""
+    from dogsheep_beta_spark.operators.zorder import zorder_key
+
+    from pyspark.sql import functions as F
+
+    bits = 6
+    vals = [(a, b) for a in (0, 1, 5, 63, 64, 130) for b in (0, 2, 63, 100)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = (
+        df.withColumn(
+            "z", zorder_key([(F.col("a"), "int"), (F.col("b"), "int")], bits=bits)
+        )
+        .orderBy("a", "b")
+        .collect()
+    )
+
+    def morton(a, b):
+        a %= 1 << bits
+        b %= 1 << bits
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
