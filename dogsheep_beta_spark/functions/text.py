@@ -339,12 +339,15 @@ def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None
     word-salad from natural prose, which unigram NLL cannot.
 
     Plan: ONE bigram explode (struct of w1, w2) is persisted and feeds
-    the bigram counts, the prefix counts, AND the per-doc aggregation.
-    Both count joins are n-gram-keyed shuffle joins (the bigram table
-    does NOT broadcast at 100 TB); the vocabulary size enters as one
-    scalar aggregate, same device as the FTS corpus stats.  Docs with
-    < 2 tokens return n_bigrams = 0, nll NULL (length filters own
-    them)."""
+    the bigram counts AND the per-doc aggregation.  The prefix counts
+    derive from the bigram counts (c(w1·) = Σ_w2 c(w1 w2)) — an
+    aggregation of the DISTINCT-bigram table, not a second full-stream
+    shuffle — and the (w1, w2, c2, c1) stats table is assembled small-
+    side before the single n-gram-keyed join back to the pair stream
+    (which does NOT broadcast at 100 TB).  The vocabulary size enters
+    as one scalar aggregate, same device as the FTS corpus stats.
+    Docs with < 2 tokens return n_bigrams = 0, nll NULL (length
+    filters own them)."""
     toks = tokens_expr(F.col(text_col))
     pair_structs = F.when(
         F.size(toks) >= 2,
@@ -364,13 +367,13 @@ def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None
     if cache_registry is not None:
         cache_registry.append(pairs)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, "w1")
     vocab = (
         df.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).collect()[0][0]
     ) or 0
     scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        pairs.join(stats, ["w1", "w2"])
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
