@@ -1,7 +1,13 @@
 import os
 import sys
+import tempfile
 
 import pytest
+
+# A relative TMPDIR (e.g. "s/tmp") would drop every test's mkdtemp inside the
+# repo tree and get swept into git; pin the temp root absolute for all tests.
+if not os.path.isabs(tempfile.gettempdir()):
+    tempfile.tempdir = "/tmp"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

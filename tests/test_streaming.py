@@ -15,9 +15,16 @@ from dogsheep_beta_spark.streaming.incremental import (
 )
 
 
+def _abs_tmp_root():
+    # A relative TMPDIR (e.g. "s/tmp") would land mkdtemp inside the repo
+    # and get swept into git; always anchor at an absolute system temp dir.
+    root = tempfile.gettempdir()
+    return root if os.path.isabs(root) else "/tmp"
+
+
 @pytest.fixture()
 def tmpdir():
-    d = tempfile.mkdtemp(prefix="dbs_stream_")
+    d = tempfile.mkdtemp(prefix="dbs_stream_", dir=_abs_tmp_root())
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
