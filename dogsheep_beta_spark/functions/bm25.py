@@ -30,17 +30,31 @@ def score_phrase_hits(
     doc_lengths: DataFrame,
     n_docs: int,
     avgdl: float,
+    type_filter: str | None = None,
 ) -> DataFrame:
     """(phrase_id, type, key, tf) → (type, key, rank).
 
     ``phrase_hits`` carries one row per (phrase, matching doc) with the
     flattened tf.  df per phrase is computed with a window-free
     self-aggregation + broadcast join (phrase count is tiny).
+
+    ``type_filter`` prunes hits to one source type BEFORE the heavy
+    per-doc aggregation — the pushdown for ``?type=`` requests.  BM25
+    stats stay corpus-global (df is aggregated over the UNFILTERED
+    hits, and N/avgdl are index-wide scalars), exactly matching FTS5's
+    behavior where MATCH ranks against the whole index and the type
+    equality is an outer WHERE (__init__.py:26-43,123-131): per-doc
+    rank values are bit-identical with or without the pushdown.
     """
     df_per_phrase = phrase_hits.groupBy("phrase_id").agg(
         F.count(F.lit(1)).alias("df")
     )
-    hits = phrase_hits.join(F.broadcast(df_per_phrase), "phrase_id").join(
+    scoped = (
+        phrase_hits.filter(F.col("type") == type_filter)
+        if type_filter is not None
+        else phrase_hits
+    )
+    hits = scoped.join(F.broadcast(df_per_phrase), "phrase_id").join(
         doc_lengths, ["type", "key"], "left"
     )
     dl = F.coalesce(F.col("dl"), F.lit(0)).cast("double")

@@ -23,7 +23,7 @@ lookups partition-prune (SURVEY §7.5).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +54,16 @@ class FtsIndex:
     # both partition-prune; skew follows the bigram distribution, which
     # sortWithinPartitions row-group stats absorb within a directory).
     term_scheme: str = "hash"
+    # per-query phrase-hit caches registered by plans/match.compile_match
+    # (persisted, deduped by Spark's plan-canonical cache manager — one
+    # entry per distinct phrase, not per request); release_hit_caches()
+    # is the index-lifetime teardown.
+    hit_caches: list = field(default_factory=list)
+
+    def release_hit_caches(self) -> None:
+        for df in self.hit_caches:
+            df.unpersist()
+        self.hit_caches.clear()
 
 
 def term_bucket_py(term: str, n: int) -> int:

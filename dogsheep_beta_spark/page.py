@@ -225,15 +225,12 @@ def page_context(
         is_public=args.get("is_public"),
         date=args.get("timestamp__date"),
     )
-    res = search_query(index_df, fts, plan, facet_size=facet_size)
-    # cache the filtered set across results + count + 4 facet jobs
-    res.filtered.persist()
-    try:
+    # compile_plan persists the filtered set for the request (SURVEY
+    # §7.5); the context manager is the teardown.
+    with search_query(index_df, fts, plan, facet_size=facet_size) as res:
         rows = [r.asDict() for r in res.results.collect()]
         count = filtered_count(res.filtered)
         facets = build_page_facets(res.facets, args, q)
-    finally:
-        res.filtered.unpersist()
     templates, display_sqls = rules_templates(rules or {})
     # q binds as the EMPTY STRING in timeline mode — the reference's
     # display_sql :q param is always present (__init__.py:123,161-168)

@@ -596,6 +596,10 @@ def compile_match(ast, fts) -> tuple[DataFrame, DataFrame]:
     hit_cache = {
         id(ph): phrase_hits(fts, ph, i).persist() for i, ph in enumerate(phrases)
     }
+    # register for index-lifetime teardown (FtsIndex.release_hit_caches);
+    # Spark's cache manager dedups identical phrase plans, so repeated
+    # queries over the same phrase share one entry rather than leaking.
+    fts.hit_caches.extend(hit_cache.values())
     docset = _docset(ast, fts, hit_cache)
     if phrases:
         all_hits = reduce(

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 SEARCH_LIMIT = 100  # __init__.py:42
 TIMELINE_LIMIT = 40  # __init__.py:23
@@ -100,11 +101,33 @@ def timeline_query(search_index: DataFrame, plan: QueryPlan) -> DataFrame:
 
 @dataclass
 class QueryResult:
-    """All DataFrames for one request, derived from one filtered set."""
+    """All DataFrames for one request, derived from one filtered set.
+
+    When ``compile_plan(persist=True)`` built it, ``filtered`` is a
+    persisted DataFrame shared by results + count + 4 facets (+ any
+    hydration the caller adds): the filter/join subtree executes once
+    per request instead of once per consumed output (SURVEY §7.5).
+    ``unpersist()`` is the teardown hook — idempotent, safe to call
+    whether or not the request path persisted anything; the class is
+    also a context manager so request handlers can ``with`` it.
+    """
 
     results: DataFrame
     filtered: DataFrame  # for count
     facets: dict[str, DataFrame] = field(default_factory=dict)
+    persisted: bool = False
+
+    def unpersist(self) -> None:
+        if self.persisted:
+            self.filtered.unpersist()
+            self.persisted = False
+
+    # context-manager protocol: `with search_query(...) as res:`
+    def __enter__(self) -> "QueryResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def compile_plan(
@@ -112,6 +135,7 @@ def compile_plan(
     plan: QueryPlan,
     scored: DataFrame | None = None,
     facet_size: int = 30,
+    persist: bool = True,
 ) -> QueryResult:
     """Compile a full request: results + count + 4 facets off one
     filtered set (collapsing the reference's dual execution path,
@@ -119,6 +143,17 @@ def compile_plan(
 
     ``scored`` is the (type, key, rank) DataFrame from the FTS layer for
     search mode; None for timeline mode.
+
+    ``persist=True`` (the request-path default) persists the filtered
+    set so the scan→filter→score-join subtree runs ONCE per request no
+    matter how many of the outputs (results, count, facets, hydration)
+    the caller collects — the reference re-executes its WHERE clause
+    per output query instead (__init__.py:193-258).  Spark's cache
+    manager keys the entry on the canonicalized plan, so a repeated
+    identical request also reuses it.  Callers that consume exactly one
+    output (e.g. results only) should pass persist=False to keep the
+    top-k limit pushdown against the raw scan and skip the cache
+    bookkeeping.  Teardown: ``QueryResult.unpersist()``.
     """
     from dogsheep_beta_spark.operators import facets as facet_ops
 
@@ -126,6 +161,8 @@ def compile_plan(
     if scored is not None:
         # C2 — attach relevance by joining scored docs back on the pk.
         filtered = filtered.join(scored, on=["type", "key"], how="inner")
+    if persist:
+        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     results = order_results(filtered, plan, has_rank=scored is not None)
 
     facet_dfs = {
@@ -133,4 +170,6 @@ def compile_plan(
         for c in facet_ops.FACET_COLUMNS
     }
     facet_dfs["timestamp"] = facet_ops.date_facet(filtered, "timestamp", facet_size)
-    return QueryResult(results=results, filtered=filtered, facets=facet_dfs)
+    return QueryResult(
+        results=results, filtered=filtered, facets=facet_dfs, persisted=persist
+    )
