@@ -16,6 +16,14 @@ Determinism rules (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+import os as _os
+import tempfile as _tempfile
+
+# A relative TMPDIR (seen as "s/tmp" in some build environments) makes every
+# mkdtemp below land inside the repo and pollute git; pin it absolute once.
+if not _os.path.isabs(_tempfile.gettempdir()):
+    _tempfile.tempdir = "/tmp"
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,6 +135,9 @@ def teardown(sf_dir: str | None = None) -> None:
                         sub = getattr(df, attr, None)
                         if sub is not None:
                             sub.unpersist()
+                    rel = getattr(df, "release_hit_caches", None)
+                    if rel is not None:
+                        rel()  # per-query phrase-hit caches
 
 
 def _search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,17 +185,34 @@ def _ctx_porter(spark, sf_dir):
     return c["idx"], c["fts_porter"]
 
 
+def _track_qres(sf_dir, res):
+    """Register a persisted QueryResult for the per-sf_dir teardown
+    (its .unpersist is duck-typed by teardown()'s generic loop)."""
+    _CTX.setdefault(sf_dir, {}).setdefault("qres", []).append(res)
+    return res
+
+
 def _bm25_results(
     spark, sf_dir, q, plan: QueryPlan | None = None, porter: bool = False
 ) -> DataFrame:
-    """Search top-k with rank rounded to 6dp (float-hash stability)."""
+    """Search top-k with rank rounded to 6dp (float-hash stability).
+
+    compile_plan persists the matched set (request-path default): the
+    hydration/rerank/count consumers downstream of these results reuse
+    one materialization instead of re-deriving the search subtree, and
+    a repeated identical request is a cache hit (plan-canonical cache
+    keys).  ``?type=`` requests push the equality below BM25 scoring
+    (plans/search.scored_docs type_filter) — ranks unchanged, hits of
+    other sources never reach the per-doc aggregation."""
     from dogsheep_beta_spark.plans.search import scored_docs
 
     idx, fts = _ctx_porter(spark, sf_dir) if porter else _ctx(spark, sf_dir)
     plan = plan or QueryPlan(q=q)
     plan.q = q
-    scored = scored_docs(fts, q).withColumn("rank", F.round("rank", 6))
-    res = compile_plan(idx, plan, scored=scored)
+    scored = scored_docs(fts, q, type_filter=plan.type).withColumn(
+        "rank", F.round("rank", 6)
+    )
+    res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
     return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
@@ -808,7 +836,7 @@ def q_search_persisted_index(spark, sf_dir):
     scored = scored_docs(fts, "spark join").withColumn(
         "rank", F.round("rank", 6)
     )
-    res = compile_plan(idx, plan, scored=scored)
+    res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
     return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
@@ -949,7 +977,7 @@ def q_search_prefix(spark, sf_dir):
     idx, fts = _ctx_prefix_fts(spark, sf_dir)
     plan = QueryPlan(q="wind*")
     scored = scored_docs(fts, "wind*").withColumn("rank", F.round("rank", 6))
-    res = compile_plan(idx, plan, scored=scored)
+    res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
     return res.results.select("type", "key", "rank", "title", "timestamp")
 
 
@@ -968,18 +996,25 @@ def q_search_filtered(spark, sf_dir):
 def q_search_count_facets(spark, sf_dir):
     """D1+D2+D4 under search: the reference's get_count_and_facets path
     (__init__.py:193-258) — count and type-facet of EVERYTHING matching
-    q (not just the top 100), computed off the same filtered set as the
-    results (collapsing the dual execution path, SURVEY §3.3)."""
-    from dogsheep_beta_spark.plans.search import scored_docs
+    q (not just the top 100), in ONE aggregation pass: the boolean
+    docset (no BM25 — nothing here orders by relevance) rolled up with
+    GROUPING SETS ((type), ()), so per-type counts and the grand total
+    come out of a single shuffle instead of two scans of the matched
+    set.  The total row always survives the top-31 cut because
+    total >= max(per-type count) by construction."""
+    from dogsheep_beta_spark.plans.search import matching_docs
 
-    idx, fts = _ctx(spark, sf_dir)
-    scored = scored_docs(fts, "spark")
-    matched = idx.join(scored.select("type", "key"), ["type", "key"], "left_semi")
-    facet = facet_ops.column_facet(matched, "type")
-    total = matched.agg(
-        F.lit("__total__").alias("value"), F.count(F.lit(1)).alias("count")
+    _, fts = _ctx(spark, sf_dir)
+    matched = matching_docs(fts, "spark")
+    return (
+        matched.rollup("type")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.coalesce(F.col("type"), F.lit("__total__")).alias("value"), "count"
+        )
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(31)  # 30-facet cap + the total row (facet_size=30)
     )
-    return facet.unionByName(total).orderBy(F.desc("count"), "value")
 
 
 def q_search_highlight(spark, sf_dir):
@@ -990,9 +1025,11 @@ def q_search_highlight(spark, sf_dir):
     idx, fts = _ctx(spark, sf_dir)
     from dogsheep_beta_spark.plans.search import scored_docs
 
-    scored = scored_docs(fts, "spark").withColumn("rank", F.round("rank", 6))
     plan = QueryPlan(q="spark", type="docs.db/documents")
-    res = compile_plan(idx, plan, scored=scored)
+    scored = scored_docs(fts, "spark", type_filter=plan.type).withColumn(
+        "rank", F.round("rank", 6)
+    )
+    res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
     return res.results.select(
         "type",
         "key",
@@ -1244,11 +1281,17 @@ def q_dedup_cluster_keep(spark, sf_dir):
 def q_dedup_verbatim_overlap(spark, sf_dir):
     """Exact substring dedup at token granularity (Lee et al. 2022
     suffix-array method, re-expressed relationally): doc pairs sharing
-    a verbatim run of >= 8 tokens, found via positional 5-shingles +
-    the alignment-diagonal trick with run detection fused into the
-    per-pair aggregation (operators/dedup.py:verbatim_overlap_pairs) —
-    one shuffle on the shingle hash, one on the pair key.  No suffix
-    array, no global sort, no window."""
+    a verbatim run of >= 8 tokens.  Two phases since round 5
+    (operators/dedup.py:verbatim_overlap_pairs): WINNOWED candidate
+    generation — each doc joins only its per-window min-hash
+    fingerprints (~0.4 density/side, ~6x less join volume, losslessly:
+    any qualifying run contains a full window whose min is co-selected
+    in both docs) — then exact diagonal-fold verification over the
+    candidate docs' full positional streams only (one tagged stream
+    pass, pair-bounded volume).  No suffix array, no global sort, no
+    window function.  Local latency is a ~7-job scheduling floor
+    (~1s on local[32] regardless of data size — same class as
+    PageRank's superstep floor); the phase volumes are what scale."""
     from dogsheep_beta_spark.operators.dedup import verbatim_overlap_pairs
 
     c = _CTX.setdefault(sf_dir, {})

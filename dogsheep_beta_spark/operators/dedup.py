@@ -805,8 +805,31 @@ def verbatim_overlap_pairs(
     replaces the gaps-and-islands window — all inside the JVM, no
     Python.  Per-pair state is bounded by the co-occurrence count of
     that pair (≤ min(len_a, len_b) after stop-shingle pruning), i.e.
-    doc-length-shaped, not corpus-shaped — safe at 100 TB where the
-    shuffle count, not data volume, dominated this operator's cost."""
+    doc-length-shaped, not corpus-shaped.
+
+    The self-join itself is WINNOWING-ANCHORED (Schleimer et al. 2003
+    local fingerprinting — the sampling trick Lee et al. apply to their
+    suffix arrays): instead of joining every position against every
+    position, each doc selects only the window-min shingle of every
+    ``w = min_tokens - k + 1`` consecutive shingle positions (expected
+    density 2/(w+1) per side, so candidate-join volume shrinks by
+    ~((w+1)/2)² ≈ 6× at the default parameters).  Selection is
+    CONTENT-based, so it is lossless: any shared verbatim run of
+    ≥ min_tokens tokens spans ≥ w consecutive shingle positions, and
+    the window that exactly covers the first w of them is interior to
+    the run in BOTH docs — its minimum hash is therefore co-selected
+    on both sides and the pair surfaces as a candidate.  (A hot shingle inside that window is impossible: the
+    run survived hot-pruning, so all its positions are cold.)  The
+    exact diagonal fold then runs only over the candidate docs' full
+    positional streams — verification carries pairs, not the corpus.
+
+    Collision bound (64-bit xxhash64 shingle keys): a spurious pair
+    needs hash equality at one anchor (p ≈ n_anchors²/2⁶⁴ per bucket)
+    AND, to inflate a run past ``min_tokens``, further collisions at
+    CONSECUTIVE positions of the same diagonal — each an independent
+    2⁻⁶⁴ event conditioned on distinct shingle text.  At 10¹² shingles
+    the expected number of length-2 collision runs is ≪ 1; the md5
+    oracle double-checks the declared query's output exactly."""
     toks = tokens_expr(F.col(text_col))
     sh = F.when(
         F.size(toks) >= k,
@@ -815,39 +838,113 @@ def verbatim_overlap_pairs(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    # persisted: the positional shingle stream feeds the hot-shingle
-    # aggregate AND both sides of the self-join — without the cache the
-    # tokenize→shingle→md5 explode runs three times (as does the
-    # hot-shingle count, once per join side).  Same lifecycle contract
-    # as jaccard_pairs: pass ``cache_registry`` to own the unpersist.
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "h")
-    ).persist()
+    # persisted: the per-doc shingle ARRAY feeds (a) the hot-shingle
+    # aggregate, (b) the winnowed anchor stream, and (c) the full
+    # positional stream for verification — caching the array form pays
+    # the tokenize→shingle work once; the explodes that derive (a)-(c)
+    # are cheap map-side re-runs.  Same lifecycle contract as
+    # jaccard_pairs: pass ``cache_registry`` to own the unpersist.
+    arr = df.select(F.col(id_col).alias("id"), sh.alias("hs")).persist()
     if cache_registry is not None:
-        cache_registry.append(pos)
+        cache_registry.append(arr)
+    pos = arr.select("id", F.posexplode("hs").alias("pos", "h"))
+
+    w = max(1, min_tokens - k + 1)
+    hs = F.col("hs")
+    # per window start j: min hash over hs[j..j+w-1].  Only the VALUE
+    # is needed (the candidate join keys on h alone), so no argmin
+    # bookkeeping — identical window content selects the identical
+    # value in every doc.  array_distinct collapses the ~n/w winners.
+    # Docs with fewer than w shingles select nothing — they cannot
+    # reach min_tokens overlap at all.
+    anchor_hashes = F.when(
+        F.size(hs) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(hs) - w),
+                lambda j: F.array_min(F.slice(hs, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    anchors = arr.select("id", F.explode(anchor_hashes).alias("h"))
+
     if max_bucket:
         hot = (
             pos.groupBy("h")
             .agg(F.count_distinct("id").alias("df"))
             .filter(F.col("df") > max_bucket)
+            .select("h")
+            .persist()  # tiny (df > max_bucket keys); consumed twice
         )
+        if cache_registry is not None:
+            cache_registry.append(hot)
         # hot shingles are few (each is shared by > max_bucket docs):
-        # broadcast the anti-join so the positional stream is pruned
-        # map-side instead of shuffling once just to subtract them.
-        pos = pos.join(F.broadcast(hot.select("h")), "h", "left_anti")
-    a = pos.select(F.col("id").alias("a"), F.col("pos").alias("pa"), "h")
-    b = pos.select(F.col("id").alias("b"), F.col("pos").alias("pb"), "h")
-    co = (
-        a.join(b, "h")
+        # broadcast the anti-join so both streams are pruned map-side
+        # instead of shuffling once just to subtract them.
+        hot_keys = F.broadcast(hot)
+        pos = pos.join(hot_keys, "h", "left_anti")
+        anchors = anchors.join(hot_keys, "h", "left_anti")
+
+    # phase 1 — candidate pairs from the winnowed anchor self-join.
+    # Persisted: the pair set is consumed three times below (two id
+    # projections + the replication join), and it is tiny — pair-
+    # bounded, not corpus-bounded.
+    cand = (
+        anchors.select(F.col("id").alias("a"), "h")
+        .join(anchors.select(F.col("id").alias("b"), "h"), "h")
         .where(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.struct(
-                (F.col("pa") - F.col("pb")).alias("diag"),
-                F.col("pa").alias("pa"),
-            ).alias("hit"),
-        )
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(cand)
+
+    # phase 2 — exact verification over the candidate docs' FULL
+    # streams, in ONE scan of the positional stream: broadcast the pair
+    # set as role rows (each pair contributes an a-side and a b-side
+    # membership), tag every stream row with the pairs it participates
+    # in, aggregate per (pair, shingle) to collect each side's
+    # positions, and expand the per-shingle cross product into the
+    # (diag, pa) hit structs the fold consumes.  Equivalent to the
+    # equi-join formulation but with one stream pass, one broadcast,
+    # and two keyed shuffles total; volume is pair-bounded (each
+    # candidate doc's stream × its partner count), not corpus-bounded.
+    roles = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("id"), F.col("a"), F.col("b"),
+                    F.lit(1).alias("is_a"),
+                ),
+                F.struct(
+                    F.col("b").alias("id"), F.col("a"), F.col("b"),
+                    F.lit(0).alias("is_a"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.id", "r.a", "r.b", "r.is_a")
+    tag = pos.join(F.broadcast(roles), "id")
+    per_shingle = tag.groupBy("a", "b", "h").agg(
+        F.collect_list(F.when(F.col("is_a") == 1, F.col("pos"))).alias("pas"),
+        F.collect_list(F.when(F.col("is_a") == 0, F.col("pos"))).alias("pbs"),
+    )
+    co = per_shingle.select(
+        "a",
+        "b",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("pas"),
+                    lambda pa: F.transform(
+                        F.col("pbs"),
+                        lambda pb: F.struct(
+                            (pa - pb).alias("diag"), pa.alias("pa")
+                        ),
+                    ),
+                )
+            )
+        ).alias("hit"),
     )
     # fold state: (d, p) = previous hit's diagonal/position, run = length
     # of the current consecutive run, best = longest run seen so far.
