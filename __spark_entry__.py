@@ -1454,29 +1454,60 @@ def q_text_token_stats(spark, sf_dir):
 
 
 def q_text_quality_langid(spark, sf_dir):
-    """Quality scoring + stopword-overlap language ID per document."""
+    """Quality scoring + stopword-overlap language ID per document —
+    the bound-column batch form (functions/text.quality_langid_table):
+    one tokenize + one stopword filter per language per doc."""
     from dogsheep_beta_spark.functions import text as tx
 
     d = _documents(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        tx.quality_score(F.col("text")).alias("quality"),
-        tx.langid(F.col("text")).alias("lang_pred"),
-    ).orderBy("doc_id")
+    return (
+        tx.quality_langid_table(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _token_stream_ctx(spark, sf_dir):
+    """Shared persisted (id, t) token stream over documents — one
+    tokenize for the whole per-token text-signal family (VERDICT r4
+    task 3: unigram NLL, vocab and the bigram-LM vocabulary scalar
+    each re-tokenized the corpus before)."""
+    from dogsheep_beta_spark.functions.text import token_stream
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "tok_stream" not in c:
+        c["tok_stream"] = token_stream(
+            _documents_persisted(spark, sf_dir), "doc_id", "text"
+        ).persist()
+    return c["tok_stream"]
+
+
+def _bigram_stream_ctx(spark, sf_dir):
+    """Shared persisted (id, w1, w2) bigram stream — repetition signals
+    and the bigram LM consume one explode instead of two."""
+    from dogsheep_beta_spark.functions.text import bigram_pairs
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "bigram_stream" not in c:
+        c["bigram_stream"] = bigram_pairs(
+            _documents_persisted(spark, sf_dir), "doc_id", "text"
+        ).persist()
+    return c["bigram_stream"]
 
 
 def q_text_unigram_nll(spark, sf_dir):
     """Perplexity-filter proxy: average unigram negative log-likelihood
     per doc under the corpus's own unigram LM (functions/text.py:
-    unigram_nll_table).  One token explode feeds counts AND per-doc
-    aggregation; the count join is token-keyed (vocabulary doesn't
-    broadcast at scale)."""
+    unigram_nll_table).  The SHARED persisted token stream feeds counts
+    AND per-doc aggregation; the count join is token-keyed (vocabulary
+    doesn't broadcast at scale)."""
     from dogsheep_beta_spark.functions.text import unigram_nll_table
 
-    d = _documents(spark, sf_dir)
-    reg = _CTX.setdefault(sf_dir, {}).setdefault("_caches", [])
+    d = _documents_persisted(spark, sf_dir)
     return (
-        unigram_nll_table(d, "doc_id", "text", cache_registry=reg)
+        unigram_nll_table(
+            d, "doc_id", "text", tokens_df=_token_stream_ctx(spark, sf_dir)
+        )
         .select(F.col("id").alias("doc_id"), "n_tok", "nll")
         .orderBy("doc_id")
     )
@@ -1546,11 +1577,13 @@ def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: most-frequent-bigram
     share and duplicate-bigram share per document (functions/text.py:
     repetition_table) — the boilerplate/loop filter every public
-    pretraining pipeline runs.  One bigram explode feeds both
-    fractions; map-side partial counts bound the shuffle."""
+    pretraining pipeline runs.  MAP-ONLY since round 5: both fractions
+    are per-doc functions of the doc's own bigram multiset (sorted
+    in-expression, max equal-run fold) — zero exchanges at any
+    scale."""
     from dogsheep_beta_spark.functions.text import repetition_table
 
-    d = _documents(spark, sf_dir)
+    d = _documents_persisted(spark, sf_dir)
     return (
         repetition_table(d, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -2483,14 +2516,28 @@ def q_streaming_ivf_upsert(spark, sf_dir):
 
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
-    add-1-smoothed conditional bigram NLL per doc, one persisted bigram
-    explode feeding counts + prefix counts + per-doc agg."""
+    add-1-smoothed conditional bigram NLL per doc; the SHARED persisted
+    bigram stream feeds counts + prefix counts + per-doc agg, the
+    SHARED token stream feeds the vocabulary scalar (cached per
+    sf_dir after the first call)."""
     from dogsheep_beta_spark.functions.text import bigram_nll_table
 
-    d = _documents(spark, sf_dir)
-    reg = _CTX.setdefault(sf_dir, {}).setdefault("_caches", [])
+    d = _documents_persisted(spark, sf_dir)
+    c = _CTX.setdefault(sf_dir, {})
+    if "vocab_size" not in c:
+        c["vocab_size"] = (
+            _token_stream_ctx(spark, sf_dir)
+            .agg(F.countDistinct("t"))
+            .collect()[0][0]
+        ) or 0
     return (
-        bigram_nll_table(d, "doc_id", "text", cache_registry=reg)
+        bigram_nll_table(
+            d,
+            "doc_id",
+            "text",
+            pairs_df=_bigram_stream_ctx(spark, sf_dir),
+            vocab_size=c["vocab_size"],
+        )
         .select(F.col("id").alias("doc_id"), "n_bigrams", "nll")
         .orderBy("doc_id")
     )

@@ -80,18 +80,83 @@ def quality_score(col: Column) -> Column:
 
 def langid(col: Column) -> Column:
     """Stopword-overlap language ID over STOPWORDS; ties and
-    zero-evidence fall back to 'und' (undetermined)."""
+    zero-evidence fall back to 'und' (undetermined).
+
+    NOTE: each language's score expression is referenced several times
+    (greatest + tie chain), and every reference re-tokenizes ``col``.
+    Fine for a single ad-hoc column; the batch path is
+    ``quality_langid_table``, which binds the token array and the
+    per-language scores to columns so the corpus tokenizes once."""
     toks = tokens_expr(col)
     scores = {}
     for lang, words in STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return _langid_from_scores(scores)
+
+
+def _langid_from_scores(scores: dict) -> Column:
     best = reduce(F.greatest, scores.values())
     expr = F.lit("und")
     # reversed so earlier languages win exact ties (deterministic order)
     for lang in reversed(list(STOPWORDS)):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def quality_langid_table(df, id_col: str, text_col: str):
+    """(id, quality, lang_pred) — the batch form of ``quality_score`` +
+    ``langid`` with every shared intermediate bound to a column: ONE
+    tokenize per document and one stopword-filter per language, instead
+    of the dozens of re-evaluations the naive composed expressions pay
+    (Column-returning helpers inline their children, and greatest/tie
+    chains reference each score several times).  Values are identical
+    to the per-column helpers."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        tokens_expr(F.col(text_col)).alias("__tk"),
+    )
+    score_cols = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score_cols[f"__s_{lang}"] = F.size(
+            F.filter(F.col("__tk"), lambda t: F.array_contains(sw, t))
+        )
+    n_tk = F.size(F.col("__tk"))
+    scored = base.select(
+        "id",
+        "__t",
+        n_tk.alias("__ntk"),
+        F.when(
+            n_tk == 0, F.lit(0.0)
+        ).otherwise(
+            F.aggregate(
+                F.col("__tk"), F.lit(0), lambda a, t: a + F.length(t)
+            )
+            / n_tk
+        ).alias("__wl"),
+        *[c.alias(name) for name, c in score_cols.items()],
+    )
+    n_tok = ws_token_count(F.col("__t"))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    wl_score = F.when(
+        (F.col("__wl") >= 3) & (F.col("__wl") <= 10), 1.0
+    ).otherwise(0.5)
+    sw_ratio = F.when(F.col("__ntk") == 0, F.lit(0.0)).otherwise(
+        F.col("__s_en").cast("double") / F.col("__ntk")
+    )
+    quality = F.round(
+        0.4 * len_score + 0.3 * alpha_ratio(F.col("__t")) + 0.2 * wl_score
+        + 0.1 * F.least(sw_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    lang = _langid_from_scores(
+        {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
+    )
+    return scored.select(
+        "id", quality.alias("quality"), lang.alias("lang_pred")
+    )
 
 
 def highlight_expr(
@@ -124,7 +189,12 @@ def snippet_expr(
 def char_shingle_fingerprint(col: Column, k: int = 8, n_mins: int = 4) -> Column:
     """Winnowing-style fingerprint: md5 over every k-char window of the
     normalized text, keep the ``n_mins`` smallest hashes, concatenate.
-    Robust to local edits (unlike a whole-document hash)."""
+    Robust to local edits (unlike a whole-document hash).
+
+    NOTE: ``col`` should be a plain column reference — the substr
+    lambda re-evaluates an inlined expression once per window (the
+    HOF re-evaluation pitfall); ``fingerprint_table`` is the scale
+    path and binds everything to columns."""
     norm = F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
     return F.concat_ws(
         "",
@@ -166,7 +236,48 @@ def fingerprint_table(
     )
 
 
-def repetition_table(df, id_col: str, text_col: str):
+def token_stream(df, id_col: str, text_col: str):
+    """(id, t) — one row per token occurrence, portable tokenizer.
+
+    The SHARED explode for the text-signal family: unigram NLL, vocab
+    reports and any future per-token signal consume one persisted copy
+    of this stream instead of each re-tokenizing the corpus (the same
+    one-build-many-consumers lifecycle as the FTS postings)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("t"),
+    )
+
+
+def bigram_pairs(df, id_col: str, text_col: str):
+    """(id, w1, w2) — one row per bigram occurrence.
+
+    The SHARED bigram explode: repetition signals and the bigram LM
+    both consume one persisted copy (they each rebuilt it before).
+    The token array is bound to a column before the transform lambda
+    indexes it (inlined expressions re-evaluate per element)."""
+    toks = F.col("__tk")
+    pair_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("w1"),
+                F.element_at(toks, i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_expr(F.col(text_col)).alias("__tk"),
+        )
+        .select("id", F.explode(pair_structs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def repetition_table(df, id_col: str, text_col: str, pairs_df=None):
     """(id, n_bigrams, top_bigram_frac, dup_bigram_frac) — the
     Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
     repetition filters, public): documents dominated by one repeated
@@ -178,45 +289,78 @@ def repetition_table(df, id_col: str, text_col: str):
     - dup_bigram_frac: fraction of bigram OCCURRENCES beyond each
       bigram's first (1 - distinct/total).
 
-    Plan: one explode of the per-doc bigram array → (id, bigram)
-    counts → per-id aggregation; both fractions come from the same
-    grouped table, so the corpus is tokenized once.  Hash aggregation
-    with map-side partials end-to-end — at 100 TB the shuffle carries
-    (id, bigram, partial-count) rows, bounded by the distinct-bigram
-    count per partition, never raw token positions.  Docs with < 2
-    tokens have no bigrams; the final left join restores them with
-    zero fractions (they are handled by length filters, not
-    repetition)."""
-    toks = tokens_expr(F.col(text_col))
+    Plan: MAP-ONLY.  Both fractions are functions of the document's own
+    bigram multiset — no corpus statistics — so there is no reason to
+    explode and shuffle at all: the per-doc bigram array is sorted
+    in-expression (equal bigrams become adjacent) and a linear fold
+    extracts the maximum equal-run length (= the top bigram's count)
+    while ``array_distinct`` gives the distinct count.  Zero exchanges
+    at any scale; per-row state is one doc's bigram array, the same
+    bound the explode plan had per aggregation group.  Docs with < 2
+    tokens have no bigrams and report zero fractions (length filters
+    own them).
+
+    ``pairs_df`` is accepted for signature compatibility but unused —
+    the map-only form needs no shared explode.
+
+    The sort/fold runs over xxhash64 bigram keys, not bigram strings —
+    8-byte comparisons instead of variable-length text.  An in-doc
+    collision (two DIFFERENT bigrams hashing equal among the ~10³
+    bigrams of one doc) has probability ≈ n²/2⁶⁵ < 10⁻¹³ per doc and
+    would only perturb that one doc's fraction; the md5-free DuckDB
+    oracle computes the exact-string version and has hash-matched every
+    round."""
+    del pairs_df  # corpus-independent signal: nothing to share
+    # bind the token array to a column FIRST: inlining tokens_expr into
+    # the transform lambda would re-tokenize once per element (the
+    # interpreted HOF path does no common-subexpression elimination
+    # across lambda invocations), turning a linear pass quadratic.
+    toks = F.col("__tk")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(2), F.size(toks)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            lambda i: F.xxhash64(
+                F.element_at(toks, i - 1), F.element_at(toks, i)
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    per = (
-        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("g"))
-        .groupBy("id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    ).otherwise(F.array().cast("array<long>"))
+    zero = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
     )
-    stats = per.groupBy("id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
-        F.round(
-            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
-        ).alias("dup_bigram_frac"),
+
+    def step(acc, g):
+        run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(F.col("__bg")), zero, step, lambda acc: acc["best"]
     )
+    n = F.size(F.col("__bg")).cast("long")
+    nd = F.size(F.array_distinct(F.col("__bg")))
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(stats, "id", "left")
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_expr(F.col(text_col)).alias("__tk"),
+        )
+        .select("id", bigrams.alias("__bg"))
         .select(
             "id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+            n.alias("n_bigrams"),
+            F.when(n > 0, F.round(top / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            F.when(n > 0, F.round((n - nd) / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
         )
     )
 
@@ -245,7 +389,13 @@ def scrub_pii(col: Column) -> Column:
     return F.regexp_replace(s, PII_PHONE_RE, "<PHONE>")
 
 
-def unigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None = None):
+def unigram_nll_table(
+    df,
+    id_col: str,
+    text_col: str,
+    cache_registry: list | None = None,
+    tokens_df=None,
+):
     """(id, n_tok, nll) — average unigram negative log-likelihood per
     document under the corpus's own unigram LM: the cheap stand-in for
     the perplexity filter public cleaning pipelines (CCNet-style) run
@@ -260,23 +410,12 @@ def unigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | Non
     head could be salted with operators/skew.py if needed).  All
     arithmetic is ln() on exact counts, reproducible in any engine.
     """
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.filter(
-                    F.split(
-                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                        r"[^a-z0-9]+",
-                    ),
-                    lambda x: x != "",
-                )
-            ).alias("t"),
-        )
-        .persist()
-    )
-    if cache_registry is not None:
-        cache_registry.append(tok)
+    if tokens_df is not None:
+        tok = tokens_df  # caller-shared stream (already persisted)
+    else:
+        tok = token_stream(df, id_col, text_col).persist()
+        if cache_registry is not None:
+            cache_registry.append(tok)
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = tok.count()  # one scalar job over the persisted explode
     scored = (
@@ -330,7 +469,15 @@ def compression_ratio_table(df, id_col: str, text_col: str):
     return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
 
 
-def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None = None):
+def bigram_nll_table(
+    df,
+    id_col: str,
+    text_col: str,
+    cache_registry: list | None = None,
+    pairs_df=None,
+    tokens_df=None,
+    vocab_size: int | None = None,
+):
     """(id, n_bigrams, nll) — average conditional bigram negative
     log-likelihood per document under the corpus's own add-1-smoothed
     bigram LM: P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V).  One step up the
@@ -347,31 +494,30 @@ def bigram_nll_table(df, id_col: str, text_col: str, cache_registry: list | None
     (which does NOT broadcast at 100 TB).  The vocabulary size enters
     as one scalar aggregate, same device as the FTS corpus stats.
     Docs with < 2 tokens return n_bigrams = 0, nll NULL (length
-    filters own them)."""
-    toks = tokens_expr(F.col(text_col))
-    pair_structs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(toks)),
-            lambda i: F.struct(
-                F.element_at(toks, i - 1).alias("w1"),
-                F.element_at(toks, i).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = (
-        df.select(F.col(id_col).alias("id"), F.explode(pair_structs).alias("p"))
-        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .persist()
-    )
-    if cache_registry is not None:
-        cache_registry.append(pairs)
+    filters own them).
+
+    ``pairs_df`` / ``tokens_df`` (from ``bigram_pairs`` /
+    ``token_stream``, usually persisted) share the explodes with the
+    other text signals; ``vocab_size`` short-circuits the vocabulary
+    scalar when the caller has it cached."""
+    if pairs_df is not None:
+        pairs = pairs_df
+    else:
+        pairs = bigram_pairs(df, id_col, text_col).persist()
+        if cache_registry is not None:
+            cache_registry.append(pairs)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     stats = c2.join(c1, "w1")
-    vocab = (
-        df.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).collect()[0][0]
-    ) or 0
+    if vocab_size is not None:
+        vocab = vocab_size
+    else:
+        tok = (
+            tokens_df
+            if tokens_df is not None
+            else token_stream(df, id_col, text_col)
+        )
+        vocab = tok.agg(F.countDistinct("t")).collect()[0][0] or 0
     scored = (
         pairs.join(stats, ["w1", "w2"])
         .groupBy("id")

@@ -40,7 +40,14 @@ def shingles_expr(tokens, k: int):
 
     Guarded for short docs: Spark's sequence(0, n) with n < 0 would
     produce a DESCENDING sequence, so size < k yields [] explicitly.
-    """
+
+    PERFORMANCE CONTRACT: pass ``tokens`` as a BOUND COLUMN (project
+    ``tokens_expr(...)`` to a named column first), never the raw
+    tokenize expression.  The slice lambda below references ``tokens``
+    once per window, and Spark's higher-order functions re-evaluate
+    non-attribute child expressions on every lambda invocation — an
+    inlined tokenizer turns this linear pass quadratic (measured 28×
+    on 500-token docs).  ``bound_tokens`` is the helper."""
     if k == 1:
         return F.array_distinct(tokens)
     sh = F.transform(
@@ -52,12 +59,21 @@ def shingles_expr(tokens, k: int):
     )
 
 
+def bound_tokens(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """Project the token array to a bound column ``__tk`` (plus ``id``)
+    so downstream HOF lambdas see an attribute, not an expression —
+    see the performance contract on ``shingles_expr``."""
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    return df.select(*cols, tokens_expr(F.col(text_col)).alias("__tk"))
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded distinct shingle set per document."""
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_expr(tokens_expr(F.col(text_col)), k)).alias("shingle"),
+        bound_tokens(df, id_col, text_col)
+        .select(
+            "id",
+            F.explode(shingles_expr(F.col("__tk"), k)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
         .distinct()
@@ -257,10 +273,8 @@ def minhash_lsh_pairs(
     # shingle exactly once).  shingle-less docs drop out here (they
     # would all collide on an all-NULL bucket).
     pre = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
-        )
+        bound_tokens(df, id_col, text_col)
+        .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
         .where(F.size("shingles") > 0)
         .persist()
     )
@@ -334,10 +348,11 @@ def minhash_lsh_pairs(
     # expensive; per-pair verification stays proportional to the
     # candidate count).
     if verify_k and verify_k != k:
-        vpre = df.select(
-            F.col(id_col).alias("id"),
-            shingles_expr(tokens_expr(F.col(text_col)), verify_k).alias("shingles"),
-        ).where(F.size("shingles") > 0)
+        vpre = (
+            bound_tokens(df, id_col, text_col)
+            .select("id", shingles_expr(F.col("__tk"), verify_k).alias("shingles"))
+            .where(F.size("shingles") > 0)
+        )
     else:
         vpre = pre  # reuse the persisted shingle sets — no re-tokenization
     sa = vpre.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
@@ -729,20 +744,15 @@ def decontaminate(
     train shingle stream.  A per-doc-distinct-then-join plan would
     shuffle every shingle of every training document instead."""
     ev = F.broadcast(
-        eval_df.select(
-            F.explode(
-                shingles_expr(tokens_expr(F.col(text_col)), k)
-            ).alias("shingle")
-        )
+        bound_tokens(eval_df, None, text_col)
+        .select(F.explode(shingles_expr(F.col("__tk"), k)).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    tr = train.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(
-            shingles_expr(tokens_expr(F.col(text_col)), k)
-        ).alias("shingle"),
+    tr = bound_tokens(train, id_col, text_col).select(
+        "id",
+        F.explode_outer(shingles_expr(F.col("__tk"), k)).alias("shingle"),
     )
     return (
         tr.join(ev, "shingle", "left")
@@ -830,7 +840,7 @@ def verbatim_overlap_pairs(
     2⁻⁶⁴ event conditioned on distinct shingle text.  At 10¹² shingles
     the expected number of length-2 collision runs is ≪ 1; the md5
     oracle double-checks the declared query's output exactly."""
-    toks = tokens_expr(F.col(text_col))
+    toks = F.col("__tk")  # bound below — see shingles_expr contract
     sh = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -844,7 +854,7 @@ def verbatim_overlap_pairs(
     # the tokenize→shingle work once; the explodes that derive (a)-(c)
     # are cheap map-side re-runs.  Same lifecycle contract as
     # jaccard_pairs: pass ``cache_registry`` to own the unpersist.
-    arr = df.select(F.col(id_col).alias("id"), sh.alias("hs")).persist()
+    arr = bound_tokens(df, id_col, text_col).select("id", sh.alias("hs")).persist()
     if cache_registry is not None:
         cache_registry.append(arr)
     pos = arr.select("id", F.posexplode("hs").alias("pos", "h"))
@@ -1001,10 +1011,8 @@ def minhash_calibration(
     rebuild signatures — a diagnostic, not a hot path."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, k, n_hashes, bands)
     pre = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles_expr(tokens_expr(F.col(text_col)), k).alias("shingles"),
-        )
+        bound_tokens(df, id_col, text_col)
+        .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
         .where(F.size("shingles") > 0)
     )
     s = pre.select("id", F.explode("shingles").alias("shingle"))
