@@ -15,6 +15,8 @@ event stream — the streaming analog of the date facet (D3).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -631,16 +633,31 @@ def merge_ivf_batch(
     drift is an offline concern (periodic ``write_ivf`` rebuild, like
     the reference's full FTS rebuild) — the streaming path never
     recomputes centroids, so each batch is one broadcast join + one
-    partitioned write, O(batch) work regardless of index size."""
+    partitioned write, O(batch) work regardless of index size.
+
+    The write lands in a PRIVATE staging dir and is then moved into
+    the live generation under the manifest commit lock
+    (``commit_appended_files``) — a compaction swapping or sweeping
+    generations while the Spark write is in flight can neither clobber
+    nor strand this batch: the zero-loss guarantee the round-4
+    microsecond race lacked."""
+    import os
+    import uuid
+
     from dogsheep_beta_spark.operators.similarity import voronoi_assign
 
     assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
+    base = layout_path.rstrip("/")
+    staging = f"{base}.__append_{uuid.uuid4().hex}__"
     (
         assigned.select(id_col, vec_col, "cell")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(layout_path)
+        .parquet(staging)
     )
+    if not os.path.exists(base):
+        os.makedirs(base, exist_ok=True)
+    commit_appended_files(base, staging)
 
 
 def streaming_ivf_upsert(
@@ -682,6 +699,132 @@ def _list_data_files(root: str) -> dict[str, str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# manifest-commit protocol (pure-parquet Delta-lite)
+# ---------------------------------------------------------------------------
+#
+# A streamed-into layout used to publish by directory listing alone,
+# which left a microsecond append/compaction race (a file landing
+# between the compactor's re-list and its symlink swap died with the
+# superseded version dir).  The manifest closes it:
+#
+# - ``<base>.manifest.json`` lists every LIVE data file, as paths
+#   relative to the CURRENT version dir (single-generation invariant).
+# - All manifest read-modify-writes happen under ``<base>.manifest.lock``
+#   (POSIX O_CREAT|O_EXCL — atomic exclusive create; the object-store
+#   equivalent is a conditional put).  The lock guards only the tiny
+#   commit step, never a Spark job.
+# - Appenders NEVER write into the shared layout directly: each batch
+#   lands in a private sibling staging dir, and the commit step (under
+#   the lock) moves the files into whatever version dir is current at
+#   commit time and records them in the manifest.  A generation swap
+#   or retention sweep can therefore never clobber an in-flight
+#   append, and an append can never land in a retired dir.
+# - The compactor snapshots the manifest, compacts that exact file
+#   set, and commits (late-file migration + symlink swap + manifest
+#   rewrite) inside one lock window.
+#
+# Readers pin their scan to the manifest's file list (``read_layout``),
+# so they see a consistent committed snapshot; layouts written by the
+# plain batch writers have no manifest and fall back to directory
+# listing unchanged.
+
+
+def _manifest_path(base: str) -> str:
+    return base.rstrip("/") + ".manifest.json"
+
+
+@contextmanager
+def _manifest_lock(base: str, timeout: float = 30.0):
+    """Exclusive-create lockfile serializing manifest commits.  Held
+    for O(one JSON write) — never across a Spark job."""
+    import os
+    import time as _time
+
+    lock = base.rstrip("/") + ".manifest.lock"
+    deadline = _time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"manifest lock {lock} held past {timeout}s — "
+                    "crashed committer? remove the lockfile to recover"
+                )
+            _time.sleep(0.005)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+def read_manifest(base: str) -> list[str] | None:
+    """Live data-file relpaths (within the current version dir), or
+    None when the layout predates / never had a manifest."""
+    import json
+    import os
+
+    p = _manifest_path(base)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["files"]
+
+
+def _write_manifest(base: str, relpaths) -> None:
+    """Atomic manifest replace (tmp + rename).  Caller holds the lock."""
+    import json
+    import os
+
+    p = _manifest_path(base)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": sorted(relpaths)}, f)
+    os.replace(tmp, p)
+
+
+def commit_appended_files(base: str, staging_dir: str) -> None:
+    """Commit an append: move the data files written to the private
+    ``staging_dir`` into the CURRENT version dir (resolved under the
+    lock, so a compaction swap during the Spark write is harmless) and
+    record them in the manifest.  Same-filesystem ``os.replace`` per
+    file — the lock window is O(#batch files), never a Spark job."""
+    import os
+    import shutil
+
+    with _manifest_lock(base):
+        real = os.path.realpath(base.rstrip("/"))
+        os.makedirs(real, exist_ok=True)
+        staged = _list_data_files(staging_dir)
+        for rel, full in staged.items():
+            dst = os.path.join(real, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(full, dst)
+        files = set(read_manifest(base) or _list_data_files(real).keys())
+        files.update(staged.keys())
+        _write_manifest(base, files)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def read_layout(spark: SparkSession, base: str) -> DataFrame:
+    """Scan a layout pinned to its manifest snapshot (consistent even
+    against concurrent appends/compactions); directory listing for
+    legacy layouts without one.  Partition columns (cell=N) still
+    resolve via basePath, so PartitionFilters prune as usual."""
+    import os
+
+    rels = read_manifest(base)
+    real = os.path.realpath(base.rstrip("/"))
+    if rels is None:
+        return spark.read.parquet(base)
+    return spark.read.option("basePath", real).parquet(
+        *(os.path.join(real, r) for r in rels)
+    )
+
+
 def compact_ivf_layout(
     spark: SparkSession,
     layout_path: str,
@@ -699,19 +842,17 @@ def compact_ivf_layout(
     physical-layout operation, the plain-parquet analog of Delta
     OPTIMIZE / Iceberg rewrite_data_files.
 
-    Safe against a CONCURRENTLY APPENDING stream: the op snapshots the
-    data-file list up front, compacts exactly that snapshot (explicit
-    file list + basePath, so Spark cannot lazily pick up files that
-    arrive mid-job), then at publish time re-lists the source and
-    copies any files that appeared after the snapshot into the new
-    generation before the cutover — so batches appended during a long
-    compaction survive the retention sweep instead of dying with the
-    superseded version dir.  The residual race (a file landing between
-    the re-list and the symlink rename, microseconds) is the
-    plain-filesystem limit; a deployment that needs a zero-window
-    guarantee quiesces the stream around compaction or moves the layout
-    to a transactional table format (Delta OPTIMIZE concurrent-write
-    semantics).
+    Safe against a CONCURRENTLY APPENDING stream — with NO residual
+    window since round 5, via the manifest-commit protocol above: the
+    op snapshots the manifest under the commit lock, compacts exactly
+    that snapshot (explicit file list + basePath, so Spark cannot
+    lazily pick up files that arrive mid-job), then inside ONE lock
+    window migrates every late-committed file into the new generation,
+    swaps the symlink, and rewrites the manifest.  An appender either
+    commits before that window (its files are migrated) or after it
+    (``commit_appended_files`` detects the generation change and
+    copies its own files forward).  Either way zero rows are lost —
+    asserted by the concurrent append-during-compaction test.
 
     ``files_per_cell`` salts the shuffle key so a big cell rewrites in
     up to that many parallel tasks/files (hash collisions between
@@ -723,8 +864,12 @@ def compact_ivf_layout(
     import shutil
 
     base = layout_path.rstrip("/")
-    real = os.path.realpath(base)
-    snapshot = _list_data_files(real)
+    with _manifest_lock(base):
+        real = os.path.realpath(base)
+        snapshot = {
+            rel: os.path.join(real, rel)
+            for rel in (read_manifest(base) or _list_data_files(real).keys())
+        }
     if not snapshot:
         return
     df = spark.read.option("basePath", real).parquet(
@@ -739,19 +884,23 @@ def compact_ivf_layout(
     shutil.rmtree(tmp, ignore_errors=True)
     compacted.write.mode("overwrite").partitionBy("cell").parquet(tmp)
 
-    # migrate concurrent appends: anything not in the snapshot was
-    # written by the stream while we compacted — carry it into the new
-    # generation verbatim (same cell=… relpath) before publishing.
-    late = {
-        rel: full
-        for rel, full in _list_data_files(real).items()
-        if rel not in snapshot
-    }
-    for rel, full in late.items():
-        dst = os.path.join(tmp, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copy2(full, dst)
-    _publish_dir(tmp, base)
+    with _manifest_lock(base):
+        # migrate concurrent appends: every file committed to the
+        # manifest since the snapshot was written by the stream while
+        # we compacted — carry it into the new generation verbatim
+        # (same cell=… relpath) before the cutover.  The lock excludes
+        # further commits until the swap + manifest rewrite are done.
+        real = os.path.realpath(base)
+        current = set(read_manifest(base) or _list_data_files(real).keys())
+        for rel in current - set(snapshot):
+            dst = os.path.join(tmp, rel)
+            if not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(os.path.join(real, rel), dst)
+        _publish_dir(tmp, base)
+        _write_manifest(
+            base, _list_data_files(os.path.realpath(base)).keys()
+        )
 
 
 def streaming_interval_join(

@@ -491,6 +491,64 @@ def test_compact_ivf_migrates_concurrent_appends(spark, tmpdir, monkeypatch):
     assert (99, 1) in got and len(got) == 13
 
 
+def test_manifest_append_during_compaction_zero_loss(spark, tmpdir):
+    """The manifest-commit protocol's contract: appends racing real
+    compactions lose ZERO rows.  One thread runs merge_ivf_batch
+    appends (the streaming foreachBatch body, with its manifest
+    commit), the main thread runs repeated compactions; every appended
+    vec_id must be present in the manifest-pinned scan afterwards, and
+    the manifest must reference only live files."""
+    import threading
+
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    layout = os.path.join(tmpdir, "cells")
+    seed = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 3) for i in range(9)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+
+    n_appends, per_batch = 6, 5
+    errors = []
+
+    def appender():
+        try:
+            for b in range(n_appends):
+                ids = range(100 + b * per_batch, 100 + (b + 1) * per_batch)
+                bdf = spark.createDataFrame(
+                    [(i, [float(i % 3), 1.0]) for i in ids],
+                    "vec_id long, embedding array<double>",
+                )
+                inc.merge_ivf_batch(bdf, cents, layout)
+        except Exception as e:  # surface thread failures to the assert
+            errors.append(e)
+
+    # seed one committed batch so compaction has something to chew on
+    inc.merge_ivf_batch(
+        seed.select("vec_id", "embedding"), cents, layout
+    )
+    t = threading.Thread(target=appender)
+    t.start()
+    while t.is_alive():
+        inc.compact_ivf_layout(spark, layout, files_per_cell=1)
+    t.join(120)
+    inc.compact_ivf_layout(spark, layout, files_per_cell=1)
+
+    assert not errors, errors
+    got = {
+        r["vec_id"]
+        for r in inc.read_layout(spark, layout).select("vec_id").collect()
+    }
+    expect = set(range(9)) | set(range(100, 100 + n_appends * per_batch))
+    assert got == expect
+    # manifest references exactly the files on disk in the live gen
+    rels = set(inc.read_manifest(layout))
+    real = os.path.realpath(layout)
+    assert rels == set(inc._list_data_files(real).keys())
+
+
 def _file_stats(root):
     """(relpath, size, mtime_ns) of every data file under root,
     following symlinks — the byte-identity fingerprint for untouched
