@@ -153,27 +153,9 @@ def cmd_page(args) -> int:
     display_sql hydration (the rule views must be registered for the
     :key/:q point queries to run); without them results fall back to
     the ``<pre>`` JSON rendering, like the reference."""
-    from dogsheep_beta_spark.config import parse_metadata
-    from dogsheep_beta_spark.operators.fts_index import read_fts_index
     from dogsheep_beta_spark.page import beta_page
 
-    spark = _build_session()
-    rules = {}
-    if args.config:
-        with open(args.config) if args.config != "-" else sys.stdin as f:
-            rules = parse_metadata(f.read())
-    if args.sources:
-        import glob
-
-        from dogsheep_beta_spark.sources.registry import register_testdata
-        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
-
-        register_testdata(spark, args.sources)
-        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
-            register_sqlite_db(spark, db)
-
-    index_df = spark.read.parquet(os.path.join(args.index, "search_index"))
-    fts = read_fts_index(spark, os.path.join(args.index, "fts"))
+    spark, index_df, fts, rules = _load_index_ctx(args)
     req = {}
     if args.query:
         req["q"] = args.query
@@ -190,6 +172,57 @@ def cmd_page(args) -> int:
         print(f"wrote {args.output}", file=sys.stderr)
     else:
         print(html_out)
+    return 0
+
+
+def _load_index_ctx(args):
+    """Shared loader for page/serve: session + index + FTS + rules,
+    with optional source registration for display_sql hydration."""
+    from dogsheep_beta_spark.config import parse_metadata
+    from dogsheep_beta_spark.operators.fts_index import read_fts_index
+
+    spark = _build_session()
+    rules = {}
+    if getattr(args, "config", None):
+        with open(args.config) if args.config != "-" else sys.stdin as f:
+            rules = parse_metadata(f.read())
+    if getattr(args, "sources", None):
+        import glob
+
+        from dogsheep_beta_spark.sources.registry import register_testdata
+        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
+
+        register_testdata(spark, args.sources)
+        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
+            register_sqlite_db(spark, db)
+    index_df = spark.read.parquet(os.path.join(args.index, "search_index"))
+    fts = read_fts_index(spark, os.path.join(args.index, "fts"))
+    return spark, index_df, fts, rules
+
+
+def cmd_serve(args) -> int:
+    """Serve ``GET /-/beta`` over a written index with the stdlib HTTP
+    server (server.py) — the literal counterpart of the reference's
+    Datasette route (reference __init__.py:261-263).  The session, the
+    loaded index (persisted) and the FTS postings are built ONCE and
+    reused by every request."""
+    from dogsheep_beta_spark.server import make_server
+
+    spark, index_df, fts, rules = _load_index_ctx(args)
+    index_df = index_df.persist()
+    index_df.count()  # materialize before the first request arrives
+    fts.postings.count()
+    srv = make_server(
+        spark, index_df, fts, rules, host=args.host, port=args.port
+    )
+    host, port = srv.server_address[:2]
+    print(f"serving on http://{host}:{port}/-/beta", file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
     return 0
 
 
@@ -269,6 +302,16 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--template-debug", action="store_true")
     pg.add_argument("-o", "--output", default=None, help="write HTML here instead of stdout")
     pg.set_defaults(func=cmd_page)
+
+    sv = sub.add_parser(
+        "serve", help="serve GET /-/beta over a written index (stdlib HTTP)"
+    )
+    sv.add_argument("index", help="index directory written by `index`")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8001, help="0 = ephemeral")
+    sv.add_argument("--config", default=None, help="rules file for display templates")
+    sv.add_argument("--sources", default=None, help="source dir for display_sql hydration")
+    sv.set_defaults(func=cmd_serve)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -388,3 +388,52 @@ def test_selected_facet_toggle_removes_filter(page_ctx):
         '<input type="hidden" name="type" value="emails.db/emails">' in html
     )
     assert "Got 2 results" in html
+
+
+def test_http_serve_e2e(page_ctx):
+    """E2E over a real socket: the stdlib serving mode (server.py,
+    `cli serve`) must return the SAME golden page for
+    GET /-/beta?q=things that beta_page renders directly — the literal
+    counterpart of the reference's /-/beta route registration
+    (reference __init__.py:261-263)."""
+    import threading
+    import urllib.request
+
+    from dogsheep_beta_spark.server import make_server
+
+    spark, idx, fts = page_ctx
+    srv = make_server(spark, idx, fts, CONFIG, port=0)  # ephemeral port
+    host, port = srv.server_address[:2]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/-/beta?q=things", timeout=60
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode("utf-8")
+        for fragment in (
+            "<p>Got 3 results",
+            "<p>Email from blah@example.com, subject Hey there",
+            "<p>Email from blah@example.com, subject What&#39;s going on",
+            "<p>Commit to dogsheep/dogsheep-beta on 2020-08-01T00:05:02",
+            '<p>User searched for: "things"</p>',
+        ):
+            assert fragment in html, fragment
+        # unknown path -> 404, server stays alive for the next request
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/nope", timeout=60)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/-/beta", timeout=60
+        ) as resp:
+            assert resp.status == 200
+            assert '<input type="search" name="q" value="" id="q">' in (
+                resp.read().decode("utf-8")
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
