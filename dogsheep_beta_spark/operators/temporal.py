@@ -72,7 +72,11 @@ def as_of_join(
         if right_tiebreak
         else F.lit(0).cast("long")
     )
-    rt = right.select(
+    # a right row with NULL right_ts can never be a valid as-of match
+    # (it has no position on the time axis) — dropped up front, so the
+    # carried values and the tolerance gate can never disagree (a NULL
+    # _ts row would otherwise donate right_cols but a NULL _mts).
+    rt = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -494,16 +498,31 @@ def gap_fill(
         c for c in rollup.columns if c not in (*key_cols, bucket_col)
     ]
     step = F.lit(bucket_seconds * 1_000_000).cast("long")
+    us_b = F.unix_micros(F.col(bucket_col))
+    # Misaligned input must FAIL, not lose data: if the observed
+    # buckets don't all share one residue mod step, the spine misses
+    # them (the max bucket would silently drop at the closing filter).
+    # The residue check rides the same per-key aggregate; the guard is
+    # folded into __lo so column pruning can never skip it.
+    lo_checked = F.when(F.col("__nres") == 1, F.col("__lo")).otherwise(
+        F.raise_error(
+            F.lit(
+                "gap_fill: bucket values are not aligned to "
+                "bucket_seconds — rollup with the same width you fill"
+            )
+        ).cast("long")
+    )
     spine = (
         rollup.groupBy(*key_cols)
         .agg(
-            F.min(F.unix_micros(F.col(bucket_col))).alias("__lo"),
-            F.max(F.unix_micros(F.col(bucket_col))).alias("__hi"),
+            F.min(us_b).alias("__lo"),
+            F.max(us_b).alias("__hi"),
+            F.count_distinct(F.pmod(us_b, step)).alias("__nres"),
         )
         .select(
             *key_cols,
             F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), step)
+                F.sequence(lo_checked, F.col("__hi"), step)
             ).alias("__us"),
         )
         .select(

@@ -65,16 +65,22 @@ _SCATTER_TABLES = {"documents"}
 
 
 def _row_group_count(path: str) -> int | None:
-    """Total row groups under ``path`` (file or directory of files).
-    Footer-only reads; None when unknowable."""
+    """Total row groups under ``path`` (file, or directory walked
+    RECURSIVELY so hive-partitioned / nested layouts are counted too —
+    a top-level-only scan returned None for them and silently skipped
+    the unsplittable-input scatter).  Footer-only reads; None when
+    unknowable."""
     try:
         if os.path.isdir(path):
             total = 0
-            for entry in os.listdir(path):
-                if entry.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(path, entry)
-                    ).metadata.num_row_groups
+            for dirpath, _dirs, files in os.walk(path, followlinks=True):
+                for entry in files:
+                    if entry.endswith(".parquet") and not entry.startswith(
+                        ("_", ".")
+                    ):
+                        total += pq.ParquetFile(
+                            os.path.join(dirpath, entry)
+                        ).metadata.num_row_groups
             return total or None
         return pq.ParquetFile(path).metadata.num_row_groups
     except Exception:

@@ -432,3 +432,52 @@ def test_rolling_time_agg_range_frame(spark):
         (1, 1, 8.0),
         (2, 1, 16.0),
     ]
+
+
+def test_asof_null_right_ts_rows_never_match(spark):
+    """A right row with NULL right_ts has no position on the time axis:
+    it must neither donate values nor confuse the tolerance gate
+    (ADVICE r4: such a row contributed right_cols via last(ignorenulls)
+    while leaving _mts NULL)."""
+    left = spark.createDataFrame(
+        [("k", ts("2024-01-01 10:00:00"), "L1")],
+        "k string, lts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [("k", None, 999, "GHOST"), ("k", ts("2024-01-01 09:00:00"), 1, "ok")],
+        "k string, rts timestamp, rid long, rval string",
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rid", "rval"], tolerance_seconds=7200,
+    ).collect()
+    assert len(out) == 1 and out[0]["rid"] == 1 and out[0]["rval"] == "ok"
+    # with ONLY the NULL-ts right row, nothing can ever match
+    out2 = as_of_join(
+        left,
+        right.where(F.col("rts").isNull()),
+        on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rid", "rval"],
+    ).collect()
+    assert out2[0]["rid"] is None and out2[0]["rval"] is None
+
+
+def test_gap_fill_misaligned_buckets_fail_loudly(spark):
+    """Buckets not on the bucket_seconds grid used to silently drop the
+    final rollup row (ADVICE r4); now the spine guard raises."""
+    import pytest
+    from dogsheep_beta_spark.operators.temporal import gap_fill
+
+    rollup = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:00:00"), 1),
+            ("a", ts("2024-01-01 02:30:00"), 2),  # off the 3600s grid
+        ],
+        "key string, bucket timestamp, n long",
+    )
+    dense = gap_fill(
+        rollup, key_cols=["key"], bucket_col="bucket",
+        bucket_seconds=3600, zero_cols=["n"],
+    )
+    with pytest.raises(Exception, match="not aligned"):
+        dense.collect()
