@@ -507,8 +507,16 @@ def bigram_nll_table(
         if cache_registry is not None:
             cache_registry.append(pairs)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    stats = c2.join(c1, "w1")
+    # prefix counts as a window over the distinct-bigram table: the
+    # c2 subtree (a full shuffle of the pair stream) evaluates ONCE —
+    # a c2⋈c1 self-join would execute it on both sides — at the cost
+    # of one small exchange of the DISTINCT-bigram rows for the w1
+    # partitioning, vocabulary-sized rather than corpus-sized.
+    from pyspark.sql.window import Window as _W
+
+    stats = c2.withColumn(
+        "c1", F.sum("c2").over(_W.partitionBy("w1"))
+    )
     if vocab_size is not None:
         vocab = vocab_size
     else:

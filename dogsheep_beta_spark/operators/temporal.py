@@ -502,9 +502,11 @@ def gap_fill(
     # Misaligned input must FAIL, not lose data: if the observed
     # buckets don't all share one residue mod step, the spine misses
     # them (the max bucket would silently drop at the closing filter).
-    # The residue check rides the same per-key aggregate; the guard is
+    # The residue check rides the same single-pass per-key aggregate as
+    # min/max bounds (min residue == max residue ⟺ one residue — a
+    # count_distinct would add a whole extra Exchange); the guard is
     # folded into __lo so column pruning can never skip it.
-    lo_checked = F.when(F.col("__nres") == 1, F.col("__lo")).otherwise(
+    lo_checked = F.when(F.col("__rlo") == F.col("__rhi"), F.col("__lo")).otherwise(
         F.raise_error(
             F.lit(
                 "gap_fill: bucket values are not aligned to "
@@ -517,7 +519,8 @@ def gap_fill(
         .agg(
             F.min(us_b).alias("__lo"),
             F.max(us_b).alias("__hi"),
-            F.count_distinct(F.pmod(us_b, step)).alias("__nres"),
+            F.min(F.pmod(us_b, step)).alias("__rlo"),
+            F.max(F.pmod(us_b, step)).alias("__rhi"),
         )
         .select(
             *key_cols,
