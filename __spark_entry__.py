@@ -2495,7 +2495,16 @@ def q_streaming_ivf_upsert(spark, sf_dir):
         c["ivf_stream_path"] = work
     layout = os.path.join(work, "cells")
     ckpt = os.path.join(work, "ckpt")
-    shutil.rmtree(layout, ignore_errors=True)
+    # wipe ALL per-layout state — version dirs, manifest, lock, stray
+    # append staging — so a re-run replays from empty instead of
+    # unioning into the previous generation's manifest
+    import glob as _glob
+
+    for stale in _glob.glob(layout + "*"):
+        if not os.path.islink(stale) and os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            os.remove(stale)
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     q = streaming_ivf_upsert(stream, cents, layout, ckpt)
@@ -2512,6 +2521,59 @@ def q_streaming_ivf_upsert(spark, sf_dir):
         .orderBy("cell")
     )
     return out
+
+
+def q_layout_manifest_compact(spark, sf_dir):
+    """Manifest-commit protocol end-to-end inside the declared gate
+    (streaming/incremental.py, round 5): three batch appends through
+    the foreachBatch body (private staging + lockfile manifest commit),
+    one compaction (snapshot → rewrite → late-file migration + symlink
+    swap + manifest rewrite in a single lock window), then a
+    manifest-PINNED scan (read_layout).  Per-cell counts and id ranges
+    must equal the plain batch Voronoi assignment — identical oracle to
+    streaming_ivf_upsert, proving append + compact + manifest read is
+    content-neutral."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        compact_ivf_layout,
+        merge_ivf_batch,
+        read_layout,
+    )
+
+    _, cents = _ivf_layout(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    c = _CTX.setdefault(sf_dir, {})
+    work = c.get("manifest_demo_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_manifest_")
+        c["manifest_demo_path"] = work
+    layout = os.path.join(work, "cells")
+    for stale in _glob.glob(layout + "*"):
+        if not os.path.islink(stale) and os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            os.remove(stale)
+    for b in range(3):
+        merge_ivf_batch(
+            emb.where(F.col("vec_id") % 3 == b).select("vec_id", "embedding"),
+            cents,
+            layout,
+        )
+    compact_ivf_layout(spark, layout, files_per_cell=1)
+    return (
+        read_layout(spark, layout)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+            F.max("vec_id").cast("long").alias("max_vec"),
+        )
+        .orderBy("cell")
+    )
 
 
 def q_text_bigram_nll(spark, sf_dir):
@@ -2963,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "rule_sql_udfs": q_rule_sql_udfs,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "layout_manifest_compact": q_layout_manifest_compact,
     }
 
 
@@ -3341,7 +3404,7 @@ LIMIT 100
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "timeline_topk": ORACLE_INDEX_CTE
         + """
             SELECT type, "key", title, "timestamp", category, is_public
@@ -5030,6 +5093,12 @@ ORDER BY rank, type, "key"
             ORDER BY user_id, ts, n_window
         """,
     }
+    # append + compact + manifest-pinned scan is content-neutral: the
+    # oracle is BYTE-IDENTICAL to the streamed append path's — the
+    # final at-rest state must equal the batch Voronoi assignment no
+    # matter which write path produced it.
+    d["layout_manifest_compact"] = d["streaming_ivf_upsert"]
+    return d
 
 
 # ---------------------------------------------------------------------------
