@@ -1936,6 +1936,38 @@ def q_sample_mixture(spark, sf_dir):
     )
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (operators/sampling.py:
+    token_budget_sample): every source subsampled to an expected
+    50k-whitespace-token budget — keep rate min(1, budget/source
+    total) derived FROM the data (one broadcast-sized per-source
+    aggregate), applied as the standard deterministic md5 threshold.
+    The 'give me N tokens of each source' primitive a pretraining
+    mixture actually tunes; corpus never shuffles."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.sampling import token_budget_sample
+
+    d = _documents(spark, sf_dir)
+    kept = token_budget_sample(
+        d,
+        "source",
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long"),
+        budget_tokens=50_000,
+        salt="tb1",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("__ntok").cast("long").alias("kept_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sample_quality_weighted(spark, sf_dir):
     """Quality-weighted corpus thinning: per-doc keep probability =
     the composite quality score, applied as a deterministic per-row
@@ -3026,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_sql_udfs": q_rule_sql_udfs,
         "dedup_paragraphs": q_dedup_paragraphs,
         "layout_manifest_compact": q_layout_manifest_compact,
+        "sample_token_budget": q_sample_token_budget,
     }
 
 
@@ -5098,6 +5131,25 @@ ORDER BY rank, type, "key"
     # final at-rest state must equal the batch Voronoi assignment no
     # matter which write path produced it.
     d["layout_manifest_compact"] = d["streaming_ivf_upsert"]
+    d["sample_token_budget"] = r"""
+        WITH n AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS BIGINT) AS ntok
+            FROM documents
+        ), tot AS (
+            SELECT source, SUM(ntok) AS tot FROM n GROUP BY source
+        ), kept AS (
+            SELECT n.* FROM n JOIN tot USING (source)
+            WHERE CAST(('0x' || substr(md5('tb1' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 AS BIGINT)
+                  < CAST(ROUND(least(1.0, 50000.0 / tot) * 1000000) AS BIGINT)
+        )
+        SELECT source, COUNT(*) AS n_kept, SUM(ntok) AS kept_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM kept GROUP BY source ORDER BY source
+    """
     return d
 
 

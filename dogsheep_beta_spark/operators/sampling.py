@@ -198,3 +198,38 @@ def value_deciles(
             )
         ).cast("int").alias("decile"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Subsample each group down to an expected TOKEN budget — the
+    knob a pretraining mixture is actually tuned with ("200M tokens of
+    source X"), where ``mixture_sample``'s rates are fixed by recipe.
+
+    keep_rate(group) = min(1, budget / Σ tokens(group)), applied as the
+    same deterministic md5-hash threshold as the other samplers
+    (rand()-free: identical doc set on every run and engine).  By hash
+    uniformity the kept token mass per group ≈ budget; groups already
+    under budget pass through whole.
+
+    Two-phase plan: one PARTIAL-aggregated per-group token total
+    (group-cardinality-sized, broadcast back) + one map-side filter —
+    the corpus itself never shuffles.  ``tokens_col`` is a Column
+    (precomputed or expression), evaluated once per row."""
+    tdf = df.withColumn("__ntok", tokens_col)
+    totals = tdf.groupBy(group_col).agg(F.sum("__ntok").alias("__tot"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__tot")
+    )
+    thr = F.round(rate * 1_000_000).cast("long")
+    return (
+        tdf.join(F.broadcast(totals), group_col)
+        .where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
+        .drop("__tot")
+    )

@@ -1079,3 +1079,34 @@ def test_pq_rejects_non_divisible_dim(spark):
     cb = pq_codebooks(df, "vec_id", "embedding", m=4, k=2)  # 10 % 4 != 0
     with _pytest.raises(Exception, match="divisible"):
         cb.collect()
+
+
+def test_token_budget_sample_under_budget_and_deterministic(spark):
+    from dogsheep_beta_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "small", "a b c") for i in range(5)]           # 15 tokens
+    rows += [(100 + i, "big", "w " * 50) for i in range(200)]  # 10k tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+
+    kept = token_budget_sample(df, "source", "doc_id", tok, budget_tokens=1000)
+    by_src = {
+        r["source"]: r
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__ntok").alias("tk"))
+        .collect()
+    }
+    # under-budget group passes through whole
+    assert by_src["small"]["n"] == 5
+    # over-budget group thins to roughly the budget (hash-uniform)
+    assert 0 < by_src["big"]["n"] < 200
+    assert by_src["big"]["tk"] <= 3 * 1000
+    # deterministic: identical doc set on a re-run
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, "source", "doc_id", tok, budget_tokens=1000
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
