@@ -1304,6 +1304,26 @@ def q_dedup_verbatim_overlap(spark, sf_dir):
     )
 
 
+def q_dedup_verbatim_containment(spark, sf_dir):
+    """Containment dedup on top of the verbatim pairs (operators/
+    dedup.py:verbatim_containment): flag every doc ≥60% covered by a
+    verbatim run shared with a lower-id doc — the near-superset /
+    quote-heavy-copy filter fuzzy Jaccard misses.  Keep-lowest-id, so
+    one representative of every family survives; integer threshold
+    arithmetic, no float boundary."""
+    from dogsheep_beta_spark.operators.dedup import verbatim_containment
+
+    c = _CTX.setdefault(sf_dir, {})
+    return (
+        verbatim_containment(
+            _documents(spark, sf_dir), "doc_id", "text",
+            k=5, min_tokens=8,
+            cache_registry=c.setdefault("_caches", []),
+        )
+        .orderBy("id")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Blocked (per-label) embedding cosine near-dup: top-50 pairs."""
     from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
@@ -3059,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "layout_manifest_compact": q_layout_manifest_compact,
         "sample_token_budget": q_sample_token_budget,
+        "dedup_verbatim_containment": q_dedup_verbatim_containment,
     }
 
 
@@ -4219,6 +4240,60 @@ ORDER BY rank, type, "key"
             FROM lens GROUP BY a, b
             HAVING MAX(run) + 4 >= 8
             ORDER BY a, b
+        """,
+        "dedup_verbatim_containment": ORACLE_DOC_TOKENS
+        + """
+            , pos AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(toks[i:i+4], ' ')) AS h
+                FROM toks, UNNEST(range(1, len(toks) - 5 + 2)) r(i)
+                WHERE len(toks) >= 5
+            )
+            , hot AS (
+                SELECT h FROM (
+                    SELECT h, COUNT(DISTINCT doc_id) AS df
+                    FROM pos GROUP BY h
+                ) WHERE df > 100
+            )
+            , pruned AS (
+                SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)
+            )
+            , co AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       x.pos AS pa, x.pos - y.pos AS diag
+                FROM pruned x JOIN pruned y USING (h)
+                WHERE x.doc_id < y.doc_id
+            )
+            , runs AS (
+                SELECT a, b, diag,
+                       pa - ROW_NUMBER() OVER (
+                           PARTITION BY a, b, diag ORDER BY pa
+                       ) AS island
+                FROM co
+            )
+            , lens AS (
+                SELECT a, b, COUNT(*) AS run
+                FROM runs GROUP BY a, b, diag, island
+            )
+            , pairs AS (
+                SELECT a, b, CAST(MAX(run) + 4 AS BIGINT) AS overlap_tokens
+                FROM lens GROUP BY a, b
+                HAVING MAX(run) + 4 >= 8
+            )
+            , worst AS (
+                SELECT b AS id, MAX(overlap_tokens) AS max_overlap
+                FROM pairs GROUP BY b
+            )
+            , ntok AS (
+                SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM toks
+            )
+            SELECT w.id, n.n_tokens, w.max_overlap,
+                   ROUND(w.max_overlap / CAST(n.n_tokens AS DOUBLE), 6)
+                       AS frac
+            FROM worst w JOIN ntok n USING (id)
+            WHERE w.max_overlap * 10 >= 6 * n.n_tokens
+            ORDER BY id
         """,
         "dedup_embedding_cosine": _EMB_CTE
         + f"""

@@ -1044,3 +1044,57 @@ def minhash_calibration(
         )
         .orderBy("bin")
     )
+
+
+def verbatim_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_tokens: int = 8,
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+    max_bucket: int = 100,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(id, n_tokens, max_overlap, frac) for every doc FLAGGED for
+    removal because a verbatim run shared with a LOWER-id doc covers at
+    least ``threshold_num/threshold_den`` of its tokens — the
+    containment-dedup pass public pipelines run on top of the raw
+    overlap pairs (near-supersets and quote-heavy copies that fuzzy
+    Jaccard misses because the containing doc's extra text dilutes the
+    union).
+
+    Composition of verified pieces: ``verbatim_overlap_pairs`` (winnowed
+    candidates + exact diagonal fold) → per-victim max over its pairs
+    (one pair-bounded aggregation) → broadcast-scale join to per-doc
+    token counts.  Keep-lowest-id convention: only the ``b`` side of an
+    (a < b) pair can be flagged, so at least one representative of every
+    duplicate family always survives.  The threshold compares as pure
+    integers (overlap·den ≥ num·n_tokens) — no float boundary to
+    disagree with the oracle about."""
+    pairs = verbatim_overlap_pairs(
+        df, id_col, text_col, k=k, min_tokens=min_tokens,
+        max_bucket=max_bucket, cache_registry=cache_registry,
+    )
+    worst = pairs.groupBy(F.col("b").alias("id")).agg(
+        F.max("overlap_tokens").cast("long").alias("max_overlap")
+    )
+    ntok = bound_tokens(df, id_col, text_col).select(
+        "id", F.size("__tk").cast("long").alias("n_tokens")
+    )
+    return (
+        worst.join(ntok, "id")
+        .where(
+            F.col("max_overlap") * threshold_den
+            >= F.lit(threshold_num) * F.col("n_tokens")
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "max_overlap",
+            F.round(
+                F.col("max_overlap") / F.col("n_tokens").cast("double"), 6
+            ).alias("frac"),
+        )
+    )
