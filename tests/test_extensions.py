@@ -1110,3 +1110,25 @@ def test_token_budget_sample_under_budget_and_deterministic(spark):
         ).select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_verbatim_containment_flags_covered_doc_only(spark):
+    from dogsheep_beta_spark.operators.dedup import verbatim_containment
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            (1, base + " kilo lima mike november oscar papa quebec"),
+            (2, base),                      # fully contained in doc 1
+            (3, "unrelated words entirely different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = verbatim_containment(
+        df, "doc_id", "text", k=5, min_tokens=8
+    ).collect()
+    flagged = {r["id"]: r for r in out}
+    # doc 2 is 100% covered by its overlap with doc 1 -> flagged
+    assert set(flagged) == {2}
+    assert flagged[2]["max_overlap"] == flagged[2]["n_tokens"] == 10
+    assert flagged[2]["frac"] == 1.0
