@@ -1706,6 +1706,52 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def q_media_video_demux(spark, sf_dir):
+    """REAL video handling end-to-end (round 5): one deterministic
+    uncompressed AVI is synthesized per document inside an Arrow map
+    pass (functions/codecs.encode_avi — n_frames = doc_id%3+1, every
+    frame 24 bytes of the single value (doc_id*7+frame_no)%127+1), then
+    DEMUXED back through the RIFF frame walker (operators/multimodal.
+    frame_sample) into one row per frame with the actual payload.  The
+    oracle never parses AVI: it generates the identical rows
+    arithmetically and md5's repeat(chr(v), 24) — so a hash match
+    proves the container round-trip is byte-exact.  Map-only both
+    phases; media bytes never shuffle."""
+    from dogsheep_beta_spark.operators.multimodal import frame_sample
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents").select("doc_id").where(F.col("doc_id") < 500)
+
+    import pandas as pd_mod
+
+    def build(batches):
+        from dogsheep_beta_spark.functions.codecs import encode_avi
+
+        for pdf in batches:
+            frames_col = []
+            for did in pdf["doc_id"]:
+                n = int(did) % 3 + 1
+                frames = [
+                    bytes([(int(did) * 7 + f) % 127 + 1] * 24) for f in range(n)
+                ]
+                frames_col.append(encode_avi(frames, 4, 2, fps=10))
+            yield pd_mod.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": frames_col}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    return (
+        frame_sample(media, every_n=1)
+        .select(
+            "media_id",
+            "frame_no",
+            "n_bytes",
+            F.md5("frame_content").alias("frame_digest"),
+        )
+        .orderBy("media_id", "frame_no")
+    )
+
+
 _STREAM_SEQ = [0]
 _STREAM_SINKS: dict[str, list[str]] = {}
 
@@ -2270,8 +2316,15 @@ def q_graph_pagerank(spark, sf_dir):
     from dogsheep_beta_spark.operators.graph import bipartite_edges, pagerank
 
     register_testdata(spark, sf_dir, tables=("events",))
-    edges = bipartite_edges(spark.table("events"), "user_id", "event_type")
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    # the edge list feeds nodes + out-degrees + one join per superstep
+    # (5 consumers for 3 iterations): persist it once per sf_dir so
+    # the events scan + distinct don't re-execute per consumer
+    c = _CTX.setdefault(sf_dir, {})
+    if "pagerank_edges" not in c:
+        c["pagerank_edges"] = bipartite_edges(
+            spark.table("events"), "user_id", "event_type"
+        ).persist()
+    ranks = pagerank(c["pagerank_edges"], iterations=3, damping=0.85)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
@@ -3108,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_manifest_compact": q_layout_manifest_compact,
         "sample_token_budget": q_sample_token_budget,
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
+        "media_video_demux": q_media_video_demux,
     }
 
 
@@ -5234,6 +5288,20 @@ ORDER BY rank, type, "key"
     # final at-rest state must equal the batch Voronoi assignment no
     # matter which write path produced it.
     d["layout_manifest_compact"] = d["streaming_ivf_upsert"]
+    d["media_video_demux"] = """
+        WITH ids AS (
+            SELECT doc_id FROM documents WHERE doc_id < 500
+        ), f AS (
+            SELECT doc_id AS media_id,
+                   CAST(r.i AS INT) AS frame_no,
+                   CAST(24 AS BIGINT) AS n_bytes,
+                   md5(repeat(chr(CAST((doc_id * 7 + r.i) % 127 + 1 AS INT)),
+                              24)) AS frame_digest
+            FROM ids, UNNEST(range(0, doc_id % 3 + 1)) r(i)
+        )
+        SELECT media_id, frame_no, n_bytes, frame_digest
+        FROM f ORDER BY media_id, frame_no
+    """
     d["sample_token_budget"] = r"""
         WITH n AS (
             SELECT doc_id, source,

@@ -11,9 +11,11 @@ beyond the standard library:
   color types gray / RGB / palette / gray+alpha / RGBA, non-interlaced.
   A minimal encoder (filter 0) exists for fixtures and round-trips.
 - WAV: PCM via the stdlib ``wave`` module (8/16-bit int samples).
-
-Video stays stubbed (``multimodal.decode_stub``) — there is no
-stdlib-only route to a real video codec.
+- AVI: RIFF container demux (round 5) — header metadata, frame chunk
+  extraction, and, for UNCOMPRESSED ('DIB ') streams, real frame-level
+  pixel features (raw frame bytes ARE the pixels).  Compressed video
+  codecs (H.264 etc.) still raise through ``multimodal.decode_stub`` —
+  decoding those has no stdlib route.
 
 These run INSIDE Arrow-batched ``mapInPandas`` workers
 (multimodal.extract_features): per-row Python is the honest cost of a
@@ -34,12 +36,14 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 
 
 def sniff_kind(data: bytes) -> str | None:
-    """'image' / 'audio' when the magic bytes identify a supported
-    container, else None."""
+    """'image' / 'audio' / 'video' when the magic bytes identify a
+    supported container, else None."""
     if data[:8] == PNG_SIG:
         return "image"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "video"
     return None
 
 
@@ -255,3 +259,155 @@ def audio_features(data: bytes) -> list[float]:
         peak / scale,
         zc / n,
     ]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container — pure-struct demuxer + minimal writer
+# ---------------------------------------------------------------------------
+#
+# Round 5 closes the "video is a stub" gap at the CONTAINER level: an
+# AVI file is a plain RIFF chunk tree ('hdrl' headers + 'movi' frame
+# chunks), fully parseable with the standard library.  For UNCOMPRESSED
+# streams (biCompression == 0, 'DIB ' raw frames) the demuxed frame
+# bytes ARE the pixels, so frame sampling and frame-level features are
+# genuinely real; compressed codecs (H.264 etc.) still raise through
+# ``multimodal.decode_stub`` — decoding those has no stdlib route.
+
+AVI_MAGIC = (b"RIFF", b"AVI ")
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size); chunks pad to even."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def avi_metadata(data: bytes) -> dict:
+    """Header fields of an AVI: width, height, fps (micros-per-frame
+    rounded), n_frames, compression fourcc ('' = uncompressed DIB).
+    Raises ValueError on a non-AVI RIFF or truncated header."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF")
+    meta: dict = {}
+    for fourcc, p, size in _riff_chunks(data, 12, len(data)):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[p : p + 4]
+        if list_type == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if f2 == b"avih" and s2 >= 40:
+                    us_pf, _mbs, _pad, _flags, total, _init, _streams, _sb, w, h = (
+                        struct.unpack("<10I", data[p2 : p2 + 40])
+                    )
+                    meta.update(
+                        width=w,
+                        height=h,
+                        n_frames=total,
+                        fps=round(1_000_000 / us_pf, 3) if us_pf else 0.0,
+                    )
+                elif f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3 == b"strf" and s3 >= 40 and "compression" not in meta:
+                            comp = struct.unpack("<I", data[p3 + 16 : p3 + 20])[0]
+                            meta["compression"] = (
+                                ""
+                                if comp == 0
+                                else struct.pack("<I", comp).decode(
+                                    "ascii", "replace"
+                                ).strip()
+                            )
+    if "n_frames" not in meta:
+        raise ValueError("AVI without avih header")
+    meta.setdefault("compression", "")
+    return meta
+
+
+def avi_frames(data: bytes) -> list[bytes]:
+    """Video frame payloads, in stream order, from every 'movi' list
+    ('##db' raw / '##dc' compressed chunks of any stream)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF")
+    frames: list[bytes] = []
+    for fourcc, p, size in _riff_chunks(data, 12, len(data)):
+        if fourcc == b"LIST" and data[p : p + 4] == b"movi":
+            for f2, p2, s2 in _riff_chunks(data, p + 4, p + size):
+                if f2[2:4] in (b"db", b"dc"):
+                    frames.append(data[p2 : p2 + s2])
+    return frames
+
+
+def encode_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal uncompressed ('DIB ') AVI around the given raw frame
+    payloads — the writer twin ``avi_metadata``/``avi_frames`` round-
+    trip against, and the fixture generator for the declared query."""
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    us_pf = 1_000_000 // max(fps, 1)
+    buf_sz = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", us_pf, buf_sz * max(fps, 1), 0, 0x10, len(frames), 0, 1,
+        buf_sz, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHI", 0, 0, 0, 0)  # flags, priority, language, initialFrames
+        + struct.pack("<IIII", 1, max(fps, 1), 0, len(frames))  # scale, rate, start, length
+        + struct.pack("<IiI", buf_sz, -1, 0)  # suggestedBuffer, quality, sampleSize
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    riff_payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def video_features(data: bytes, n: int = 8) -> list[float]:
+    """Feature vector for an UNCOMPRESSED AVI: per-frame-sampled byte
+    statistics over the raw pixel payloads (mean/std/min/max over the
+    first/middle/last frames + frame count + fps) — real decoded
+    content, since DIB frame bytes are the pixels.  Compressed AVIs
+    raise (no stdlib codec)."""
+    meta = avi_metadata(data)
+    if meta.get("compression"):
+        raise ValueError(
+            f"compressed AVI ({meta['compression']}) needs a codec library"
+        )
+    frames = avi_frames(data)
+    if not frames:
+        return [0.0] * n
+    picks = [frames[0], frames[len(frames) // 2], frames[-1]]
+    stats: list[float] = []
+    for fb in picks[:2]:
+        if fb:
+            m = sum(fb) / len(fb)
+            var = sum((b - m) ** 2 for b in fb) / len(fb)
+            stats += [round(m / 255.0, 6), round(var**0.5 / 255.0, 6)]
+        else:
+            stats += [0.0, 0.0]
+    last = picks[2]
+    stats += [
+        round((min(last) if last else 0) / 255.0, 6),
+        round((max(last) if last else 0) / 255.0, 6),
+    ]
+    stats += [float(len(frames)), float(meta["fps"])]
+    return stats[:n]

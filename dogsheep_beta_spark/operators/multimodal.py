@@ -7,8 +7,11 @@ real for PNG images and PCM WAV audio via the pure-stdlib codecs in
 ``functions/codecs.py`` (this container has no PIL/ffmpeg);
 ``extract_features`` sniffs each row's magic bytes and routes to the
 matching decoder, falling back to the deterministic hash features for
-bytes no codec claims.  Video decode remains an honest stub
-(``decode_stub`` raises — no stdlib route to a video codec).
+bytes no codec claims.  Video (round 5): AVI containers DEMUX for real
+(RIFF chunk walk, functions/codecs.py) — ``frame_sample`` emits actual
+frame bytes, and uncompressed ('DIB ') streams get real frame-pixel
+features; only COMPRESSED video decode still raises through
+``decode_stub`` (no stdlib route to H.264 and friends).
 
 At 100 TB: media bytes dominate — keep them in their own column chunk
 (parquet does), never shuffle them (all transforms below are map-only
@@ -44,15 +47,17 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_stub(content: bytes, kind: str):
-    """Placeholder for codecs with no stdlib implementation (video).
+    """Placeholder for codecs with no stdlib implementation
+    (COMPRESSED video payloads).
 
     Raises so nobody mistakes the fake features for real decoding.
-    PNG/WAV do NOT go through here — they decode for real via
-    functions/codecs.py."""
+    PNG/WAV/uncompressed-AVI do NOT go through here — they decode for
+    real via functions/codecs.py; only compressed video frame DECODING
+    (the demux is real regardless) lands here."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries not "
-        "present in this environment; PNG/WAV decode via "
-        "functions/codecs.py, video needs ffmpeg wired here"
+        "present in this environment; PNG/WAV/uncompressed-AVI decode "
+        "via functions/codecs.py, compressed video needs ffmpeg wired here"
     )
 
 
@@ -91,8 +96,10 @@ def _row_features(content: bytes) -> list[float]:
     the feature column."""
     from dogsheep_beta_spark.functions.codecs import (
         audio_features,
+        avi_metadata,
         image_features,
         sniff_kind,
+        video_features,
     )
 
     sniffed = sniff_kind(content)
@@ -100,6 +107,10 @@ def _row_features(content: bytes) -> list[float]:
         return image_features(content)
     if sniffed == "audio":
         return audio_features(content)
+    if sniffed == "video":
+        if avi_metadata(content).get("compression"):
+            decode_stub(content, "video")  # raises: no stdlib codec
+        return video_features(content)
     return _fake_features(content)
 
 
@@ -145,9 +156,10 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_no) rows
-    with stubbed frame bytes.  Shows the explode-shape (one row per
-    sampled frame) without a real decoder."""
+    """Frame-sampling plumbing for NON-container bytes: emits
+    (media_id, frame_no) rows with stubbed frame bytes.  Shows the
+    explode-shape (one row per sampled frame) without a demuxable
+    container; real AVI content goes through ``frame_sample``."""
     n_frames = (F.length(F.col("content")) / F.lit(every_n)).cast("int")
     return media.select(
         "media_id",
@@ -155,3 +167,52 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
             "frame_no"
         ),
     ).withColumn("frame_content", F.lit(None).cast("binary"))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("frame_content", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling (round 5): demux each AVI row's RIFF
+    container inside one Arrow-batched map pass and emit every
+    ``every_n``-th frame's actual payload bytes — the frame-level
+    training-data primitive (sample → caption/filter/embed downstream).
+
+    Map-only like every media transform here: content bytes never
+    shuffle; the fan-out is the per-row frame count.  Non-AVI rows are
+    skipped (the stub shape serves them); demuxing needs no codec, so
+    this works for compressed streams too — only frame DECODE is
+    codec-bound."""
+    from dogsheep_beta_spark.functions.codecs import avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "n_bytes": [], "frame_content": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                    continue
+                for i, fb in enumerate(avi_frames(raw)):
+                    if i % every_n:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["n_bytes"].append(len(fb))
+                    out["frame_content"].append(fb)
+            pdf_out = pd.DataFrame(out)
+            # explicit dtypes so an all-skipped (empty) batch still
+            # matches the Arrow schema
+            for c, dt in (
+                ("media_id", "int64"), ("frame_no", "int32"), ("n_bytes", "int64"),
+            ):
+                pdf_out[c] = pdf_out[c].astype(dt)
+            yield pdf_out
+
+    return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)

@@ -191,3 +191,55 @@ def test_extract_features_corrupt_png_raises(spark):
     )
     with pytest.raises(Exception):
         extract_features(media).collect()
+
+
+def test_avi_roundtrip_metadata_frames():
+    from dogsheep_beta_spark.functions.codecs import (
+        avi_frames,
+        avi_metadata,
+        encode_avi,
+        sniff_kind,
+        video_features,
+    )
+
+    frames = [bytes([(7 * i + j) % 200 for j in range(24)]) for i in range(5)]
+    avi = encode_avi(frames, width=4, height=2, fps=25)
+    assert sniff_kind(avi) == "video"
+    meta = avi_metadata(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 2, 5)
+    assert meta["fps"] == 25.0 and meta["compression"] == ""
+    assert avi_frames(avi) == frames  # byte-exact demux
+    feats = video_features(avi)
+    assert len(feats) == 8 and feats[6] == 5.0 and feats[7] == 25.0
+
+
+def test_avi_compressed_routes_to_stub():
+    import pytest
+
+    from dogsheep_beta_spark.functions.codecs import encode_avi
+    from dogsheep_beta_spark.operators.multimodal import _row_features
+
+    avi = bytearray(encode_avi([b"\x01" * 24], 4, 2))
+    # flip biCompression in the strf header to a fake codec fourcc
+    idx = bytes(avi).index(b"strf") + 8 + 16
+    avi[idx : idx + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="compressed video"):
+        _row_features(bytes(avi))
+
+
+def test_frame_sample_real_demux(spark):
+    from dogsheep_beta_spark.functions.codecs import encode_avi
+    from dogsheep_beta_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, encode_avi([b"\x0a" * 24, b"\x0b" * 24, b"\x0c" * 24], 4, 2)),
+        (2, b"not a container at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        (r["media_id"], r["frame_no"]): bytes(r["frame_content"])
+        for r in frame_sample(media, every_n=2).collect()
+    }
+    # every 2nd frame of the AVI row; the non-container row is skipped
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)] == b"\x0a" * 24 and got[(1, 2)] == b"\x0c" * 24
