@@ -764,6 +764,12 @@ def _manifest_lock(base: str, timeout: float = 30.0):
 def read_manifest(base: str) -> list[str] | None:
     """Live data-file relpaths (within the current version dir), or
     None when the layout predates / never had a manifest."""
+    entry = read_manifest_entry(base)
+    return None if entry is None else entry["files"]
+
+
+def read_manifest_entry(base: str) -> dict | None:
+    """The full current manifest record: {generation, vdir, files}."""
     import json
     import os
 
@@ -771,19 +777,45 @@ def read_manifest(base: str) -> list[str] | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)["files"]
+        return json.load(f)
 
 
-def _write_manifest(base: str, relpaths) -> None:
-    """Atomic manifest replace (tmp + rename).  Caller holds the lock."""
+def manifest_history(base: str) -> list[dict]:
+    """All committed manifest generations, oldest first — the layout's
+    commit log (``<base>.manifest.log``, append-only jsonl).  How far
+    back a generation remains READABLE is bounded by version-dir
+    retention (the publisher keeps one superseded dir), exactly like
+    Delta's VACUUM horizon; older entries document history but their
+    files may be gone."""
     import json
     import os
 
+    p = _manifest_path(base) + ".log"
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _write_manifest(base: str, relpaths) -> None:
+    """Atomic manifest replace (tmp + rename) + one line appended to
+    the commit log for generation history.  Caller holds the lock."""
+    import json
+    import os
+
+    prev = read_manifest_entry(base)
+    entry = {
+        "generation": (prev["generation"] + 1) if prev else 1,
+        "vdir": os.path.basename(os.path.realpath(base.rstrip("/"))),
+        "files": sorted(relpaths),
+    }
     p = _manifest_path(base)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"files": sorted(relpaths)}, f)
+        json.dump(entry, f)
     os.replace(tmp, p)
+    with open(p + ".log", "a") as f:
+        f.write(json.dumps(entry) + "\n")
 
 
 def commit_appended_files(base: str, staging_dir: str) -> None:
@@ -809,13 +841,51 @@ def commit_appended_files(base: str, staging_dir: str) -> None:
     shutil.rmtree(staging_dir, ignore_errors=True)
 
 
-def read_layout(spark: SparkSession, base: str) -> DataFrame:
+def read_layout(
+    spark: SparkSession, base: str, generation: int | None = None
+) -> DataFrame:
     """Scan a layout pinned to its manifest snapshot (consistent even
     against concurrent appends/compactions); directory listing for
     legacy layouts without one.  Partition columns (cell=N) still
-    resolve via basePath, so PartitionFilters prune as usual."""
+    resolve via basePath, so PartitionFilters prune as usual.
+
+    ``generation`` time-travels to an earlier commit from the manifest
+    log — readable as long as that generation's version dir survives
+    retention (one superseded dir is kept, like Delta's VACUUM
+    horizon); beyond it the scan fails with a clear error instead of
+    silently returning partial data."""
     import os
 
+    parent = os.path.dirname(base.rstrip("/")) or "."
+    name = os.path.basename(base.rstrip("/"))
+    if generation is not None:
+        for entry in manifest_history(base):
+            if entry["generation"] != generation:
+                continue
+            # the recorded vdir may since have been RENAMED into the
+            # version sequence (the first publish migrates a legacy
+            # plain dir to <name>.__v1__), so resolve by finding the
+            # dir that still holds every file of the snapshot:
+            # recorded name first, then every version dir, newest last.
+            candidates = [entry["vdir"]] + sorted(
+                f for f in os.listdir(parent) if f.startswith(name + ".__v")
+            )
+            for cand in candidates:
+                vdir = os.path.join(parent, cand)
+                if os.path.islink(vdir) or not os.path.isdir(vdir):
+                    continue
+                if all(
+                    os.path.exists(os.path.join(vdir, r))
+                    for r in entry["files"]
+                ):
+                    return spark.read.option("basePath", vdir).parquet(
+                        *(os.path.join(vdir, r) for r in entry["files"])
+                    )
+            raise FileNotFoundError(
+                f"generation {generation} of {base} is beyond the "
+                "retention horizon (its version dir was swept)"
+            )
+        raise ValueError(f"no generation {generation} in {base} manifest log")
     rels = read_manifest(base)
     real = os.path.realpath(base.rstrip("/"))
     if rels is None:

@@ -838,3 +838,56 @@ def test_streaming_interval_join_converges_across_batches(spark, tmpdir):
         (r["l_id"], r["r_id"]) for r in spark.table("ssj_conv").collect()
     }
     assert got == {(200, 100), (202, 101), (203, 102)}
+
+
+def test_manifest_time_travel_and_retention_horizon(spark, tmpdir):
+    """Generation history: each commit appends to the manifest log;
+    read_layout(generation=N) reproduces that snapshot while its
+    version dir survives retention, and fails LOUDLY beyond the
+    horizon (never partial data)."""
+    import pytest
+
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    layout = os.path.join(tmpdir, "cells")
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+
+    def append(ids):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(bdf, cents, layout)
+
+    append(range(0, 4))       # gen 1
+    append(range(10, 14))     # gen 2
+    inc.compact_ivf_layout(spark, layout)  # gen 3, new vdir
+    append(range(20, 24))     # gen 4
+
+    hist = inc.manifest_history(layout)
+    assert [e["generation"] for e in hist] == [1, 2, 3, 4]
+
+    gen2 = {
+        r["vec_id"]
+        for r in inc.read_layout(spark, layout, generation=2)
+        .select("vec_id").collect()
+    }
+    assert gen2 == set(range(0, 4)) | set(range(10, 14))
+    now = {
+        r["vec_id"]
+        for r in inc.read_layout(spark, layout).select("vec_id").collect()
+    }
+    assert now == gen2 | set(range(20, 24))
+
+    # a second compaction sweeps the pre-compaction version dir:
+    # generations 1-2 fall beyond the retention horizon and must FAIL
+    inc.compact_ivf_layout(spark, layout)
+    with pytest.raises(FileNotFoundError, match="retention horizon"):
+        inc.read_layout(spark, layout, generation=2).collect()
+    with pytest.raises(ValueError, match="no generation 99"):
+        inc.read_layout(spark, layout, generation=99)
