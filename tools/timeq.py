@@ -16,11 +16,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
     iters = 3
-    for a in sys.argv[1:]:
+    names = []
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--iters"):
-            iters = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                iters = int(a.split("=")[1])
+            else:
+                iters = int(args[i + 1])
+                i += 1
+        else:
+            names.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
