@@ -3048,6 +3048,37 @@ def q_window_time_range_avg(spark, sf_dir):
     ).orderBy("user_id", "ts", "n_window")
 
 
+def q_entity_link_best(spark, sf_dir):
+    """Entity resolution / record linkage (blocked pairwise matching —
+    Fellegi-Sunter blocking, the Splink/Magellan candidate shape): for
+    each customer, its best earlier near-duplicate identity within the
+    same nation — blocking key = (nationkey, 16-char name prefix),
+    score = JVM ``levenshtein`` with the banded ``threshold`` form,
+    reduction = partial-aggregable ``min_by`` (no window).  Oversized
+    blocks are dropped by a broadcast anti-join before the self-join,
+    so pair volume is bounded exactly like the LSH ``max_bucket`` cap.
+    The reference's dedup surface is exact-key REPLACE INTO
+    (dogsheep_beta/utils.py:32); this is the fuzzy-identity member of
+    that family."""
+    from dogsheep_beta_spark.operators.linkage import (
+        best_match,
+        link_entities,
+    )
+
+    register_testdata(spark, sf_dir, tables=("customer",))
+    cust = spark.table("customer")
+    matches = link_entities(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=("c_nationkey",),
+        prefix_len=16,
+        max_dist=1,
+        max_block=1000,
+    )
+    return best_match(matches).orderBy("entity_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -3162,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
         "media_video_demux": q_media_video_demux,
+        "entity_link_best": q_entity_link_best,
     }
 
 
@@ -5320,6 +5352,36 @@ ORDER BY rank, type, "key"
         SELECT source, COUNT(*) AS n_kept, SUM(ntok) AS kept_tokens,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM kept GROUP BY source ORDER BY source
+    """
+    # blocked record linkage: same (nation, 16-char prefix) blocking,
+    # same max_block=1000 cap, levenshtein <= 1, argmin (dist, id_a)
+    # per later record — value-pinned against the min_by reduction.
+    d["entity_link_best"] = """
+        WITH c AS (
+            SELECT c_custkey AS id, c_nationkey AS nk,
+                   lower(trim(c_name)) AS nm,
+                   substr(lower(trim(c_name)), 1, 16) AS pfx
+            FROM customer
+        ), ok AS (
+            SELECT nk, pfx FROM c GROUP BY nk, pfx
+            HAVING COUNT(*) <= 1000
+        ), pruned AS (
+            SELECT c.* FROM c JOIN ok USING (nk, pfx)
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b,
+                   levenshtein(a.nm, b.nm) AS dist
+            FROM pruned a JOIN pruned b USING (nk, pfx)
+            WHERE a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
+        ), best AS (
+            SELECT id_b, nm_b, id_a, nm_a, dist,
+                   row_number() OVER (
+                       PARTITION BY id_b ORDER BY dist, id_a) AS rn
+            FROM pairs
+        )
+        SELECT id_b AS entity_id, nm_b AS entity_name,
+               id_a AS match_id, nm_a AS match_name,
+               CAST(dist AS INT) AS dist
+        FROM best WHERE rn = 1 ORDER BY entity_id
     """
     return d
 

@@ -1132,3 +1132,66 @@ def test_verbatim_containment_flags_covered_doc_only(spark):
     assert set(flagged) == {2}
     assert flagged[2]["max_overlap"] == flagged[2]["n_tokens"] == 10
     assert flagged[2]["frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# entity resolution / record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, " Jon Smith ", "us"),   # whitespace + case fold to jon smith
+        (2, "JON SMITH", "us"),     # exact after normalization (dist 0)
+        (3, "Jon Smyth", "us"),     # dist 1 from jon smith
+        (4, "Jon Smith", "de"),     # same name, different block
+        (5, "Jane Smith", "us"),    # dist 2 -> excluded at max_dist=1
+        (6, "Bob Jones", "us"),     # different prefix block
+    ]
+    return spark.createDataFrame(rows, "id long, name string, ctry string")
+
+
+def test_link_entities_blocked_scoring(people):
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in lk.link_entities(
+            people, "id", "name", block_cols=("ctry",),
+            prefix_len=6, max_dist=1,
+        ).collect()
+    }
+    # normalization: (1,2) identical after lower/trim; (1,3)/(2,3) dist 1
+    assert out == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+    # 4 is blocked away by ctry; 5 is dist 2; 6 shares no prefix block
+
+
+def test_best_match_argmin_semantics(people):
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    m = lk.link_entities(
+        people, "id", "name", block_cols=("ctry",),
+        prefix_len=6, max_dist=1,
+    )
+    best = {r["entity_id"]: r for r in lk.best_match(m).collect()}
+    # record 2's best earlier match is 1 (dist 0); record 3 ties on
+    # dist=1 between 1 and 2 -> min id_a wins
+    assert best[2]["match_id"] == 1 and best[2]["dist"] == 0
+    assert best[3]["match_id"] == 1 and best[3]["dist"] == 1
+    assert set(best) == {2, 3}
+
+
+def test_link_entities_max_block_cap_drops_junk_keys(spark):
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    # 30 records share one junk blocking key ("" names) plus one good
+    # pair; cap 10 must drop the junk block entirely, keep the pair.
+    rows = [(i, "", "us") for i in range(30)]
+    rows += [(100, "alice a", "us"), (101, "alice b", "us")]
+    df = spark.createDataFrame(rows, "id long, name string, ctry string")
+    out = lk.link_entities(
+        df, "id", "name", block_cols=("ctry",),
+        prefix_len=6, max_dist=1, max_block=10,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
