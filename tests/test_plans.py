@@ -530,3 +530,28 @@ def test_paragraph_boilerplate_detection(spark):
     assert shared[footer]["occ"] == 3 and shared[footer]["docs"] == 3
     echo = per_hash.where(F.col("t") == "self echo").collect()[0]
     assert echo["occ"] == 2 and echo["docs"] == 1
+
+
+def test_entity_linkage_plan_no_window_partial_argmin(spark):
+    """Record linkage plan contract: the best-match reduction is a
+    partial-aggregable min_by (two SortAggregate stages around one
+    exchange), never a Window re-sort; the block-size cap is a
+    broadcast anti-join; the candidate join is an equi-join on the
+    blocking key (no cartesian)."""
+    from dogsheep_beta_spark.operators.linkage import (
+        best_match,
+        link_entities,
+    )
+
+    register_testdata(spark, SF_DIR, tables=("customer",))
+    out = best_match(
+        link_entities(
+            spark.table("customer"), "c_custkey", "c_name",
+            block_cols=("c_nationkey",), prefix_len=16, max_dist=1,
+        )
+    )
+    p = _plan(out)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "min_by" in p or "SortAggregate" in p
+    assert p.count("LeftAnti") >= 1  # the max_block cap
