@@ -3054,9 +3054,10 @@ def q_entity_link_best(spark, sf_dir):
     each customer, its best earlier near-duplicate identity within the
     same nation — blocking key = (nationkey, 16-char name prefix),
     score = JVM ``levenshtein`` with the banded ``threshold`` form,
-    reduction = partial-aggregable ``min_by`` (no window).  Oversized
-    blocks are dropped by a broadcast anti-join before the self-join,
-    so pair volume is bounded exactly like the LSH ``max_bucket`` cap.
+    reduction = partial-aggregable ``min_by``.  Oversized blocks are
+    dropped by a count window keyed on the blocking key (rides the
+    self-join's own partitioning — zero extra shuffles), so pair
+    volume is bounded exactly like the LSH ``max_bucket`` cap.
     The reference's dedup surface is exact-key REPLACE INTO
     (dogsheep_beta/utils.py:32); this is the fuzzy-identity member of
     that family."""
@@ -3077,6 +3078,48 @@ def q_entity_link_best(spark, sf_dir):
         max_block=1000,
     )
     return best_match(matches).orderBy("entity_id")
+
+
+def q_entity_clusters(spark, sf_dir):
+    """Identity clusters: blocked linkage pairs (entity_link_best's
+    generator) closed under transitivity with the distributed
+    min-label components loop (dedup.py:connected_components), rolled
+    up to one row per cluster.  Pairs under-merge — if a~b and b~c,
+    all three are one identity even when (a, c) never met a blocking
+    key — so real linkage always ends in components, not pairs.
+    Closure here is BLOCK-LOCAL (single-key blocking means a pair's
+    endpoints share their key, so components cannot span blocks):
+    `blocked_components` runs one union-find per block under a single
+    groupBy — one shuffle, no supersteps — instead of the iterative
+    min-label loop whose per-round job floor this query would
+    otherwise pay (the PageRank cost shape).  The labeling (comp =
+    min member id) is identical; the multi-key generators (LSH
+    bands) keep using `dedup.connected_components`."""
+    from dogsheep_beta_spark.operators.linkage import (
+        blocked_components,
+        link_entities,
+    )
+
+    register_testdata(spark, sf_dir, tables=("customer",))
+    matches = link_entities(
+        spark.table("customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=("c_nationkey",),
+        prefix_len=16,
+        max_dist=1,
+        max_block=1000,
+        with_block_key=True,
+    )
+    comp = blocked_components(matches)
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("id").cast("long").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3194,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
         "media_video_demux": q_media_video_demux,
         "entity_link_best": q_entity_link_best,
+        "entity_clusters": q_entity_clusters,
     }
 
 
@@ -5382,6 +5426,38 @@ ORDER BY rank, type, "key"
                id_a AS match_id, nm_a AS match_name,
                CAST(dist AS INT) AS dist
         FROM best WHERE rn = 1 ORDER BY entity_id
+    """
+    # same blocked pair generator closed transitively: recursive-CTE
+    # min-reachable-id per matched node, one row per cluster.
+    d["entity_clusters"] = """
+        WITH RECURSIVE c AS (
+            SELECT c_custkey AS id, c_nationkey AS nk,
+                   lower(trim(c_name)) AS nm,
+                   substr(lower(trim(c_name)), 1, 16) AS pfx
+            FROM customer
+        ), ok AS (
+            SELECT nk, pfx FROM c GROUP BY nk, pfx
+            HAVING COUNT(*) <= 1000
+        ), pruned AS (
+            SELECT c.* FROM c JOIN ok USING (nk, pfx)
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pruned a JOIN pruned b USING (nk, pfx)
+            WHERE a.id < b.id AND levenshtein(a.nm, b.nm) <= 1
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), r AS (
+            SELECT s AS root, s AS node
+            FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.root, e.d FROM r JOIN edges e ON e.s = r.node
+        ), comp AS (
+            SELECT root AS id, MIN(node) AS comp FROM r GROUP BY root
+        )
+        SELECT comp AS cluster_id, COUNT(*) AS n_members,
+               CAST(MAX(id) AS BIGINT) AS max_member
+        FROM comp GROUP BY comp ORDER BY cluster_id
     """
     return d
 

@@ -1195,3 +1195,29 @@ def test_link_entities_max_block_cap_drops_junk_keys(spark):
         prefix_len=6, max_dist=1, max_block=10,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_blocked_components_matches_global_loop(spark):
+    from dogsheep_beta_spark.operators import dedup as dd
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    # two blocks; block "x" holds a transitive chain 1-2-3 plus an
+    # isolated pair 8-9, block "y" a pair 5-6.  comp = min member id.
+    rows = [
+        (1, 2, "x"), (2, 3, "x"), (8, 9, "x"), (5, 6, "y"),
+    ]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, __bk string")
+    blocked = {
+        (r["id"], r["comp"])
+        for r in lk.blocked_components(pairs).collect()
+    }
+    assert blocked == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8),
+                       (5, 5), (6, 5)}
+    # identical labeling to the global min-label loop
+    global_ = {
+        (r["id"], r["comp"])
+        for r in dd.connected_components(
+            pairs, a_col="id_a", b_col="id_b"
+        ).collect()
+    }
+    assert blocked == global_

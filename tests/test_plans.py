@@ -532,12 +532,12 @@ def test_paragraph_boilerplate_detection(spark):
     assert echo["occ"] == 2 and echo["docs"] == 1
 
 
-def test_entity_linkage_plan_no_window_partial_argmin(spark):
-    """Record linkage plan contract: the best-match reduction is a
-    partial-aggregable min_by (two SortAggregate stages around one
-    exchange), never a Window re-sort; the block-size cap is a
-    broadcast anti-join; the candidate join is an equi-join on the
-    blocking key (no cartesian)."""
+def test_entity_linkage_plan_keyed_cap_partial_argmin(spark):
+    """Record linkage plan contract: the candidate join is an
+    equi-join on the blocking key (no cartesian); the block-size cap
+    is a count window KEYED on that blocking key (never a
+    single-partition window, and no broadcast-materialization jobs);
+    the best-match reduction is a partial-aggregable min_by."""
     from dogsheep_beta_spark.operators.linkage import (
         best_match,
         link_entities,
@@ -551,7 +551,6 @@ def test_entity_linkage_plan_no_window_partial_argmin(spark):
         )
     )
     p = _plan(out)
-    assert "Window" not in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "SinglePartition" not in p  # cap window is keyed
     assert "min_by" in p or "SortAggregate" in p
-    assert p.count("LeftAnti") >= 1  # the max_block cap
