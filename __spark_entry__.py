@@ -3122,6 +3122,40 @@ def q_entity_clusters(spark, sf_dir):
     )
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-flattened language rebalance (the mBERT/XLM-R
+    ``p ∝ n^alpha`` smoothing, alpha=0.5, downsample-only): per-lang
+    keep rate sqrt(n_min/n_lang) applied as the deterministic
+    md5-hash threshold, reported as per-language original vs kept
+    counts.  alpha=0.5 keeps the rate arithmetic on correctly-rounded
+    IEEE ops (cast/divide/sqrt), so the kept set is bit-identical in
+    the DuckDB oracle."""
+    from dogsheep_beta_spark.operators.sampling import temperature_sample
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig")
+    )
+    kept = temperature_sample(docs, "lang", "doc_id", 0.5, "t05")
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    return (
+        counts.join(kept_agg, "lang", "left")
+        .select(
+            "lang",
+            "n_orig",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "min_doc",
+            "max_doc",
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -3238,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_demux": q_media_video_demux,
         "entity_link_best": q_entity_link_best,
         "entity_clusters": q_entity_clusters,
+        "sample_temperature": q_sample_temperature,
     }
 
 
@@ -5458,6 +5493,33 @@ ORDER BY rank, type, "key"
         SELECT comp AS cluster_id, COUNT(*) AS n_members,
                CAST(MAX(id) AS BIGINT) AS max_member
         FROM comp GROUP BY comp ORDER BY cluster_id
+    """
+    # temperature rebalance, alpha=0.5: rate = sqrt(n_min/n_lang),
+    # same md5 threshold family as sample_token_budget.
+    d["sample_temperature"] = """
+        WITH n AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ), m AS (
+            SELECT MIN(cnt) AS nmin FROM n
+        ), kept AS (
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN n USING (lang) CROSS JOIN m
+            WHERE CAST(('0x' || substr(md5('t05' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 AS BIGINT)
+                  < CAST(ROUND(least(1.0,
+                        sqrt(CAST(nmin AS DOUBLE) / cnt)) * 1000000)
+                    AS BIGINT)
+        ), ka AS (
+            SELECT lang, COUNT(*) AS n_kept,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM kept GROUP BY lang
+        )
+        SELECT n.lang, CAST(n.cnt AS BIGINT) AS n_orig,
+               CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(ka.min_doc AS BIGINT) AS min_doc,
+               CAST(ka.max_doc AS BIGINT) AS max_doc
+        FROM n LEFT JOIN ka USING (lang) ORDER BY n.lang
     """
     return d
 

@@ -233,3 +233,45 @@ def token_budget_sample(
         .where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
         .drop("__tot")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened group sampling — the multilingual
+    pretraining rebalance (mBERT / XLM-R exponential smoothing):
+    groups are kept in proportion to ``n_g^alpha`` (alpha < 1 flattens
+    the head), realized DOWNSAMPLE-ONLY with the smallest group kept
+    whole: ``rate_g = (n_min / n_g)^(1 - alpha)``.
+
+    Same determinism contract as the other samplers (md5-hash
+    threshold, rand()-free).  For the default ``alpha = 0.5`` the rate
+    is ``sqrt(n_min / n_g)`` — one exact long→double cast, one
+    correctly-rounded IEEE divide and sqrt — so the kept set is
+    bit-reproducible across engines (the oracle recomputes it in
+    DuckDB).  Other alphas go through ``pow``, whose last-ulp
+    behavior is libm-specific; fine for training runs, but pin
+    alpha = 0.5 when an exact cross-engine oracle is needed.
+
+    Plan: one partial-aggregated per-group count (group-cardinality
+    sized, broadcast back), one 1-row broadcast n_min scalar, one
+    map-side filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n")
+    if abs(alpha - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    thr = F.round(F.least(F.lit(1.0), rate) * 1_000_000).cast("long")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(nmin))
+        .where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
+        .drop("__n", "__nmin")
+    )

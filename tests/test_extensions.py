@@ -1221,3 +1221,25 @@ def test_blocked_components_matches_global_loop(spark):
         ).collect()
     }
     assert blocked == global_
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    from dogsheep_beta_spark.operators import sampling as sp
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept1 = sp.temperature_sample(df, "grp", "id", 0.5, "s").collect()
+    kept2 = sp.temperature_sample(df, "grp", "id", 0.5, "s").collect()
+    assert sorted(r["id"] for r in kept1) == sorted(r["id"] for r in kept2)
+    by = {}
+    for r in kept1:
+        by.setdefault(r["grp"], 0)
+        by[r["grp"]] += 1
+    # smallest group kept whole (rate 1.0)
+    assert by["small"] == 16
+    # big group downsampled toward sqrt(16/400)=0.2 of 400 = 80
+    assert 40 <= by["big"] <= 120
+    # alpha=1 is identity (rate 1 everywhere)
+    assert sp.temperature_sample(df, "grp", "id", 1.0, "s").count() == 416
