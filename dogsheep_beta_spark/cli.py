@@ -226,6 +226,33 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the formatted physical plan for a declared query — the
+    per-query view of PLANS.md, for auditing a plan change without
+    regenerating the whole artifact.  ``--run`` also executes it and
+    prints row count + wall time."""
+    import time
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    if args.name not in qs:
+        known = ", ".join(sorted(qs))
+        print(f"unknown query {args.name!r}; one of: {known}",
+              file=sys.stderr)
+        return 2
+    spark = _build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), args.mode))
+    if args.run:
+        t = time.time()
+        n = df.count()
+        print(f"rows={n} wall={time.time() - t:.2f}s", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dogsheep-beta-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -312,6 +339,25 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--config", default=None, help="rules file for display templates")
     sv.add_argument("--sources", default=None, help="source dir for display_sql hydration")
     sv.set_defaults(func=cmd_serve)
+
+    ex = sub.add_parser(
+        "explain", help="print the physical plan of a declared query"
+    )
+    ex.add_argument("name", help="query name from __spark_entry__.queries()")
+    ex.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="testdata scale-factor directory",
+    )
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    ex.add_argument(
+        "--run", action="store_true", help="also execute and time the query"
+    )
+    ex.set_defaults(func=cmd_explain)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -257,3 +257,26 @@ def test_skew_scale_smoke_lsh_and_components(spark):
     pairs10.unpersist()
     assert sizes[-1] == 100  # the wide class is ONE cluster
     assert sizes.count(10) == 120  # every replicated doc-class intact
+
+
+def test_cli_explain_unknown_query_fast_error():
+    proc = subprocess.run(
+        [sys.executable, "-m", "dogsheep_beta_spark.cli",
+         "explain", "no_such_query"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "unknown query" in proc.stderr
+    assert "timeline_topk" in proc.stderr  # lists the valid names
+
+
+def test_cli_explain_prints_plan():
+    proc = subprocess.run(
+        [sys.executable, "-m", "dogsheep_beta_spark.cli",
+         "explain", "count_filtered",
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0
+    assert "Physical Plan" in proc.stdout
+    assert "Scan parquet" in proc.stdout
