@@ -3129,15 +3129,23 @@ def q_sample_temperature(spark, sf_dir):
     md5-hash threshold, reported as per-language original vs kept
     counts.  alpha=0.5 keeps the rate arithmetic on correctly-rounded
     IEEE ops (cast/divide/sqrt), so the kept set is bit-identical in
-    the DuckDB oracle."""
-    from dogsheep_beta_spark.operators.sampling import temperature_sample
+    the DuckDB oracle.  The rates compile to a map-side CASE
+    (mixture_sample's shape): one bounded group-count job, then the
+    corpus path is a single scan — no counts join, no n_min scalar
+    subtree."""
+    from dogsheep_beta_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
 
     register_testdata(spark, sf_dir, tables=("documents",))
     docs = spark.table("documents")
-    counts = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orig")
+    rates = temperature_rates(docs, "lang", 0.5)
+    counts = spark.createDataFrame(
+        [(g, n) for g, (n, _) in sorted(rates.items())],
+        "lang string, n_orig long",
     )
-    kept = temperature_sample(docs, "lang", "doc_id", 0.5, "t05")
+    kept = temperature_sample(docs, "lang", "doc_id", 0.5, "t05", rates)
     kept_agg = kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.min("doc_id").cast("long").alias("min_doc"),

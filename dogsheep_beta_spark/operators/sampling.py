@@ -235,12 +235,56 @@ def token_budget_sample(
     )
 
 
+def temperature_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> dict:
+    """``group -> (n, keep_threshold)`` for temperature-flattened
+    sampling: ``rate_g = (n_min / n_g)^(1 - alpha)``, as an integer
+    threshold out of 1_000_000 for the md5-bucket filter.
+
+    One partial-aggregated count job, then a BOUNDED collect: group
+    cardinality is the number of mixture groups (languages, sources)
+    — a recipe-sized set, the same justified-driver-side class as the
+    engine's 1-row broadcast scalars.  Collecting it lets the rates
+    compile into a map-side CASE (``temperature_sample``) instead of
+    a counts-join + n_min-scalar subtree per consumer.
+
+    The per-group arithmetic (exact long→double cast, one
+    correctly-rounded IEEE divide and, at the default alpha = 0.5,
+    ``sqrt``) is bit-identical in Python, the JVM, and DuckDB, so the
+    kept set is reproducible cross-engine.  Other alphas go through
+    ``pow``, whose last-ulp behavior is libm-specific; fine for
+    training runs, but pin alpha = 0.5 when an exact cross-engine
+    oracle is needed.  Rounding is half-away-from-zero to match SQL
+    ROUND.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    if not counts:
+        return {}
+    nmin = min(counts.values())
+    out = {}
+    for g, n in counts.items():
+        ratio = float(nmin) / float(n)
+        if abs(alpha - 0.5) < 1e-12:
+            rate = math.sqrt(ratio)
+        else:
+            rate = ratio ** (1.0 - alpha)
+        thr = math.floor(min(1.0, rate) * 1_000_000 + 0.5)
+        out[g] = (n, thr)
+    return out
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,
     id_col: str,
     alpha: float = 0.5,
     salt: str = "",
+    rates: dict | None = None,
 ) -> DataFrame:
     """Temperature-flattened group sampling — the multilingual
     pretraining rebalance (mBERT / XLM-R exponential smoothing):
@@ -249,29 +293,18 @@ def temperature_sample(
     whole: ``rate_g = (n_min / n_g)^(1 - alpha)``.
 
     Same determinism contract as the other samplers (md5-hash
-    threshold, rand()-free).  For the default ``alpha = 0.5`` the rate
-    is ``sqrt(n_min / n_g)`` — one exact long→double cast, one
-    correctly-rounded IEEE divide and sqrt — so the kept set is
-    bit-reproducible across engines (the oracle recomputes it in
-    DuckDB).  Other alphas go through ``pow``, whose last-ulp
-    behavior is libm-specific; fine for training runs, but pin
-    alpha = 0.5 when an exact cross-engine oracle is needed.
-
-    Plan: one partial-aggregated per-group count (group-cardinality
-    sized, broadcast back), one 1-row broadcast n_min scalar, one
-    map-side filter — the corpus never shuffles.
+    threshold, rand()-free).  The corpus path is ``mixture_sample``'s
+    shape — a scan with a CASE expression over the group column, no
+    join, no shuffle; the only other work is the group-count job
+    behind :func:`temperature_rates` (pass ``rates`` to share it
+    across consumers).  Groups unseen at rate time (or NULL) drop.
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    nmin = counts.agg(F.min("__n").alias("__nmin"))
-    ratio = F.col("__nmin").cast("double") / F.col("__n")
-    if abs(alpha - 0.5) < 1e-12:
-        rate = F.sqrt(ratio)
-    else:
-        rate = F.pow(ratio, F.lit(1.0 - alpha))
-    thr = F.round(F.least(F.lit(1.0), rate) * 1_000_000).cast("long")
-    return (
-        df.join(F.broadcast(counts), group_col)
-        .crossJoin(F.broadcast(nmin))
-        .where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
-        .drop("__n", "__nmin")
-    )
+    if rates is None:
+        rates = temperature_rates(df, group_col, alpha)
+    b = hash_bucket(id_col, 1_000_000, salt).cast("long")
+    thr = F.lit(0).cast("long")
+    for g, (_, t) in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(t).cast("long")).otherwise(
+            thr
+        )
+    return df.where(b < thr)
