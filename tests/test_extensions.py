@@ -1243,3 +1243,19 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
     assert 40 <= by["big"] <= 120
     # alpha=1 is identity (rate 1 everywhere)
     assert sp.temperature_sample(df, "grp", "id", 1.0, "s").count() == 416
+
+
+def test_temperature_sample_corpus_path_is_map_only(spark):
+    from dogsheep_beta_spark.operators import sampling as sp
+
+    rows = [(i, "big" if i < 300 else "small") for i in range(330)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    rates = sp.temperature_rates(df, "grp", 0.5)
+    kept = sp.temperature_sample(df, "grp", "id", 0.5, "s", rates)
+    plan = kept._sc._jvm.PythonSQLUtils.explainString(
+        kept._jdf.queryExecution(), "simple"
+    )
+    # the sampling filter itself is one scan + CASE: no join, no
+    # exchange of the corpus (the group-count job lives in
+    # temperature_rates, recipe-sized and already collected)
+    assert "Exchange" not in plan and "Join" not in plan
