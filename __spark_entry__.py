@@ -3164,6 +3164,62 @@ def q_sample_temperature(spark, sf_dir):
     )
 
 
+def q_streaming_entity_link(spark, sf_dir):
+    """Incremental record linkage (streaming/incremental.py:
+    streaming_entity_link): the customer table replayed as a stream,
+    each micro-batch linked against the bucket-partitioned record
+    store with partition-scoped merges (O(touched buckets), not
+    O(history)).  The final match table must equal the batch
+    best_match(link_entities(...)) — the oracle is entity_link_best's
+    SQL verbatim.  Arrival-order independence and cap-crossing
+    deletion are pinned in tests/test_streaming.py."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_entity_link,
+    )
+
+    path = os.path.join(sf_dir, "customer.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_cust_stream_")
+    os.symlink(path, os.path.join(stream_dir, "customer.parquet"))
+    c = _CTX.setdefault(sf_dir, {})
+    work = c.get("link_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_link_stream_")
+        c["link_stream_path"] = work
+    store = os.path.join(work, "store")
+    matches = os.path.join(work, "matches")
+    ckpt = os.path.join(work, "ckpt")
+    for stale in (store, matches, ckpt):
+        for p in _glob.glob(stale + "*"):
+            if not os.path.islink(p) and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    with _stream_partitions(spark):
+        q = streaming_entity_link(
+            stream, store, matches, ckpt,
+            id_col="c_custkey", name_col="c_name",
+            block_cols=("c_nationkey",), prefix_len=16,
+            max_dist=1, max_block=1000,
+        )
+        q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    return (
+        spark.read.parquet(matches)
+        .select(
+            "entity_id", "entity_name", "match_id", "match_name",
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy("entity_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "timeline_topk": q_timeline_topk,
@@ -3281,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_best": q_entity_link_best,
         "entity_clusters": q_entity_clusters,
         "sample_temperature": q_sample_temperature,
+        "streaming_entity_link": q_streaming_entity_link,
     }
 
 
@@ -5529,6 +5586,9 @@ ORDER BY rank, type, "key"
                CAST(ka.max_doc AS BIGINT) AS max_doc
         FROM n LEFT JOIN ka USING (lang) ORDER BY n.lang
     """
+    # incremental linkage converges to the batch result: the oracle is
+    # entity_link_best's SQL verbatim (same blocked generator + argmin).
+    d["streaming_entity_link"] = d["entity_link_best"]
     return d
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.operators.conform import conform
@@ -151,7 +151,7 @@ def merge_batch(
 
 
 def _read_partitioned(
-    spark: SparkSession, path: str, types: list[str]
+    spark: SparkSession, path: str, types: list[str], col: str = "type"
 ) -> DataFrame | None:
     """The live partition-by-type layout restricted to the given type
     values, or None if none of those partitions exist yet.
@@ -170,18 +170,21 @@ def _read_partitioned(
     base = path.rstrip("/")
     if not os.path.isdir(base):
         return None
-    want = set(types)
+    want = {str(t) for t in types}
+    pfx = col + "="
     sel = [
         os.path.join(base, e)
         for e in sorted(os.listdir(base))
-        if e.startswith("type=") and unquote(e[len("type="):]) in want
+        if e.startswith(pfx) and unquote(e[len(pfx):]) in want
     ]
     if not sel:
         return None
     return spark.read.option("basePath", base).parquet(*sel)
 
 
-def _publish_partitions(stage_dir: str, live_dir: str) -> None:
+def _publish_partitions(
+    stage_dir: str, live_dir: str, col: str = "type"
+) -> None:
     """Publish every ``type=…`` partition dir the staging write
     produced onto the live layout, one atomic symlink cutover per
     partition (hidden version dirs — invisible to Spark's listing).
@@ -195,8 +198,9 @@ def _publish_partitions(stage_dir: str, live_dir: str) -> None:
     import shutil
 
     os.makedirs(live_dir, exist_ok=True)
+    pfx = col + "="
     for entry in sorted(os.listdir(stage_dir)):
-        if not entry.startswith("type="):
+        if not entry.startswith(pfx):
             continue
         _publish_dir(
             os.path.join(stage_dir, entry),
@@ -1009,3 +1013,208 @@ def streaming_interval_join(
         & (rt >= lt - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
     )
     return l.join(r, cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# incremental entity linkage (streaming counterpart of operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def merge_link_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    match_path: str,
+    id_col: str,
+    name_col: str,
+    block_cols=(),
+    prefix_len: int = 16,
+    max_dist: int = 1,
+    max_block: int = 1000,
+    n_buckets: int = 16,
+) -> None:
+    """foreachBatch body: link a micro-batch of records against
+    everything seen so far, maintaining (a) a record STORE and (b) a
+    best-match table, both hive-partitioned by ``bkb =
+    hash(blocking_key) % n_buckets`` so each batch opens ONLY the
+    buckets its records hash into (the merge_batch_scoped shape:
+    O(touched), not O(history)).
+
+    Pair generation is new×(store ∪ new) within the blocking key —
+    a pair surfaces exactly when its LATER ARRIVAL lands, so the
+    final pair set equals the batch generator's regardless of arrival
+    order.  Blocks whose cumulative size crosses ``max_block`` have
+    their matches DELETED and stop pairing (the batch cap measured on
+    full data — convergence-tested).  The match merge is the same
+    ``min_by (dist, id_a)`` reduction as ``linkage.best_match``:
+    min-of-mins, so merging per batch equals reducing once at the
+    end."""
+    import os
+    import shutil
+
+    from dogsheep_beta_spark.operators.linkage import _normalized
+
+    keys = [*block_cols, "__pfx"]
+    new = (
+        batch_df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            _normalized(name_col).alias("__nm"),
+            *[F.col(c).cast("string").alias(c) for c in block_cols],
+        )
+        .withColumn("__pfx", F.substring("__nm", 1, prefix_len))
+        .withColumn(
+            "__bk",
+            F.concat_ws("\x1f", *[F.col(k) for k in keys]),
+        )
+        .withColumn(
+            "bkb", F.pmod(F.xxhash64("__bk"), F.lit(n_buckets)).cast("int")
+        )
+        .dropDuplicates(["__id"])
+    )
+    touched = [str(r[0]) for r in new.select("bkb").distinct().collect()]
+    if not touched:
+        return
+
+    store = _read_partitioned(spark, store_path, touched, col="bkb")
+    if store is not None:
+        all_recs = (
+            store.unionByName(new).dropDuplicates(["__id"]).persist()
+        )
+    else:
+        all_recs = new.persist()
+
+    # cumulative block sizes decide the cap NOW, on full seen data
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("__bk"))
+    sized = all_recs.withColumn("__cnt", cnt)
+    live = sized.filter(F.col("__cnt") <= max_block)
+    dead_keys = (
+        sized.filter(F.col("__cnt") > max_block)
+        .select("__bk")
+        .distinct()
+    )
+
+    n = live.join(new.select(F.col("__id").alias("__nid")), F.col("__id") == F.col("__nid"), "left_semi")
+    o = live.select(
+        F.col("__bk").alias("o_bk"),
+        F.col("bkb").alias("o_bkb"),
+        F.col("__id").alias("o_id"),
+        F.col("__nm").alias("o_nm"),
+    )
+    j = n.join(o, (F.col("__bk") == F.col("o_bk")) & (F.col("__id") != F.col("o_id")))
+    pairs = (
+        j.select(
+            F.col("__bk"),
+            F.col("bkb"),
+            F.least("__id", "o_id").alias("id_a"),
+            F.greatest("__id", "o_id").alias("id_b"),
+            F.when(F.col("__id") < F.col("o_id"), F.col("__nm"))
+            .otherwise(F.col("o_nm"))
+            .alias("nm_a"),
+            F.when(F.col("__id") < F.col("o_id"), F.col("o_nm"))
+            .otherwise(F.col("__nm"))
+            .alias("nm_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b", max_dist))
+        .filter(F.col("dist") >= 0)
+    )
+    fresh = pairs.select(
+        F.col("id_b").alias("entity_id"),
+        F.col("nm_b").alias("entity_name"),
+        F.col("id_a").alias("match_id"),
+        F.col("nm_a").alias("match_name"),
+        F.col("dist").cast("int").alias("dist"),
+        "__bk",
+        "bkb",
+    )
+    old = _read_partitioned(spark, match_path, touched, col="bkb")
+    if old is not None:
+        old = old.join(F.broadcast(dead_keys), "__bk", "left_anti")
+        merged_src = old.unionByName(fresh)
+    else:
+        merged_src = fresh
+    ordkey = F.struct(F.col("dist"), F.col("match_id"))
+    payload = F.struct(
+        F.col("match_id"), F.col("match_name"), F.col("dist"),
+        F.col("__bk"), F.col("bkb"),
+    )
+    merged = (
+        merged_src.groupBy("entity_id", "entity_name")
+        .agg(F.min_by(payload, ordkey).alias("m"))
+        .select(
+            "entity_id",
+            "entity_name",
+            F.col("m.match_id").alias("match_id"),
+            F.col("m.match_name").alias("match_name"),
+            F.col("m.dist").alias("dist"),
+            F.col("m.__bk").alias("__bk"),
+            F.col("m.bkb").alias("bkb"),
+        )
+    )
+
+    mstage = match_path.rstrip("/") + ".__stage__"
+    shutil.rmtree(mstage, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("bkb").parquet(mstage)
+    os.makedirs(match_path, exist_ok=True)
+    # a touched bucket whose matches ALL died (cap crossing) writes no
+    # stage partition — drop its live partition explicitly, or the
+    # stale matches would survive the publish
+    present = {e for e in os.listdir(mstage) if e.startswith("bkb=")}
+    _publish_partitions(mstage, match_path, col="bkb")
+    for t in touched:
+        name = f"bkb={t}"
+        if name in present:
+            continue
+        live = os.path.join(match_path, name)
+        if os.path.islink(live):
+            os.remove(live)
+        elif os.path.isdir(live):
+            shutil.rmtree(live, ignore_errors=True)
+        gen = os.path.join(match_path, ".__gen__")
+        if os.path.isdir(gen):
+            for f in os.listdir(gen):
+                if f.startswith(name + ".__v"):
+                    shutil.rmtree(os.path.join(gen, f), ignore_errors=True)
+
+    sstage = store_path.rstrip("/") + ".__stage__"
+    shutil.rmtree(sstage, ignore_errors=True)
+    all_recs.write.mode("overwrite").partitionBy("bkb").parquet(sstage)
+    os.makedirs(store_path, exist_ok=True)
+    _publish_partitions(sstage, store_path, col="bkb")
+    all_recs.unpersist()
+
+
+def streaming_entity_link(
+    stream_df: DataFrame,
+    store_path: str,
+    match_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    name_col: str,
+    block_cols=(),
+    prefix_len: int = 16,
+    max_dist: int = 1,
+    max_block: int = 1000,
+    n_buckets: int = 16,
+):
+    """Incremental record linkage over a record stream: each
+    micro-batch links against the partitioned record store and merges
+    into the best-match table (see ``merge_link_batch``).  The final
+    match table equals ``best_match(link_entities(...))`` over the
+    full record set — the convergence contract every incremental op
+    in this module carries."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_link_batch(
+                spark, bdf, bid, store_path, match_path,
+                id_col, name_col, block_cols, prefix_len,
+                max_dist, max_block, n_buckets,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -891,3 +891,95 @@ def test_manifest_time_travel_and_retention_horizon(spark, tmpdir):
         inc.read_layout(spark, layout, generation=2).collect()
     with pytest.raises(ValueError, match="no generation 99"):
         inc.read_layout(spark, layout, generation=99)
+
+
+def test_streaming_entity_link_converges_to_batch(spark, tmpdir):
+    """Three arrival waves, ids deliberately OUT of arrival order (a
+    later wave carries a smaller id that becomes the better match for
+    an earlier record): the final match table must equal
+    best_match(link_entities(...)) over the union."""
+    from dogsheep_beta_spark.operators.linkage import (
+        best_match,
+        link_entities,
+    )
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_entity_link,
+    )
+
+    src = os.path.join(tmpdir, "recs")
+    store = os.path.join(tmpdir, "store")
+    matches = os.path.join(tmpdir, "matches")
+    ckpt = os.path.join(tmpdir, "lckpt")
+    schema = "id long, name string, ctry string"
+
+    waves = [
+        [(10, "jon smith", "us"), (11, "jon smyth", "us")],
+        # 12 matches 10/11; 2 arrives LATE but is the minimal id —
+        # it must retroactively become 10/11/12's best match target
+        [(12, "jon smith", "us"), (30, "ann chu", "de")],
+        [(2, "jon smith", "us"), (31, "ann chu ", "de")],
+    ]
+    kw = dict(
+        id_col="id", name_col="name", block_cols=("ctry",),
+        prefix_len=6, max_dist=1, max_block=100,
+    )
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_entity_link(stream, store, matches, ckpt, **kw)
+        q.awaitTermination(60)
+
+    got = {
+        (r["entity_id"], r["match_id"], r["dist"])
+        for r in spark.read.parquet(matches).collect()
+    }
+    all_recs = spark.createDataFrame(
+        [r for w in waves for r in w], schema
+    )
+    want = {
+        (r["entity_id"], r["match_id"], r["dist"])
+        for r in best_match(link_entities(all_recs, **kw)).collect()
+    }
+    assert got == want
+    assert (2, 12, 0) not in got  # orientation: 2 is the EARLIER id
+    assert (12, 2, 0) in got      # later record points at min-id match
+
+
+def test_streaming_entity_link_cap_crossing_deletes_matches(spark, tmpdir):
+    """A block that crosses max_block mid-stream must drop its matches
+    (the batch cap measured on cumulative data), while other blocks'
+    matches survive."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_entity_link,
+    )
+
+    src = os.path.join(tmpdir, "recs2")
+    store = os.path.join(tmpdir, "store2")
+    matches = os.path.join(tmpdir, "matches2")
+    ckpt = os.path.join(tmpdir, "lckpt2")
+    schema = "id long, name string, ctry string"
+
+    kw = dict(
+        id_col="id", name_col="name", block_cols=("ctry",),
+        prefix_len=6, max_dist=1, max_block=4,
+    )
+    waves = [
+        [(i, "junk x", "us") for i in range(3)]          # under cap
+        + [(100, "alice a", "de"), (101, "alice b", "de")],
+        [(i, "junk x", "us") for i in range(3, 8)],       # crosses cap
+    ]
+    for wave in waves:
+        spark.createDataFrame(wave, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_entity_link(stream, store, matches, ckpt, **kw)
+        q.awaitTermination(60)
+
+    got = {
+        (r["entity_id"], r["match_id"])
+        for r in spark.read.parquet(matches).collect()
+    }
+    assert got == {(101, 100)}  # junk block's matches were deleted
