@@ -5743,12 +5743,37 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             stream, cents, layout, os.path.join(ck, "c")
         )
 
+    cust_dir, cust_schema = batched_src(os.path.join(sf_dir, "customer.parquet"))
+
+    def start_entity_link(ck):
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_entity_link,
+        )
+
+        work = tempfile.mkdtemp(prefix="dbs_steady_link_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(cust_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(cust_dir)
+        )
+        return streaming_entity_link(
+            stream,
+            os.path.join(work, "store"),
+            os.path.join(work, "matches"),
+            os.path.join(ck, "c"),
+            id_col="c_custkey", name_col="c_name",
+            block_cols=("c_nationkey",), prefix_len=16,
+            max_dist=1, max_block=1000,
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
         ("streaming_window_counts", start_window_counts),
         ("streaming_interval_join", start_interval_join),
         ("streaming_ivf_upsert", start_ivf),
+        ("streaming_entity_link", start_entity_link),
     ):
         try:
             out[name] = measure(starter)

@@ -1077,12 +1077,19 @@ def merge_link_batch(
         return
 
     store = _read_partitioned(spark, store_path, touched, col="bkb")
+    # __new marks batch membership exactly (replayed ids resolve to
+    # the new side): it both dedups replays and lets pair generation
+    # emit each pair ONCE by direction rules instead of a
+    # dropDuplicates shuffle.
     if store is not None:
+        old_only = store.join(new.select("__id"), "__id", "left_anti")
         all_recs = (
-            store.unionByName(new).dropDuplicates(["__id"]).persist()
+            old_only.withColumn("__new", F.lit(0))
+            .unionByName(new.withColumn("__new", F.lit(1)))
+            .persist()
         )
     else:
-        all_recs = new.persist()
+        all_recs = new.withColumn("__new", F.lit(1)).persist()
 
     # cumulative block sizes decide the cap NOW, on full seen data
     cnt = F.count(F.lit(1)).over(Window.partitionBy("__bk"))
@@ -1094,14 +1101,21 @@ def merge_link_batch(
         .distinct()
     )
 
-    n = live.join(new.select(F.col("__id").alias("__nid")), F.col("__id") == F.col("__nid"), "left_semi")
+    # each pair emitted exactly once: a NEW record n pairs with every
+    # smaller-id block-mate, and with larger-id OLD block-mates (the
+    # larger-id NEW mate emits the new-new pair from its own side)
+    n = live.filter(F.col("__new") == 1)
     o = live.select(
         F.col("__bk").alias("o_bk"),
         F.col("bkb").alias("o_bkb"),
         F.col("__id").alias("o_id"),
         F.col("__nm").alias("o_nm"),
+        F.col("__new").alias("o_new"),
     )
-    j = n.join(o, (F.col("__bk") == F.col("o_bk")) & (F.col("__id") != F.col("o_id")))
+    once = (F.col("o_id") < F.col("__id")) | (
+        (F.col("o_new") == 0) & (F.col("o_id") > F.col("__id"))
+    )
+    j = n.join(o, (F.col("__bk") == F.col("o_bk")) & once)
     pairs = (
         j.select(
             F.col("__bk"),
@@ -1115,7 +1129,6 @@ def merge_link_batch(
             .otherwise(F.col("__nm"))
             .alias("nm_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", F.levenshtein("nm_a", "nm_b", max_dist))
         .filter(F.col("dist") >= 0)
     )
@@ -1177,11 +1190,16 @@ def merge_link_batch(
                 if f.startswith(name + ".__v"):
                     shutil.rmtree(os.path.join(gen, f), ignore_errors=True)
 
-    sstage = store_path.rstrip("/") + ".__stage__"
-    shutil.rmtree(sstage, ignore_errors=True)
-    all_recs.write.mode("overwrite").partitionBy("bkb").parquet(sstage)
-    os.makedirs(store_path, exist_ok=True)
-    _publish_partitions(sstage, store_path, col="bkb")
+    # the store is append-only (records never change): write ONLY the
+    # batch's genuinely-new rows, O(batch) I/O instead of rewriting
+    # every touched bucket's history.  The anti-join makes a batch
+    # retry idempotent (foreachBatch replays on failure); reads also
+    # dropDuplicates on __id, so a raced duplicate is harmless.
+    if store is not None:
+        new_only = new.join(store.select("__id"), "__id", "left_anti")
+    else:
+        new_only = new
+    new_only.write.mode("append").partitionBy("bkb").parquet(store_path)
     all_recs.unpersist()
 
 
