@@ -74,6 +74,7 @@ def main() -> None:
         ("kmeans_build", entry._kmeans_layout),
         ("bucketed_layout_build", entry._bucketed_tables),
         ("zorder_layout_build", entry._zorder_layout),
+        ("manifest_layout_build", entry._manifest_layout),
     ):
         t0 = time.time()
         try:

@@ -23,6 +23,7 @@ lookups partition-prune (SURVEY §7.5).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,14 +55,35 @@ class FtsIndex:
     # both partition-prune; skew follows the bigram distribution, which
     # sortWithinPartitions row-group stats absorb within a directory).
     term_scheme: str = "hash"
-    # per-query phrase-hit caches registered by plans/match.compile_match
-    # (persisted, deduped by Spark's plan-canonical cache manager — one
-    # entry per distinct phrase, not per request); release_hit_caches()
-    # is the index-lifetime teardown.
-    hit_caches: list = field(default_factory=list)
+    # Phrase-hit cache populated by plans/match.compile_match: an LRU
+    # keyed by phrase CONTENT (tokens/prefix/initial/fields), so a
+    # repeated phrase across requests reuses one persisted DataFrame
+    # and a long-running server (cli serve) holds at most
+    # ``hit_cache_max`` persisted plans instead of growing one entry
+    # per request forever.  Eviction unpersists; a concurrently
+    # in-flight query over an evicted plan just recomputes (Spark
+    # semantics), it never breaks.  release_hit_caches() remains the
+    # index-lifetime teardown.
+    hit_caches: "OrderedDict" = field(default_factory=OrderedDict)
+    hit_cache_max: int = 64
+
+    def cached_phrase_hits(self, key, builder) -> DataFrame:
+        """Return the persisted hits DataFrame for a phrase cache key,
+        building+persisting via ``builder()`` on miss; LRU-evict (and
+        unpersist) beyond ``hit_cache_max`` entries."""
+        cached = self.hit_caches.get(key)
+        if cached is not None:
+            self.hit_caches.move_to_end(key)
+            return cached
+        df = builder().persist()
+        self.hit_caches[key] = df
+        while len(self.hit_caches) > self.hit_cache_max:
+            _, old = self.hit_caches.popitem(last=False)
+            old.unpersist()
+        return df
 
     def release_hit_caches(self) -> None:
-        for df in self.hit_caches:
+        for df in self.hit_caches.values():
             df.unpersist()
         self.hit_caches.clear()
 

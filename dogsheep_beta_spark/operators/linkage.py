@@ -189,8 +189,30 @@ def blocked_components(
     Use ``dedup.connected_components`` instead when pairs come from
     MULTI-key generators (LSH bands, multiple blocking passes):
     there components span keys and need the global loop.
+
+    Entity ids may be any integral type (output ``long``) or strings
+    (output ``string`` — the common case in real record linkage, where
+    keys are natural identifiers).  The component label is the minimum
+    reachable id under the id type's own ordering (numeric for longs,
+    lexicographic for strings).  Mixed or unsupported id types fail
+    fast here instead of deep inside Arrow conversion.
     """
     import pandas as pd
+    from pyspark.sql.types import IntegralType, StringType
+
+    a_type = pairs.schema[a_col].dataType
+    b_type = pairs.schema[b_col].dataType
+    if isinstance(a_type, IntegralType) and isinstance(b_type, IntegralType):
+        out_schema, coerce = "id long, comp long", int
+    elif isinstance(a_type, StringType) and isinstance(b_type, StringType):
+        out_schema, coerce = "id string, comp string", str
+    else:
+        raise TypeError(
+            "blocked_components: endpoint columns "
+            f"{a_col!r} ({a_type.simpleString()}) / "
+            f"{b_col!r} ({b_type.simpleString()}) must both be integral "
+            "or both string"
+        )
 
     def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
         parent: dict = {}
@@ -202,7 +224,7 @@ def blocked_components(
             return x
 
         for a, b in zip(pdf[a_col], pdf[b_col]):
-            a, b = int(a), int(b)
+            a, b = coerce(a), coerce(b)
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -218,5 +240,5 @@ def blocked_components(
     return (
         pairs.select(bucket.alias("__bucket"), a_col, b_col)
         .groupBy("__bucket")
-        .applyInPandas(uf, schema="id long, comp long")
+        .applyInPandas(uf, schema=out_schema)
     )

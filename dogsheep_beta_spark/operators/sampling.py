@@ -221,7 +221,14 @@ def token_budget_sample(
     Two-phase plan: one PARTIAL-aggregated per-group token total
     (group-cardinality-sized, broadcast back) + one map-side filter —
     the corpus itself never shuffles.  ``tokens_col`` is a Column
-    (precomputed or expression), evaluated once per row."""
+    (precomputed or expression), evaluated once per row.
+
+    Output contract (explicit, round-6): the returned DataFrame carries
+    one EXTRA column ``__ntok`` (the evaluated ``tokens_col``) so
+    callers can audit the kept token mass without re-evaluating the
+    expression; drop it if unwanted.  Rows whose ``group_col`` is NULL
+    are DROPPED (the inner totals join has no NULL-group row) — same
+    NULL handling as ``temperature_sample``."""
     tdf = df.withColumn("__ntok", tokens_col)
     totals = tdf.groupBy(group_col).agg(F.sum("__ntok").alias("__tot"))
     rate = F.least(
@@ -236,7 +243,8 @@ def token_budget_sample(
 
 
 def temperature_rates(
-    df: DataFrame, group_col: str, alpha: float = 0.5
+    df: DataFrame, group_col: str, alpha: float = 0.5,
+    max_groups: int = 100_000,
 ) -> dict:
     """``group -> (n, keep_threshold)`` for temperature-flattened
     sampling: ``rate_g = (n_min / n_g)^(1 - alpha)``, as an integer
@@ -257,12 +265,25 @@ def temperature_rates(
     training runs, but pin alpha = 0.5 when an exact cross-engine
     oracle is needed.  Rounding is half-away-from-zero to match SQL
     ROUND.
+
+    ``max_groups`` bounds the collect BEFORE it happens (the limit is
+    pushed into the job): an accidentally high-cardinality group column
+    (doc ids, timestamps) raises a clear ValueError instead of a
+    driver OOM.  Mixture groups are languages/sources — if a real
+    recipe exceeds the bound, raise it explicitly.
     """
     import math
 
     counts = {
-        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().limit(max_groups + 1).collect()
     }
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"temperature_rates: over {max_groups} distinct "
+            f"{group_col!r} groups — not a mixture column; pass a "
+            "higher max_groups only if this cardinality is intended"
+        )
     if not counts:
         return {}
     nmin = min(counts.values())
@@ -285,6 +306,7 @@ def temperature_sample(
     alpha: float = 0.5,
     salt: str = "",
     rates: dict | None = None,
+    case_max_groups: int = 256,
 ) -> DataFrame:
     """Temperature-flattened group sampling — the multilingual
     pretraining rebalance (mBERT / XLM-R exponential smoothing):
@@ -293,18 +315,42 @@ def temperature_sample(
     whole: ``rate_g = (n_min / n_g)^(1 - alpha)``.
 
     Same determinism contract as the other samplers (md5-hash
-    threshold, rand()-free).  The corpus path is ``mixture_sample``'s
-    shape — a scan with a CASE expression over the group column, no
-    join, no shuffle; the only other work is the group-count job
+    threshold, rand()-free).  Up to ``case_max_groups`` groups the
+    corpus path is ``mixture_sample``'s shape — a scan with a CASE
+    expression over the group column, no join, no shuffle (the CASE
+    chain is O(#groups) expression depth, fine for languages/sources).
+    Above it the thresholds become a BROADCAST rates-join instead: the
+    corpus still never shuffles (broadcast hash join is map-side) and
+    Catalyst never sees a 10⁴-deep when/otherwise tree.  Both paths
+    keep identical rows.  The only other work is the group-count job
     behind :func:`temperature_rates` (pass ``rates`` to share it
-    across consumers).  Groups unseen at rate time (or NULL) drop.
+    across consumers).  Groups unseen at rate time (or NULL) drop
+    under either path.
     """
     if rates is None:
         rates = temperature_rates(df, group_col, alpha)
     b = hash_bucket(id_col, 1_000_000, salt).cast("long")
-    thr = F.lit(0).cast("long")
-    for g, (_, t) in sorted(rates.items()):
-        thr = F.when(F.col(group_col) == g, F.lit(t).cast("long")).otherwise(
-            thr
-        )
-    return df.where(b < thr)
+    if len(rates) <= case_max_groups:
+        thr = F.lit(0).cast("long")
+        for g, (_, t) in sorted(rates.items()):
+            thr = F.when(
+                F.col(group_col) == g, F.lit(t).cast("long")
+            ).otherwise(thr)
+        return df.where(b < thr)
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rates_df = spark.createDataFrame(
+        [(g, t) for g, (_, t) in sorted(rates.items())],
+        StructType(
+            [
+                StructField(group_col, df.schema[group_col].dataType),
+                StructField("__thr", LongType()),
+            ]
+        ),
+    )
+    return (
+        df.join(F.broadcast(rates_df), group_col)
+        .where(b < F.col("__thr"))
+        .drop("__thr")
+    )

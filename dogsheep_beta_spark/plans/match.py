@@ -590,16 +590,31 @@ def _docset(node, fts, hit_cache: dict) -> DataFrame:
     raise TypeError(f"unknown node {node!r}")
 
 
+def _phrase_cache_key(ph: Phrase) -> tuple:
+    """Content identity of a phrase — the LRU key in FtsIndex.hit_caches
+    (two requests with the same phrase text share one persisted plan)."""
+    return (tuple(ph.tokens), ph.prefix, ph.initial, ph.fields)
+
+
 def compile_match(ast, fts) -> tuple[DataFrame, DataFrame]:
     """AST → (docset (type,key), phrase_hits (phrase_id,type,key,tf))."""
     phrases = collect_phrases(ast)
+    # The persisted base is keyed by phrase CONTENT and excludes the
+    # positional phrase_id literal, so it is reusable across requests;
+    # the id is stamped by a projection over the cached relation.  The
+    # cache is a bounded LRU on the index (FtsIndex.cached_phrase_hits)
+    # — a long-running server no longer accumulates one persisted
+    # DataFrame per distinct phrase forever (round-6 serve-mode fix).
     hit_cache = {
-        id(ph): phrase_hits(fts, ph, i).persist() for i, ph in enumerate(phrases)
+        id(ph): fts.cached_phrase_hits(
+            _phrase_cache_key(ph), lambda p=ph: phrase_hits(fts, p, 0)
+        )
+        .drop("phrase_id")
+        .select(
+            F.lit(i).alias("phrase_id"), "type", "key", "tf"
+        )
+        for i, ph in enumerate(phrases)
     }
-    # register for index-lifetime teardown (FtsIndex.release_hit_caches);
-    # Spark's cache manager dedups identical phrase plans, so repeated
-    # queries over the same phrase share one entry rather than leaking.
-    fts.hit_caches.extend(hit_cache.values())
     docset = _docset(ast, fts, hit_cache)
     if phrases:
         all_hits = reduce(

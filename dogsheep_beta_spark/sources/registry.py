@@ -61,7 +61,7 @@ _REGISTERED: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 # plan fans out.  At real scale the input arrives as many files and
 # the scatter is a no-op; this is the honest handling of the
 # unsplittable-small-input edge, not a testdata hack.
-_SCATTER_TABLES = {"documents"}
+_SCATTER_TABLES = {"documents", "embeddings"}
 
 
 def _row_group_count(path: str) -> int | None:

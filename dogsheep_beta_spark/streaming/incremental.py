@@ -738,11 +738,67 @@ def _manifest_path(base: str) -> str:
     return base.rstrip("/") + ".manifest.json"
 
 
+def _lock_is_stale(lock: str, timeout: float) -> bool:
+    """True when the lockfile's recorded owner is provably dead (pid
+    gone on this host) or the file is unreadable/foreign AND older than
+    ``timeout`` — commits hold the lock for milliseconds, so a
+    lockfile that old with no live owner is a crash artifact."""
+    import json
+    import os
+    import socket
+    import time as _time
+
+    try:
+        with open(lock) as f:
+            info = json.loads(f.read() or "{}")
+        pid, host = info.get("pid"), info.get("host")
+        if isinstance(pid, int) and host == socket.gethostname():
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+                return False  # owner alive
+            except ProcessLookupError:
+                return True  # owner died between acquire and release
+            except PermissionError:
+                return False  # alive, different uid
+    except (OSError, ValueError):
+        pass
+    # unparsable / legacy / other-host lock: age heuristic only
+    try:
+        return (_time.time() - os.path.getmtime(lock)) > timeout
+    except OSError:
+        return False  # vanished — normal release; retry the create
+
+
+def force_unlock(base: str) -> bool:
+    """Operator escape hatch: remove ``<base>.manifest.lock``
+    unconditionally.  Returns True if a lockfile was removed."""
+    import os
+
+    try:
+        os.unlink(base.rstrip("/") + ".manifest.lock")
+        return True
+    except FileNotFoundError:
+        return False
+
+
 @contextmanager
 def _manifest_lock(base: str, timeout: float = 30.0):
     """Exclusive-create lockfile serializing manifest commits.  Held
-    for O(one JSON write) — never across a Spark job."""
+    for O(one JSON write) — never across a Spark job.
+
+    The lockfile records its owner (pid/host/timestamp) so a committer
+    that dies between acquire and release (OOM, kill -9) does not wedge
+    the stream forever: waiters detect the dead owner and take over.
+    Takeover is race-free via rename — the stale lock is first renamed
+    to a waiter-unique name (exactly one concurrent renamer wins; the
+    losers' rename raises and they re-enter the wait loop), only then
+    removed, so two waiters can never each delete a *different*
+    generation of the lock.  ``force_unlock`` remains the manual
+    escape hatch for locks this heuristic won't touch (live-pid-on-
+    other-host files newer than ``timeout``)."""
+    import json
     import os
+    import socket
     import time as _time
 
     lock = base.rstrip("/") + ".manifest.lock"
@@ -750,19 +806,42 @@ def _manifest_lock(base: str, timeout: float = 30.0):
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                fd,
+                json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "acquired_unix": _time.time(),
+                    }
+                ).encode(),
+            )
             break
         except FileExistsError:
+            if _lock_is_stale(lock, timeout):
+                claim = f"{lock}.stale.{os.getpid()}"
+                try:
+                    os.rename(lock, claim)  # one winner per stale lock
+                    os.unlink(claim)
+                except OSError:
+                    pass  # another waiter claimed it; retry create
+                continue
             if _time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"manifest lock {lock} held past {timeout}s — "
-                    "crashed committer? remove the lockfile to recover"
+                    f"manifest lock {lock} held past {timeout}s by a "
+                    "live owner — crashed-committer locks are reclaimed "
+                    "automatically; use force_unlock() if this one is "
+                    "known-abandoned"
                 )
             _time.sleep(0.005)
     try:
         yield
     finally:
         os.close(fd)
-        os.unlink(lock)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # reclaimed as stale during an extreme pause
 
 
 def read_manifest(base: str) -> list[str] | None:
@@ -839,7 +918,13 @@ def commit_appended_files(base: str, staging_dir: str) -> None:
             dst = os.path.join(real, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(full, dst)
-        files = set(read_manifest(base) or _list_data_files(real).keys())
+        # None means "no manifest yet" (legacy dir-listing layout);
+        # [] is a real, legitimately-empty committed manifest and must
+        # NOT fall back to listing (that could resurrect excluded files)
+        rels = read_manifest(base)
+        files = (
+            set(rels) if rels is not None else set(_list_data_files(real))
+        )
         files.update(staged.keys())
         _write_manifest(base, files)
     shutil.rmtree(staging_dir, ignore_errors=True)
@@ -940,9 +1025,12 @@ def compact_ivf_layout(
     base = layout_path.rstrip("/")
     with _manifest_lock(base):
         real = os.path.realpath(base)
+        rels = read_manifest(base)  # None ≠ [] — see commit_appended_files
         snapshot = {
             rel: os.path.join(real, rel)
-            for rel in (read_manifest(base) or _list_data_files(real).keys())
+            for rel in (
+                rels if rels is not None else _list_data_files(real)
+            )
         }
     if not snapshot:
         return
@@ -965,7 +1053,12 @@ def compact_ivf_layout(
         # (same cell=… relpath) before the cutover.  The lock excludes
         # further commits until the swap + manifest rewrite are done.
         real = os.path.realpath(base)
-        current = set(read_manifest(base) or _list_data_files(real).keys())
+        cur_rels = read_manifest(base)  # None ≠ [] — see above
+        current = (
+            set(cur_rels)
+            if cur_rels is not None
+            else set(_list_data_files(real))
+        )
         for rel in current - set(snapshot):
             dst = os.path.join(tmp, rel)
             if not os.path.exists(dst):

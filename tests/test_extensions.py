@@ -1223,6 +1223,37 @@ def test_blocked_components_matches_global_loop(spark):
     assert blocked == global_
 
 
+def test_blocked_components_string_keys(spark):
+    """Round-6: natural string entity keys (the common record-linkage
+    case) must work — comp = lexicographic min of the component."""
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    rows = [
+        ("alice", "alicia", "x"), ("alicia", "alyce", "x"),
+        ("bob", "rob", "y"),
+    ]
+    pairs = spark.createDataFrame(rows, "id_a string, id_b string, __bk string")
+    got = {
+        (r["id"], r["comp"]) for r in lk.blocked_components(pairs).collect()
+    }
+    assert got == {
+        ("alice", "alice"), ("alicia", "alice"), ("alyce", "alice"),
+        ("bob", "bob"), ("rob", "bob"),
+    }
+
+
+def test_blocked_components_mixed_types_fail_fast(spark):
+    import pytest as _pytest
+
+    from dogsheep_beta_spark.operators import linkage as lk
+
+    pairs = spark.createDataFrame(
+        [(1, "a", "x")], "id_a long, id_b string, __bk string"
+    )
+    with _pytest.raises(TypeError, match="both be integral or both string"):
+        lk.blocked_components(pairs)
+
+
 def test_temperature_sample_flattens_and_is_deterministic(spark):
     from dogsheep_beta_spark.operators import sampling as sp
 
@@ -1259,3 +1290,50 @@ def test_temperature_sample_corpus_path_is_map_only(spark):
     # exchange of the corpus (the group-count job lives in
     # temperature_rates, recipe-sized and already collected)
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_temperature_sample_high_cardinality_join_fallback(spark):
+    """Round-6: above case_max_groups the thresholds become a BROADCAST
+    rates-join (no 10^4-deep CASE tree), with identical kept rows and
+    no corpus shuffle."""
+    from dogsheep_beta_spark.operators import sampling as sp
+
+    # 10_000 groups of varying size (1-3 rows)
+    rows = [(i, f"g{i % 10_000}") for i in range(25_000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    rates = sp.temperature_rates(df, "grp", 0.5)
+    assert len(rates) == 10_000
+    joined = sp.temperature_sample(
+        df, "grp", "id", 0.5, "s", rates, case_max_groups=256
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan  # join path engaged
+    assert "__thr" not in joined.columns  # helper dropped
+    # (forcing the CASE path at this cardinality is exactly what the
+    # fallback prevents — a JVM StackOverflow from the 10^4-deep
+    # when/otherwise tree — so the ground truth here is the sampler's
+    # own hash contract computed in Python, not the CASE plan)
+    import hashlib as _hl
+
+    def keep(doc_id, grp):
+        b = int(_hl.md5(f"s{doc_id}".encode()).hexdigest()[:8], 16) % 1_000_000
+        return b < rates[grp][1]
+
+    expected = sorted(i for i, g in rows if keep(i, g))
+    assert sorted(r["id"] for r in joined.collect()) == expected
+
+
+def test_temperature_rates_max_groups_guard(spark):
+    """An accidentally high-cardinality group column raises a clear
+    error (bounded collect), never a driver OOM / Catalyst blowup."""
+    import pytest as _pytest
+
+    from dogsheep_beta_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(600)], "id long, grp string"
+    )
+    with _pytest.raises(ValueError, match="distinct 'grp' groups"):
+        sp.temperature_rates(df, "grp", 0.5, max_groups=500)

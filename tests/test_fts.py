@@ -449,3 +449,43 @@ def test_porter_proper_suffix_parity_goldens():
         assert porter_stem(w) == exp, (w, porter_stem(w), exp)
     # the original counterexample: diacritic fold then byte-Porter
     assert analyze_py("iès", "unicode61", stem=True) == ["ie"]
+
+
+# ---------------------------------------------------------------------------
+# phrase-hit LRU (round-6 serve-mode fix: bounded persisted caches)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_hit_cache_lru_bounded_and_reused(plugin_index):
+    """Long-running serve mode: repeated phrases must reuse ONE
+    persisted base (cache size stays flat), distinct phrases beyond
+    hit_cache_max must LRU-evict, and results stay correct after
+    eviction (evicted plans just recompute)."""
+    from dogsheep_beta_spark.plans.match import compile_match, parse_match
+
+    fts_small = build_fts_index(plugin_index, mode="unicode61", stem=False)
+    fts_small.hit_cache_max = 3
+
+    def an(s):
+        return analyze_py(s, mode=fts_small.mode, stem=fts_small.stem)
+
+    def run(q):
+        docset, _ = compile_match(parse_match(q, an), fts_small)
+        return {f"{r['type']}:{r['key']}" for r in docset.collect()}
+
+    first = run("email")
+    assert len(fts_small.hit_caches) == 1
+    base = next(iter(fts_small.hit_caches.values()))
+    assert run("email") == first  # repeat: same entry, not a new one
+    assert len(fts_small.hit_caches) == 1
+    assert next(iter(fts_small.hit_caches.values())) is base
+    # distinct phrases roll the LRU over its bound
+    for q in ["things", "dogfest", "commit"]:
+        run(q)
+    assert len(fts_small.hit_caches) == 3  # "email" evicted
+    assert ("email",) not in {k[0] for k in fts_small.hit_caches}
+    # evicted phrase still answers correctly (recompute, re-cached)
+    assert run("email") == first
+    assert len(fts_small.hit_caches) == 3
+    fts_small.release_hit_caches()
+    assert not fts_small.hit_caches

@@ -983,3 +983,92 @@ def test_streaming_entity_link_cap_crossing_deletes_matches(spark, tmpdir):
         for r in spark.read.parquet(matches).collect()
     }
     assert got == {(101, 100)}  # junk block's matches were deleted
+
+
+def test_manifest_lock_dead_owner_reclaimed(tmpdir):
+    """A lockfile whose recorded owner pid is dead must be taken over
+    automatically instead of wedging every commit until a manual rm
+    (the crashed-committer scenario: acquire, then kill -9)."""
+    import json
+    import socket
+    import subprocess
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    base = os.path.join(tmpdir, "layout")
+    lock = base + ".manifest.lock"
+    # a real process, exited AND reaped → provably dead pid
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+    with open(lock, "w") as f:
+        json.dump(
+            {
+                "pid": dead_pid,
+                "host": socket.gethostname(),
+                "acquired_unix": time.time(),
+            },
+            f,
+        )
+    t0 = time.monotonic()
+    with inc._manifest_lock(base, timeout=5.0):
+        pass  # acquired despite the pre-existing lockfile
+    assert time.monotonic() - t0 < 2.0  # takeover, not timeout
+    assert not os.path.exists(lock)
+
+
+def test_manifest_lock_live_owner_still_blocks(tmpdir):
+    """A lock held by a LIVE process must still block (and time out)
+    — staleness is owner-death, not mere existence."""
+    import json
+    import socket
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    base = os.path.join(tmpdir, "layout")
+    with open(base + ".manifest.lock", "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),  # this very process: alive
+                "host": socket.gethostname(),
+                "acquired_unix": time.time(),
+            },
+            f,
+        )
+    with pytest.raises(TimeoutError):
+        with inc._manifest_lock(base, timeout=0.3):
+            pass
+    assert inc.force_unlock(base)  # documented escape hatch
+    with inc._manifest_lock(base, timeout=1.0):
+        pass
+
+
+def test_empty_manifest_not_treated_as_missing(spark, tmpdir):
+    """A committed manifest with files: [] is a real (empty) snapshot:
+    commit_appended_files must NOT fall back to directory listing,
+    which would resurrect files the manifest deliberately excludes."""
+    import pandas as pd
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    base = os.path.join(tmpdir, "layout")
+    os.makedirs(base)
+    # a stray data file on disk that the (empty) manifest excludes
+    pd.DataFrame({"vec_id": [999], "cell": [0]}).to_parquet(
+        os.path.join(base, "stray.parquet")
+    )
+    with inc._manifest_lock(base):
+        inc._write_manifest(base, [])
+    assert inc.read_manifest(base) == []
+    # an append commit must carry forward ONLY the manifest's file set
+    staging = os.path.join(tmpdir, "staging")
+    os.makedirs(staging)
+    pd.DataFrame({"vec_id": [1], "cell": [0]}).to_parquet(
+        os.path.join(staging, "batch0.parquet")
+    )
+    inc.commit_appended_files(base, staging)
+    assert inc.read_manifest(base) == ["batch0.parquet"]  # no stray
+    got = {r["vec_id"] for r in inc.read_layout(spark, base).collect()}
+    assert got == {1}
