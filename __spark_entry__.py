@@ -1066,6 +1066,43 @@ def q_search_porter_stemmed(spark, sf_dir):
     return _bm25_results(spark, sf_dir, "queried tables", porter=True)
 
 
+def _ctx_tokargs(spark, sf_dir):
+    """Third FTS context exercising the FTS5 tokenizer-argument
+    passthrough (reference cli.py:22-26 forwards --tokenize strings
+    like ``unicode61 tokenchars '#'`` verbatim into enable_fts):
+    ``portable tokenchars '_' separators 'c'`` over the events slice —
+    'c' demoted to a separator reshapes real corpus tokens ("click" →
+    li,k) so the oracle genuinely differentiates, '_' promoted
+    exercises the bareword/lexer widening.  Slice-scoped (events only)
+    so the extra build is title+props-sized, not corpus-sized."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "fts_tokargs" not in c:
+        idx = _search_index(spark, sf_dir).where(
+            F.col("type") == "events.db/events"
+        )
+        c["idx_tokargs"] = idx
+        c["fts_tokargs"] = build_fts_index(
+            idx, mode="portable tokenchars '_' separators 'c'", stem=False
+        )
+    return c["idx_tokargs"], c["fts_tokargs"]
+
+
+def q_search_tokenizer_args(spark, sf_dir):
+    """A9/H7 tokenizer-argument passthrough end-to-end: the index built
+    with ``portable tokenchars '_' separators 'c'`` tokenizes "click"
+    as (li, k), so MATCH 'li' retrieves exactly the click events —
+    impossible under the default charset, which is what makes this a
+    differentiating oracle."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _ctx_tokargs(spark, sf_dir)
+    scored = scored_docs(fts, "li").withColumn("rank", F.round("rank", 6))
+    res = _track_qres(sf_dir, compile_plan(idx, QueryPlan(q="li"), scored=scored))
+    return res.results.select("type", "key", "rank", "title", "timestamp")
+
+
 def q_search_sort_oldest(spark, sf_dir):
     """F3: explicit sort=oldest overrides relevance even with q
     (__init__.py:45-48,117-121; tests/test_plugin.py:155-230)."""
@@ -3363,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
         "entity_link_best": q_entity_link_best,
+        "search_tokenizer_args": q_search_tokenizer_args,
     }
 
 
@@ -3437,6 +3475,44 @@ def _phrase2_hits(t1: str, t2: str) -> str:
         WHERE a.term = '{t1}' AND b.term = '{t2}'
         GROUP BY a.type, a."key"
     """
+
+
+# Tokenizer-argument oracle (search_tokenizer_args): the events-only
+# index built with ``portable tokenchars '_' separators 'c'`` — the
+# DuckDB split regex mirrors tokenizer._split_pattern exactly:
+# explicit separators first ([c]), then the default separator class
+# minus promoted tokenchars ([^a-z0-9_]).
+ORACLE_TOKARGS_CTE = """
+WITH search_index AS (
+    SELECT 'events.db/events' AS type, CAST(event_id AS VARCHAR) AS "key",
+           event_type AS title,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS "timestamp",
+           3 AS category, 0 AS is_public, props AS search_1
+    FROM events
+), tokens AS (
+    SELECT type, "key", field, unnest(toks) AS term
+    FROM (
+        SELECT type, "key", 'title' AS field,
+               list_filter(string_split_regex(lower(coalesce(title, '')),
+                           '([c]|[^a-z0-9_])+'), x -> x <> '') AS toks
+        FROM search_index
+        UNION ALL
+        SELECT type, "key", 'search_1',
+               list_filter(string_split_regex(lower(coalesce(search_1, '')),
+                           '([c]|[^a-z0-9_])+'), x -> x <> '')
+        FROM search_index
+    )
+), postings AS (
+    SELECT term, type, "key", field, COUNT(*) AS tf
+    FROM tokens GROUP BY term, type, "key", field
+), doclen AS (
+    SELECT type, "key", COUNT(*) AS dl FROM tokens GROUP BY type, "key"
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM search_index) AS n_docs,
+           (SELECT COALESCE(SUM(dl), 0) FROM doclen) * 1.0
+             / (SELECT COUNT(*) FROM search_index) AS avgdl
+)
+"""
 
 
 # --- extension oracles: shared CTE fragments ------------------------------
@@ -4196,6 +4272,22 @@ ORDER BY rank, type, "key"
             ],
             'SELECT type, "key" FROM t_query INTERSECT SELECT type, "key" FROM t_table',
         ),
+        # tokenizer-argument passthrough: custom split ([c] demoted to a
+        # separator, [_] promoted) over the events slice; MATCH 'li'
+        # retrieves the click events, which the default charset cannot.
+        "search_tokenizer_args": ORACLE_TOKARGS_CTE
+        + _hits_block("t_li", _term_hits("term = 'li'"))
+        + """
+, scored AS (
+    SELECT type, "key", ROUND(-SUM(c), 6) AS rank
+    FROM t_li_c GROUP BY type, "key"
+)
+SELECT s.type, s."key", s.rank, si.title, si."timestamp"
+FROM scored s
+JOIN search_index si ON s.type = si.type AND s."key" = si."key"
+ORDER BY s.rank ASC, si."timestamp" DESC NULLS LAST, s.type ASC, s."key" ASC
+LIMIT 100
+""",
         # Spark ASC sorts NULLs first; DuckDB defaults NULLS LAST on ASC.
         "search_sort_oldest": _search_oracle(
             [("t_spark", _term_hits("term = 'spark'"))],

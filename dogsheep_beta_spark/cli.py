@@ -87,9 +87,15 @@ def cmd_index(args) -> int:
         partition_by_type=args.partition_by_type,
         zorder=args.zorder,
     )
-    # FTS rebuild after the bulk load, like the reference (utils.py:57-63)
-    stem = args.tokenize == "porter"
-    fts = build_fts_index(df, mode="portable", stem=stem)
+    # FTS rebuild after the bulk load, like the reference (utils.py:57-63).
+    # The --tokenize string is forwarded the way the reference forwards it
+    # into FTS5 (reference cli.py:22-26): "porter"/"none", optionally with
+    # a base + unicode61-style arguments, e.g.
+    #   --tokenize "porter unicode61 tokenchars '#'"
+    from dogsheep_beta_spark.functions.tokenizer import parse_fts5_tokenize
+
+    mode, stem = parse_fts5_tokenize(args.tokenize)
+    fts = build_fts_index(df, mode=mode, stem=stem)
     write_fts_index(fts, os.path.join(args.output, "fts"), args.term_buckets)
     n = df.count()
     print(f"indexed {n} rows -> {args.output} (tokenize={args.tokenize})")
@@ -262,8 +268,13 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument(
         "--tokenize",
         default="porter",
-        choices=["porter", "none"],
-        help="porter (default) stems indexed terms; none disables stemming",
+        help=(
+            "FTS5-style tokenizer spec, forwarded like the reference: "
+            "porter (default) stems indexed terms, none disables "
+            "stemming; either may carry unicode61 arguments, e.g. "
+            "\"porter unicode61 tokenchars '#'\" or "
+            "\"none unicode61 separators 'X'\""
+        ),
     )
     ix.add_argument(
         "-d",

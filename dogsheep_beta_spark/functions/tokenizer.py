@@ -71,6 +71,134 @@ _FOLD_MAP = str.maketrans(
 _PY_SPLIT = {"portable": re.compile("[^a-z0-9]+"), "unicode61": re.compile(r"[\W_]+", re.UNICODE)}
 
 
+# ---------------------------------------------------------------------------
+# FTS5 tokenizer-argument passthrough (round 6).  The reference forwards
+# the --tokenize string verbatim into FTS5 (reference cli.py:22-26 →
+# utils.py:90 enable_fts(tokenize=...)), so specs like
+# ``unicode61 tokenchars '#'`` are part of its surface.  Here ``mode``
+# strings may carry the same argument syntax:
+#
+#     "portable"                          (plain base)
+#     "unicode61 tokenchars '#'"          (promote # to a token char)
+#     "unicode61 separators 'X'"          (demote X to a separator)
+#     "unicode61 remove_diacritics '0'"   (disable folding)
+#
+# Semantics (FTS5 unicode61 docs): a codepoint is a token character iff
+# (default-token-char OR in tokenchars) AND NOT in separators —
+# separators wins when a char appears in both.  The extended mode string
+# travels everywhere the plain mode did (FtsIndex.mode, meta.json, the
+# incremental maintainer) with no signature changes.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+import shlex as _shlex
+
+_MODE_OPTS = {"tokenchars", "separators", "remove_diacritics"}
+
+
+@_lru_cache(maxsize=128)
+def _parse_mode(mode: str) -> tuple[str, str, str, bool]:
+    """mode spec → (base, tokenchars, separators, fold_diacritics)."""
+    parts = _shlex.split(mode)
+    if not parts:
+        raise ValueError("empty tokenizer mode")
+    base = parts[0]
+    if base not in ("portable", "unicode61"):
+        raise ValueError(f"unknown tokenizer base {base!r} in {mode!r}")
+    args = parts[1:]
+    if len(args) % 2:
+        raise ValueError(f"dangling tokenizer option in {mode!r}")
+    opts = dict(zip(args[0::2], args[1::2]))
+    unknown = set(opts) - _MODE_OPTS
+    if unknown:
+        raise ValueError(f"unknown tokenizer option(s) {sorted(unknown)} in {mode!r}")
+    fold = base == "unicode61" and opts.get("remove_diacritics", "1") != "0"
+    return base, opts.get("tokenchars", ""), opts.get("separators", ""), fold
+
+
+def mode_tokenchars(mode: str) -> str:
+    """The spec's promoted token characters (for the MATCH lexer's
+    bareword charset — FTS5 barewords include tokenchars)."""
+    return _parse_mode(mode)[1]
+
+
+def _class_escape(chars: str) -> str:
+    """Escape for inclusion inside a regex character class (valid in
+    both Java and Python regex dialects)."""
+    return "".join(
+        "\\" + c if c in "\\^]-[&" else c for c in dict.fromkeys(chars)
+    )
+
+
+@_lru_cache(maxsize=128)
+def _split_pattern(mode: str, dialect: str) -> str:
+    """Separator-run regex for the spec, per dialect ("jvm"|"py").
+
+    Built as an alternation: explicit separators first (they win over
+    tokenchars), then the default separator class minus tokenchars.
+    """
+    base, tc, sp, _fold = _parse_mode(mode)
+    tc_cls = _class_escape(tc)
+    branches = []
+    if sp:
+        branches.append(f"[{_class_escape(sp)}]")
+    if base == "portable":
+        branches.append(f"[^a-z0-9{tc_cls}]")
+    elif dialect == "jvm":
+        branches.append(f"[^\\p{{L}}\\p{{N}}{tc_cls}]")
+    else:  # py unicode61: token chars = \w minus _, plus tokenchars
+        branches.append(f"[^\\w{tc_cls}]")
+        if "_" not in tc:
+            branches.append("_")
+    if len(branches) == 1:
+        return branches[0] + "+"
+    return "(?:" + "|".join(branches) + ")+"
+
+
+def parse_fts5_tokenize(
+    spec: str, default_base: str = "portable"
+) -> tuple[str, bool]:
+    """Reference-style ``--tokenize`` string → (mode, stem).
+
+    The reference forwards this string verbatim into FTS5
+    (reference cli.py:22-26); accepted shapes:
+
+        porter                               → (default_base, True)
+        none                                 → (default_base, False)
+        porter unicode61 tokenchars '#'      → ("unicode61 tokenchars '#'", True)
+        unicode61 separators 'X'             → ("unicode61 separators 'X'", False)
+
+    ``porter`` is FTS5's wrapper tokenizer (stemming over unicode61 by
+    default); ``none`` disables stemming.  Remaining option pairs are
+    re-serialized into the canonical extended mode string that
+    _parse_mode consumes (validated here so a typo fails at the CLI,
+    not mid-job)."""
+    parts = _shlex.split(spec or "porter")
+    stem = False
+    if parts and parts[0] == "porter":
+        stem = True
+        parts = parts[1:]
+    elif parts and parts[0] == "none":
+        parts = parts[1:]
+    base = default_base
+    if parts and parts[0] in ("unicode61", "portable"):
+        base = parts[0]
+        parts = parts[1:]
+    elif parts and stem:
+        # "porter tokenchars ..." — FTS5 forwards args to unicode61
+        base = "unicode61"
+    mode = base
+    if parts:
+        if len(parts) % 2:
+            raise ValueError(f"dangling tokenizer option in {spec!r}")
+        for k, v in zip(parts[0::2], parts[1::2]):
+            if k not in _MODE_OPTS:
+                raise ValueError(f"unknown tokenizer option {k!r} in {spec!r}")
+            mode += f" {k} {_shlex.quote(v)}"
+    _parse_mode(mode)  # validate eagerly
+    return mode, stem
+
+
 def fold_diacritics_expr(col: Column) -> Column:
     """JVM-side diacritic folding (FTS5 remove_diacritics=1 analog)."""
     return F.translate(col, _FOLD_SRC, _FOLD_DST)
@@ -81,10 +209,17 @@ def fold_diacritics_py(text: str) -> str:
 
 
 def tokenize_expr(col: Column, mode: str = "portable") -> Column:
-    """Array of non-empty lowercase tokens — pure JVM expression."""
-    pattern = PORTABLE_SPLIT if mode == "portable" else UNICODE61_SPLIT
+    """Array of non-empty lowercase tokens — pure JVM expression.
+    ``mode`` may carry FTS5 tokenizer arguments (see _parse_mode)."""
+    if mode == "portable":  # fast path, the dominant spec
+        pattern, fold = PORTABLE_SPLIT, False
+    elif mode == "unicode61":
+        pattern, fold = UNICODE61_SPLIT, True
+    else:
+        pattern = _split_pattern(mode, "jvm")
+        fold = _parse_mode(mode)[3]
     text = F.lower(F.coalesce(col, F.lit("")))
-    if mode == "unicode61":
+    if fold:
         text = fold_diacritics_expr(text)
     toks = F.split(text, pattern)
     return F.filter(toks, lambda x: x != "")
@@ -95,9 +230,15 @@ def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
     if not text:
         return []
     text = text.lower()
-    if mode == "unicode61":
+    if mode in _PY_SPLIT:
+        fold = mode == "unicode61"
+        rx = _PY_SPLIT[mode]
+    else:
+        fold = _parse_mode(mode)[3]
+        rx = re.compile(_split_pattern(mode, "py"), re.UNICODE)
+    if fold:
         text = fold_diacritics_py(text)
-    return [t for t in _PY_SPLIT[mode].split(text) if t]
+    return [t for t in rx.split(text) if t]
 
 
 # ---------------------------------------------------------------------------

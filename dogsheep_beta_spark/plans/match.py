@@ -127,7 +127,19 @@ _PUNCT = {
 }
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _word_re(word_chars: str):
+    """Bareword regex, widened by the index tokenizer's ``tokenchars``
+    (FTS5: characters promoted to token chars are legal in barewords —
+    ``#dogfest`` parses instead of falling back when the index was
+    built with ``tokenchars '#'``)."""
+    if not word_chars:
+        return _WORD
+    extra = "".join("\\" + c if c in "\\^]-[" else c for c in word_chars)
+    return re.compile("[A-Za-z0-9_" + extra + "\u0080-\uffff]+")
+
+
+def _lex(q: str, word_chars: str = "") -> list[tuple[str, str]]:
+    word_re = _word_re(word_chars)
     out = []
     i, n = 0, len(q)
     while i < n:
@@ -136,7 +148,7 @@ def _lex(q: str) -> list[tuple[str, str]]:
             i = m.end()
             continue
         ch = q[i]
-        if ch in _PUNCT:
+        if ch in _PUNCT and ch not in word_chars:
             out.append((_PUNCT[ch], ch))
             i += 1
         elif ch == '"':
@@ -146,7 +158,7 @@ def _lex(q: str) -> list[tuple[str, str]]:
             out.append(("QUOTED", q[i + 1 : j]))
             i = j + 1
         else:
-            m = _WORD.match(q, i)
+            m = word_re.match(q, i)
             if not m:
                 raise ParseError(f"unexpected character {ch!r} at {i}")
             word = m.group(0)
@@ -334,9 +346,13 @@ class _Parser:
 DEFAULT_COLUMNS = ("title", "search_1")  # the two indexed fields (A9)
 
 
-def parse_match(q: str, analyze, columns=DEFAULT_COLUMNS) -> object:
-    """Parse a MATCH query; raise ParseError on FTS5-invalid syntax."""
-    toks = _lex(q)
+def parse_match(
+    q: str, analyze, columns=DEFAULT_COLUMNS, word_chars: str = ""
+) -> object:
+    """Parse a MATCH query; raise ParseError on FTS5-invalid syntax.
+    ``word_chars`` widens the bareword charset with the index
+    tokenizer's promoted tokenchars (FTS5 parity — see _word_re)."""
+    toks = _lex(q, word_chars)
     if not toks:
         raise ParseError("empty query")
     return _Parser(toks, analyze, columns).parse()
@@ -599,19 +615,21 @@ def _phrase_cache_key(ph: Phrase) -> tuple:
 def compile_match(ast, fts) -> tuple[DataFrame, DataFrame]:
     """AST → (docset (type,key), phrase_hits (phrase_id,type,key,tf))."""
     phrases = collect_phrases(ast)
-    # The persisted base is keyed by phrase CONTENT and excludes the
-    # positional phrase_id literal, so it is reusable across requests;
-    # the id is stamped by a projection over the cached relation.  The
-    # cache is a bounded LRU on the index (FtsIndex.cached_phrase_hits)
-    # — a long-running server no longer accumulates one persisted
-    # DataFrame per distinct phrase forever (round-6 serve-mode fix).
+    # Persisted per (phrase CONTENT, position): a repeated query string
+    # reuses its cached plans wholesale, and the cache is a bounded LRU
+    # on the index (FtsIndex.cached_phrase_hits) — a long-running
+    # server no longer accumulates one persisted DataFrame per request
+    # forever (round-6 serve-mode fix).  The positional phrase_id
+    # literal stays INSIDE the persisted plan on purpose: exposed as a
+    # visible projection over the cache boundary, Catalyst folds the
+    # downstream df⋈hits equi-join on phrase_id into a cross join and
+    # the size estimate explodes past the broadcast threshold,
+    # regressing the search join to sort-merge (plan-asserted in
+    # tests/test_plans.py::test_search_path_has_no_sort_merge_join).
     hit_cache = {
         id(ph): fts.cached_phrase_hits(
-            _phrase_cache_key(ph), lambda p=ph: phrase_hits(fts, p, 0)
-        )
-        .drop("phrase_id")
-        .select(
-            F.lit(i).alias("phrase_id"), "type", "key", "tf"
+            _phrase_cache_key(ph) + (i,),
+            lambda p=ph, j=i: phrase_hits(fts, p, j),
         )
         for i, ph in enumerate(phrases)
     }

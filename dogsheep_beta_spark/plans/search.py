@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.functions.bm25 import score_phrase_hits
-from dogsheep_beta_spark.functions.tokenizer import analyze_py
+from dogsheep_beta_spark.functions.tokenizer import analyze_py, mode_tokenchars
 from dogsheep_beta_spark.operators.fts_index import FtsIndex
 from dogsheep_beta_spark.plans.match import (
     ParseError,
@@ -39,7 +39,10 @@ def scored_docs(fts: FtsIndex, q: str, type_filter: str | None = None) -> DataFr
         return analyze_py(s, fts.mode, fts.stem)
 
     try:
-        ast = parse_match(q, analyze, columns=fts.fields)
+        ast = parse_match(
+            q, analyze, columns=fts.fields,
+            word_chars=mode_tokenchars(fts.mode),
+        )
     except ParseError:
         ast = escape_match(q, analyze)  # B6/H8 fallback
     docset, hits = compile_match(ast, fts)
@@ -68,7 +71,10 @@ def matching_docs(fts: FtsIndex, q: str) -> DataFrame:
         return analyze_py(s, fts.mode, fts.stem)
 
     try:
-        ast = parse_match(q, analyze, columns=fts.fields)
+        ast = parse_match(
+            q, analyze, columns=fts.fields,
+            word_chars=mode_tokenchars(fts.mode),
+        )
     except ParseError:
         ast = escape_match(q, analyze)
     docset, _ = compile_match(ast, fts)

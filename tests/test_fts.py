@@ -489,3 +489,112 @@ def test_phrase_hit_cache_lru_bounded_and_reused(plugin_index):
     assert len(fts_small.hit_caches) == 3
     fts_small.release_hit_caches()
     assert not fts_small.hit_caches
+
+
+# ---------------------------------------------------------------------------
+# FTS5 tokenizer-argument passthrough (round 6: tokenchars/separators)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenize_tokenchars_matches_fts5():
+    """Ground truth: FTS5's own unicode61 with tokenchars/separators."""
+    texts = [
+        "Hey there #dogfest",
+        "a#b c_d e-f",
+        "#tag ##double end#",
+        "clicky business c",
+    ]
+    for spec_sqlite, spec_mode in [
+        ("unicode61 tokenchars '#'", "unicode61 tokenchars '#'"),
+        ("unicode61 separators 'c'", "unicode61 separators 'c'"),
+        ("unicode61 tokenchars '#_' separators 'e'",
+         "unicode61 tokenchars '#_' separators 'e'"),
+    ]:
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            f'CREATE VIRTUAL TABLE t USING fts5(a, tokenize="{spec_sqlite}")'
+        )
+        con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+        from dogsheep_beta_spark.functions.tokenizer import tokenize_py
+
+        for text in texts:
+            con.execute("DELETE FROM t")
+            con.execute("INSERT INTO t VALUES (?)", (text,))
+            fts5 = [
+                r[0] for r in con.execute(
+                    "SELECT term FROM v ORDER BY offset"
+                ).fetchall()
+            ]
+            assert tokenize_py(text, spec_mode) == fts5, (spec_mode, text)
+
+
+def test_tokenize_expr_matches_py_twin(spark):
+    """JVM expression and the driver-side twin must agree on extended
+    specs (the index is built by one, queries analyzed by the other)."""
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_py
+
+    texts = ["Hey there #dogfest", "a#b c_d e-f", "clicky C Canary", ""]
+    for mode in (
+        "portable tokenchars '#'",
+        "portable tokenchars '_' separators 'c'",
+        "unicode61 tokenchars '#'",
+    ):
+        from dogsheep_beta_spark.functions.tokenizer import tokenize_expr
+
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [
+            r["toks"]
+            for r in df.select(tokenize_expr(F.col("t"), mode).alias("toks")).collect()
+        ]
+        want = [tokenize_py(t, mode) for t in texts]
+        assert got == want, mode
+
+
+def test_parse_fts5_tokenize():
+    from dogsheep_beta_spark.functions.tokenizer import parse_fts5_tokenize
+
+    assert parse_fts5_tokenize("porter") == ("portable", True)
+    assert parse_fts5_tokenize("none") == ("portable", False)
+    assert parse_fts5_tokenize("porter unicode61 tokenchars '#'") == (
+        "unicode61 tokenchars '#'", True
+    )
+    # shlex.quote only quotes when needed: X is shell-safe, # is not
+    assert parse_fts5_tokenize("none unicode61 separators 'X'") == (
+        "unicode61 separators X", False
+    )
+    # "porter tokenchars ..." — FTS5 forwards the args to unicode61
+    assert parse_fts5_tokenize("porter tokenchars '#'") == (
+        "unicode61 tokenchars '#'", True
+    )
+    with pytest.raises(ValueError):
+        parse_fts5_tokenize("porter frobnicate '1'")
+    with pytest.raises(ValueError):
+        parse_fts5_tokenize("porter unicode61 tokenchars")  # dangling
+
+
+def test_tokenchars_index_matches_hashtag_without_fallback(plugin_index):
+    """Reference parity target (cli.py:22-26 forwards tokenizer args):
+    with ``tokenchars '#'`` the term "#dogfest" is indexed INCLUDING
+    the hash, the MATCH lexer accepts it as a bareword (no escape
+    fallback), and the bare "dogfest" no longer matches."""
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py
+    from dogsheep_beta_spark.plans.match import parse_match
+    from dogsheep_beta_spark.plans.search import search
+
+    mode = "unicode61 tokenchars '#'"
+    fts_tc = build_fts_index(plugin_index, mode=mode, stem=False)
+
+    def an(s):
+        return analyze_py(s, mode=mode, stem=False)
+
+    # lexes as one bareword under the widened charset — NOT a ParseError
+    ast = parse_match("#dogfest", an, word_chars="#")
+    assert ast.tokens == ["#dogfest"]
+    ids = result_ids(search(plugin_index, fts_tc, "#dogfest"))
+    assert ids == ["emails.db/emails:1"]
+    assert result_ids(search(plugin_index, fts_tc, "dogfest")) == []
+    # default index behavior unchanged: '#' still error → escape fallback
+    with pytest.raises(ParseError):
+        parse_match("#dogfest", an)
