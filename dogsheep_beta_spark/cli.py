@@ -212,7 +212,42 @@ def cmd_serve(args) -> int:
     Datasette route (reference __init__.py:261-263).  The session, the
     loaded index (persisted) and the FTS postings are built ONCE and
     reused by every request."""
-    from dogsheep_beta_spark.server import make_server
+    from dogsheep_beta_spark.server import make_live_server, make_server
+
+    if getattr(args, "live", False):
+        # serve-while-indexing: INDEX is the streaming merge's layout
+        # (incremental_fts_stream index_path; --fts its fts_path) and
+        # every request re-pins the current committed generation —
+        # docs appended by the running stream become searchable with
+        # no restart (server.load_live_snapshot).
+        from dogsheep_beta_spark.config import parse_metadata
+        from dogsheep_beta_spark.functions.tokenizer import parse_fts5_tokenize
+
+        spark = _build_session()
+        rules = {}
+        if getattr(args, "config", None):
+            with open(args.config) if args.config != "-" else sys.stdin as f:
+                rules = parse_metadata(f.read())
+        mode, stem = parse_fts5_tokenize(args.tokenize or "none")
+        srv = make_live_server(
+            spark,
+            args.index,
+            args.fts or os.path.join(os.path.dirname(args.index.rstrip("/")), "fts"),
+            rules,
+            host=args.host,
+            port=args.port,
+            mode=mode,
+            stem=stem,
+        )
+        host, port = srv.server_address[:2]
+        print(f"serving LIVE on http://{host}:{port}/-/beta", file=sys.stderr)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
+        return 0
 
     spark, index_df, fts, rules = _load_index_ctx(args)
     index_df = index_df.persist()
@@ -349,6 +384,25 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8001, help="0 = ephemeral")
     sv.add_argument("--config", default=None, help="rules file for display templates")
     sv.add_argument("--sources", default=None, help="source dir for display_sql hydration")
+    sv.add_argument(
+        "--live",
+        action="store_true",
+        help=(
+            "serve-while-indexing: INDEX is a streaming merge layout "
+            "(incremental_fts_stream index_path); each request re-pins "
+            "the current committed generation"
+        ),
+    )
+    sv.add_argument(
+        "--fts",
+        default=None,
+        help="--live only: the stream's fts_path (default: sibling 'fts' dir)",
+    )
+    sv.add_argument(
+        "--tokenize",
+        default=None,
+        help="--live only: tokenizer spec for query analysis (default none)",
+    )
     sv.set_defaults(func=cmd_serve)
 
     ex = sub.add_parser(

@@ -75,3 +75,114 @@ def make_server(
     call ``serve_forever()`` / ``shutdown()`` on the result."""
     handler = make_handler(spark, index_df, fts, rules, template_debug)
     return ThreadingHTTPServer((host, port), handler)
+
+
+def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False):
+    """(index_df, FtsIndex) pinned to the CURRENT committed generation
+    of a layout that a streaming merge (``merge_fts_batch``) is
+    actively appending to.
+
+    Each artifact publishes via atomic symlink cutover
+    (``_publish_dir``), so resolving the symlink ONCE and reading the
+    resolved version dir yields a complete generation — never a
+    half-written mixture (a publish during the request is invisible;
+    the resolved dir survives one further publish under the retention
+    policy, the same horizon as manifest time travel).  Corpus scalars
+    (n_docs, avgdl) are recomputed per snapshot — two tiny aggregate
+    jobs; a production deployment would memoize them per resolved
+    generation path, which is exactly the cache key the cutover
+    provides for free.
+
+    This is the reference's trigger-maintained-FTS story
+    (reference dogsheep_beta/utils.py:90: SQLite triggers keep
+    search_index_fts in sync while Datasette serves from the same db
+    file) made real at engine scale: writer and server share nothing
+    but the published layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.fts_index import FtsIndex
+
+    idx_real = os.path.realpath(index_path.rstrip("/"))
+    post_real = os.path.realpath(os.path.join(fts_path, "postings"))
+    len_real = os.path.realpath(os.path.join(fts_path, "doc_lengths"))
+    index_df = spark.read.parquet(idx_real)
+    postings = spark.read.parquet(post_real)
+    doc_lengths = spark.read.parquet(len_real)
+    n_docs = index_df.count()
+    total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    return index_df, FtsIndex(
+        postings=postings,
+        doc_lengths=doc_lengths,
+        n_docs=n_docs,
+        avgdl=(total / n_docs) if n_docs else 0.0,
+        mode=mode,
+        stem=stem,
+    )
+
+
+def make_live_handler(
+    spark, index_path, fts_path, rules=None, mode="portable",
+    stem=False, template_debug=False,
+):
+    """Handler that re-pins the index + FTS generation PER REQUEST —
+    serve-while-indexing: docs appended by a concurrently running
+    ``merge_fts_batch`` stream become searchable on the next request,
+    no restart, and no request ever reads a partial generation (the
+    symlink resolution in load_live_snapshot is the isolation
+    boundary)."""
+    from dogsheep_beta_spark.page import beta_page
+
+    class LiveBetaHandler(BaseHTTPRequestHandler):
+        server_version = "dogsheep-beta-spark"
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            u = urlparse(self.path)
+            if u.path not in ROUTES:
+                self._respond(404, "not found\n", "text/plain")
+                return
+            args = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                index_df, fts = load_live_snapshot(
+                    spark, index_path, fts_path, mode, stem
+                )
+                html = beta_page(
+                    spark, index_df, fts, args, rules, template_debug
+                )
+                fts.release_hit_caches()  # per-request teardown
+            except Exception as e:  # surface, don't kill the server
+                self._respond(500, f"error: {e}\n", "text/plain")
+                return
+            self._respond(200, html, "text/html; charset=utf-8")
+
+        def _respond(self, code: int, body: str, ctype: str) -> None:
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return LiveBetaHandler
+
+
+def make_live_server(
+    spark,
+    index_path,
+    fts_path,
+    rules=None,
+    host: str = "127.0.0.1",
+    port: int = 8001,
+    mode: str = "portable",
+    stem: bool = False,
+    template_debug: bool = False,
+) -> ThreadingHTTPServer:
+    """Bound-but-not-running live server (see make_live_handler)."""
+    handler = make_live_handler(
+        spark, index_path, fts_path, rules, mode, stem, template_debug
+    )
+    return ThreadingHTTPServer((host, port), handler)

@@ -437,3 +437,92 @@ def test_http_serve_e2e(page_ctx):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_while_indexing_e2e(spark):
+    """Serve-while-indexing (round 6): a LIVE server whose index + FTS
+    layouts are being appended by the streaming foreachBatch merge —
+    the reference's trigger-maintained-FTS story (utils.py:90: SQLite
+    triggers keep the FTS table in sync while Datasette serves from
+    the same file) at engine scale.  Asserts: (1) a new batch becomes
+    searchable WITHOUT restart; (2) no request observes a partial
+    generation — result counts only ever take complete-batch values
+    (docs arrive 5 per batch, so any count outside {5, 10} is a torn
+    read); (3) the server survives the concurrent publish."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    import threading
+    import urllib.request
+
+    from dogsheep_beta_spark.server import make_live_server
+    from dogsheep_beta_spark.streaming.incremental import (
+        incremental_fts_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="dbs_live_", dir="/tmp")
+    try:
+        src = os.path.join(root, "src")
+        index_path = os.path.join(root, "index")
+        fts_path = os.path.join(root, "fts")
+        ckpt = os.path.join(root, "ckpt")
+        schema = "key int, title string, search_1 string"
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = incremental_fts_stream(
+                spark, stream, index_path, fts_path, "live.db/docs", ckpt
+            )
+            q.awaitTermination(120)
+
+        run_batch([(i, f"needle doc {i}", "filler words") for i in range(5)])
+
+        srv = make_live_server(spark, index_path, fts_path, port=0)
+        host, port = srv.server_address[:2]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+
+        def fetch_count():
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/-/beta?q=needle", timeout=120
+            ) as resp:
+                assert resp.status == 200
+                html = resp.read().decode("utf-8")
+            m = re.search(r"Got (\d+) results", html)
+            assert m, html[:500]
+            return int(m.group(1))
+
+        try:
+            assert fetch_count() == 5
+
+            observed, errors = [], []
+            stop = threading.Event()
+
+            def hammer():
+                while not stop.is_set():
+                    try:
+                        observed.append(fetch_count())
+                    except Exception as e:  # noqa: BLE001
+                        errors.append(e)
+                        return
+
+            h = threading.Thread(target=hammer, daemon=True)
+            h.start()
+            # the live append: second batch through the SAME checkpoint
+            run_batch([(i, f"needle doc {i}", "filler words") for i in range(5, 10)])
+            stop.set()
+            h.join(timeout=180)
+            assert not errors, errors
+            # (2) every concurrent observation is a complete generation
+            assert observed and all(c in (5, 10) for c in observed), observed
+            # (1) the new docs are searchable now, no restart
+            assert fetch_count() == 10
+        finally:
+            srv.shutdown()
+            srv.server_close()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
