@@ -218,3 +218,120 @@ def test_scale_interval_join_10x(spark):
     _linear(t1, t10, "interval_join")
     assert n10 >= 9 * n1  # 10x keys → ~10x overlapping pairs
     print(f"\nSCALE interval_join 1x={t1:.1f}s 10x={t10:.1f}s rows {n1}->{n10}")
+
+
+@pytest.mark.slow
+def test_scale_100x_tier(spark):
+    """100x replication tier (round 6): 1 000 base docs x 100 replicas
+    = 100k docs in 200-WAY duplicate classes — the shape where an
+    uncapped candidate generator goes quadratic.  All three heavy
+    operators run at production caps (max_bucket=100), so:
+
+    - minhash: 200-doc LSH buckets exceed the cap and fall into the
+      O(w) chain path — candidate pairs grow ~linearly with class
+      size, never with its square, and the chain keeps each class
+      connected (components still come back whole);
+    - verbatim: every shingle of a 200-way class has df=200 > cap and
+      is stop-shingle-pruned — ultra-hot content is deliberately
+      excluded from the quadratic diagonal join (Lee et al. prune
+      super-frequent content for the same reason), so pair output
+      DROPS rather than exploding;
+    - FTS build: pure linear tokenize→aggregate.
+
+    Assertions: wall grows ~linearly across the 10x→100x step and
+    candidate counts stay bounded (the caps, not luck, are the
+    mechanism).  Wall numbers land in BASELINE.md.
+    """
+    from dogsheep_beta_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        verbatim_overlap_pairs,
+    )
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+    def lin(t_small, t_big, label):
+        # 10x data within ~15x wall + scheduler slack
+        assert t_big <= max(15 * t_small, t_small + 90), (label, t_small, t_big)
+
+    # --- minhash + components ------------------------------------------
+    def run_minhash(replicas):
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(
+            _docs(spark, replicas), "doc_id", "text",
+            k=3, n_hashes=16, bands=8, max_bucket=100,
+        ).persist()
+        n = pairs.count()
+        return pairs, n, time.monotonic() - t0
+
+    p10, n10, t10 = run_minhash(10)
+    p10.unpersist()
+    p100, n100, t100 = run_minhash(100)
+    lin(t10, t100, "minhash")
+    # chain cap: pair growth ~ class size (10x), never its square (100x)
+    assert n100 <= 30 * max(n10, 1), (n10, n100)
+    _no_stragglers(p100)
+
+    ct0 = time.monotonic()
+    comp = connected_components(p100.filter(F.col("jaccard") >= 0.99))
+    sizes = sorted(
+        r["n"]
+        for r in comp.groupBy("comp").agg(F.count("*").alias("n")).collect()
+    )
+    ct100 = time.monotonic() - ct0
+    p100.unpersist()
+    # every 200-way class connected through the chain → ONE component
+    assert sizes and sizes[-1] == 200 and sizes.count(200) == N_BASE // 2, (
+        sizes[-5:], sizes.count(200)
+    )
+
+    # --- verbatim ------------------------------------------------------
+    def run_verbatim(replicas):
+        reg = []
+        t0 = time.monotonic()
+        out = verbatim_overlap_pairs(
+            _docs(spark, replicas), "doc_id", "text",
+            k=5, min_tokens=8, cache_registry=reg,
+        ).persist()
+        n = out.count()
+        wall = time.monotonic() - t0
+        out.unpersist()
+        for df in reg:
+            df.unpersist()
+        return n, wall
+
+    vn10, vt10 = run_verbatim(10)
+    vn100, vt100 = run_verbatim(100)
+    lin(vt10, vt100, "verbatim")
+    # stop-shingle pruning excludes df>100 content entirely: the 200-way
+    # classes leave the join, so candidates stay BOUNDED (no 100x blowup)
+    assert vn100 <= 2 * max(vn10, 1), (vn10, vn100)
+
+    # --- FTS build -----------------------------------------------------
+    def run_fts(replicas):
+        idx = _docs(spark, replicas).select(
+            F.lit("docs.db/documents").alias("type"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(None).cast("string").alias("title"),
+            F.col("text").alias("search_1"),
+            F.lit(None).cast("string").alias("search_2"),
+            F.lit(None).cast("string").alias("search_3"),
+        )
+        t0 = time.monotonic()
+        fts = build_fts_index(idx, mode="portable", stem=False)
+        fts.postings.count()
+        wall = time.monotonic() - t0
+        _no_stragglers(fts.postings)
+        for df in (fts.postings, fts.doc_lengths):
+            df.unpersist()
+        return wall
+
+    ft10 = run_fts(10)
+    ft100 = run_fts(100)
+    lin(ft10, ft100, "fts_build")
+
+    print(
+        f"\nSCALE100 minhash 10x={t10:.1f}s 100x={t100:.1f}s "
+        f"pairs {n10}->{n100}; components 100x={ct100:.1f}s; "
+        f"verbatim 10x={vt10:.1f}s 100x={vt100:.1f}s pairs {vn10}->{vn100}; "
+        f"fts 10x={ft10:.1f}s 100x={ft100:.1f}s"
+    )
