@@ -288,6 +288,8 @@ def merge_fts_batch(
     index_path: str,
     fts_path: str,
     type_tag: str,
+    mode: str = "portable",
+    stem: bool = False,
 ) -> None:
     """foreachBatch body for incremental FTS maintenance (A10).
 
@@ -332,7 +334,11 @@ def merge_fts_batch(
     # same-batch overwrite of an existing key reindexes the new text)
     batch_keys = incoming.select("type", "key").distinct()
     touched = merged_disk.join(batch_keys, ["type", "key"], "left_semi")
-    delta_post, delta_len = postings_and_lengths(touched)
+    # the batch MUST be tokenized with the index's own analyzer spec
+    # (mode may carry FTS5 tokenizer arguments) — a default-tokenized
+    # delta against a porter/tokenchars index would silently fork the
+    # term dictionary between maintained and original postings
+    delta_post, delta_len = postings_and_lengths(touched, mode=mode, stem=stem)
 
     post_path = os.path.join(fts_path, "postings")
     len_path = os.path.join(fts_path, "doc_lengths")
@@ -404,6 +410,8 @@ def merge_fts_batch_scoped(
     index_path: str,
     fts_path: str,
     type_tag: str,
+    mode: str = "portable",
+    stem: bool = False,
 ) -> None:
     """Partition-scoped incremental FTS maintenance (A10 at scale):
     index, postings AND doc_lengths all live in ``partitionBy("type")``
@@ -446,7 +454,8 @@ def merge_fts_batch_scoped(
 
     batch_keys = incoming.select("type", "key").distinct()
     touched = merged_disk.join(batch_keys, ["type", "key"], "left_semi")
-    delta_post, delta_len = postings_and_lengths(touched)
+    # index's own analyzer spec — see merge_fts_batch
+    delta_post, delta_len = postings_and_lengths(touched, mode=mode, stem=stem)
 
     stages = []
     for name, delta in (("postings", delta_post), ("doc_lengths", delta_len)):
@@ -476,18 +485,24 @@ def incremental_fts_stream(
     type_tag: str,
     checkpoint_dir: str,
     partitioned: bool = False,
+    mode: str = "portable",
+    stem: bool = False,
 ):
     """Wire a conformed stream into index + FTS via foreachBatch.
 
     ``partitioned=True`` selects the partition-scoped merge (O(touched
-    partitions) per batch instead of a full index+postings rewrite)."""
+    partitions) per batch instead of a full index+postings rewrite).
+    ``mode``/``stem`` must match the analyzer the index was built with
+    (mode may carry FTS5 tokenizer arguments, e.g.
+    ``"unicode61 tokenchars '#'"``)."""
     body = merge_fts_batch_scoped if partitioned else merge_fts_batch
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, bid: body(
-                spark, bdf, bid, index_path, fts_path, type_tag
+                spark, bdf, bid, index_path, fts_path, type_tag,
+                mode=mode, stem=stem,
             )
         )
         .trigger(availableNow=True)

@@ -1072,3 +1072,47 @@ def test_empty_manifest_not_treated_as_missing(spark, tmpdir):
     assert inc.read_manifest(base) == ["batch0.parquet"]  # no stray
     got = {r["vec_id"] for r in inc.read_layout(spark, base).collect()}
     assert got == {1}
+
+
+def test_incremental_fts_honors_analyzer_spec(spark, tmpdir):
+    """Round-6: the streamed postings delta must tokenize with the
+    index's OWN analyzer spec — a default-tokenized delta against a
+    porter/tokenchars index would silently fork the term dictionary.
+    Convergence vs the batch build under a porter + tokenchars spec."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.streaming.incremental import (
+        incremental_fts_stream,
+    )
+
+    mode = "unicode61 tokenchars '#'"
+    src = os.path.join(tmpdir, "src")
+    index_path = os.path.join(tmpdir, "index")
+    fts_path = os.path.join(tmpdir, "fts")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    schema = "key int, title string, search_1 string"
+    rows = [
+        (1, "running #dogfest", "searching things"),
+        (2, "#dogfest parties", None),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = incremental_fts_stream(
+        spark, stream, index_path, fts_path, "s.db/t", ckpt,
+        mode=mode, stem=True,
+    )
+    q.awaitTermination(60)
+
+    def canon(df):
+        return sorted(
+            (r["term"], r["key"], r["field"], r["tf"], tuple(r["positions"]))
+            for r in df.collect()
+        )
+
+    streamed = canon(spark.read.parquet(os.path.join(fts_path, "postings")))
+    batch_fts = build_fts_index(
+        spark.read.parquet(index_path), mode=mode, stem=True, persist=False
+    )
+    assert streamed == canon(batch_fts.postings)
+    terms = {t for t, *_ in streamed}
+    assert "#dogfest" in terms  # tokenchars respected
+    assert "run" in terms and "search" in terms  # porter respected
