@@ -75,6 +75,7 @@ def main() -> None:
         ("bucketed_layout_build", entry._bucketed_tables),
         ("zorder_layout_build", entry._zorder_layout),
         ("manifest_layout_build", entry._manifest_layout),
+        ("tokargs_fts_build", entry._ctx_tokargs),
     ):
         t0 = time.time()
         try:

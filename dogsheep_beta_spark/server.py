@@ -24,6 +24,10 @@ from urllib.parse import parse_qs, urlparse
 
 ROUTES = ("/-/beta", "/")  # reference path + a convenience root alias
 
+# (resolved idx dir, postings dir, doc_lengths dir) → (n_docs, avgdl);
+# see load_live_snapshot — generation paths are the cache key
+_SCALAR_CACHE: dict = {}
+
 
 def make_handler(spark, index_df, fts, rules=None, template_debug=False):
     """A BaseHTTPRequestHandler subclass closed over the loaded index."""
@@ -110,13 +114,26 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     index_df = spark.read.parquet(idx_real)
     postings = spark.read.parquet(post_real)
     doc_lengths = spark.read.parquet(len_real)
-    n_docs = index_df.count()
-    total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+    # corpus scalars memoized per GENERATION: the resolved version-dir
+    # paths change on every publish, so they are a correct cache key
+    # for free — steady-state requests against an unchanged layout pay
+    # zero extra jobs (bounded: generations cycle through a few paths,
+    # entries are two floats)
+    ck = (idx_real, post_real, len_real)
+    cached = _SCALAR_CACHE.get(ck)
+    if cached is None:
+        n_docs = index_df.count()
+        total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
+        cached = (n_docs, (total / n_docs) if n_docs else 0.0)
+        _SCALAR_CACHE[ck] = cached
+        while len(_SCALAR_CACHE) > 32:
+            _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
+    n_docs, avgdl = cached
     return index_df, FtsIndex(
         postings=postings,
         doc_lengths=doc_lengths,
         n_docs=n_docs,
-        avgdl=(total / n_docs) if n_docs else 0.0,
+        avgdl=avgdl,
         mode=mode,
         stem=stem,
     )
