@@ -76,6 +76,7 @@ def main() -> None:
         ("zorder_layout_build", entry._zorder_layout),
         ("manifest_layout_build", entry._manifest_layout),
         ("tokargs_fts_build", entry._ctx_tokargs),
+        ("pq_build", entry._pq_layout),
     ):
         t0 = time.time()
         try:
