@@ -136,14 +136,20 @@ def _split_pattern(mode: str, dialect: str) -> str:
 
     Built as an alternation: explicit separators first (they win over
     tokenchars), then the default separator class minus tokenchars.
-    """
+
+    CASE-SENSITIVE by design: FTS5 matches explicit tokenchars/
+    separators against the RAW codepoints and case-folds the token
+    text afterwards (``separators 'a'`` splits on 'a' but not 'A'), so
+    the extended path splits the original-case text and lowercases
+    each token after — the default classes cover both cases
+    ([a-zA-Z0-9] / \\p{L}) so arg-free text behaves identically."""
     base, tc, sp, _fold = _parse_mode(mode)
     tc_cls = _class_escape(tc)
     branches = []
     if sp:
         branches.append(f"[{_class_escape(sp)}]")
     if base == "portable":
-        branches.append(f"[^a-z0-9{tc_cls}]")
+        branches.append(f"[^a-zA-Z0-9{tc_cls}]")
     elif dialect == "jvm":
         branches.append(f"[^\\p{{L}}\\p{{N}}{tc_cls}]")
     else:  # py unicode61: token chars = \w minus _, plus tokenchars
@@ -210,18 +216,25 @@ def fold_diacritics_py(text: str) -> str:
 
 def tokenize_expr(col: Column, mode: str = "portable") -> Column:
     """Array of non-empty lowercase tokens — pure JVM expression.
-    ``mode`` may carry FTS5 tokenizer arguments (see _parse_mode)."""
+    ``mode`` may carry FTS5 tokenizer arguments (see _parse_mode).
+    The extended path splits BEFORE lowercasing (explicit tokenchars/
+    separators are case-sensitive raw-codepoint matches, like FTS5)
+    and lowercases each token after."""
     if mode == "portable":  # fast path, the dominant spec
-        pattern, fold = PORTABLE_SPLIT, False
-    elif mode == "unicode61":
-        pattern, fold = UNICODE61_SPLIT, True
-    else:
-        pattern = _split_pattern(mode, "jvm")
-        fold = _parse_mode(mode)[3]
-    text = F.lower(F.coalesce(col, F.lit("")))
+        text = F.lower(F.coalesce(col, F.lit("")))
+        toks = F.split(text, PORTABLE_SPLIT)
+        return F.filter(toks, lambda x: x != "")
+    if mode == "unicode61":
+        text = fold_diacritics_expr(F.lower(F.coalesce(col, F.lit(""))))
+        toks = F.split(text, UNICODE61_SPLIT)
+        return F.filter(toks, lambda x: x != "")
+    fold = _parse_mode(mode)[3]
+    text = F.coalesce(col, F.lit(""))
     if fold:
         text = fold_diacritics_expr(text)
-    toks = F.split(text, pattern)
+    toks = F.transform(
+        F.split(text, _split_pattern(mode, "jvm")), F.lower
+    )
     return F.filter(toks, lambda x: x != "")
 
 
@@ -229,16 +242,16 @@ def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
     """Driver-side twin of tokenize_expr (for query-string tokenization)."""
     if not text:
         return []
-    text = text.lower()
     if mode in _PY_SPLIT:
-        fold = mode == "unicode61"
-        rx = _PY_SPLIT[mode]
-    else:
-        fold = _parse_mode(mode)[3]
-        rx = re.compile(_split_pattern(mode, "py"), re.UNICODE)
+        text = text.lower()
+        if mode == "unicode61":
+            text = fold_diacritics_py(text)
+        return [t for t in _PY_SPLIT[mode].split(text) if t]
+    fold = _parse_mode(mode)[3]
     if fold:
         text = fold_diacritics_py(text)
-    return [t for t in rx.split(text) if t]
+    rx = re.compile(_split_pattern(mode, "py"), re.UNICODE)
+    return [t.lower() for t in rx.split(text) if t]
 
 
 # ---------------------------------------------------------------------------

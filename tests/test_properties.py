@@ -479,3 +479,50 @@ def test_funnel_fuzz_vs_bruteforce(spark, seed):
             assert got[u] == brute(u), u
         else:
             assert u not in got
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: tokenizer ARGUMENT parity with FTS5 (round 6 —
+# tokenchars/separators passthrough; the spec grammar the reference
+# forwards verbatim, reference cli.py:22-26)
+# ---------------------------------------------------------------------------
+
+_ARG_CHARS = "#@-_.!/"  # ascii punctuation legal in both spec dialects
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " .,!?-_#@/",
+        max_size=60,
+    ),
+    st.sets(st.sampled_from(_ARG_CHARS), max_size=3),
+    st.sets(st.sampled_from(string.ascii_lowercase), max_size=2),
+)
+def test_tokenizer_args_match_fts5(text, tokenchars, separators):
+    """Random tokenchars (punct → token chars) + separators (letters →
+    separators) against real FTS5 unicode61 with the same arguments."""
+    from dogsheep_beta_spark.functions.tokenizer import tokenize_py
+
+    tc = "".join(sorted(tokenchars - separators))
+    sp = "".join(sorted(separators))
+    spec_parts = []
+    if tc:
+        spec_parts.append(f"tokenchars ''{tc}''")
+    if sp:
+        spec_parts.append(f"separators ''{sp}''")
+    sqlite_spec = " ".join(["unicode61"] + spec_parts)
+    mode = "unicode61"
+    if tc:
+        mode += f" tokenchars '{tc}'"
+    if sp:
+        mode += f" separators '{sp}'"
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        f"CREATE VIRTUAL TABLE t USING fts5(a, tokenize='{sqlite_spec}')"
+    )
+    con.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+    con.execute("INSERT INTO t VALUES (?)", (text,))
+    want = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
+    con.close()
+    assert tokenize_py(text, mode) == want, (mode, text)
