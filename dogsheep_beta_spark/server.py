@@ -101,7 +101,16 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     (reference dogsheep_beta/utils.py:90: SQLite triggers keep
     search_index_fts in sync while Datasette serves from the same db
     file) made real at engine scale: writer and server share nothing
-    but the published layout."""
+    but the published layout.
+
+    Isolation granularity follows the layout: the monolithic stream
+    layout (``incremental_fts_stream(partitioned=False)``) publishes
+    whole-artifact symlinks, so a request pins complete generations of
+    index/postings/doc_lengths.  The partitioned layout publishes
+    per-``type=`` partition symlinks; a request then gets
+    per-partition atomicity (partition A at batch N, B at N−1 for an
+    instant) — the same isolation level Hive dynamic partition
+    overwrite gives, documented at _publish_partitions."""
     import os
 
     from pyspark.sql import functions as F

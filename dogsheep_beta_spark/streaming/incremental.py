@@ -753,11 +753,16 @@ def _manifest_path(base: str) -> str:
     return base.rstrip("/") + ".manifest.json"
 
 
-def _lock_is_stale(lock: str, timeout: float) -> bool:
+_LOCK_STALE_AGE = 60.0  # seconds; commits hold the lock for milliseconds
+
+
+def _lock_is_stale(lock: str, stale_age: float = _LOCK_STALE_AGE) -> bool:
     """True when the lockfile's recorded owner is provably dead (pid
-    gone on this host) or the file is unreadable/foreign AND older than
-    ``timeout`` — commits hold the lock for milliseconds, so a
-    lockfile that old with no live owner is a crash artifact."""
+    gone on this host) or the file is unreadable/foreign AND older
+    than ``stale_age`` — a distinct, much larger threshold than any
+    acquisition timeout (commits hold the lock for milliseconds, so a
+    minute-old lock with no live owner is a crash artifact, while a
+    fresh foreign lock must still block)."""
     import json
     import os
     import socket
@@ -779,7 +784,7 @@ def _lock_is_stale(lock: str, timeout: float) -> bool:
         pass
     # unparsable / legacy / other-host lock: age heuristic only
     try:
-        return (_time.time() - os.path.getmtime(lock)) > timeout
+        return (_time.time() - os.path.getmtime(lock)) > stale_age
     except OSError:
         return False  # vanished — normal release; retry the create
 
@@ -833,7 +838,7 @@ def _manifest_lock(base: str, timeout: float = 30.0):
             )
             break
         except FileExistsError:
-            if _lock_is_stale(lock, timeout):
+            if _lock_is_stale(lock):
                 claim = f"{lock}.stale.{os.getpid()}"
                 try:
                     os.rename(lock, claim)  # one winner per stale lock

@@ -554,3 +554,17 @@ def test_entity_linkage_plan_keyed_cap_partial_argmin(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "SinglePartition" not in p  # cap window is keyed
     assert "min_by" in p or "SortAggregate" in p
+
+
+def test_search_tokenizer_args_plan_broadcasts(spark):
+    """The tokenizer-args search (r6) compiles to the same shape as
+    every other search: broadcast scored-docset join + top-k via
+    TakeOrderedAndProject, no sort-merge join."""
+    import __spark_entry__ as entry
+
+    df = entry.q_search_tokenizer_args(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    entry.teardown(SF_DIR)

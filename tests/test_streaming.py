@@ -1116,3 +1116,26 @@ def test_incremental_fts_honors_analyzer_spec(spark, tmpdir):
     terms = {t for t, *_ in streamed}
     assert "#dogfest" in terms  # tokenchars respected
     assert "run" in terms and "search" in terms  # porter respected
+
+
+def test_manifest_lock_unparsable_stale_by_age(tmpdir):
+    """A legacy/unparsable lockfile (no owner record) is reclaimed only
+    past the age threshold — young foreign locks still block."""
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    base = os.path.join(tmpdir, "layout")
+    lock = base + ".manifest.lock"
+    with open(lock, "w") as f:
+        f.write("")  # legacy empty lockfile
+    # fresh → not stale → blocks and times out
+    with pytest.raises(TimeoutError):
+        with inc._manifest_lock(base, timeout=0.3):
+            pass
+    # age it past the threshold → reclaimed
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    with inc._manifest_lock(base, timeout=5.0):
+        pass
+    assert not os.path.exists(lock)
