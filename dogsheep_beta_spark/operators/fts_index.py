@@ -23,6 +23,7 @@ lookups partition-prune (SURVEY §7.5).
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field
 
@@ -66,26 +67,40 @@ class FtsIndex:
     # index-lifetime teardown.
     hit_caches: "OrderedDict" = field(default_factory=OrderedDict)
     hit_cache_max: int = 64
+    # ThreadingHTTPServer handlers share one FtsIndex: the lock keeps
+    # the miss→build→insert→evict sequence atomic so two concurrent
+    # requests for the same new phrase can't double-persist and a
+    # racing evict can't unpersist an entry another thread just took.
+    _hit_cache_lock: "threading.Lock" = field(
+        default_factory=threading.Lock, repr=False
+    )
 
     def cached_phrase_hits(self, key, builder) -> DataFrame:
         """Return the persisted hits DataFrame for a phrase cache key,
         building+persisting via ``builder()`` on miss; LRU-evict (and
-        unpersist) beyond ``hit_cache_max`` entries."""
-        cached = self.hit_caches.get(key)
-        if cached is not None:
-            self.hit_caches.move_to_end(key)
-            return cached
-        df = builder().persist()
-        self.hit_caches[key] = df
-        while len(self.hit_caches) > self.hit_cache_max:
-            _, old = self.hit_caches.popitem(last=False)
+        unpersist) beyond ``hit_cache_max`` entries.  The builder runs
+        under the lock — it only CONSTRUCTS a plan (no Spark job), so
+        the critical section stays microseconds."""
+        with self._hit_cache_lock:
+            cached = self.hit_caches.get(key)
+            if cached is not None:
+                self.hit_caches.move_to_end(key)
+                return cached
+            df = builder().persist()
+            self.hit_caches[key] = df
+            evicted = []
+            while len(self.hit_caches) > self.hit_cache_max:
+                _, old = self.hit_caches.popitem(last=False)
+                evicted.append(old)
+        for old in evicted:
             old.unpersist()
         return df
 
     def release_hit_caches(self) -> None:
-        for df in self.hit_caches.values():
+        with self._hit_cache_lock:
+            dfs, self.hit_caches = list(self.hit_caches.values()), OrderedDict()
+        for df in dfs:
             df.unpersist()
-        self.hit_caches.clear()
 
 
 def term_bucket_py(term: str, n: int) -> int:

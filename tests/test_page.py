@@ -526,3 +526,47 @@ def test_serve_while_indexing_e2e(spark):
             srv.server_close()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_concurrent_search_requests_shared_index(page_ctx):
+    """ThreadingHTTPServer handlers share one FtsIndex: concurrent
+    requests with overlapping and distinct phrases must all succeed
+    and leave the phrase LRU bounded (thread-safety of
+    cached_phrase_hits)."""
+    import threading
+    import urllib.request
+
+    from dogsheep_beta_spark.server import make_server
+
+    spark, idx, fts = page_ctx
+    fts.hit_cache_max = 4
+    srv = make_server(spark, idx, fts, CONFIG, port=0)
+    host, port = srv.server_address[:2]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    qs = ["things", "email", "dogfest", "tests", "commit",
+          "things", "email", "things OR tests"]
+    errors = []
+
+    def hit(q):
+        try:
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/-/beta?q={q.replace(' ', '+')}",
+                timeout=120,
+            ) as resp:
+                assert resp.status == 200
+        except Exception as e:  # noqa: BLE001
+            errors.append((q, e))
+
+    try:
+        threads = [threading.Thread(target=hit, args=(q,)) for q in qs]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        assert not errors, errors
+        assert len(fts.hit_caches) <= 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        fts.release_hit_caches()
