@@ -3496,9 +3496,10 @@ def _phrase2_hits(t1: str, t2: str) -> str:
 
 # Tokenizer-argument oracle (search_tokenizer_args): the events-only
 # index built with ``portable tokenchars '_' separators 'c'`` — the
-# DuckDB split regex mirrors tokenizer._split_pattern exactly:
-# explicit separators first ([c]), then the default separator class
-# minus promoted tokenchars ([^a-z0-9_]).
+# DuckDB pipeline mirrors tokenizer._split_pattern exactly: split the
+# RAW text (explicit separators are case-sensitive raw-codepoint
+# matches — [c] but not [C]; default classes cover both cases), THEN
+# lowercase each token — FTS5's classify-then-normalize order.
 ORACLE_TOKARGS_CTE = """
 WITH search_index AS (
     SELECT 'events.db/events' AS type, CAST(event_id AS VARCHAR) AS "key",
@@ -3510,13 +3511,17 @@ WITH search_index AS (
     SELECT type, "key", field, unnest(toks) AS term
     FROM (
         SELECT type, "key", 'title' AS field,
-               list_filter(string_split_regex(lower(coalesce(title, '')),
-                           '([c]|[^a-z0-9_])+'), x -> x <> '') AS toks
+               list_transform(
+                   list_filter(string_split_regex(coalesce(title, ''),
+                               '([c]|[^a-zA-Z0-9_])+'), x -> x <> ''),
+                   x -> lower(x)) AS toks
         FROM search_index
         UNION ALL
         SELECT type, "key", 'search_1',
-               list_filter(string_split_regex(lower(coalesce(search_1, '')),
-                           '([c]|[^a-z0-9_])+'), x -> x <> '')
+               list_transform(
+                   list_filter(string_split_regex(coalesce(search_1, ''),
+                               '([c]|[^a-zA-Z0-9_])+'), x -> x <> ''),
+                   x -> lower(x))
         FROM search_index
     )
 ), postings AS (

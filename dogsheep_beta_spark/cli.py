@@ -228,6 +228,17 @@ def cmd_serve(args) -> int:
         if getattr(args, "config", None):
             with open(args.config) if args.config != "-" else sys.stdin as f:
                 rules = parse_metadata(f.read())
+        if getattr(args, "sources", None):
+            # display_sql hydration needs the source views in live mode
+            # exactly like the static path (_load_index_ctx)
+            import glob
+
+            from dogsheep_beta_spark.sources.registry import register_testdata
+            from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
+
+            register_testdata(spark, args.sources)
+            for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
+                register_sqlite_db(spark, db)
         mode, stem = parse_fts5_tokenize(args.tokenize or "none")
         srv = make_live_server(
             spark,

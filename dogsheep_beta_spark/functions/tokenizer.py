@@ -137,12 +137,15 @@ def _split_pattern(mode: str, dialect: str) -> str:
     Built as an alternation: explicit separators first (they win over
     tokenchars), then the default separator class minus tokenchars.
 
-    CASE-SENSITIVE by design: FTS5 matches explicit tokenchars/
-    separators against the RAW codepoints and case-folds the token
-    text afterwards (``separators 'a'`` splits on 'a' but not 'A'), so
-    the extended path splits the original-case text and lowercases
-    each token after — the default classes cover both cases
-    ([a-zA-Z0-9] / \\p{L}) so arg-free text behaves identically."""
+    RAW-CODEPOINT by design: FTS5 classifies token/separator on the
+    original codepoints (``separators 'a'`` splits on 'a' but not 'A';
+    ``separators 'e'`` does NOT split 'café') and case-folds + removes
+    diacritics from the token TEXT afterwards.  The extended path
+    therefore splits the original text and folds/lowercases each token
+    after.  Default token classes cover both cases and include
+    COMBINING MARKS (\\p{M}) so NFD input keeps its marks attached to
+    the token (they are then deleted by the fold), matching the plain
+    unicode61 path and FTS5."""
     base, tc, sp, _fold = _parse_mode(mode)
     tc_cls = _class_escape(tc)
     branches = []
@@ -151,9 +154,9 @@ def _split_pattern(mode: str, dialect: str) -> str:
     if base == "portable":
         branches.append(f"[^a-zA-Z0-9{tc_cls}]")
     elif dialect == "jvm":
-        branches.append(f"[^\\p{{L}}\\p{{N}}{tc_cls}]")
-    else:  # py unicode61: token chars = \w minus _, plus tokenchars
-        branches.append(f"[^\\w{tc_cls}]")
+        branches.append(f"[^\\p{{L}}\\p{{M}}\\p{{N}}{tc_cls}]")
+    else:  # py unicode61: token chars = \w minus _, plus marks + tokenchars
+        branches.append(f"[^\\w\\u0300-\\u036f{tc_cls}]")
         if "_" not in tc:
             branches.append("_")
     if len(branches) == 1:
@@ -190,8 +193,12 @@ def parse_fts5_tokenize(
     if parts and parts[0] in ("unicode61", "portable"):
         base = parts[0]
         parts = parts[1:]
-    elif parts and stem:
-        # "porter tokenchars ..." — FTS5 forwards args to unicode61
+    elif parts:
+        # bare args after porter/none ("porter tokenchars ...",
+        # "none tokenchars ...") — FTS5's default underlying tokenizer
+        # is unicode61 in BOTH cases; resolving them differently by
+        # stem flag would give the same --tokenize args silently
+        # different charsets
         base = "unicode61"
     mode = base
     if parts:
@@ -228,14 +235,15 @@ def tokenize_expr(col: Column, mode: str = "portable") -> Column:
         text = fold_diacritics_expr(F.lower(F.coalesce(col, F.lit(""))))
         toks = F.split(text, UNICODE61_SPLIT)
         return F.filter(toks, lambda x: x != "")
+    # extended spec: split the RAW text (explicit tokenchars/separators
+    # match original codepoints — see _split_pattern), then fold + lower
+    # each token, exactly FTS5's classify-then-normalize order
     fold = _parse_mode(mode)[3]
-    text = F.coalesce(col, F.lit(""))
-    if fold:
-        text = fold_diacritics_expr(text)
-    toks = F.transform(
-        F.split(text, _split_pattern(mode, "jvm")), F.lower
+    toks = F.split(F.coalesce(col, F.lit("")), _split_pattern(mode, "jvm"))
+    norm = (
+        (lambda x: F.lower(fold_diacritics_expr(x))) if fold else F.lower
     )
-    return F.filter(toks, lambda x: x != "")
+    return F.filter(F.transform(toks, norm), lambda x: x != "")
 
 
 def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
@@ -248,10 +256,11 @@ def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
             text = fold_diacritics_py(text)
         return [t for t in _PY_SPLIT[mode].split(text) if t]
     fold = _parse_mode(mode)[3]
-    if fold:
-        text = fold_diacritics_py(text)
     rx = re.compile(_split_pattern(mode, "py"), re.UNICODE)
-    return [t.lower() for t in rx.split(text) if t]
+    toks = rx.split(text)
+    if fold:
+        toks = [fold_diacritics_py(t) for t in toks]
+    return [t.lower() for t in toks if t]
 
 
 # ---------------------------------------------------------------------------

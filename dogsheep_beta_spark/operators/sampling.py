@@ -274,9 +274,16 @@ def temperature_rates(
     """
     import math
 
+    # NULL groups drop (documented in temperature_sample): excluding
+    # them HERE also keeps a NULL-key from crashing the sorted rates
+    # iteration and from deflating n_min for every real group
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(group_col).count().limit(max_groups + 1).collect()
+        for r in df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .count()
+        .limit(max_groups + 1)
+        .collect()
     }
     if len(counts) > max_groups:
         raise ValueError(

@@ -25,8 +25,10 @@ from urllib.parse import parse_qs, urlparse
 ROUTES = ("/-/beta", "/")  # reference path + a convenience root alias
 
 # (resolved idx dir, postings dir, doc_lengths dir) → (n_docs, avgdl);
-# see load_live_snapshot — generation paths are the cache key
+# see load_live_snapshot — generation paths are the cache key.  Guarded
+# by a lock: ThreadingHTTPServer handlers mutate it concurrently.
 _SCALAR_CACHE: dict = {}
+_SCALAR_LOCK = __import__("threading").Lock()
 
 
 def make_handler(spark, index_df, fts, rules=None, template_debug=False):
@@ -129,14 +131,16 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     # zero extra jobs (bounded: generations cycle through a few paths,
     # entries are two floats)
     ck = (idx_real, post_real, len_real)
-    cached = _SCALAR_CACHE.get(ck)
+    with _SCALAR_LOCK:
+        cached = _SCALAR_CACHE.get(ck)
     if cached is None:
         n_docs = index_df.count()
         total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
         cached = (n_docs, (total / n_docs) if n_docs else 0.0)
-        _SCALAR_CACHE[ck] = cached
-        while len(_SCALAR_CACHE) > 32:
-            _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
+        with _SCALAR_LOCK:
+            _SCALAR_CACHE[ck] = cached
+            while len(_SCALAR_CACHE) > 32:
+                _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)), None)
     n_docs, avgdl = cached
     return index_df, FtsIndex(
         postings=postings,
@@ -169,6 +173,7 @@ def make_live_handler(
                 self._respond(404, "not found\n", "text/plain")
                 return
             args = {k: v[0] for k, v in parse_qs(u.query).items()}
+            fts = None
             try:
                 index_df, fts = load_live_snapshot(
                     spark, index_path, fts_path, mode, stem
@@ -176,10 +181,12 @@ def make_live_handler(
                 html = beta_page(
                     spark, index_df, fts, args, rules, template_debug
                 )
-                fts.release_hit_caches()  # per-request teardown
             except Exception as e:  # surface, don't kill the server
                 self._respond(500, f"error: {e}\n", "text/plain")
                 return
+            finally:
+                if fts is not None:
+                    fts.release_hit_caches()  # even on failed requests
             self._respond(200, html, "text/html; charset=utf-8")
 
         def _respond(self, code: int, body: str, ctype: str) -> None:

@@ -756,21 +756,35 @@ def _manifest_path(base: str) -> str:
 _LOCK_STALE_AGE = 60.0  # seconds; commits hold the lock for milliseconds
 
 
-def _lock_is_stale(lock: str, stale_age: float = _LOCK_STALE_AGE) -> bool:
-    """True when the lockfile's recorded owner is provably dead (pid
-    gone on this host) or the file is unreadable/foreign AND older
-    than ``stale_age`` — a distinct, much larger threshold than any
-    acquisition timeout (commits hold the lock for milliseconds, so a
-    minute-old lock with no live owner is a crash artifact, while a
-    fresh foreign lock must still block)."""
+def _read_lock(lock: str):
+    """(content_bytes, mtime) of the lockfile, or None if it vanished
+    — read together so staleness is judged on one consistent view."""
+    import os
+
+    try:
+        with open(lock, "rb") as f:
+            data = f.read()
+        return data, os.path.getmtime(lock)
+    except OSError:
+        return None
+
+
+def _lock_is_stale(
+    data: bytes, mtime: float, stale_age: float = _LOCK_STALE_AGE
+) -> bool:
+    """True when the lock content's recorded owner is provably dead
+    (pid gone on this host) or the content is unreadable/foreign AND
+    ``mtime`` is older than ``stale_age`` — a distinct, much larger
+    threshold than any acquisition timeout (commits hold the lock for
+    milliseconds, so a minute-old lock with no live owner is a crash
+    artifact, while a fresh foreign lock must still block)."""
     import json
     import os
     import socket
     import time as _time
 
     try:
-        with open(lock) as f:
-            info = json.loads(f.read() or "{}")
+        info = json.loads(data.decode() or "{}")
         pid, host = info.get("pid"), info.get("host")
         if isinstance(pid, int) and host == socket.gethostname():
             try:
@@ -780,13 +794,10 @@ def _lock_is_stale(lock: str, stale_age: float = _LOCK_STALE_AGE) -> bool:
                 return True  # owner died between acquire and release
             except PermissionError:
                 return False  # alive, different uid
-    except (OSError, ValueError):
+    except (ValueError, UnicodeDecodeError):
         pass
     # unparsable / legacy / other-host lock: age heuristic only
-    try:
-        return (_time.time() - os.path.getmtime(lock)) > stale_age
-    except OSError:
-        return False  # vanished — normal release; retry the create
+    return (_time.time() - mtime) > stale_age
 
 
 def force_unlock(base: str) -> bool:
@@ -806,45 +817,72 @@ def _manifest_lock(base: str, timeout: float = 30.0):
     """Exclusive-create lockfile serializing manifest commits.  Held
     for O(one JSON write) — never across a Spark job.
 
-    The lockfile records its owner (pid/host/timestamp) so a committer
-    that dies between acquire and release (OOM, kill -9) does not wedge
-    the stream forever: waiters detect the dead owner and take over.
-    Takeover is race-free via rename — the stale lock is first renamed
-    to a waiter-unique name (exactly one concurrent renamer wins; the
-    losers' rename raises and they re-enter the wait loop), only then
-    removed, so two waiters can never each delete a *different*
-    generation of the lock.  ``force_unlock`` remains the manual
-    escape hatch for locks this heuristic won't touch (live-pid-on-
-    other-host files newer than ``timeout``)."""
+    The lockfile records its owner (pid/host/unique token) so a
+    committer that dies between acquire and release (OOM, kill -9)
+    does not wedge the stream forever: waiters detect the dead owner
+    and take over.  Takeover is CONTENT-VERIFIED to close the
+    check-then-rename window: the waiter renames the lock to a
+    waiter-unique claim path (exactly one concurrent renamer wins),
+    re-reads the claim, and only removes it if the bytes still equal
+    the content it judged stale — if a release+fresh-acquire slipped
+    in between, the stolen live lock is restored via ``os.link``
+    (which itself fails harmlessly if yet another waiter has already
+    created a new lock).  Release is OWNERSHIP-CHECKED by the unique
+    token, so a committer whose lock was reclaimed mid-pause can never
+    delete its successor's lock.  ``force_unlock`` remains the manual
+    escape hatch for locks the heuristic won't touch (live-pid-on-
+    other-host files newer than the stale age)."""
     import json
     import os
     import socket
     import time as _time
+    import uuid
 
     lock = base.rstrip("/") + ".manifest.lock"
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "token": token,
+            "acquired_unix": _time.time(),
+        }
+    ).encode()
     deadline = _time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(
-                fd,
-                json.dumps(
-                    {
-                        "pid": os.getpid(),
-                        "host": socket.gethostname(),
-                        "acquired_unix": _time.time(),
-                    }
-                ).encode(),
-            )
+            os.write(fd, payload)
             break
         except FileExistsError:
-            if _lock_is_stale(lock):
-                claim = f"{lock}.stale.{os.getpid()}"
+            view = _read_lock(lock)
+            if view is None:
+                continue  # released between exists and read — retry
+            judged, mtime = view
+            if _lock_is_stale(judged, mtime):
+                claim = f"{lock}.stale.{os.getpid()}.{token}"
                 try:
                     os.rename(lock, claim)  # one winner per stale lock
+                except OSError:
+                    continue  # another waiter claimed it; retry create
+                try:
+                    with open(claim, "rb") as f:
+                        got = f.read()
+                except OSError:
+                    got = None
+                if got != judged:
+                    # the lock changed between judge and rename — we
+                    # stole a LIVE lock; put it back (link fails only
+                    # if a new lock already exists, in which case the
+                    # stolen one is superseded anyway)
+                    try:
+                        os.link(claim, lock)
+                    except OSError:
+                        pass
+                try:
                     os.unlink(claim)
                 except OSError:
-                    pass  # another waiter claimed it; retry create
+                    pass
                 continue
             if _time.monotonic() > deadline:
                 raise TimeoutError(
@@ -859,9 +897,14 @@ def _manifest_lock(base: str, timeout: float = 30.0):
     finally:
         os.close(fd)
         try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass  # reclaimed as stale during an extreme pause
+            with open(lock, "rb") as f:
+                current = f.read()
+            if json.loads(current.decode() or "{}").get("token") == token:
+                os.unlink(lock)
+            # else: our lock was reclaimed as stale during an extreme
+            # pause — the file now belongs to a successor; leave it
+        except (OSError, ValueError):
+            pass  # vanished or unreadable — nothing of ours to remove
 
 
 def read_manifest(base: str) -> list[str] | None:

@@ -1337,3 +1337,20 @@ def test_temperature_rates_max_groups_guard(spark):
     )
     with _pytest.raises(ValueError, match="distinct 'grp' groups"):
         sp.temperature_rates(df, "grp", 0.5, max_groups=500)
+
+
+def test_temperature_sample_null_groups_drop(spark):
+    """NULL group rows drop (documented) — and must not crash the
+    sorted rates iteration or deflate n_min for real groups."""
+    from dogsheep_beta_spark.operators import sampling as sp
+
+    rows = [(i, "big") for i in range(400)]
+    rows += [(1000 + i, "small") for i in range(16)]
+    rows += [(2000 + i, None) for i in range(3)]  # NULL group
+    df = spark.createDataFrame(rows, "id long, grp string")
+    rates = sp.temperature_rates(df, "grp", 0.5)
+    assert set(rates) == {"big", "small"}
+    assert rates["small"][0] == 16  # n_min from real groups, not NULL's 3
+    kept = sp.temperature_sample(df, "grp", "id", 0.5, "s", rates).collect()
+    assert all(r["grp"] is not None for r in kept)
+    assert sum(1 for r in kept if r["grp"] == "small") == 16

@@ -564,9 +564,13 @@ def test_parse_fts5_tokenize():
     assert parse_fts5_tokenize("none unicode61 separators 'X'") == (
         "unicode61 separators X", False
     )
-    # "porter tokenchars ..." — FTS5 forwards the args to unicode61
+    # bare args after porter/none — FTS5's default underlying
+    # tokenizer is unicode61 in BOTH cases (same args, same charset)
     assert parse_fts5_tokenize("porter tokenchars '#'") == (
         "unicode61 tokenchars '#'", True
+    )
+    assert parse_fts5_tokenize("none tokenchars '#'") == (
+        "unicode61 tokenchars '#'", False
     )
     with pytest.raises(ValueError):
         parse_fts5_tokenize("porter frobnicate '1'")

@@ -493,7 +493,7 @@ _ARG_CHARS = "#@-_.!/"  # ascii punctuation legal in both spec dialects
 @settings(max_examples=150, deadline=None)
 @given(
     st.text(
-        alphabet=string.ascii_letters + string.digits + " .,!?-_#@/",
+        alphabet=string.ascii_letters + string.digits + " .,!?-_#@/éÉüña",
         max_size=60,
     ),
     st.sets(st.sampled_from(_ARG_CHARS), max_size=3),
@@ -501,7 +501,10 @@ _ARG_CHARS = "#@-_.!/"  # ascii punctuation legal in both spec dialects
 )
 def test_tokenizer_args_match_fts5(text, tokenchars, separators):
     """Random tokenchars (punct → token chars) + separators (letters →
-    separators) against real FTS5 unicode61 with the same arguments."""
+    separators) against real FTS5 unicode61 with the same arguments.
+    The alphabet includes uppercase and accented letters on purpose:
+    explicit separators must match raw codepoints (NOT the folded or
+    lowercased text), which FTS5 itself pins here."""
     from dogsheep_beta_spark.functions.tokenizer import tokenize_py
 
     tc = "".join(sorted(tokenchars - separators))
