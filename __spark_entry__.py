@@ -2776,6 +2776,61 @@ def q_layout_manifest_compact(spark, sf_dir):
     )
 
 
+def q_streaming_minhash_dedup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup detection (streaming/
+    incremental.py:merge_minhash_batch): documents replayed as a
+    2-file stream (maxFilesPerTrigger=1 → two micro-batches), each
+    batch near-dup-checked against the partitioned band index + record
+    store accumulated so far — the new-crawl-vs-historical-corpus
+    dedup, O(touched buckets) per batch.  The final match table must
+    equal the BATCH generator over the same corpus regardless of batch
+    boundaries, so the oracle is byte-identical to
+    dedup_minhash_lsh's."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_minhash_matches,
+        streaming_minhash_dedup,
+    )
+
+    d = _documents(spark, sf_dir)
+    c = _CTX.setdefault(sf_dir, {})
+    work = c.get("mh_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_mh_stream_")
+        c["mh_stream_path"] = work
+    src = os.path.join(work, "src")
+    root = os.path.join(work, "root")
+    ckpt = os.path.join(work, "ckpt")
+    # wipe derived state so a re-run replays from empty (the source
+    # split is corpus-deterministic and reused across runs)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        d.select("doc_id", "text").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = streaming_minhash_dedup(
+            stream, root, ckpt, "doc_id", "text", n_buckets=8
+        )
+        q.awaitTermination(300)
+    return (
+        read_minhash_matches(spark, root)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(50)
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
     add-1-smoothed conditional bigram NLL per doc; the SHARED persisted
@@ -3418,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
         "entity_link_best": q_entity_link_best,
         "search_tokenizer_args": q_search_tokenizer_args,
+        "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
 
 
@@ -5603,6 +5659,10 @@ LIMIT 100
     # final at-rest state must equal the batch Voronoi assignment no
     # matter which write path produced it.
     d["layout_manifest_compact"] = d["streaming_ivf_upsert"]
+    # incremental convergence contract: the streamed match table must
+    # equal the batch pair generator over the same final corpus, so the
+    # oracle is BYTE-IDENTICAL to dedup_minhash_lsh's.
+    d["streaming_minhash_dedup"] = d["dedup_minhash_lsh"]
     d["media_video_demux"] = """
         WITH ids AS (
             SELECT doc_id FROM documents WHERE doc_id < 500
@@ -5906,6 +5966,24 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             max_dist=1, max_block=1000,
         )
 
+    doc_dir, doc_schema = batched_src(os.path.join(sf_dir, "documents.parquet"))
+
+    def start_minhash(ck):
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_minhash_dedup,
+        )
+
+        work = tempfile.mkdtemp(prefix="dbs_steady_mh_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(doc_dir)
+        )
+        return streaming_minhash_dedup(
+            stream, work, os.path.join(ck, "c"), "doc_id", "text"
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
@@ -5913,6 +5991,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_interval_join", start_interval_join),
         ("streaming_ivf_upsert", start_ivf),
         ("streaming_entity_link", start_entity_link),
+        ("streaming_minhash_dedup", start_minhash),
     ):
         try:
             out[name] = measure(starter)

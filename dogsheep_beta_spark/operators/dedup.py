@@ -204,6 +204,31 @@ def _minhash_signatures(s: DataFrame, n_hashes: int) -> DataFrame:
     )
 
 
+def banded_rows(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) — each signature split into ``bands`` bucket
+    keys of ``n_hashes/bands`` rows (docs sharing ANY (band, bucket)
+    are LSH candidates).  Shared by the batch pair generator and the
+    streaming maintainer so the banding can never drift."""
+    r = n_hashes // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"m{bi * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_signature(shingles, n_hashes: int, seed: int = 42):
     """Array of ``n_hashes`` minhashes in ONE pass over the shingles.
 
@@ -267,7 +292,6 @@ def minhash_lsh_pairs(
     (redundant for clustering) are skipped.  Candidate count is thereby
     bounded by Σ_small w² + Σ_hot (w−1).  0 disables the cap.
     """
-    r = n_hashes // bands
     # per-doc shingle sets — persisted because they feed BOTH the
     # signature aggregation and the per-pair verification (tokenize/
     # shingle exactly once).  shingle-less docs drop out here (they
@@ -280,23 +304,7 @@ def minhash_lsh_pairs(
     )
     s = pre.select("id", F.explode("shingles").alias("shingle"))
     sigs = _minhash_signatures(s, n_hashes)
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"m{bi * r + j}").cast("string")
-                            for j in range(r)
-                        ],
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    ).persist()
+    banded = banded_rows(sigs, n_hashes, bands).persist()
     if max_bucket:
         # Hot-bucket keys are few by definition (each one is a wide
         # duplicate class), so they broadcast: the split below is two

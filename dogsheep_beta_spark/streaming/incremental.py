@@ -1392,3 +1392,249 @@ def streaming_entity_link(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH near-dup detection
+# ---------------------------------------------------------------------------
+
+
+def merge_minhash_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """foreachBatch body: near-dup-check a micro-batch of documents
+    against EVERYTHING seen so far — the new-crawl-vs-historical-corpus
+    dedup a training pipeline runs continuously, without ever
+    rescanning history.
+
+    Three hive-partitioned stores under ``root_path``:
+
+    - ``band_index/`` (id, band, bucket) partitioned by ``bb =
+      hash(band, bucket) % n_buckets`` — the LSH candidate index;
+    - ``store/``      (id, shingles) partitioned by ``idb = hash(id)
+      % n_buckets`` — shingle sets for exact-Jaccard verification;
+    - ``matches/``    (a, b, jaccard) partitioned by ``mb`` — the
+      verified pair table (append-only; pairs are unique by
+      construction, reads dropDuplicates for retry hygiene).
+
+    Per batch the merge opens ONLY the band-index partitions the
+    batch's band rows hash into and the store partitions the candidate
+    ids hash into — O(touched buckets), never O(history)
+    (merge_batch_scoped's shape).  Pair generation is new×(index ∪
+    new) on (band, bucket) with the once-per-pair direction rules of
+    ``merge_link_batch``: a pair surfaces exactly when its LATER
+    ARRIVAL lands, so the final match set equals the batch generator's
+    (``dedup.minhash_lsh_pairs``, uncapped regime) regardless of
+    arrival order or batch boundaries — signatures, banding
+    (``dedup.banded_rows``) and the verification formula are the
+    SHARED definitions, so the two paths cannot drift.
+
+    Scale note: hot (band, bucket) keys on a mass-duplicated stream
+    are the same skew risk as in batch; the batch path's chain cap is
+    its rebuild-time answer.  Here each batch's join is bounded by
+    batch × touched-bucket width; cap enforcement for adversarial
+    streams belongs in an upstream exact-dedup stage
+    (``streaming_dedup``) which removes the exact-duplicate mass that
+    creates hot buckets in the first place."""
+    import os
+
+    from dogsheep_beta_spark.operators.dedup import (
+        _minhash_signatures,
+        banded_rows,
+        bound_tokens,
+        shingles_expr,
+    )
+
+    band_index_path = os.path.join(root_path, "band_index")
+    store_path = os.path.join(root_path, "store")
+    match_path = os.path.join(root_path, "matches")
+
+    pre = (
+        bound_tokens(batch_df, id_col, text_col)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            shingles_expr(F.col("__tk"), k).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .dropDuplicates(["id"])
+        .persist()
+    )
+    s = pre.select("id", F.explode("shingles").alias("shingle"))
+    sigs = _minhash_signatures(s, n_hashes)
+    new_band = (
+        banded_rows(sigs, n_hashes, bands)
+        .withColumn(
+            "bb",
+            F.pmod(F.xxhash64("band", "bucket"), F.lit(n_buckets)).cast("int"),
+        )
+        .persist()
+    )
+    touched = [str(r[0]) for r in new_band.select("bb").distinct().collect()]
+    if not touched:
+        pre.unpersist()
+        new_band.unpersist()
+        return
+
+    index = _read_partitioned(spark, band_index_path, touched, col="bb")
+    new_ids = pre.select("id")
+    if index is not None:
+        old_band = index.join(new_ids, "id", "left_anti")
+        allb = (
+            old_band.withColumn("__new", F.lit(0))
+            .unionByName(new_band.withColumn("__new", F.lit(1)))
+        )
+    else:
+        allb = new_band.withColumn("__new", F.lit(1))
+
+    # once-per-pair direction rules (merge_link_batch): a NEW row pairs
+    # with smaller-id bucket-mates, and with larger-id OLD mates (the
+    # larger-id NEW mate emits the new-new pair from its own side)
+    n = allb.filter(F.col("__new") == 1)
+    o = allb.select(
+        F.col("band").alias("o_band"),
+        F.col("bucket").alias("o_bucket"),
+        F.col("id").alias("o_id"),
+        F.col("__new").alias("o_new"),
+    )
+    once = (F.col("o_id") < F.col("id")) | (
+        (F.col("o_new") == 0) & (F.col("o_id") > F.col("id"))
+    )
+    cand = (
+        n.join(
+            o,
+            (F.col("band") == F.col("o_band"))
+            & (F.col("bucket") == F.col("o_bucket"))
+            & once,
+        )
+        .select(
+            F.least("id", "o_id").alias("a"),
+            F.greatest("id", "o_id").alias("b"),
+        )
+        .distinct()  # a pair may collide in several bands this batch
+        .persist()
+    )
+
+    # verification shingle sets: in-batch docs from `pre`; historical
+    # partners from the id-bucketed record store (only the partitions
+    # the candidate ids hash into — a bounded ≤ n_buckets collect)
+    cand_idb = [
+        str(r[0])
+        for r in cand.select(
+            F.explode(F.array("a", "b")).alias("id")
+        )
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb")
+        )
+        .distinct()
+        .collect()
+    ]
+    store = (
+        _read_partitioned(spark, store_path, cand_idb, col="idb")
+        if cand_idb
+        else None
+    )
+    if store is not None:
+        shings = (
+            store.select("id", "shingles")
+            .join(new_ids, "id", "left_anti")
+            .unionByName(pre)
+        )
+    else:
+        shings = pre
+    sa = shings.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
+    sb = shings.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    fresh = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+            F.pmod(F.xxhash64("a", "b"), F.lit(n_buckets))
+            .cast("int")
+            .alias("mb"),
+        )
+    )
+    # pairs are globally unique (later-arrival rule), so matches are
+    # append-only; a replayed batch re-appends the same pairs and the
+    # read path dropDuplicates — same retry posture as the store writes
+    fresh.write.mode("append").partitionBy("mb").parquet(match_path)
+
+    # append-only store/index growth: only genuinely-new rows (retry
+    # idempotent via the anti-joins against what was just read)
+    if store is not None:
+        new_recs = pre.join(store.select("id"), "id", "left_anti")
+    else:
+        new_recs = pre
+    new_recs.select(
+        "id",
+        "shingles",
+        F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb"),
+    ).write.mode("append").partitionBy("idb").parquet(store_path)
+    if index is not None:
+        new_band_only = new_band.join(
+            index.select("id").distinct(), "id", "left_anti"
+        )
+    else:
+        new_band_only = new_band
+    new_band_only.write.mode("append").partitionBy("bb").parquet(
+        band_index_path
+    )
+    cand.unpersist()
+    new_band.unpersist()
+    pre.unpersist()
+
+
+def read_minhash_matches(spark: SparkSession, root_path: str) -> DataFrame:
+    """(a, b, jaccard) from the streamed match store — dropDuplicates
+    for batch-retry hygiene (pairs are unique by construction)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(root_path, "matches"))
+        .select("a", "b", "jaccard")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def streaming_minhash_dedup(
+    stream_df: DataFrame,
+    root_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+):
+    """Incremental MinHash-LSH near-dup detection over a document
+    stream: each micro-batch is checked against the full historical
+    corpus through the partitioned band index (see
+    ``merge_minhash_batch``).  The final match table equals
+    ``minhash_lsh_pairs`` over the full corpus (uncapped regime) —
+    the convergence contract every incremental op in this module
+    carries."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_minhash_batch(
+                spark, bdf, bid, root_path, id_col, text_col,
+                k, n_hashes, bands, n_buckets,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

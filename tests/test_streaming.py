@@ -1139,3 +1139,59 @@ def test_manifest_lock_unparsable_stale_by_age(tmpdir):
     with inc._manifest_lock(base, timeout=5.0):
         pass
     assert not os.path.exists(lock)
+
+
+def test_streaming_minhash_dedup_converges_to_batch(spark, tmpdir):
+    """Incremental near-dup detection == batch minhash_lsh_pairs over
+    the same final corpus, regardless of batch boundaries: cross-batch
+    duplicate pairs surface when the LATER doc arrives, in-batch pairs
+    immediately, and nothing is emitted twice."""
+    from dogsheep_beta_spark.operators.dedup import minhash_lsh_pairs
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_minhash_matches,
+        streaming_minhash_dedup,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    root = os.path.join(tmpdir, "mh")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog and keeps going"
+    rows1 = [
+        (1, base),
+        (2, base),  # exact dup of 1 (in-batch pair)
+        (3, "completely different content about spark sql engines here"),
+        (4, base.replace("dog", "cat")),  # near dup of 1/2
+    ]
+    rows2 = [
+        (5, base),  # dup of 1 and 2 — CROSS-batch pairs
+        (6, "another unrelated document with its own words entirely"),
+        (7, base.replace("dog", "cat")),  # dup of 4 cross-batch, near 1/2/5
+    ]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_minhash_dedup(stream, root, ckpt, "doc_id", "text")
+        q.awaitTermination(120)
+
+    run(rows1)
+    run(rows2)
+
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in read_minhash_matches(spark, root).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in minhash_lsh_pairs(full, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0  # in- and cross-batch
+    assert (4, 7) in got and got[(4, 7)] == 1.0
+    # no duplicated pair rows in the raw store either
+    raw = spark.read.parquet(os.path.join(root, "matches"))
+    assert raw.count() == raw.select("a", "b").distinct().count()
