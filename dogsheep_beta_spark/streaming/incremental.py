@@ -1560,15 +1560,15 @@ def merge_minhash_batch(
             "a",
             "b",
             (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
-            F.pmod(F.xxhash64("a", "b"), F.lit(n_buckets))
-            .cast("int")
-            .alias("mb"),
         )
     )
     # pairs are globally unique (later-arrival rule), so matches are
-    # append-only; a replayed batch re-appends the same pairs and the
-    # read path dropDuplicates — same retry posture as the store writes
-    fresh.write.mode("append").partitionBy("mb").parquet(match_path)
+    # append-only and UNPARTITIONED (the table is pure output — nothing
+    # ever reads it bucket-scoped, so the per-batch partitioned-commit
+    # overhead buys nothing); a replayed batch re-appends the same
+    # pairs and the read path dropDuplicates — same retry posture as
+    # the store writes
+    fresh.write.mode("append").parquet(match_path)
 
     # append-only store/index growth: only genuinely-new rows (retry
     # idempotent via the anti-joins against what was just read)
@@ -1582,9 +1582,8 @@ def merge_minhash_batch(
         F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb"),
     ).write.mode("append").partitionBy("idb").parquet(store_path)
     if index is not None:
-        new_band_only = new_band.join(
-            index.select("id").distinct(), "id", "left_anti"
-        )
+        # left_anti needs no distinct on the right side
+        new_band_only = new_band.join(index.select("id"), "id", "left_anti")
     else:
         new_band_only = new_band
     new_band_only.write.mode("append").partitionBy("bb").parquet(
