@@ -77,6 +77,7 @@ def main() -> None:
         ("manifest_layout_build", entry._manifest_layout),
         ("tokargs_fts_build", entry._ctx_tokargs),
         ("pq_build", entry._pq_layout),
+        ("minhash_stream_build", entry._minhash_stream_layout),
     ):
         t0 = time.time()
         try:
