@@ -1428,8 +1428,12 @@ def merge_minhash_batch(
 
     Per batch the merge opens ONLY the band-index partitions the
     batch's band rows hash into and the store partitions the candidate
-    ids hash into — O(touched buckets), never O(history)
-    (merge_batch_scoped's shape).  Pair generation is new×(index ∪
+    ids hash into — O(touched partitions ∪ batch), the
+    merge_batch_scoped framing: untouched partitions are never opened,
+    and the touched-partition scans are columnar reads of a 3-column
+    index (size ``n_buckets`` so a typical batch touches a fraction of
+    them; the joins themselves are keyed by (band, bucket) and carry
+    only candidates).  Pair generation is new×(index ∪
     new) on (band, bucket) with the once-per-pair direction rules of
     ``merge_link_batch``: a pair surfaces exactly when its LATER
     ARRIVAL lands, so the final match set equals the batch generator's

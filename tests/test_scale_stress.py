@@ -335,3 +335,61 @@ def test_scale_100x_tier(spark):
         f"verbatim 10x={vt10:.1f}s 100x={vt100:.1f}s pairs {vn10}->{vn100}; "
         f"fts 10x={ft10:.1f}s 100x={ft100:.1f}s"
     )
+
+
+@pytest.mark.slow
+def test_streaming_minhash_per_batch_stays_bounded(spark):
+    """History-growth check for the incremental near-dup merge: four
+    equal-size batches of (mostly) distinct docs — per-batch wall must
+    not grow with accumulated history (the store quadruples over the
+    run; each batch's work is signatures + touched-partition index
+    scans + candidate verification, none of which is corpus-shaped
+    for distinct content)."""
+    import tempfile
+
+    from dogsheep_beta_spark.sources.registry import register_testdata
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_minhash_dedup,
+    )
+
+    register_testdata(spark, SF_DIR, tables=("documents",))
+    base = spark.table("documents").where(F.col("doc_id") < 2000)
+    work = tempfile.mkdtemp(prefix="dbs_mh_scale_", dir="/tmp")
+    src = os.path.join(work, "src")
+    # 4 files = 4 micro-batches; unique ids + per-batch text salt so
+    # batches share no near-dups (candidate volume stays ~flat)
+    for b in range(4):
+        (
+            base.select(
+                (F.col("doc_id") + b * 10_000).alias("doc_id"),
+                F.concat(F.lit(f"batchsalt{b} "), F.col("text")).alias("text"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(
+        stream, os.path.join(work, "root"), os.path.join(work, "ck"),
+        "doc_id", "text",
+    )
+    q.awaitTermination(600)
+    durs = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    assert len(durs) == 4, durs
+    # batch 4 processes against 3 batches of history; bound it against
+    # batch 2 (the first post-warmup batch) — growth with history, not
+    # noise, is the failure mode
+    assert durs[3] <= max(3 * durs[1], durs[1] + 20), durs
+    print(f"\nSCALE mh-stream per-batch walls: "
+          + " ".join(f"{t:.1f}s" for t in durs))
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
