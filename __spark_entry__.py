@@ -4905,10 +4905,15 @@ LIMIT 100
             , tokx AS (SELECT doc_id, unnest(toks) AS t FROM toks)
             , cnt AS (SELECT t, COUNT(*) AS c FROM tokx GROUP BY t)
             , tot AS (SELECT COUNT(*) AS n FROM tokx)
-            SELECT doc_id, COUNT(*) AS n_tok,
-                   ROUND(AVG(-ln(c * 1.0 / n)), 6) AS nll
-            FROM tokx JOIN cnt USING (t), tot
-            GROUP BY doc_id ORDER BY doc_id
+            , scored AS (
+                SELECT doc_id, COUNT(*) AS n_tok,
+                       ROUND(AVG(-ln(c * 1.0 / n)), 6) AS nll
+                FROM tokx JOIN cnt USING (t), tot
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_tok, 0) AS n_tok, s.nll
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id
         """,
         "text_repetition": ORACLE_DOC_TOKENS
         + """

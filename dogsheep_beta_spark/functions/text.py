@@ -170,6 +170,11 @@ def highlight_expr(
     regex and RE2)."""
     import re as _re
 
+    if not terms:
+        # an empty alternation "(?i)\b()\b" matches zero-width at every
+        # word boundary and stuffs tags through the text — no terms
+        # means nothing to highlight
+        return F.coalesce(col, F.lit(""))
     pattern = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
     return F.regexp_replace(
         F.coalesce(col, F.lit("")), pattern, f"{open_tag}$1{close_tag}"
@@ -428,7 +433,18 @@ def unigram_nll_table(
             ).alias("nll"),
         )
     )
-    return scored
+    # every input id survives (n_tok=0, NULL nll for token-less docs) —
+    # same row universe as bigram_nll_table / char_entropy_table, so the
+    # signal family joins without losing rows
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            "nll",
+        )
+    )
 
 
 def compression_ratio_table(df, id_col: str, text_col: str):
@@ -448,7 +464,13 @@ def compression_ratio_table(df, id_col: str, text_col: str):
     """
     import pandas as pd  # noqa: F401 (Arrow batch type)
 
-    schema = f"{id_col} long, n_bytes long, zlib_bytes long, compression_ratio double"
+    # the id passes through with its OWN type (string doc ids are the
+    # common case) — a hardcoded long crashed in Arrow conversion
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, n_bytes long, zlib_bytes long, "
+        "compression_ratio double"
+    )
 
     def batches(it):
         import zlib
@@ -499,7 +521,11 @@ def bigram_nll_table(
     ``pairs_df`` / ``tokens_df`` (from ``bigram_pairs`` /
     ``token_stream``, usually persisted) share the explodes with the
     other text signals; ``vocab_size`` short-circuits the vocabulary
-    scalar when the caller has it cached."""
+    scalar when the caller has it cached.  NOTE the default-arguments
+    path (neither ``tokens_df`` nor ``vocab_size``) tokenizes the
+    corpus a SECOND time just for the countDistinct — at the 100 TB
+    design point pass one of the two (the entry-file consumers always
+    do); the convenience fallback exists for small ad-hoc calls."""
     if pairs_df is not None:
         pairs = pairs_df
     else:

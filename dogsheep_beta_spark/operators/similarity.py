@@ -20,7 +20,7 @@ declared queries stay literal-free and oracle-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dogsheep_beta_spark.operators.dedup import cosine_expr
@@ -214,7 +214,25 @@ def lsh_topk(
     bucket → each probe is a pruned partition read.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    # a dim mismatch must fail LOUDLY: zip_with pads the shorter array
+    # with NULLs, every plane dot goes NULL, all rows land in bucket 0
+    # and the "search only the query's bucket" contract silently
+    # becomes a full-corpus scan (the PQ path's _pq_sub_d raises for
+    # its analogous mismatch)
+    dim_guard = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_topk: dim={dim} but vector has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" elements — pass the embedding dimension"),
+            )
+        ),
+    )
+    bucketed = df.withColumn(
+        "bucket",
+        F.coalesce(dim_guard.cast("int"), lsh_bucket_expr(F.col(vec_col), planes)),
+    )
     qb = F.broadcast(
         bucketed.where(F.col(id_col) == query_id).select(
             F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qv")
@@ -276,8 +294,6 @@ def knn_join(
     union of every query's probed cells first (partition pruning),
     then knn_join the remainder.
     """
-    from pyspark.sql import Window
-
     q_id_col = q_id_col or id_col
     q_vec_col = q_vec_col or vec_col
     q = F.broadcast(

@@ -44,46 +44,62 @@ def as_of_join(
     (left-outer as-of semantics, like DuckDB/pandas ASOF LEFT JOIN).
 
     ``right_tiebreak``: a right column ordering simultaneous right rows
-    so the surviving match is deterministic (highest wins).
+    so the surviving match is deterministic (highest wins).  Ordered by
+    the column's OWN type — a string/uuid tiebreak orders
+    lexicographically instead of silently casting to NULL.
 
     ``tolerance_seconds``: maximum staleness (pandas ``merge_asof
     tolerance=``): a match older than ``left_ts - tolerance`` is
     discarded — the right slots revert to NULL, exactly as if no prior
     row existed.  Feature pipelines use this to refuse stale features
-    (a 3-day-old price is worse than no price).  Implemented by
-    carrying the matched row's timestamp through the same
-    last(ignorenulls) window — zero extra shuffles.
+    (a 3-day-old price is worse than no price).
+
+    The matched right row travels as ONE struct through a single
+    last(ignorenulls) window, so all ``right_cols`` (and the staleness
+    timestamp) come from the SAME most-recent right row — per-column
+    carries would stitch values from different rows whenever the most
+    recent row holds a NULL in one column (pandas/DuckDB ASOF return
+    that row's NULL, not an older row's value).  Zero extra shuffles.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
-    # left rows carry their payload + NULL right slots; right rows the
-    # inverse.  _side orders ties at equal ts: inclusive → right first
-    # (visible to the left row), strict → left first (not visible).
+    rrow_t = T.StructType(
+        [T.StructField("_mts", T.LongType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+    rtb_t = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else T.IntegerType()
+    )
+    # left rows carry their payload + a NULL matched-row struct; right
+    # rows the inverse.  _side orders ties at equal ts: inclusive →
+    # right first (visible to the left row), strict → left first.
     lt = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rtb"),
-        F.lit(None).cast("long").alias("_mts"),
+        F.lit(None).cast(rtb_t).alias("_rtb"),
+        F.lit(None).cast(rrow_t).alias("_rrow"),
         *[F.col(c) for c in lcols if c not in on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
     )
-    rtb = (
-        F.col(right_tiebreak).cast("long")
-        if right_tiebreak
-        else F.lit(0).cast("long")
-    )
+    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     # a right row with NULL right_ts can never be a valid as-of match
     # (it has no position on the time axis) — dropped up front, so the
-    # carried values and the tolerance gate can never disagree (a NULL
-    # _ts row would otherwise donate right_cols but a NULL _mts).
+    # carried values and the tolerance gate can never disagree.
     rt = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         rtb.alias("_rtb"),
-        F.unix_micros(F.col(right_ts)).alias("_mts"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.unix_micros(F.col(right_ts)).alias("_mts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("_rrow"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
     )
     side_order = F.desc("_side") if strict else F.asc("_side")
     w = (
@@ -91,27 +107,24 @@ def as_of_join(
         .orderBy(F.asc("_ts"), side_order, F.asc_nulls_first("_rtb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = lt.unionByName(rt)
-    for c in right_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    merged = lt.unionByName(rt).withColumn(
+        "_m", F.last("_rrow", ignorenulls=True).over(w)
+    )
     if tolerance_seconds is not None:
-        # staleness gate: the carried match timestamp rides the same
-        # window, so this is a pure post-window CASE — no extra pass.
-        matched_ts = F.last("_mts", ignorenulls=True).over(w)
-        merged = merged.withColumn("_mts", matched_ts)
+        # staleness gate on the matched ROW's own timestamp — a pure
+        # post-window CASE, no extra pass.
         stale = (
-            F.unix_micros(F.col("_ts")) - F.col("_mts")
+            F.unix_micros(F.col("_ts")) - F.col("_m._mts")
             > tolerance_seconds * 1_000_000
         )
-        for c in right_cols:
-            merged = merged.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
+        merged = merged.withColumn(
+            "_m", F.when(stale, F.lit(None).cast(rrow_t)).otherwise(F.col("_m"))
+        )
     return merged.where(F.col("_side") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),
         *[c for c in lcols if c not in on and c != left_ts],
-        *right_cols,
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
     )
 
 

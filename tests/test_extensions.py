@@ -1354,3 +1354,43 @@ def test_temperature_sample_null_groups_drop(spark):
     kept = sp.temperature_sample(df, "grp", "id", 0.5, "s", rates).collect()
     assert all(r["grp"] is not None for r in kept)
     assert sum(1 for r in kept if r["grp"] == "small") == 16
+
+
+def test_compression_ratio_string_ids(spark):
+    from dogsheep_beta_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [("d1", "hello hello hello hello"), ("d2", None)],
+        "doc string, text string",
+    )
+    out = {r["doc"]: r for r in txt.compression_ratio_table(df, "doc", "text").collect()}
+    assert out["d1"]["n_bytes"] > 0 and out["d2"]["n_bytes"] == 0
+
+
+def test_unigram_nll_preserves_all_ids(spark):
+    """Same row universe as the sibling signal tables: token-less docs
+    survive with n_tok=0, NULL nll."""
+    from dogsheep_beta_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, None)], "id int, text string"
+    )
+    out = {r["id"]: r for r in txt.unigram_nll_table(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tok"] == 0 and out[2]["nll"] is None
+    assert out[1]["n_tok"] == 3 and out[1]["nll"] is not None
+
+
+def test_highlight_empty_terms_is_identity(spark):
+    from dogsheep_beta_spark.functions import text as txt
+
+    df = spark.createDataFrame([(1, "a b c")], "id int, text string")
+    got = df.select(txt.highlight_expr(F.col("text"), []).alias("h")).collect()
+    assert got[0]["h"] == "a b c"
+
+
+def test_lsh_topk_dim_mismatch_raises(spark, vectors):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dim=64 but vector has 8"):
+        sim.lsh_topk(vectors, "vec_id", "embedding", 0, k=5, n_planes=2).collect()

@@ -481,3 +481,56 @@ def test_gap_fill_misaligned_buckets_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="not aligned"):
         dense.collect()
+
+
+def test_as_of_join_null_right_col_comes_from_matched_row(spark):
+    """The matched right ROW travels whole: a NULL in one right column
+    of the most recent row must surface as NULL, never be backfilled
+    from an older row (pandas/DuckDB ASOF semantics)."""
+    from dogsheep_beta_spark.operators import temporal as tp
+
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 10.0, 5),
+         ("k", "2024-01-01 11:00:00", None, 7)],
+        "k string, ts string, price double, qty int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 12:00:00")], "k string, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    out = tp.as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="ts",
+        right_cols=["price", "qty"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["qty"] == 7 and out[0]["price"] is None  # same row
+    # tolerance gate judges the MATCHED row's ts, not an older donor's
+    out2 = tp.as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="ts",
+        right_cols=["price", "qty"], tolerance_seconds=5400,
+    ).collect()
+    assert out2[0]["qty"] == 7 and out2[0]["price"] is None  # 1h old: fresh
+    out3 = tp.as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="ts",
+        right_cols=["price", "qty"], tolerance_seconds=1800,
+    ).collect()
+    assert out3[0]["qty"] is None and out3[0]["price"] is None  # stale
+
+
+def test_as_of_join_string_tiebreak_is_deterministic(spark):
+    """A non-numeric tiebreak column orders by its own type instead of
+    silently casting to NULL (which made the winner nondeterministic)."""
+    from dogsheep_beta_spark.operators import temporal as tp
+
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", "a", 1),
+         ("k", "2024-01-01 10:00:00", "b", 2)],
+        "k string, ts string, rid string, val int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 11:00:00")], "k string, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    out = tp.as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="ts",
+        right_cols=["val"], right_tiebreak="rid",
+    ).collect()
+    assert out[0]["val"] == 2  # highest tiebreak ('b') wins, every run
