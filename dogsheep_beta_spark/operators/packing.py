@@ -81,9 +81,11 @@ def pack_greedy(
     the honest implementation is a pandas pass per shard group, shards
     running in parallel (same shape as stateful sessionization)."""
     order_col = order_col or id_col
+    # the id passes through with its OWN type (string doc ids work,
+    # matching pack_contiguous) — a hardcoded long crashed in Arrow
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType(), False),
+            T.StructField("id", df.schema[id_col].dataType, True),
             T.StructField("shard", T.StringType(), True),
             T.StructField("n_tok", T.LongType(), True),
             T.StructField("bin", T.LongType(), False),
@@ -125,7 +127,15 @@ def pack_greedy(
 
 
 def bin_stats(packed: DataFrame, capacity: int) -> DataFrame:
-    """(shard, bin, n_docs, fill, utilization) — the packing report."""
+    """(shard, bin, n_docs, fill, utilization) — the packing report.
+
+    Exact for ``pack_greedy`` output (documents are unsplit, so a bin's
+    fill is the sum of its documents).  For ``pack_contiguous`` the
+    report attributes a straddling document's FULL token count to the
+    bin where it starts, so fill/utilization can exceed capacity for
+    start bins and undercount the spilled-into bins — contiguous
+    packing fills every bin to exactly ``capacity`` by construction,
+    so the per-bin report is only meaningful for the greedy packer."""
     return packed.groupBy("shard", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("fill"),

@@ -40,16 +40,22 @@ from pyspark.sql import functions as F
 
 
 def _dim_expr(col: Column, kind: str, bits: int) -> Column:
+    """Encoded dimension in [0, 2^bits).  NULL-safe by construction: a
+    NULL in ANY dimension would otherwise null the whole interleaved
+    key (pmod(null) propagates through every bitwiseOR), collapsing
+    every such row into one skewed range partition with no clustering
+    on the non-null dims.  NULLs encode as slot 0 — they cluster
+    together and the other dimensions keep their spread."""
     m = F.lit(1 << bits)
     if kind == "int":
-        return F.pmod(col.cast("long"), m)
+        return F.coalesce(F.pmod(col.cast("long"), m), F.lit(0))
     if kind == "hash":
-        return F.pmod(F.xxhash64(col), m)
+        return F.coalesce(F.pmod(F.xxhash64(col), m), F.lit(0))
     if kind == "day":
         # µs timestamp → day number; floor (not cast) so pre-1970 days
         # order correctly, same device as temporal.time_bucket.
         day = F.floor(F.unix_micros(col) / F.lit(86_400_000_000)).cast("long")
-        return F.pmod(day, m)
+        return F.coalesce(F.pmod(day, m), F.lit(0))
     raise ValueError(f"unknown zorder dim kind: {kind}")
 
 

@@ -75,8 +75,14 @@ def corrupt_records(spark: SparkSession, path: str, schema: T.StructType) -> Dat
         full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
+    # a top-level JSON ARRAY line is NOT corrupt: the JSON datasource
+    # (read_jsonl) expands it into one row per element, but from_json
+    # with a struct schema rejects it — probe the array shape too, or
+    # the quarantine double-counts lines the reader kept and a
+    # re-ingest of the quarantine would duplicate data
+    arr_parsed = F.from_json(F.col("value"), T.ArrayType(schema))
     return (
-        lines.where(parsed[CORRUPT_COL].isNotNull())
+        lines.where(parsed[CORRUPT_COL].isNotNull() & arr_parsed.isNull())
         .select(F.col("value").alias(CORRUPT_COL))
     )
 

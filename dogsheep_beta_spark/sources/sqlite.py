@@ -52,6 +52,12 @@ def _affinity(decl: str) -> T.DataType:
     return T.DoubleType()  # NUMERIC affinity
 
 
+def _q(ident: str) -> str:
+    """Double-quoted SQL identifier with embedded quotes doubled — a
+    legally-named table like we"ird must not break generated SQL."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def sqlite_tables(db_path: str) -> list[str]:
     """User tables in the db (reference utils.py iterates the same set)."""
     with _connect_ro(db_path) as con:
@@ -66,7 +72,7 @@ def sqlite_spark_schema(db_path: str, table: str) -> T.StructType:
     """Spark schema for one table via PRAGMA table_info (footer-read
     analog: metadata only, no data scan)."""
     with _connect_ro(db_path) as con:
-        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        info = con.execute(f'PRAGMA table_info({_q(table)})').fetchall()
     if not info:
         raise ValueError(f"no such sqlite table: {table!r}")
     # cid, name, decl_type, notnull, default, pk
@@ -81,7 +87,7 @@ def _rowid_bounds(db_path: str, table: str) -> tuple[int, int, int] | None:
     with _connect_ro(db_path) as con:
         try:
             lo, hi, n = con.execute(
-                f'SELECT min(rowid), max(rowid), count(*) FROM "{table}"'
+                f'SELECT min(rowid), max(rowid), count(*) FROM {_q(table)}'
             ).fetchone()
         except sqlite3.OperationalError:
             return None
@@ -116,7 +122,7 @@ def read_sqlite_table(
     driver-side collection, unlike ``createDataFrame``).
     """
     schema = sqlite_spark_schema(db_path, table)
-    cols = ", ".join(f'"{f.name}"' for f in schema.fields)
+    cols = ", ".join(_q(f.name) for f in schema.fields)
     bounds = _rowid_bounds(db_path, table)
 
     if bounds is None or bounds[2] == 0:
@@ -125,10 +131,15 @@ def read_sqlite_table(
                 con = _connect_ro(db_path)
                 try:
                     for _ in batches:
-                        yield _coerce(
-                            pd.read_sql_query(f'SELECT {cols} FROM "{table}"', con),
-                            schema,
-                        )
+                        # chunked: bounded frames through the Arrow
+                        # iterator, never the whole table in one pandas
+                        # DataFrame (a multi-GB table would OOM the task)
+                        for chunk in pd.read_sql_query(
+                            f'SELECT {cols} FROM {_q(table)}',
+                            con,
+                            chunksize=50_000,
+                        ):
+                            yield _coerce(chunk, schema)
                 finally:
                     con.close()
 
@@ -154,7 +165,7 @@ def read_sqlite_table(
                     if a > hi:
                         continue
                     out = pd.read_sql_query(
-                        f'SELECT {cols} FROM "{table}" '
+                        f"SELECT {cols} FROM {_q(table)} "
                         f"WHERE rowid BETWEEN ? AND ?",
                         con,
                         params=(a, b),
@@ -164,9 +175,11 @@ def read_sqlite_table(
         finally:
             con.close()
 
-    # one range id per task: repartition the seed so tasks read
-    # disjoint slices concurrently instead of one task looping all.
-    seed = spark.range(num_partitions).repartition(num_partitions, "id")
+    # exactly one range id per task, with NO shuffle: range(n) with
+    # numPartitions=n places id i in partition i by construction —
+    # hash-repartitioning the seed left some tasks idle and serialized
+    # several rowid slices through one task.
+    seed = spark.range(0, num_partitions, 1, numPartitions=num_partitions)
     return seed.mapInPandas(read_ranges, schema)
 
 
@@ -198,30 +211,42 @@ def write_sqlite_table(
     ingestion query exercise genuine sqlite files end-to-end."""
     pdf = df.toPandas()
     cols = list(pdf.columns)
+    # declarations come from the SPARK schema, not pandas dtypes: a
+    # nullable long column arrives as float64 after toPandas, which a
+    # dtype-based mapping would declare REAL (storing 1 as 1.0 and
+    # breaking the lossless round-trip); nullable Int64 frames would
+    # land in TEXT.  The integer columns' values are re-coerced below.
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
 
-    def decl(s) -> str:
-        k = str(s)
-        if "int" in k:
+    def decl(name: str) -> str:
+        t = spark_types.get(name)
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType,
+                          T.ByteType, T.BooleanType)):
             return "INTEGER"
-        if "float" in k:
+        if isinstance(t, (T.DoubleType, T.FloatType)):
             return "REAL"
-        if "object" in k or "string" in k:
-            return "TEXT"
         return "TEXT"
+
+    for c in cols:
+        if decl(c) == "INTEGER":
+            pdf[c] = pdf[c].astype("Int64")  # 1.0 → 1, NaN → NA
 
     con = sqlite3.connect(db_path)
     try:
-        con.execute(f'DROP TABLE IF EXISTS "{table}"')
-        spec = ", ".join(f'"{c}" {decl(pdf[c].dtype)}' for c in cols)
-        con.execute(f'CREATE TABLE "{table}" ({spec})')
+        con.execute(f'DROP TABLE IF EXISTS {_q(table)}')
+        spec = ", ".join(f"{_q(c)} {decl(c)}" for c in cols)
+        con.execute(f'CREATE TABLE {_q(table)} ({spec})')
         ph = ", ".join("?" for _ in cols)
         rows = [
-            tuple(None if pd.isna(v) else v for v in r)
+            tuple(
+                None if pd.isna(v) else (int(v) if isinstance(v, pd.Int64Dtype().type) else v)
+                for v in r
+            )
             for r in pdf.itertuples(index=False, name=None)
         ]
         for i in range(0, len(rows), batch_size):
             con.executemany(
-                f'INSERT INTO "{table}" VALUES ({ph})', rows[i : i + batch_size]
+                f'INSERT INTO {_q(table)} VALUES ({ph})', rows[i : i + batch_size]
             )
         con.commit()
     finally:

@@ -837,6 +837,20 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert bad.count() == 1
     assert "trunc" in bad.collect()[0][jl.CORRUPT_COL]
 
+    # a top-level JSON ARRAY line is kept by the reader (one row per
+    # element) — it must NOT appear in the quarantine (round-6 fix:
+    # re-ingesting the quarantine would have duplicated those rows)
+    with open(part, "a") as f:
+        f.write('[{"doc_id": 5, "text": "arr1", "src": "a"}, '
+                '{"doc_id": 6, "text": "arr2", "src": "b"}]\n')
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(path)
+    kept = jl.read_jsonl(spark, path, schema)
+    assert {r["doc_id"] for r in kept.collect()} >= {5, 6}
+    bad2 = jl.corrupt_records(spark, path, schema)
+    assert bad2.count() == 1  # still only the truncated line
+
     inferred = jl.sample_jsonl_schema(spark, path, sample_lines=100)
     assert {f.name for f in inferred.fields} >= {"doc_id", "src"}
 
@@ -1394,3 +1408,32 @@ def test_lsh_topk_dim_mismatch_raises(spark, vectors):
 
     with _pytest.raises(Exception, match="dim=64 but vector has 8"):
         sim.lsh_topk(vectors, "vec_id", "embedding", 0, k=5, n_planes=2).collect()
+
+
+def test_pack_greedy_string_ids(spark):
+    from dogsheep_beta_spark.operators import packing as pk
+
+    df = spark.createDataFrame(
+        [("docA", 100, "s"), ("docB", 200, "s"), ("docC", 250, "s")],
+        "doc string, n int, src string",
+    )
+    out = {r["id"]: r["bin"] for r in pk.pack_greedy(df, "doc", "n", 256, "src").collect()}
+    assert out == {"docA": 0, "docB": 1, "docC": 2}
+
+
+def test_zorder_key_null_dims_keep_clustering(spark):
+    """A NULL in one dimension must not null the whole z-key."""
+    from dogsheep_beta_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 5), (3, 7), (None, 5)], "a int, b int"
+    )
+    keys = [
+        r["z"]
+        for r in df.select(
+            zorder_key([(F.col("a"), "int"), (F.col("b"), "int")]).alias("z")
+        ).collect()
+    ]
+    assert all(k is not None for k in keys)
+    assert keys[0] == keys[2]  # same (null, 5) rows cluster together
+    assert keys[0] != keys[1]  # b still differentiates

@@ -136,3 +136,73 @@ def test_parquet_to_sqlite_to_index_pipeline(spark, tmpdir):
         .collect()
     )
     assert sorted(a) == sorted(b)
+
+
+def test_sqlite_quoted_identifiers(spark, tmp_path):
+    """A table/column name containing a double quote must round-trip —
+    identifiers are escaped by doubling embedded quotes."""
+    import sqlite3
+
+    from dogsheep_beta_spark.sources.sqlite import (
+        read_sqlite_table,
+        sqlite_tables,
+    )
+
+    db = str(tmp_path / "weird.db")
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE "we""ird" ("a""b" INTEGER, t TEXT)')
+    con.execute('INSERT INTO "we""ird" VALUES (1, \'x\'), (2, \'y\')')
+    con.commit()
+    con.close()
+    assert 'we"ird' in sqlite_tables(db)
+    got = read_sqlite_table(spark, db, 'we"ird').collect()
+    assert sorted((r['a"b'], r["t"]) for r in got) == [(1, "x"), (2, "y")]
+
+
+def test_sqlite_write_nullable_long_roundtrip(spark, tmp_path):
+    """A long column containing a NULL must come back as INTEGER longs,
+    not REAL doubles (toPandas turns nullable longs into float64)."""
+    import sqlite3
+
+    from dogsheep_beta_spark.sources.sqlite import (
+        read_sqlite_table,
+        write_sqlite_table,
+    )
+
+    db = str(tmp_path / "nl.db")
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, k long")
+    write_sqlite_table(df, db, "t")
+    con = sqlite3.connect(db)
+    decl = con.execute(
+        "SELECT sql FROM sqlite_master WHERE name='t'"
+    ).fetchone()[0]
+    con.close()
+    assert '"k" INTEGER' in decl, decl
+    back = read_sqlite_table(spark, db, "t")
+    assert dict(back.dtypes)["k"] == "bigint"
+    got = {r["id"]: r["k"] for r in back.collect()}
+    assert got == {1: 10, 2: None}
+
+
+def test_sqlite_seed_one_range_per_task(spark, tmp_path):
+    """The rowid-range seed places exactly one range id per task (no
+    idle tasks, no serialized multi-range tasks)."""
+    import sqlite3
+
+    from dogsheep_beta_spark.sources.sqlite import read_sqlite_table
+
+    db = str(tmp_path / "big.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (v INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(1000)])
+    con.commit()
+    con.close()
+    df = read_sqlite_table(spark, db, "t", num_partitions=4)
+    sizes = sorted(
+        r["count"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(sizes) == 4 and sizes == [250, 250, 250, 250], sizes
+    assert df.count() == 1000
