@@ -236,7 +236,10 @@ def audio_features(data: bytes) -> list[float]:
         samples = array.array("h", frames)
         scale = 32768.0
     elif width == 1:
-        samples = array.array("b", bytes(b - 128 for b in frames))
+        # 8-bit PCM is UNSIGNED (0..255, silence = 128): recenter via
+        # unsigned load then subtract — bytes(b - 128 …) rejected the
+        # negative ints and crashed on any real 8-bit audio
+        samples = array.array("h", (b - 128 for b in frames))
         scale = 128.0
     else:
         raise ValueError(f"unsupported sample width {width}")
@@ -310,8 +313,20 @@ def avi_metadata(data: bytes) -> dict:
                         fps=round(1_000_000 / us_pf, 3) if us_pf else 0.0,
                     )
                 elif f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    # only the VIDEO stream's strf is a BITMAPINFOHEADER
+                    # with a compression fourcc at offset 16 — an
+                    # audio-first AVI's WAVEFORMAT strf would yield
+                    # garbage; gate on the stream header's fccType
+                    is_vids = False
                     for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
-                        if f3 == b"strf" and s3 >= 40 and "compression" not in meta:
+                        if f3 == b"strh" and s3 >= 4:
+                            is_vids = data[p3 : p3 + 4] == b"vids"
+                        elif (
+                            f3 == b"strf"
+                            and s3 >= 40
+                            and is_vids
+                            and "compression" not in meta
+                        ):
                             comp = struct.unpack("<I", data[p3 + 16 : p3 + 20])[0]
                             meta["compression"] = (
                                 ""

@@ -88,6 +88,15 @@ def run_indexer(
       from ``compact_partitions`` (default 32).
     """
     df = build_search_index(spark, config, databases)
+    if zorder and partition_by_type:
+        # the hive partitionBy re-splits the range-partitioned files,
+        # shredding the Morton clustering into up to files×types tiny
+        # files — the two layouts are alternatives, not composable
+        raise ValueError(
+            "zorder and partition_by_type are mutually exclusive "
+            "layouts: z-order already clusters the type dimension "
+            "(via its hash dim) without the directory explosion"
+        )
     if zorder:
         from dogsheep_beta_spark.operators.zorder import zorder_key
 

@@ -250,13 +250,20 @@ def page_context(
     }
 
 
-def render_page(context: dict) -> str:
-    """Render the beta.html structure from a ``page_context`` dict."""
-    import jinja2
+_COMPILED_TEMPLATE = None
 
-    env = jinja2.Environment(autoescape=True)
-    template = env.from_string(PAGE_TEMPLATE)
-    return template.render({**context, "intcomma": intcomma})
+
+def render_page(context: dict) -> str:
+    """Render the beta.html structure from a ``page_context`` dict.
+    The constant template compiles ONCE per process (serve mode calls
+    this per request; jinja2 compiled templates are thread-safe)."""
+    global _COMPILED_TEMPLATE
+    if _COMPILED_TEMPLATE is None:
+        import jinja2
+
+        env = jinja2.Environment(autoescape=True)
+        _COMPILED_TEMPLATE = env.from_string(PAGE_TEMPLATE)
+    return _COMPILED_TEMPLATE.render({**context, "intcomma": intcomma})
 
 
 def beta_page(

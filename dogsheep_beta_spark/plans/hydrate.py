@@ -25,10 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _KEY_EQ = re.compile(r"([A-Za-z_][\w.]*)\s*=\s*:key")
+# display_sql shapes whose meaning depends on running ONCE PER KEY
+# (the reference's actual execution model): a LIMIT or ORDER BY inside
+# the query must apply within each key's rows, not globally.
+_PER_KEY_ONLY = re.compile(r"\b(limit|order\s+by)\b", re.IGNORECASE)
 
 
 def _sql_string_literal(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Spark SQL single-quoted literal.  Backslash must be escaped as
+    well as the quote: Spark's parser treats ``\\`` as an escape inside
+    string literals, so quote-doubling alone lets a value ending in a
+    backslash swallow the closing quote — a parse failure at best and,
+    for the user-controlled ``:q`` binding, an injection vector."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def rewrite_display_sql(sql: str, keys: list[str], q: str | None = None):
@@ -79,8 +88,28 @@ def hydrate_results(
 
     display_maps: dict[str, dict[str, dict]] = {}
     for type_tag, keys in by_type.items():
-        rewritten, col = rewrite_display_sql(display_sqls[type_tag], keys, q)
-        fetched: dict[str, dict] = {}
+        sql = display_sqls[type_tag]
+        if _PER_KEY_ONLY.search(sql):
+            # LIMIT / ORDER BY inside display_sql are PER-KEY semantics
+            # in the reference (it runs the SQL once per result row,
+            # __init__.py:161-168): batching would apply the limit
+            # globally BEFORE the key filter and drop rows.  Run these
+            # per key — bounded by the ≤100-result page, the same
+            # justified-driver-side class as the display path itself.
+            fetched = {}
+            for k in dict.fromkeys(keys):
+                # inline the binding, query untouched — the batching
+                # rewrite would hoist the key filter above the LIMIT
+                per = sql.replace(":key", _sql_string_literal(k))
+                if q is not None:
+                    per = per.replace(":q", _sql_string_literal(q))
+                rows = spark.sql(per).limit(1).collect()
+                if rows:
+                    fetched[k] = rows[0].asDict(recursive=True)
+            display_maps[type_tag] = fetched
+            continue
+        rewritten, col = rewrite_display_sql(sql, keys, q)
+        fetched = {}
         for row in spark.sql(rewritten).collect():
             d = row.asDict(recursive=True)
             k = str(d[col])
@@ -116,9 +145,13 @@ def hydrate_join(
     pruned = keyed.join(
         F.broadcast(keys), keyed["__display_key"] == F.col("__k"), "left_semi"
     )
+    # qualified references: an unqualified col("key") is ambiguous when
+    # the display view itself has a column named "key"
     return (
         results.join(
-            F.broadcast(pruned), F.col("key") == F.col("__display_key"), "left"
+            F.broadcast(pruned),
+            results["key"] == pruned["__display_key"],
+            "left",
         )
         .drop("__display_key")
     )

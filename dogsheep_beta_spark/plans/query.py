@@ -66,12 +66,23 @@ def apply_filters(df: DataFrame, plan: QueryPlan) -> DataFrame:
     These filters sit directly on the Parquet scan → predicate pushdown,
     and partition pruning when the index is partitioned by type.
     """
+    def int_eq(col: str, value):
+        # request args arrive as strings; a non-numeric value matches
+        # NOTHING (the reference binds the raw string into SQLite,
+        # whose affinity comparison just finds no rows and renders a
+        # normal 0-result page) — int() raising here turned a bad
+        # ?category= query param into a 500
+        try:
+            return F.col(col) == int(value)
+        except (TypeError, ValueError):
+            return F.lit(False)
+
     if plan.type is not None:
         df = df.filter(F.col("type") == str(plan.type))
     if plan.category is not None:
-        df = df.filter(F.col("category") == int(plan.category))
+        df = df.filter(int_eq("category", plan.category))
     if plan.is_public is not None:
-        df = df.filter(F.col("is_public") == int(plan.is_public))
+        df = df.filter(int_eq("is_public", plan.is_public))
     if plan.date is not None:
         df = df.filter(F.to_date(F.col("timestamp")) == F.lit(str(plan.date)).cast("date"))
     return df

@@ -24,9 +24,6 @@ try:  # optional dependency, same role as in the reference
 except ImportError:  # pragma: no cover
     jinja2 = None
 
-SORT_LABELS = ("relevance", "newest", "oldest")  # __init__.py:45-48
-
-
 class TemplateCache:
     """Compile each per-type display template once (__init__.py:170-175)."""
 
@@ -90,47 +87,10 @@ def intcomma(value) -> str:
     return f"{int(value):,}"
 
 
-def sort_links(args: dict, current_default: str) -> list[dict]:
-    """H10 — alternate-sort links (__init__.py:68-79): each non-current
-    sort order as {label, href}; default sort drops the param."""
-    links = []
-    base = {k: v for k, v in args.items() if k != "sort"}
-    current = args.get("sort") or current_default
-    for label in SORT_LABELS:
-        if label == "relevance" and not args.get("q"):
-            continue
-        qs = dict(base)
-        if label != current_default:
-            qs["sort"] = label
-        links.append(
-            {
-                "label": label,
-                "selected": label == current,
-                "href": "?" + urlencode(qs),
-            }
-        )
-    return links
-
-
-def facet_toggle_urls(
-    facet_rows: list[dict], column: str, args: dict, path: str = ""
-) -> list[dict]:
-    """H10/D4 — per-facet-value ``toggle_url`` + ``selected``
-    (__init__.py:246-257): clicking a selected value removes the filter,
-    an unselected one adds it; internal ``_``-params are stripped."""
-    out = []
-    clean = [(k, v) for k, v in args.items() if not k.startswith("_")]
-    for row in facet_rows:
-        row = dict(row)
-        value = str(row["value"])
-        selected = args.get(column) == value
-        qs = [(k, v) for k, v in clean if k != column]
-        if not selected:
-            qs.append((column, value))
-        row["selected"] = selected
-        row["toggle_url"] = path + "?" + urlencode(qs)
-        out.append(row)
-    return out
+# H10 URL building (sort links + facet toggle URLs) lives in page.py
+# (other_sort_links / toggle_url) — those are the golden-pinned
+# reference-parity implementations; a second divergent copy here was
+# removed in round 6 to avoid the wrong one being picked.
 
 
 def parse_query_string(qs: str) -> dict:

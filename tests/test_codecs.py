@@ -243,3 +243,55 @@ def test_frame_sample_real_demux(spark):
     # every 2nd frame of the AVI row; the non-container row is skipped
     assert set(got) == {(1, 0), (1, 2)}
     assert got[(1, 0)] == b"\x0a" * 24 and got[(1, 2)] == b"\x0c" * 24
+
+
+def test_wav_8bit_features():
+    """8-bit PCM is UNSIGNED (silence = 128) — regression for the
+    bytes(b - 128 ...) crash on any byte < 128 (round 6 review)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 255, 0, 128]))
+    data = buf.getvalue()
+    n_ch, rate, width, n_frames, _ = decode_wav(data)
+    assert (n_ch, rate, width, n_frames) == (1, 8000, 1, 4)
+    f = audio_features(data)
+    assert f[2] == 4.0
+    assert f[6] == pytest.approx(128 / 128.0)  # peak |0 - 128| = 128
+    assert f[4] == pytest.approx((0 + 127 - 128 + 0) / 4 / 128.0)  # mean
+
+
+def test_avi_audio_first_stream_not_mistaken_for_video():
+    """compression must come from the 'vids' stream's strf — an
+    audio-first AVI whose WAVEFORMAT strf is >= 40 bytes previously
+    yielded a garbage compression fourcc (round 6 review)."""
+    from dogsheep_beta_spark.functions.codecs import avi_metadata, encode_avi
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    avi = encode_avi([b"\x05" * 24], width=4, height=2, fps=10)
+    # an 'auds' strl whose 40-byte strf has garbage at offset 16
+    audio_strf = bytes(16) + b"MP3!" + bytes(20)
+    audio_strl = chunk(
+        b"LIST",
+        b"strl" + chunk(b"strh", b"auds" + bytes(52)) + chunk(b"strf", audio_strf),
+    )
+    # splice the audio strl in FRONT of the video strl inside hdrl
+    h = avi.index(b"hdrl")
+    vstrl = avi.index(b"LIST", h)
+    patched = bytearray(avi[:vstrl] + audio_strl + avi[vstrl:])
+    # grow the hdrl LIST and RIFF sizes by the inserted bytes
+    grow = len(audio_strl)
+    for at in (4, h - 8 + 4):
+        (sz,) = struct.unpack("<I", patched[at : at + 4])
+        patched[at : at + 4] = struct.pack("<I", sz + grow)
+    meta = avi_metadata(bytes(patched))
+    assert meta["compression"] == ""  # from the vids stream, not auds
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 2, 1)

@@ -570,3 +570,39 @@ def test_concurrent_search_requests_shared_index(page_ctx):
         srv.shutdown()
         srv.server_close()
         fts.release_hit_caches()
+
+
+def test_display_sql_with_limit_is_per_key(spark, page_ctx):
+    """A display_sql carrying ORDER BY/LIMIT runs per key (the
+    reference's execution model) — batching would apply the limit
+    globally and drop all but one key's display row."""
+    from dogsheep_beta_spark.plans.hydrate import hydrate_results
+
+    spark.createDataFrame(
+        [(1, "old1", "2020-01-01"), (1, "new1", "2020-02-01"),
+         (2, "old2", "2020-01-01"), (2, "new2", "2020-02-01")],
+        "user int, note string, d string",
+    ).createOrReplaceTempView("notes")
+    rows = [
+        {"type": "n.db/notes", "key": "1"},
+        {"type": "n.db/notes", "key": "2"},
+    ]
+    sql = "select * from notes where user = :key order by d desc limit 1"
+    out = hydrate_results(spark, rows, {"n.db/notes": sql})
+    got = {r["key"]: r["display"]["note"] for r in out}
+    assert got == {"1": "new1", "2": "new2"}
+
+
+def test_hydrate_backslash_values_safe(spark, page_ctx):
+    """Keys/q containing backslashes must neither crash nor inject."""
+    from dogsheep_beta_spark.plans.hydrate import hydrate_results
+
+    spark.createDataFrame(
+        [("a\\", "payload")], "k string, v string"
+    ).createOrReplaceTempView("bs")
+    rows = [{"type": "b.db/bs", "key": "a\\"}]
+    out = hydrate_results(
+        spark, rows, {"b.db/bs": "select * from bs where k = :key"},
+        q="x\\' or 1=1 --",
+    )
+    assert out[0]["display"]["v"] == "payload"

@@ -106,24 +106,27 @@ def test_intcomma():
 
 
 def test_sort_links():
-    links = pres.sort_links({"q": "dogs"}, current_default="relevance")
+    # H10 sort links — page.py's other_sort_links is the single
+    # (golden-pinned) implementation since round 6
+    from dogsheep_beta_spark.page import other_sort_links
+
+    links = other_sort_links({"q": "dogs", "sort": "newest"}, "dogs", "newest")
     by_label = {l["label"]: l for l in links}
-    assert by_label["relevance"]["selected"]
-    assert "sort=newest" in by_label["newest"]["href"]
-    assert "sort=" not in by_label["relevance"]["href"]  # default drops param
+    assert set(by_label) == {"relevance", "oldest"}  # current omitted
+    assert "sort=oldest" in by_label["oldest"]["url"]
+    assert "sort=" not in by_label["relevance"]["url"]  # default drops param
     # timeline mode (no q): no relevance link
-    labels = [l["label"] for l in pres.sort_links({}, current_default="newest")]
+    labels = [l["label"] for l in other_sort_links({}, "", "newest")]
     assert "relevance" not in labels
 
 
 def test_facet_toggle_urls():
-    rows = [{"value": 1, "count": 3}, {"value": 2, "count": 1}]
-    out = pres.facet_toggle_urls(
-        rows, "category", {"q": "x", "category": "1", "_facet": "zzz"}
-    )
-    sel = {r["value"]: r for r in out}
-    assert sel[1]["selected"] is True
-    assert "category" not in sel[1]["toggle_url"]  # toggling off removes it
-    assert "category=2" in sel[2]["toggle_url"]  # toggling on adds it
-    assert "_facet" not in sel[2]["toggle_url"]  # internal params stripped
-    assert "q=x" in sel[2]["toggle_url"]
+    from dogsheep_beta_spark.page import toggle_url
+
+    args = {"q": "x", "category": "1", "_facet": "zzz"}
+    on = toggle_url("category", "2", False, args, "x")
+    off = toggle_url("category", "1", True, args, "x")
+    assert "category=1" not in off  # toggling off removes it
+    assert "category=2" in on  # toggling on adds it
+    assert "_facet" not in on  # internal params stripped
+    assert on.endswith("q=x")  # q re-appended LAST (reference parity)

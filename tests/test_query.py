@@ -114,3 +114,14 @@ def _fts(idx):
     from dogsheep_beta_spark.operators.fts_index import build_fts_index
 
     return build_fts_index(idx, mode="unicode61", stem=True)
+
+
+def test_non_numeric_facet_args_match_nothing(spark, plugin_index):
+    """?category=abc must render 0 results, not crash — the reference
+    binds the raw string into SQLite whose affinity finds no rows."""
+    from dogsheep_beta_spark.plans.query import QueryPlan, apply_filters
+
+    out = apply_filters(plugin_index, QueryPlan(category="abc"))
+    assert out.count() == 0
+    out2 = apply_filters(plugin_index, QueryPlan(is_public=""))
+    assert out2.count() == 0
