@@ -1267,10 +1267,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     while the query exercises the production-scale join shape."""
     from dogsheep_beta_spark.operators.dedup import minhash_lsh_pairs
 
+    c = _CTX.setdefault(sf_dir, {})
     return (
         minhash_lsh_pairs(
             _documents(spark, sf_dir), "doc_id", "text", k=3, n_hashes=16,
             bands=8, max_bucket=1000,
+            cache_registry=c.setdefault("_caches", []),
         )
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "a", "b")
@@ -1282,8 +1284,12 @@ def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash with chunk blocking, hamming ≤ 6, top-50 pairs."""
     from dogsheep_beta_spark.operators.dedup import simhash_pairs
 
+    c = _CTX.setdefault(sf_dir, {})
     return (
-        simhash_pairs(_documents(spark, sf_dir), "doc_id", "text", max_hamming=6)
+        simhash_pairs(
+            _documents(spark, sf_dir), "doc_id", "text", max_hamming=6,
+            cache_registry=c.setdefault("_caches", []),
+        )
         .orderBy("hamming", "a", "b")
         .limit(50)
     )
@@ -5053,10 +5059,13 @@ LIMIT 100
             FROM documents ORDER BY media_id
         """,
         "media_frame_sample": """
+            -- zero-frame media emit NO rows (the greatest(..., 1)
+            -- phantom frame was the round-6 review fix)
             SELECT doc_id AS media_id,
-                   CAST(unnest(range(greatest(octet_length(text::BLOB) // 64, 1)))
+                   CAST(unnest(range(octet_length(text::BLOB) // 64))
                         AS INTEGER) AS frame_no
             FROM documents
+            WHERE octet_length(text::BLOB) // 64 >= 1
             ORDER BY media_id, frame_no
         """,
         "streaming_window_counts": """

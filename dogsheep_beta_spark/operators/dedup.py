@@ -209,6 +209,15 @@ def banded_rows(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     keys of ``n_hashes/bands`` rows (docs sharing ANY (band, bucket)
     are LSH candidates).  Shared by the batch pair generator and the
     streaming maintainer so the banding can never drift."""
+    if bands < 1 or n_hashes % bands:
+        # r = n_hashes // bands would silently DROP the trailing hashes
+        # (weakening LSH below the configured width), and bands >
+        # n_hashes gives r = 0: every bucket key becomes '' and the
+        # band self-join degenerates to an all-pairs cross join
+        raise ValueError(
+            f"bands={bands} must evenly divide n_hashes={n_hashes} "
+            "(each band is a bucket key of n_hashes/bands rows)"
+        )
     r = n_hashes // bands
     return sigs.select(
         "id",
@@ -267,6 +276,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     verify_k: int | None = None,
     max_bucket: int = 0,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
 
@@ -291,6 +301,17 @@ def minhash_lsh_pairs(
     recovers exactly the same clusters; only the non-adjacent pair rows
     (redundant for clustering) are skipped.  Candidate count is thereby
     bounded by Σ_small w² + Σ_hot (w−1).  0 disables the cap.
+
+    Docs shorter than ``verify_k`` tokens (no verify-shingles) fall
+    back to their ``k``-shingle sets for verification instead of being
+    dropped — otherwise two identical 5-token docs would surface as
+    LSH candidates and then silently vanish from the output.
+
+    Pass ``cache_registry`` (a list) to own the lifecycle of the two
+    persisted intermediates (shingle sets + banded signatures), the
+    same contract as ``jaccard_pairs`` — long-running processes (serve
+    mode) should unpersist them per call; without it the caches live
+    until the session ends.
     """
     # per-doc shingle sets — persisted because they feed BOTH the
     # signature aggregation and the per-pair verification (tokenize/
@@ -305,6 +326,8 @@ def minhash_lsh_pairs(
     s = pre.select("id", F.explode("shingles").alias("shingle"))
     sigs = _minhash_signatures(s, n_hashes)
     banded = banded_rows(sigs, n_hashes, bands).persist()
+    if cache_registry is not None:
+        cache_registry.extend([pre, banded])
     if max_bucket:
         # Hot-bucket keys are few by definition (each one is a wide
         # duplicate class), so they broadcast: the split below is two
@@ -356,9 +379,18 @@ def minhash_lsh_pairs(
     # expensive; per-pair verification stays proportional to the
     # candidate count).
     if verify_k and verify_k != k:
+        # docs too short for verify_k-shingles fall back to their
+        # k-shingles: an inner join against a verify_k-only table would
+        # silently DROP candidate pairs involving short docs (even
+        # exact duplicates) instead of scoring them
+        vk = shingles_expr(F.col("__tk"), verify_k)
+        kk = shingles_expr(F.col("__tk"), k)
         vpre = (
             bound_tokens(df, id_col, text_col)
-            .select("id", shingles_expr(F.col("__tk"), verify_k).alias("shingles"))
+            .select(
+                "id",
+                F.when(F.size(vk) > 0, vk).otherwise(kk).alias("shingles"),
+            )
             .where(F.size("shingles") > 0)
         )
     else:
@@ -432,10 +464,13 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Σ_tokens bit(4j+k).  9 agg expressions, ~4× less buffer, much
     smaller codegen (cold-start dominated the round-1 bench at 2.4×).
 
-    Unpack: votes_b = 2·count_b − n_tokens > 0 ⟺ bit b set.  16-bit
-    lanes cap per-doc token count at 65535 — far above any real doc
-    here; overflow would need a 64k-token doc (then: split the agg by
-    doc chunks or widen to 8 longs × 2 lanes of 32 bits).
+    Unpack: votes_b = 2·count_b − n_tokens > 0 ⟺ bit b set.  The
+    packed-lane capacity is 32767 tokens per doc: the top lane shifts
+    counts by 48 bits, so a set-count of 32768 would carry into the
+    sign bit of the long SUM — silent wraparound with ANSI off, an
+    ArithmeticException with Spark 4's default ANSI mode.  Docs beyond
+    the cap raise a loud per-doc error instead of either (seen below);
+    to lift it, widen to 8 longs × 2 lanes of 32 bits.
     NULL token (empty doc) contributes count 0 on every bit and n=1,
     so votes = −1 everywhere -> simhash 0, same as the array form.
     """
@@ -465,11 +500,32 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
             term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
             sim = term if sim is None else sim + term
-    return packed.select("id", sim.cast("long").alias("simhash"))
+    # loud per-doc failure beyond the packed-lane capacity: past 32767
+    # tokens the lane sums can wrap silently (non-ANSI) or throw a
+    # cryptic ArithmeticException mid-aggregation (ANSI)
+    guarded = F.when(
+        F.col("n") > F.lit(32767),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash_table: doc "),
+                F.col("id").cast("string"),
+                F.lit(
+                    " exceeds the 32767-token packed-lane capacity; "
+                    "widen to 32-bit lanes or chunk the document"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(sim.cast("long"))
+    return packed.select("id", guarded.alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    chunks: int = 4,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -477,10 +533,15 @@ def simhash_pairs(
     chunks; pairs within hamming ≤ chunks-1 of each other must agree on
     ≥1 chunk (pigeonhole), so a self-join per chunk value finds them.
     Verification: bit_count(a XOR b) ≤ max_hamming.
+
+    ``cache_registry``: same persisted-intermediate lifecycle contract
+    as ``jaccard_pairs``/``minhash_lsh_pairs``.
     """
     # persisted: the chunk fan-out and both sides of the self-join read
     # it, so the vote aggregation runs exactly once.
     sh = simhash_table(df, id_col, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     width = 32 // chunks
     chunked = sh.select(
         "id",
@@ -615,6 +676,24 @@ def embedding_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'s cached blocks.
+
+    ``DataFrame.unpersist`` is a CacheManager operation and does NOT
+    touch checkpoint RDDs, so iterative algorithms that checkpoint per
+    round would otherwise stack one cached label table per round until
+    the JVM's ContextCleaner gets around to them.  A checkpointed
+    Dataset's plan root is a LogicalRDD wrapping the persisted internal
+    RDD — unpersist that directly when reachable; if the internals move
+    under a future Spark, fall back silently to ContextCleaner."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
 ) -> DataFrame:
@@ -690,11 +769,15 @@ def connected_components(
             labels.withColumnRenamed("comp", "old"), "id"
         ).where(F.col("comp") != F.col("old"))
         done = changed.isEmpty()
-        labels.unpersist()
+        labels.unpersist()  # round 1: the persisted seed labels
+        release_local_checkpoint(labels)  # rounds 2+: checkpoint blocks
         labels = new
         if done:
             break
     edges.unpersist()
+    # the RETURNED labels still hold their final checkpoint's blocks —
+    # callers that are done with the result can free them eagerly with
+    # release_local_checkpoint(result)
     return labels
 
 
@@ -919,15 +1002,20 @@ def verbatim_overlap_pairs(
         cache_registry.append(cand)
 
     # phase 2 — exact verification over the candidate docs' FULL
-    # streams, in ONE scan of the positional stream: broadcast the pair
-    # set as role rows (each pair contributes an a-side and a b-side
+    # streams, in ONE scan of the positional stream: the pair set
+    # becomes role rows (each pair contributes an a-side and a b-side
     # membership), tag every stream row with the pairs it participates
     # in, aggregate per (pair, shingle) to collect each side's
     # positions, and expand the per-shingle cross product into the
     # (diag, pa) hit structs the fold consumes.  Equivalent to the
-    # equi-join formulation but with one stream pass, one broadcast,
-    # and two keyed shuffles total; volume is pair-bounded (each
-    # candidate doc's stream × its partner count), not corpus-bounded.
+    # equi-join formulation but with one stream pass and two keyed
+    # shuffles total; volume is pair-bounded (each candidate doc's
+    # stream × its partner count), not corpus-bounded.  The roles join
+    # deliberately carries NO broadcast hint: on typical corpora the
+    # pair set is tiny and AQE broadcasts it at runtime from its REAL
+    # (persisted) size, but on duplicate-heavy corpora candidates can
+    # reach 10^8 rows — a forced broadcast would blow the 8 GB driver
+    # limit where a shuffle join just distributes.
     roles = cand.select(
         F.explode(
             F.array(
@@ -942,7 +1030,7 @@ def verbatim_overlap_pairs(
             )
         ).alias("r")
     ).select("r.id", "r.a", "r.b", "r.is_a")
-    tag = pos.join(F.broadcast(roles), "id")
+    tag = pos.join(roles, "id")
     per_shingle = tag.groupBy("a", "b", "h").agg(
         F.collect_list(F.when(F.col("is_a") == 1, F.col("pos"))).alias("pas"),
         F.collect_list(F.when(F.col("is_a") == 0, F.col("pos"))).alias("pbs"),

@@ -114,7 +114,7 @@ def _row_features(content: bytes) -> list[float]:
     return _fake_features(content)
 
 
-def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Map-only Arrow-batched feature extraction over the media table.
 
     Real codecs (stdlib PNG/WAV — functions/codecs.py) run per row for
@@ -123,7 +123,9 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     one pass — no shuffle of content bytes; output carries only small
     features.  Column pruning keeps the Arrow transfer to (media_id,
     kind, content); JVM-expressible metadata lives in
-    ``media_metadata``.
+    ``media_metadata``.  Arrow batch sizing is governed by the
+    session's ``spark.sql.execution.arrow.maxRecordsPerBatch`` —
+    lower it for corpora of very large blobs.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,11 +163,14 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
     explode-shape (one row per sampled frame) without a demuxable
     container; real AVI content goes through ``frame_sample``."""
     n_frames = (F.length(F.col("content")) / F.lit(every_n)).cast("int")
+    # zero frames -> NO rows: explode() drops the NULL array, so NULL,
+    # empty, or shorter-than-every_n content cannot emit a phantom
+    # frame_no=0 row (sequence(0, 0) would)
     return media.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
-            "frame_no"
-        ),
+        F.explode(
+            F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1))
+        ).alias("frame_no"),
     ).withColumn("frame_content", F.lit(None).cast("binary"))
 
 

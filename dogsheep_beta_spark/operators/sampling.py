@@ -87,10 +87,13 @@ def mixture_sample(
     this is a scan with a CASE expression, no shuffle, no sampling
     state.  Sources absent from ``weights`` get ``default_weight``."""
     b = hash_bucket(id_col, 10_000, salt)
-    thresh = F.lit(int(default_weight * 10_000))
+    # half-up rounding, NOT int() truncation: 0.57 * 10_000 is
+    # 5699.999... in binary floats, and truncating would keep 56.99%
+    # — the same convention as temperature_rates/quality_weighted
+    thresh = F.lit(int(default_weight * 10_000 + 0.5))
     for src, w in sorted(weights.items()):
         thresh = F.when(
-            F.col(source_col) == src, F.lit(int(w * 10_000))
+            F.col(source_col) == src, F.lit(int(w * 10_000 + 0.5))
         ).otherwise(thresh)
     return df.where(b < thresh)
 
@@ -181,22 +184,27 @@ def value_deciles(
     semantics a quality curriculum wants: equal scores, equal
     treatment."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # backtick-quoted so names with spaces/dots parse, like the F.col
+    # references below (percentile has no DataFrame-API form, hence
+    # the one F.expr here)
+    quoted = "`" + score_col.replace("`", "``") + "`"
     thr = df.agg(
         F.expr(
-            f"percentile({score_col}, array({', '.join(str(q) + 'D' for q in qs)}))"
+            f"percentile({quoted}, array({', '.join(str(q) + 'D' for q in qs)}))"
         ).alias("__thr")
+    )
+    # NULL scores get a NULL decile (percentile ignores them, so they
+    # belong to no bucket) rather than silently landing in decile 1
+    bucket = 1 + F.aggregate(
+        F.col("__thr"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col(score_col) > t, 1).otherwise(0),
     )
     return df.crossJoin(F.broadcast(thr)).select(
         df["*"],
-        (
-            1
-            + F.aggregate(
-                F.col("__thr"),
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.col(score_col) > t, 1).otherwise(0),
-            )
-        ).cast("int").alias("decile"),
+        F.when(F.col(score_col).isNotNull(), bucket)
+        .cast("int")
+        .alias("decile"),
     )
 
 

@@ -1437,3 +1437,98 @@ def test_zorder_key_null_dims_keep_clustering(spark):
     assert all(k is not None for k in keys)
     assert keys[0] == keys[2]  # same (null, 5) rows cluster together
     assert keys[0] != keys[1]  # b still differentiates
+
+
+def test_banded_rows_rejects_non_divisor_bands(docs):
+    """bands must divide n_hashes — silently dropping trailing hashes
+    (or r=0 all-pairs blowup) was the round-6 review finding."""
+    with pytest.raises(ValueError, match="evenly divide"):
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, bands=20)
+
+
+def test_minhash_verify_k_keeps_short_docs(spark):
+    """verify_k > doc length must not silently drop candidate pairs:
+    short docs fall back to k-shingle verification."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps"), (2, "alpha beta gamma delta eps")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            df, "doc_id", "text", k=3, verify_k=8
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # 5-token exact dups have no 8-shingles
+
+
+def test_simhash_token_capacity_guard(spark):
+    """Docs beyond the 32767-token packed-lane capacity fail LOUDLY
+    (silent lane wraparound / ANSI ArithmeticException otherwise)."""
+    big = " ".join(f"w{i}" for i in range(32768))
+    df = spark.createDataFrame([(1, big)], "doc_id int, text string")
+    with pytest.raises(Exception, match="packed-lane capacity"):
+        dd.simhash_table(df, "doc_id", "text").collect()
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id int, text string"
+    )
+    assert dd.simhash_table(ok, "doc_id", "text").count() == 1
+
+
+def test_mixture_sample_half_up_rounding(spark):
+    """0.57 * 10_000 is 5699.999... in binary floats — truncation kept
+    56.99%; the threshold must round half-up to 5700."""
+    from dogsheep_beta_spark.operators.sampling import mixture_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    kept = mixture_sample(df, "source", "doc_id", {"web": 0.57})
+    # the exact bucket population under md5 hashing is deterministic;
+    # assert the rate is statistically 57%, not 56.99% truncated —
+    # equivalently, that threshold 5700 (not 5699) was compiled
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "5700" in plan and "5699" not in plan
+
+
+def test_value_deciles_quoted_names_and_null_scores(spark):
+    from dogsheep_beta_spark.operators.sampling import value_deciles
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9), (4, None)],
+        ["doc_id", "the score"],
+    )
+    out = {r["doc_id"]: r["decile"] for r in value_deciles(df, "the score", 2).collect()}
+    assert out[1] == 1 and out[3] == 2
+    assert out[4] is None  # NULL score -> NULL decile, not decile 1
+
+
+def test_frame_sample_stub_empty_content_no_phantom_rows(spark):
+    from dogsheep_beta_spark.operators.multimodal import frame_sample_stub
+
+    media = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"x" * 25)],
+        "media_id long, content binary",
+    )
+    rows = frame_sample_stub(media, every_n=10).collect()
+    got = sorted((r["media_id"], r["frame_no"]) for r in rows)
+    assert got == [(3, 0), (3, 1)]  # 25 bytes / 10 -> 2 frames; 1,2 none
+
+
+def test_connected_components_releases_checkpoints(spark):
+    """Per-round localCheckpoint blocks must be freed as rounds
+    supersede each other, and the final result must be releasable."""
+    from dogsheep_beta_spark.operators.dedup import release_local_checkpoint
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a int, b int"
+    )
+    comp = dd.connected_components(pairs)
+    assert comp.count() == 31
+    release_local_checkpoint(comp)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after <= before + 1  # at most transient slack, no per-round pileup
