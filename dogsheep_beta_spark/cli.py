@@ -52,31 +52,45 @@ def _build_session(cpus: str | None = None):
     )
 
 
-def cmd_index(args) -> int:
+def _register_sources(spark, sources_dir: str | None) -> None:
+    """Register every source in ``sources_dir`` as a view: parquet
+    tables via the registry, plus any ``.db`` file ATTACHed through the
+    partitioned rowid-range reader (sources/sqlite.py) — so rule SQL
+    reads sqlite and parquet sources identically.  The ONE registration
+    path for index/page/serve (three diverging copies before round 6)."""
+    if not sources_dir:
+        return
+    import glob
+
+    from dogsheep_beta_spark.sources.registry import register_testdata
+    from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
+
+    register_testdata(spark, sources_dir)
+    for db in sorted(glob.glob(os.path.join(sources_dir, "*.db"))):
+        register_sqlite_db(spark, db)
+
+
+def _load_rules(args) -> dict:
+    """Parse the rules config named by ``args.config`` ('-' = stdin);
+    {} when absent."""
     from dogsheep_beta_spark.config import parse_metadata
+
+    if not getattr(args, "config", None):
+        return {}
+    with open(args.config) if args.config != "-" else sys.stdin as f:
+        return parse_metadata(f.read())
+
+
+def cmd_index(args) -> int:
     from dogsheep_beta_spark.indexer import run_indexer
     from dogsheep_beta_spark.operators.fts_index import (
         build_fts_index,
         write_fts_index,
     )
-    from dogsheep_beta_spark.sources.registry import register_testdata
 
-    with open(args.config) if args.config != "-" else sys.stdin as f:
-        rules = parse_metadata(f.read())
-
+    rules = _load_rules(args)
     spark = _build_session()
-    if args.sources:
-        register_testdata(spark, args.sources)
-        # real dogsheep sources: any .db file in the directory is
-        # ATTACHed — each table becomes a view via the partitioned
-        # rowid-range reader (sources/sqlite.py), so rule SQL reads
-        # sqlite and parquet sources identically.
-        import glob
-
-        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
-
-        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
-            register_sqlite_db(spark, db)
+    _register_sources(spark, args.sources)
 
     index_path = os.path.join(args.output, "search_index")
     df = run_indexer(
@@ -184,23 +198,11 @@ def cmd_page(args) -> int:
 def _load_index_ctx(args):
     """Shared loader for page/serve: session + index + FTS + rules,
     with optional source registration for display_sql hydration."""
-    from dogsheep_beta_spark.config import parse_metadata
     from dogsheep_beta_spark.operators.fts_index import read_fts_index
 
     spark = _build_session()
-    rules = {}
-    if getattr(args, "config", None):
-        with open(args.config) if args.config != "-" else sys.stdin as f:
-            rules = parse_metadata(f.read())
-    if getattr(args, "sources", None):
-        import glob
-
-        from dogsheep_beta_spark.sources.registry import register_testdata
-        from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
-
-        register_testdata(spark, args.sources)
-        for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
-            register_sqlite_db(spark, db)
+    rules = _load_rules(args)
+    _register_sources(spark, getattr(args, "sources", None))
     index_df = spark.read.parquet(os.path.join(args.index, "search_index"))
     fts = read_fts_index(spark, os.path.join(args.index, "fts"))
     return spark, index_df, fts, rules
@@ -220,25 +222,13 @@ def cmd_serve(args) -> int:
         # every request re-pins the current committed generation —
         # docs appended by the running stream become searchable with
         # no restart (server.load_live_snapshot).
-        from dogsheep_beta_spark.config import parse_metadata
         from dogsheep_beta_spark.functions.tokenizer import parse_fts5_tokenize
 
         spark = _build_session()
-        rules = {}
-        if getattr(args, "config", None):
-            with open(args.config) if args.config != "-" else sys.stdin as f:
-                rules = parse_metadata(f.read())
-        if getattr(args, "sources", None):
-            # display_sql hydration needs the source views in live mode
-            # exactly like the static path (_load_index_ctx)
-            import glob
-
-            from dogsheep_beta_spark.sources.registry import register_testdata
-            from dogsheep_beta_spark.sources.sqlite import register_sqlite_db
-
-            register_testdata(spark, args.sources)
-            for db in sorted(glob.glob(os.path.join(args.sources, "*.db"))):
-                register_sqlite_db(spark, db)
+        rules = _load_rules(args)
+        # display_sql hydration needs the source views in live mode
+        # exactly like the static path
+        _register_sources(spark, getattr(args, "sources", None))
         mode, stem = parse_fts5_tokenize(args.tokenize or "none")
         srv = make_live_server(
             spark,
@@ -263,6 +253,9 @@ def cmd_serve(args) -> int:
     spark, index_df, fts, rules = _load_index_ctx(args)
     index_df = index_df.persist()
     index_df.count()  # materialize before the first request arrives
+    # persist-then-count so request-time term lookups hit executor
+    # cache (a bare count would scan the postings and cache nothing)
+    fts.postings = fts.postings.persist()
     fts.postings.count()
     srv = make_server(
         spark, index_df, fts, rules, host=args.host, port=args.port

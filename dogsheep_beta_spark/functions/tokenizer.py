@@ -131,8 +131,8 @@ def _class_escape(chars: str) -> str:
 
 
 @_lru_cache(maxsize=128)
-def _split_pattern(mode: str, dialect: str) -> str:
-    """Separator-run regex for the spec, per dialect ("jvm"|"py").
+def _split_pattern(mode: str) -> str:
+    """Separator-run regex for the spec (JVM dialect — the index side).
 
     Built as an alternation: explicit separators first (they win over
     tokenchars), then the default separator class minus tokenchars.
@@ -145,7 +145,12 @@ def _split_pattern(mode: str, dialect: str) -> str:
     after.  Default token classes cover both cases and include
     COMBINING MARKS (\\p{M}) so NFD input keeps its marks attached to
     the token (they are then deleted by the fold), matching the plain
-    unicode61 path and FTS5."""
+    unicode61 path and FTS5.
+
+    The Python query-side twin is ``_py_token_char`` (a character-
+    category check, NOT a regex: ``\\w`` misses every mark outside
+    U+0300–U+036F, which silently split query tokens the JVM index had
+    kept whole — Hebrew niqqud, Indic matras)."""
     base, tc, sp, _fold = _parse_mode(mode)
     tc_cls = _class_escape(tc)
     branches = []
@@ -153,15 +158,27 @@ def _split_pattern(mode: str, dialect: str) -> str:
         branches.append(f"[{_class_escape(sp)}]")
     if base == "portable":
         branches.append(f"[^a-zA-Z0-9{tc_cls}]")
-    elif dialect == "jvm":
+    else:
         branches.append(f"[^\\p{{L}}\\p{{M}}\\p{{N}}{tc_cls}]")
-    else:  # py unicode61: token chars = \w minus _, plus marks + tokenchars
-        branches.append(f"[^\\w\\u0300-\\u036f{tc_cls}]")
-        if "_" not in tc:
-            branches.append("_")
     if len(branches) == 1:
         return branches[0] + "+"
     return "(?:" + "|".join(branches) + ")+"
+
+
+def _py_token_char(ch: str, base: str, tc: str, sp: str) -> bool:
+    """Is ``ch`` a token character under the extended spec?  Mirrors
+    the JVM class exactly: separators win over tokenchars; default
+    token chars are a-zA-Z0-9 (portable) or Unicode categories
+    L*/M*/N* (unicode61 — the same set as Java's \\p{L}\\p{M}\\p{N})."""
+    if ch in sp:
+        return False
+    if ch in tc:
+        return True
+    if base == "portable":
+        return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9")
+    import unicodedata
+
+    return unicodedata.category(ch)[0] in ("L", "M", "N")
 
 
 def parse_fts5_tokenize(
@@ -239,7 +256,7 @@ def tokenize_expr(col: Column, mode: str = "portable") -> Column:
     # match original codepoints — see _split_pattern), then fold + lower
     # each token, exactly FTS5's classify-then-normalize order
     fold = _parse_mode(mode)[3]
-    toks = F.split(F.coalesce(col, F.lit("")), _split_pattern(mode, "jvm"))
+    toks = F.split(F.coalesce(col, F.lit("")), _split_pattern(mode))
     norm = (
         (lambda x: F.lower(fold_diacritics_expr(x))) if fold else F.lower
     )
@@ -255,9 +272,16 @@ def tokenize_py(text: str | None, mode: str = "portable") -> list[str]:
         if mode == "unicode61":
             text = fold_diacritics_py(text)
         return [t for t in _PY_SPLIT[mode].split(text) if t]
-    fold = _parse_mode(mode)[3]
-    rx = re.compile(_split_pattern(mode, "py"), re.UNICODE)
-    toks = rx.split(text)
+    base, tc, sp, fold = _parse_mode(mode)
+    toks, cur = [], []
+    for ch in text:
+        if _py_token_char(ch, base, tc, sp):
+            cur.append(ch)
+        elif cur:
+            toks.append("".join(cur))
+            cur = []
+    if cur:
+        toks.append("".join(cur))
     if fold:
         toks = [fold_diacritics_py(t) for t in toks]
     return [t.lower() for t in toks if t]

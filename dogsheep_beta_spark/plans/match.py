@@ -301,6 +301,12 @@ class _Parser:
             if self.peek() not in ("WORD", "QUOTED"):
                 raise ParseError("expected term after ^")
             node = self.primary()
+            if not isinstance(node, Phrase):
+                # FTS5 rejects '^' before anything but a phrase (e.g.
+                # ^NEAR(...)); setting .initial on a Near node would be
+                # silently ignored — raise so the escape fallback takes
+                # over, matching the reference's behavior for the input
+                raise ParseError("^ must be followed by a phrase")
             node.initial = True
             return node
         if kind == "QUOTED":

@@ -19,20 +19,26 @@ latency is the same as one ``beta_page`` call.
 
 from __future__ import annotations
 
+import os
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 ROUTES = ("/-/beta", "/")  # reference path + a convenience root alias
 
-# (resolved idx dir, postings dir, doc_lengths dir) → (n_docs, avgdl);
-# see load_live_snapshot — generation paths are the cache key.  Guarded
-# by a lock: ThreadingHTTPServer handlers mutate it concurrently.
+# generation token of (idx, postings, doc_lengths) → (n_docs, avgdl);
+# see _generation_token / load_live_snapshot.  Guarded by a lock:
+# ThreadingHTTPServer handlers mutate it concurrently.
 _SCALAR_CACHE: dict = {}
-_SCALAR_LOCK = __import__("threading").Lock()
+_SCALAR_LOCK = threading.Lock()
 
 
-def make_handler(spark, index_df, fts, rules=None, template_debug=False):
-    """A BaseHTTPRequestHandler subclass closed over the loaded index."""
+def _make_handler_class(spark, acquire, release, rules, template_debug):
+    """The ONE request-handler shape for both serve modes: route check,
+    args parsing, page render, response — the modes differ only in how
+    a request acquires (index_df, fts) and what it releases after.
+    (Two hand-maintained near-copies had already drifted before
+    round 6.)"""
     from dogsheep_beta_spark.page import beta_page
 
     class BetaHandler(BaseHTTPRequestHandler):
@@ -45,13 +51,18 @@ def make_handler(spark, index_df, fts, rules=None, template_debug=False):
                 return
             # first value wins per key, like Datasette's request.args
             args = {k: v[0] for k, v in parse_qs(u.query).items()}
+            fts = None
             try:
+                index_df, fts = acquire()
                 html = beta_page(
                     spark, index_df, fts, args, rules, template_debug
                 )
             except Exception as e:  # surface, don't kill the server
                 self._respond(500, f"error: {e}\n", "text/plain")
                 return
+            finally:
+                if fts is not None:
+                    release(fts)  # even on failed requests
             self._respond(200, html, "text/html; charset=utf-8")
 
         def _respond(self, code: int, body: str, ctype: str) -> None:
@@ -66,6 +77,19 @@ def make_handler(spark, index_df, fts, rules=None, template_debug=False):
             pass
 
     return BetaHandler
+
+
+def make_handler(spark, index_df, fts, rules=None, template_debug=False):
+    """Static-index handler: one loaded (index_df, fts) serves every
+    request; nothing to release per request (phrase-hit caches are
+    bounded by the FtsIndex-level LRU)."""
+    return _make_handler_class(
+        spark,
+        acquire=lambda: (index_df, fts),
+        release=lambda fts: None,
+        rules=rules,
+        template_debug=template_debug,
+    )
 
 
 def make_server(
@@ -83,6 +107,28 @@ def make_server(
     return ThreadingHTTPServer((host, port), handler)
 
 
+def _generation_token(path: str) -> tuple:
+    """A token that changes exactly when a new generation publishes
+    under ``path`` — the corpus-scalar cache key.
+
+    Monolithic stream layout: ``path`` IS a symlink whose target is the
+    version dir, so its realpath identifies the generation.  PARTITIONED
+    layout: ``path`` is a plain directory whose realpath never changes —
+    only the per-partition ``type=*`` symlinks inside it are cut over —
+    so the token must include each partition link's resolved target
+    (one listdir + one readlink per partition: cheap, no Spark jobs)."""
+    real = os.path.realpath(path.rstrip("/"))
+    parts: list = []
+    try:
+        for e in sorted(os.listdir(real)):
+            child = os.path.join(real, e)
+            if os.path.islink(child):
+                parts.append((e, os.path.realpath(child)))
+    except OSError:
+        pass
+    return (real, tuple(parts))
+
+
 def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False):
     """(index_df, FtsIndex) pinned to the CURRENT committed generation
     of a layout that a streaming merge (``merge_fts_batch``) is
@@ -94,10 +140,12 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     half-written mixture (a publish during the request is invisible;
     the resolved dir survives one further publish under the retention
     policy, the same horizon as manifest time travel).  Corpus scalars
-    (n_docs, avgdl) are recomputed per snapshot — two tiny aggregate
-    jobs; a production deployment would memoize them per resolved
-    generation path, which is exactly the cache key the cutover
-    provides for free.
+    (n_docs, avgdl) are memoized per generation TOKEN
+    (``_generation_token``): for the monolithic layout that is the
+    resolved version dir, for the partitioned layout it includes every
+    partition symlink's target — so a publish in EITHER layout misses
+    the cache and recomputes, while steady-state requests pay zero
+    extra jobs.
 
     This is the reference's trigger-maintained-FTS story
     (reference dogsheep_beta/utils.py:90: SQLite triggers keep
@@ -113,8 +161,6 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     per-partition atomicity (partition A at batch N, B at N−1 for an
     instant) — the same isolation level Hive dynamic partition
     overwrite gives, documented at _publish_partitions."""
-    import os
-
     from pyspark.sql import functions as F
 
     from dogsheep_beta_spark.operators.fts_index import FtsIndex
@@ -125,12 +171,11 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     index_df = spark.read.parquet(idx_real)
     postings = spark.read.parquet(post_real)
     doc_lengths = spark.read.parquet(len_real)
-    # corpus scalars memoized per GENERATION: the resolved version-dir
-    # paths change on every publish, so they are a correct cache key
-    # for free — steady-state requests against an unchanged layout pay
-    # zero extra jobs (bounded: generations cycle through a few paths,
-    # entries are two floats)
-    ck = (idx_real, post_real, len_real)
+    ck = (
+        _generation_token(index_path.rstrip("/")),
+        _generation_token(os.path.join(fts_path, "postings")),
+        _generation_token(os.path.join(fts_path, "doc_lengths")),
+    )
     with _SCALAR_LOCK:
         cached = _SCALAR_CACHE.get(ck)
     if cached is None:
@@ -162,45 +207,17 @@ def make_live_handler(
     no restart, and no request ever reads a partial generation (the
     symlink resolution in load_live_snapshot is the isolation
     boundary)."""
-    from dogsheep_beta_spark.page import beta_page
-
-    class LiveBetaHandler(BaseHTTPRequestHandler):
-        server_version = "dogsheep-beta-spark"
-
-        def do_GET(self):  # noqa: N802 (stdlib naming)
-            u = urlparse(self.path)
-            if u.path not in ROUTES:
-                self._respond(404, "not found\n", "text/plain")
-                return
-            args = {k: v[0] for k, v in parse_qs(u.query).items()}
-            fts = None
-            try:
-                index_df, fts = load_live_snapshot(
-                    spark, index_path, fts_path, mode, stem
-                )
-                html = beta_page(
-                    spark, index_df, fts, args, rules, template_debug
-                )
-            except Exception as e:  # surface, don't kill the server
-                self._respond(500, f"error: {e}\n", "text/plain")
-                return
-            finally:
-                if fts is not None:
-                    fts.release_hit_caches()  # even on failed requests
-            self._respond(200, html, "text/html; charset=utf-8")
-
-        def _respond(self, code: int, body: str, ctype: str) -> None:
-            data = body.encode("utf-8")
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-
-        def log_message(self, fmt, *args):  # quiet by default
-            pass
-
-    return LiveBetaHandler
+    return _make_handler_class(
+        spark,
+        acquire=lambda: load_live_snapshot(
+            spark, index_path, fts_path, mode, stem
+        ),
+        # per-request FtsIndex objects are throwaway: their phrase-hit
+        # caches must unpersist on request teardown or the server leaks
+        release=lambda fts: fts.release_hit_caches(),
+        rules=rules,
+        template_debug=template_debug,
+    )
 
 
 def make_live_server(

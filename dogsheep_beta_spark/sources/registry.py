@@ -33,8 +33,24 @@ TESTDATA_TABLES = (
 
 def _nano_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright.  Footer-only read — no data scan."""
+    reader rejects outright.  Footer-only read — no data scan.
+
+    Directory sources read the first data file's footer
+    (``pq.read_schema`` raises on directories, which used to silently
+    disable this guard for exactly the partitioned/multi-file layouts
+    a big events table ships as)."""
     try:
+        if os.path.isdir(path):
+            for dirpath, _dirs, files in os.walk(path, followlinks=True):
+                for entry in sorted(files):
+                    if entry.endswith(".parquet") and not entry.startswith(
+                        ("_", ".")
+                    ):
+                        path = os.path.join(dirpath, entry)
+                        break
+                else:
+                    continue
+                break
         schema = pq.read_schema(path)
     except Exception:
         return []

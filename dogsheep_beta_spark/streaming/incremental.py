@@ -353,8 +353,23 @@ def merge_fts_batch(
         )
     else:
         new_post, new_len = delta_post, delta_len
-    _atomic_swap_write(new_post, post_path)
-    _atomic_swap_write(new_len, len_path)
+    # STAGE both sidecars fully before publishing ANYTHING: an eager
+    # _atomic_swap_write(new_post, ...) here used to publish postings
+    # while the doc_lengths job was still running, so a live request in
+    # that window pinned new postings against stale lengths/index (an
+    # updated doc scored with its new tf but old dl).  Write all
+    # outputs aside, then cut the three symlinks over back-to-back —
+    # the same stage-all-publish-last protocol delete_fts_docs and
+    # merge_fts_batch_scoped already follow.
+    staged = []
+    for df_out, path in ((new_post, post_path), (new_len, len_path)):
+        out_base = path.rstrip("/")
+        tmp = out_base + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df_out.write.mode("overwrite").parquet(tmp)
+        staged.append((tmp, out_base))
+    for tmp, out_base in staged:
+        _publish_dir(tmp, out_base)
     _publish_dir(tmp_index, base)
 
 
@@ -584,8 +599,12 @@ def streaming_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    # the key field keeps ITS OWN type (string user ids are the common
+    # case) — a hardcoded `long` made applyInPandasWithState fail for
+    # any non-integral key column
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, session_seq long, n_events long, "
+        f"{key_col} {key_type}, session_seq long, n_events long, "
         "session_start timestamp, session_end timestamp"
     )
     state_schema = "seq long, start long, end long, n long"

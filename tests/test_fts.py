@@ -602,3 +602,35 @@ def test_tokenchars_index_matches_hashtag_without_fallback(plugin_index):
     # default index behavior unchanged: '#' still error → escape fallback
     with pytest.raises(ParseError):
         parse_match("#dogfest", an)
+
+
+def test_caret_before_near_is_parse_error():
+    """FTS5 rejects '^' before anything but a phrase; setting .initial
+    on a Near node was silently ignored (round-6 review) — it must
+    raise so the escape fallback takes over."""
+    with pytest.raises(ParseError):
+        parse_match("^NEAR(alpha beta)", _an)
+    assert escape_match("^NEAR(alpha beta)", _an)  # fallback parses
+    # '^' before a plain phrase still anchors
+    ast = parse_match("^alpha", _an)
+    assert isinstance(ast, Phrase) and ast.initial
+
+
+def test_extended_tokenizer_marks_parity(spark):
+    """Extended-spec query-side tokenization must keep combining marks
+    OUTSIDE U+0300-036F attached, exactly like the JVM index side
+    (\\w-based splitting broke Hebrew niqqud / Cyrillic titlo)."""
+    from pyspark.sql import functions as SF
+
+    from dogsheep_beta_spark.functions.tokenizer import (
+        tokenize_expr,
+        tokenize_py,
+    )
+
+    texts = ["שָׁlom test", "a҃b c", "café #tag x_y"]
+    mode = "unicode61 tokenchars '#'"
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    jvm = [r[0] for r in df.select(tokenize_expr(SF.col("t"), mode)).collect()]
+    py = [tokenize_py(t, mode) for t in texts]
+    assert jvm == py
+    assert py[1][0] == "a҃b"  # titlo kept inside the token

@@ -100,3 +100,35 @@ def test_rules_ordering_and_subsetting():
     assert [r.type_tag for r in rules] == ["db1/a", "db1/b", "db2/c"]
     only = rules_from_config(cfg, databases=["db2"])
     assert [r.type_tag for r in only] == ["db2/c"]
+
+
+def test_register_table_nano_timestamps_in_directory(spark, tmp_path):
+    """The nanosecond-timestamp guard must fire for DIRECTORY sources:
+    pq.read_schema raises on directories, which used to silently skip
+    the guard and crash the Spark read (round-6 review)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dogsheep_beta_spark.sources.registry import register_table
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 10, 0, 0, 123456)] * 2,
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "part-0.parquet"))
+    pq.write_table(t, str(d / "part-1.parquet"))
+    df = register_table(spark, "nano_dir_events", str(d))
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 4
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert rows[0]["ts"] == datetime.datetime(2024, 1, 1, 10, 0, 0, 123456)

@@ -606,3 +606,50 @@ def test_hydrate_backslash_values_safe(spark, page_ctx):
         q="x\\' or 1=1 --",
     )
     assert out[0]["display"]["v"] == "payload"
+
+
+def test_live_snapshot_scalars_refresh_partitioned_layout(spark, tmp_path):
+    """BM25 corpus scalars must refresh when a PARTITIONED layout
+    publishes: its top-level dirs are plain directories (realpath never
+    changes), only the per-partition type=* symlinks cut over — the
+    cache key has to include the links' targets (round-6 review)."""
+    import os
+
+    from dogsheep_beta_spark.server import load_live_snapshot
+
+    root = str(tmp_path)
+    index_path = os.path.join(root, "index")
+    fts_path = os.path.join(root, "fts")
+    post_path = os.path.join(fts_path, "postings")
+    len_path = os.path.join(fts_path, "doc_lengths")
+    for d in (index_path, post_path, len_path):
+        os.makedirs(d)
+
+    def write_gen(gen, n):
+        vi = os.path.join(root, f"idx_v{gen}")
+        vp = os.path.join(root, f"post_v{gen}")
+        vl = os.path.join(root, f"len_v{gen}")
+        spark.range(n).selectExpr(
+            "cast(id as string) as key", "'t' as title"
+        ).write.mode("overwrite").parquet(vi)
+        spark.range(n).selectExpr(
+            "'term' as term", "cast(id as string) as key",
+            "'title' as field", "1 as tf", "array(0) as positions",
+        ).write.mode("overwrite").parquet(vp)
+        spark.range(n).selectExpr(
+            "cast(id as string) as key", "int(10) as dl"
+        ).write.mode("overwrite").parquet(vl)
+        for link_dir, target in (
+            (index_path, vi), (post_path, vp), (len_path, vl),
+        ):
+            link = os.path.join(link_dir, "type=t")
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(target, link)
+
+    write_gen(1, 4)
+    _, fts1 = load_live_snapshot(spark, index_path, fts_path)
+    assert fts1.n_docs == 4
+    write_gen(2, 8)  # publish: only the type=* symlinks change
+    _, fts2 = load_live_snapshot(spark, index_path, fts_path)
+    assert fts2.n_docs == 8  # stale-cache bug froze this at 4

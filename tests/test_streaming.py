@@ -1195,3 +1195,39 @@ def test_streaming_minhash_dedup_converges_to_batch(spark, tmpdir):
     # no duplicated pair rows in the raw store either
     raw = spark.read.parquet(os.path.join(root, "matches"))
     assert raw.count() == raw.select("a", "b").distinct().count()
+
+
+def test_streaming_sessionize_string_keys(spark, tmpdir):
+    """The output schema derives the key type from the stream — string
+    user ids (the common case) used to hit a hardcoded `long`."""
+    from datetime import datetime
+
+    from dogsheep_beta_spark.streaming.incremental import streaming_sessionize
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        ("alice", ts("2024-01-01 10:00:00")),
+        ("alice", ts("2024-01-01 10:00:30")),
+        ("alice", ts("2024-01-01 11:00:00")),  # closes session 1
+        ("bob", ts("2024-01-01 10:00:00")),
+    ]
+    src = os.path.join(tmpdir, "sess_str_src")
+    batch_df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    batch_df.write.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = streaming_sessionize(stream, "user_id", "ts", gap_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_str_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["session_seq"], r["n_events"])
+        for r in spark.table("sess_str_test").collect()
+    ]
+    assert got == [("alice", 1, 2)]  # bob's session is still open
