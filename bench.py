@@ -41,7 +41,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # no bare [0-9.]+: a dir like sf0.1.bak would greedily capture
+    # '0.1.' and crash float() before the bench emitted anything
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from pyspark.sql import SparkSession
@@ -63,6 +65,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
 
     # amortized one-time costs, reported separately so per-query rows
     # measure steady state: search_index + FTS postings build, the
@@ -82,9 +85,9 @@ def main() -> None:
         t0 = time.time()
         try:
             build(spark, sf_dir)
-            timings[label] = round(time.time() - t0, 3)
+            builds[label] = round(time.time() - t0, 3)
         except Exception as e:
-            timings[label] = -1.0
+            builds[label] = -1.0
             print(f"# bench error in {label}: {e}", file=sys.stderr)
 
     ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
@@ -119,16 +122,10 @@ def main() -> None:
     try:
         import duckdb
 
+        from tools.check_oracle import register_duck_views
+
         con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings".split()
-        ):
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
+        register_duck_views(con, sf_dir)
         for name, sql in entry.oracle_sql().items():
             try:
                 runs = []
@@ -143,6 +140,10 @@ def main() -> None:
     except Exception as e:
         print(f"# bench duckdb setup failed: {e}", file=sys.stderr)
 
+    # the headline prices QUERIES ONLY — builds are one-time layout
+    # costs amortized over a query lifetime and get their own entry
+    # (through round 5 the headline summed both, so a layout-build
+    # regression moved the query-wall number; see BASELINE.md)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -151,6 +152,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "builds": builds,
+                "build_total_sec": round(
+                    sum(v for v in builds.values() if v >= 0), 3
+                ),
                 "duckdb": duck,
                 "streaming_per_batch": streaming_per_batch,
                 "iterations": ITERS,

@@ -17,8 +17,9 @@ mirrors (and is pinned against) the engine's tested implementation:
 - ``dbs_tokenize(s)`` / ``dbs_token_count(s)`` — the portable
   tokenizer (`functions/tokenizer.py:tokenize_expr`), SURVEY §2 H7.
 - ``dbs_escape_fts(q)`` — quote-every-bareword escape with embedded
-  quotes doubled: the string form of the engine's escape fallback
-  (`plans/match.py:escape_match`, H8 / B6).
+  quotes replaced by spaces (token-identical to the parsed form, since
+  the tokenizer treats both as separators): the string form of the
+  engine's escape fallback (`plans/match.py:escape_match`, H8 / B6).
 - ``dbs_intcomma(n)`` — thousands separators
   (`presentation.py:intcomma`, H6).
 - ``dbs_hash_bucket(id, buckets)`` — the deterministic sampling bucket
@@ -44,23 +45,32 @@ _FUNCTIONS = (
     RETURN filter(split(lower(coalesce(s, '')), '[^a-z0-9]+'),
                   x -> x <> '')
     """,
+    # composes dbs_tokenize so there is ONE tokenizer definition to pin
     """
     CREATE OR REPLACE TEMPORARY FUNCTION dbs_token_count(s STRING)
     RETURNS INT
-    RETURN size(filter(split(lower(coalesce(s, '')), '[^a-z0-9]+'),
-                       x -> x <> ''))
+    RETURN size(dbs_tokenize(s))
     """,
     # escape fallback, string form: every whitespace-separated bit
     # that still carries a token becomes a quoted phrase, operators
     # disabled.  Embedded quotes become spaces (the tokenizer treats
     # both as separators, so the parsed phrase has IDENTICAL tokens to
     # plans/match.escape_match — pinned by a parser round-trip test).
+    # The split class is UNICODE whitespace plus the 0x1c-0x1f
+    # separators, matching Python str.split() in escape_match — Java's
+    # bare \\s is ASCII-only and would glue 'foo\\u00a0bar' into ONE
+    # phrase (adjacency required) where the engine makes two.  The
+    # tokenizer body is repeated inline here because Spark 4's SQL-
+    # function inliner cannot pass a LAMBDA VARIABLE into another SQL
+    # function (dbs_tokenize(x) inside filter's x -> ... fails
+    # analysis with MISSING_ATTRIBUTES); dbs_token_count composes at
+    # top level, this one cannot.
     """
     CREATE OR REPLACE TEMPORARY FUNCTION dbs_escape_fts(q STRING)
     RETURNS STRING
     RETURN array_join(
         transform(
-            filter(split(coalesce(q, ''), '\\\\s+'),
+            filter(split(coalesce(q, ''), '(?U)[\\\\s\\\\x1c-\\\\x1f]+'),
                    x -> size(filter(split(lower(x), '[^a-z0-9]+'),
                                     y -> y <> '')) > 0),
             t -> concat('"', replace(t, '"', ' '), '"')),
@@ -71,12 +81,15 @@ _FUNCTIONS = (
     RETURNS STRING
     RETURN format_number(n, 0)
     """,
-    # first 8 md5 hex chars → 32-bit int → mod buckets (sampling.py)
+    # first 8 md5 hex chars → 32-bit int → mod buckets (sampling.py).
+    # NULL id → NULL bucket, exactly like sampling.hash_bucket (md5 of
+    # NULL propagates) — a coalesce-to-'' here put NULL-id rows in a
+    # concrete bucket the engine-side sampler would never choose.
     """
     CREATE OR REPLACE TEMPORARY FUNCTION dbs_hash_bucket(
         id STRING, buckets INT)
     RETURNS INT
-    RETURN CAST(CAST(conv(substring(md5(coalesce(id, '')), 1, 8),
+    RETURN CAST(CAST(conv(substring(md5(id), 1, 8),
                           16, 10) AS BIGINT) % buckets AS INT)
     """,
     # floor-to-width bucketing, negative epochs floor like DuckDB

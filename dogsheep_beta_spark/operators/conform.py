@@ -28,19 +28,26 @@ def conform(df: DataFrame, type_tag: str) -> DataFrame:
     The type tag is injected as a literal column — the Spark replacement
     for the reference's string surgery on the SQL text (utils.py:44-47,
     SURVEY.md §2 A3).
+
+    Column matching is CASE-INSENSITIVE like SQLite's: a rule written
+    as ``SELECT id AS Key`` resolves to the canonical ``key`` column in
+    the reference, so it must here too — a case-sensitive probe
+    silently NULLed the column (and last_writer_wins then collapsed
+    the whole rule to one row per type).
     """
-    present = set(df.columns)
+    by_fold = {c.lower(): c for c in df.columns}
     cols = []
     for name in SEARCH_INDEX_COLUMNS:
+        actual = by_fold.get(name)
         if name == "type":
             cols.append(F.lit(type_tag).alias("type"))
-        elif name not in present:
+        elif actual is None:
             default = F.lit(0) if name == "is_public" else F.lit(None)
             cols.append(default.cast(_TYPES[name]).alias(name))
         elif name == "is_public":
             cols.append(
-                F.coalesce(F.col(name).cast("int"), F.lit(0)).alias(name)
+                F.coalesce(df[actual].cast("int"), F.lit(0)).alias(name)
             )
         else:
-            cols.append(F.col(name).cast(_TYPES[name]).alias(name))
+            cols.append(df[actual].cast(_TYPES[name]).alias(name))
     return df.select(*cols)

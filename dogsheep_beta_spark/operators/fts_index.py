@@ -146,7 +146,16 @@ def postings_and_lengths(
     doc_lengths is a rollup of postings (dl = Σ tf over terms+fields —
     FTS5's flattened column model, equal weights), so the corpus is
     tokenized exactly ONCE; with ``persist`` the rollup reads the
-    cached postings instead of re-exploding."""
+    cached postings instead of re-exploding.
+
+    NULL-key rows are excluded: the doc identity here is (type, key),
+    so rows without a key cannot be addressed by the docset join
+    anyway, and letting them in would merge every NULL-key row of a
+    type into one pseudo-doc (groupBy groups NULLs), corrupting tf/dl.
+    The reference addresses such rows by SQLite rowid — an identity the
+    engine's layout does not carry; they stay visible on the timeline
+    (index scan) but are not full-text addressable, documented here."""
+    index_df = index_df.where(F.col("key").isNotNull())
     tokens = None
     for f in fields:
         t = _field_tokens(index_df, f, mode, stem)
@@ -178,9 +187,11 @@ def build_fts_index(
     if persist:
         doc_lengths = doc_lengths.persist()
 
-    # corpus scalars: N counts EVERY row of search_index (token-less rows
-    # have dl = 0 and still dilute avgdl, matching FTS5).
-    n_docs = index_df.count()
+    # corpus scalars: N counts every KEYED row of search_index
+    # (token-less rows have dl = 0 and still dilute avgdl, matching
+    # FTS5; NULL-key rows are outside the FTS doc universe — see
+    # postings_and_lengths)
+    n_docs = index_df.where(F.col("key").isNotNull()).count()
     total_tokens = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 

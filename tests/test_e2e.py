@@ -104,3 +104,38 @@ def test_full_request_lifecycle(spark):
     assert outs["1"] == "<p>a@x.com: Hey there #dogfest</p>"
     assert outs["c1"] == "<p>Commit c1: Fixed things</p>"
     idx.unpersist()
+
+
+def test_oracle_compare_keeps_literal_nan_strings():
+    """The gate must not mask a real string 'nan'/'None'/'NaT' as NULL:
+    a Spark result of literal 'nan' vs an oracle NULL is a genuine
+    mismatch (round-6 review)."""
+    import pandas as pd
+
+    from tools.check_oracle import compare
+
+    spark_pd = pd.DataFrame({"v": ["nan", "ok"]})
+    duck_pd = pd.DataFrame({"v": [None, "ok"]})
+    assert compare("t", spark_pd, duck_pd)  # must report a problem
+    # and actual NULLs on both sides still compare equal
+    assert compare("t", pd.DataFrame({"v": [None]}), pd.DataFrame({"v": [None]})) == []
+
+
+def test_oracle_canon_dates_and_float32_nan():
+    """DATE-vs-midnight-DATETIME must compare equal across engines
+    (duckdb widens DATE to datetime64), and a float32 NaN is NULL."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from tools.check_oracle import compare
+
+    spark_pd = pd.DataFrame({"d": [datetime.date(2024, 1, 15)]})
+    duck_pd = pd.DataFrame(
+        {"d": pd.to_datetime(["2024-01-15"]).astype("datetime64[us]")}
+    )
+    assert compare("t", spark_pd, duck_pd) == []
+    a = pd.DataFrame({"v": np.array([np.nan], dtype="float32")})
+    b = pd.DataFrame({"v": [None]}).astype("float64")
+    assert compare("t", a, b) == []

@@ -132,3 +132,90 @@ def test_register_table_nano_timestamps_in_directory(spark, tmp_path):
     assert len(rows) == 4
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     assert rows[0]["ts"] == datetime.datetime(2024, 1, 1, 10, 0, 0, 123456)
+
+
+def test_conform_matches_columns_case_insensitively(spark):
+    """SQLite resolves column names case-insensitively, so a rule
+    written as 'SELECT id AS Key' must populate key — a case-sensitive
+    probe silently NULLed it (round-6 review)."""
+    from dogsheep_beta_spark.operators.conform import conform
+
+    df = spark.createDataFrame(
+        [(1, "T1", "2024-01-01")], ["Key", "TITLE", "Timestamp"]
+    )
+    out = conform(df, "d.db/r").collect()[0]
+    assert out["key"] == "1" and out["title"] == "T1"
+    assert str(out["timestamp"]).startswith("2024-01-01")
+
+
+def test_last_writer_wins_null_keys_and_ties(spark):
+    """SQLite pk NULLs never conflict (all NULL-key rows survive), and
+    equal-seq duplicates resolve deterministically across re-runs."""
+    from dogsheep_beta_spark.operators.upsert import last_writer_wins
+
+    rows = [
+        ("t", None, "n1", 0),
+        ("t", None, "n2", 0),
+        ("t", "k", "old", 0),
+        ("t", "k", "new", 1),
+        ("t", "dup", "a", 1),
+        ("t", "dup", "b", 1),  # same load_seq: tie
+    ]
+    df = spark.createDataFrame(rows, "type string, key string, v string, load_seq int")
+    out = last_writer_wins(df)
+    got = [(r["key"], r["v"]) for r in out.collect()]
+    assert (None, "n1") in got and (None, "n2") in got  # both NULLs kept
+    assert ("k", "new") in got and ("k", "old") not in got
+    # the tie resolves, and to the same row on every run
+    winners = {v for k, v in got if k == "dup"}
+    assert len(winners) == 1
+    rerun = {
+        r["v"]
+        for r in last_writer_wins(df.repartition(7)).collect()
+        if r["key"] == "dup"
+    }
+    assert rerun == winners
+
+
+def test_last_writer_wins_tie_break_sees_null_columns(spark):
+    """concat_ws silently skips NULLs, so ('x', NULL) and (NULL, 'x')
+    used to hash identically and the tie fell back to partition order;
+    the per-column hash must separate them deterministically."""
+    from dogsheep_beta_spark.operators.upsert import last_writer_wins
+
+    rows = [("t", "k", "x", None, 0), ("t", "k", None, "x", 0)]
+    df = spark.createDataFrame(
+        rows, "type string, key string, a string, b string, load_seq int"
+    )
+    winner = [
+        (r["a"], r["b"]) for r in last_writer_wins(df).collect()
+    ]
+    assert len(winner) == 1
+    for _ in range(3):
+        again = [
+            (r["a"], r["b"])
+            for r in last_writer_wins(df.repartition(5)).collect()
+        ]
+        assert again == winner
+
+
+def test_fts_excludes_null_key_docs(spark):
+    """NULL-key rows are outside the FTS doc universe: they cannot be
+    addressed by the (type, key) docset join, and including them would
+    merge every NULL-key row of a type into one pseudo-doc."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+
+    idx = spark.createDataFrame(
+        [
+            ("d/r", "1", "hello world", None, None, 1, None, None, None),
+            ("d/r", None, "orphan text", None, None, 1, None, None, None),
+            ("d/r", None, "orphan more", None, None, 1, None, None, None),
+        ],
+        "type string, key string, title string, timestamp string, "
+        "category int, is_public int, search_1 string, search_2 string, "
+        "search_3 string",
+    )
+    fts = build_fts_index(idx, persist=False)
+    assert fts.n_docs == 1
+    assert fts.postings.where("key IS NULL").count() == 0
+    assert fts.doc_lengths.count() == 1

@@ -53,6 +53,8 @@ def test_escape_fts_roundtrips_through_the_parser(spark):
         "AND",
         'don"t stop',
         '-- "" !!',
+        "foo bar",  # UNICODE whitespace: two phrases, not one
+        "a\x1cb",  # python str.split() separators beyond \s
     ):
         lit = "'" + q.replace("'", "''") + "'"
         escaped = _one(spark, f"dbs_escape_fts({lit})")
@@ -119,3 +121,17 @@ def test_rule_sql_can_call_engine_functions(spark):
     assert out[0]["safe_q"].startswith('"Dogs"')
     assert out[1]["n_tok"] == 0 and out[1]["safe_q"] == ""
     assert 0 <= out[0]["split_bucket"] < 10
+
+
+def test_hash_bucket_null_id_is_null(spark):
+    """NULL id → NULL bucket, matching sampling.hash_bucket exactly —
+    the coalesce-to-'' put NULL-id rows in a concrete bucket the
+    engine-side sampler would never pick (round-6 review)."""
+    from dogsheep_beta_spark.operators.sampling import hash_bucket
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame([(None,), ("x",)], "id string")
+    got = df.selectExpr("dbs_hash_bucket(id, 100) AS b").collect()
+    ref = df.select(hash_bucket("id", 100).alias("b")).collect()
+    assert [r["b"] for r in got] == [r["b"] for r in ref]
+    assert got[0]["b"] is None

@@ -37,14 +37,43 @@ def spark_session():
     return spark
 
 
+def _is_null(v) -> bool:
+    """True for the NULL objects the two engines hand back (None, NaT,
+    NaN incl. np.float32, pd.NA) — checked BEFORE stringification so a
+    literal string 'nan'/'None'/'NaT' in real data stays a real value
+    (a str() check here used to mask genuine mismatches as NULL-equal).
+    pd.isna covers every scalar null family; arrays/lists are values."""
+    try:
+        r = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return bool(r) if not hasattr(r, "__len__") else False
+
+
+def _canon_str(v) -> str:
+    """One value's canonical text.  A trailing ' 00:00:00' is stripped
+    so a DATE on one engine equals a midnight DATETIME on the other —
+    duckdb.fetchdf() widens DATE columns to datetime64, while Spark
+    hands back datetime.date objects (the old column-level astype(str)
+    rendered all-midnight datetime64 columns date-only; per-value str()
+    must reproduce that)."""
+    s = str(v)
+    return s[:-9] if s.endswith(" 00:00:00") else s
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        # normalize date/datetime-ish to ISO strings for comparison
-        if df[c].dtype == "object":
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif "datetime" in str(df[c].dtype) or str(df[c].dtype) == "date":
-            df[c] = df[c].astype(str)
+        # normalize date/datetime-ish to ISO strings for comparison,
+        # keeping NULLs as None (never the strings 'None'/'NaT')
+        if df[c].dtype == "object" or "datetime" in str(df[c].dtype) or str(
+            df[c].dtype
+        ) == "date":
+            df[c] = pd.Series(
+                [None if _is_null(v) else _canon_str(v) for v in df[c]],
+                index=df.index,
+                dtype="object",
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last").reset_index(
             drop=True
@@ -127,8 +156,8 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
             (i, x, y)
             for i, (x, y) in enumerate(zip(av, bv))
             if not values_equal(
-                None if (x is None or (isinstance(x, float) and math.isnan(x)) or str(x) in ("None", "NaT", "nan")) else x,
-                None if (y is None or (isinstance(y, float) and math.isnan(y)) or str(y) in ("None", "NaT", "nan")) else y,
+                None if _is_null(x) else x,
+                None if _is_null(y) else y,
             )
         ]
         if bad:
@@ -138,6 +167,21 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
                 f"spark={x!r} duck={y!r}"
             )
     return problems
+
+
+def register_duck_views(con, sf_dir: str) -> None:
+    """One DuckDB view per testdata table — shared by this gate AND
+    bench.py, so the correctness gate and the bench can never silently
+    run against different catalogs (the table list lives with the
+    engine's own registry)."""
+    from dogsheep_beta_spark.sources.registry import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
 
 
 def main():
@@ -150,13 +194,7 @@ def main():
 
     spark = spark_session()
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    register_duck_views(con, sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
