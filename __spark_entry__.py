@@ -2970,6 +2970,37 @@ def q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_dedup_strip_boilerplate(spark, sf_dir):
+    """Boilerplate REMOVAL — the deletion verb on top of the paragraph
+    -hash detection pass (operators/chunking.py:strip_boilerplate,
+    CCNet/RefinedWeb recipe): paragraphs appearing in >= 2 distinct
+    docs are deleted, survivors rejoin in order, every doc comes back
+    (possibly empty).  Report: per-source docs, removed paragraphs,
+    surviving chars, fully-emptied docs.  One hash-agg shuffle + an
+    AQE-broadcast anti-join + one id shuffle — no O(n²) step even on a
+    mass-duplicated corpus."""
+    from dogsheep_beta_spark.operators.chunking import strip_boilerplate
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    cleaned = strip_boilerplate(docs, "doc_id", "text", min_docs=2)
+    return (
+        cleaned.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").cast("long").alias("removed_paragraphs"),
+            F.sum(F.length("text_clean")).cast("long").alias("clean_chars"),
+            F.sum(F.when(F.col("text_clean") == "", 1).otherwise(0))
+            .cast("long")
+            .alias("emptied_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_rule_sql_udfs(spark, sf_dir):
     """Rule-style SQL exercising the engine's SQL-callable functions
     (H11 — datasette pre-registers escape_fts for every query; here the
@@ -3493,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "rule_sql_udfs": q_rule_sql_udfs,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_strip_boilerplate": q_dedup_strip_boilerplate,
         "dedup_verbatim_containment": q_dedup_verbatim_containment,
         "entity_link_best": q_entity_link_best,
         "search_tokenizer_args": q_search_tokenizer_args,
@@ -5522,6 +5554,50 @@ LIMIT 100
                         AS BIGINT) AS n_shared,
                    CAST(MAX(occ) AS BIGINT) AS max_occurrences
             FROM per_hash GROUP BY source ORDER BY source
+        """,
+        "dedup_strip_boilerplate": """
+            WITH parts AS (
+                SELECT doc_id, source,
+                       list_filter(
+                           string_split_regex(coalesce(text, ''),
+                                              '\\n{2,}'),
+                           x -> regexp_matches(x, '\\S')) AS ps
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, source,
+                       generate_subscripts(ps, 1) AS pos,
+                       unnest(ps) AS para
+                FROM parts
+            ), hot AS (
+                SELECT md5(para) AS h FROM paras
+                GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+            ), kept AS (
+                SELECT * FROM paras
+                WHERE md5(para) NOT IN (SELECT h FROM hot)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10)
+                                  ORDER BY pos) AS text_clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), stats AS (
+                SELECT doc_id, COUNT(*) AS n_paragraphs
+                FROM paras GROUP BY doc_id
+            )
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(coalesce(s.n_paragraphs, 0)
+                            - coalesce(r.n_kept, 0)) AS BIGINT)
+                       AS removed_paragraphs,
+                   CAST(SUM(length(coalesce(r.text_clean, '')))
+                        AS BIGINT) AS clean_chars,
+                   CAST(SUM(CASE WHEN coalesce(r.text_clean, '') = ''
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS emptied_docs
+            FROM documents d
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            LEFT JOIN stats s ON s.doc_id = d.doc_id
+            GROUP BY d.source ORDER BY d.source
         """,
         # each dbs_* SQL function replicated in DuckDB SQL: tokenizer
         # split, first-8-md5-hex bucket, {:,} formatting, quote-escape.

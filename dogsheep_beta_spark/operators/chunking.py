@@ -114,3 +114,71 @@ def paragraph_chunks(
         F.length("para_text").alias("n_chars"),
         "para_text",
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(id, text_clean, n_paragraphs, n_removed) — boilerplate REMOVAL,
+    the deletion verb on top of the paragraph-hash detection pass
+    (CCNet / RefinedWeb pipelines: headers, footers, cookie banners,
+    license blocks repeat across documents; delete the repeated
+    paragraphs, keep the rest in order).
+
+    A paragraph is boilerplate iff its exact content appears in
+    >= ``min_docs`` DISTINCT documents (within-document repetition is
+    repetition, not boilerplate — that signal lives in
+    functions/text.repetition_table).  Every input doc comes back:
+    a doc whose every paragraph was boilerplate has text_clean = ''
+    (dropping such docs is a sampling decision, left to the caller).
+
+    Scale shape: paragraph split is map-only (paragraph_chunks); the
+    frequency pass is ONE partial-aggregated shuffle on the paragraph
+    hash; the boilerplate hash set holds only cross-doc-repeated
+    paragraphs (tiny next to the corpus) so the prune anti-join
+    broadcasts under AQE; reassembly is one shuffle on id.  No step is
+    O(corpus²) — mass-duplicated paragraphs cost one counter row each.
+    """
+    paras = paragraph_chunks(df, id_col, text_col).withColumn(
+        "__h", F.md5("para_text")
+    )
+    hot = (
+        paras.groupBy("__h")
+        .agg(F.count_distinct("id").alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__h")
+    )
+    kept = paras.join(hot, "__h", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para_text"))
+                ),
+                lambda s: s["para_text"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    stats = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("int").alias(
+                "n_paragraphs"
+            ),
+            (
+                F.coalesce("n_paragraphs", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )

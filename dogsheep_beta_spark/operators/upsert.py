@@ -45,20 +45,20 @@ def last_writer_wins(
     for k in keys:
         cond = F.col(k).isNull()
         null_pk = cond if null_pk is None else (null_pk | cond)
-    # per-column md5 THEN concat: concat_ws would silently SKIP NULL
-    # columns (concat_ws(sep, 'x', NULL) == concat_ws(sep, NULL, 'x')),
-    # letting distinct rows hash identically and the tie go back to
-    # partition order.  Fixed-width inner hashes leave no boundary
-    # ambiguity; NULL gets a sentinel distinct from any real string
-    # short of a literal NUL.
-    tie = F.md5(
-        F.concat(
-            *[
-                F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-                for c in df.columns
-                if c != seq_col
-            ]
-        )
+    # xxhash64 over per-column NULL-coalesced strings: the hash frames
+    # each column's bytes (no concat boundary ambiguity) and is a
+    # whole-stage-codegen intrinsic (~ns/row — this runs on EVERY index
+    # build, not just on ties).  The explicit coalesce matters: both
+    # concat_ws AND Spark's hash family silently SKIP NULL inputs, so
+    # ('x', NULL) and (NULL, 'x') would otherwise hash identically and
+    # the tie would fall back to partition order.  NULL's sentinel
+    # collides only with a literal NUL string — documented, accepted.
+    tie = F.xxhash64(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in df.columns
+            if c != seq_col
+        ]
     )
     w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(tie))
     return (

@@ -1532,3 +1532,32 @@ def test_connected_components_releases_checkpoints(spark):
     release_local_checkpoint(comp)
     after = sc._jsc.sc().getPersistentRDDs().size()
     assert after <= before + 1  # at most transient slack, no per-round pileup
+
+
+def test_strip_boilerplate_removes_cross_doc_paragraphs(spark):
+    """The removal verb: cross-document paragraphs go, order is kept,
+    within-doc repetition stays, fully-boilerplate docs come back
+    empty, paragraph-less docs come back empty with zero counts."""
+    from dogsheep_beta_spark.operators.chunking import strip_boilerplate
+
+    hdr = "SUBSCRIBE TO OUR NEWSLETTER"
+    lic = "all rights reserved"
+    rows = [
+        (1, f"{hdr}\n\nunique alpha\n\nunique beta\n\n{lic}"),
+        (2, f"{hdr}\n\ndifferent gamma\n\n{lic}"),
+        (3, f"{hdr}\n\n{lic}"),  # nothing but boilerplate
+        (4, "repeat me\n\nrepeat me\n\nsolo"),  # within-doc repeat: kept
+        (5, ""),  # no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["id"]: r for r in strip_boilerplate(df, "doc_id", "text").collect()
+    }
+    assert len(out) == 5  # every doc comes back
+    assert out[1]["text_clean"] == "unique alpha\n\nunique beta"
+    assert out[1]["n_removed"] == 2 and out[1]["n_paragraphs"] == 4
+    assert out[2]["text_clean"] == "different gamma"
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text_clean"] == "repeat me\n\nrepeat me\n\nsolo"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_paragraphs"] == 0
