@@ -139,8 +139,10 @@ def strip_boilerplate(
     Scale shape: paragraph split is map-only (paragraph_chunks); the
     frequency pass is ONE partial-aggregated shuffle on the paragraph
     hash; the boilerplate hash set holds only cross-doc-repeated
-    paragraphs (tiny next to the corpus) so the prune anti-join
-    broadcasts under AQE; reassembly is one shuffle on id.  No step is
+    paragraphs (tiny next to the corpus) so the hot-mark join
+    broadcasts under AQE; then ONE groupBy(id) computes counts and the
+    reassembled text together (collect_list drops the NULLs the
+    hot-mark when() leaves for removed paragraphs).  No step is
     O(corpus²) — mass-duplicated paragraphs cost one counter row each.
     """
     paras = paragraph_chunks(df, id_col, text_col).withColumn(
@@ -150,35 +152,36 @@ def strip_boilerplate(
         paras.groupBy("__h")
         .agg(F.count_distinct("id").alias("__docs"))
         .where(F.col("__docs") >= min_docs)
-        .select("__h")
+        .select("__h", F.lit(1).alias("__hot"))
     )
-    kept = paras.join(hot, "__h", "left_anti")
-    rebuilt = kept.groupBy("id").agg(
+    marked = paras.join(hot, "__h", "left")
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.count("__hot").alias("__n_hot"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("para_idx", "para_text"))
+                    F.collect_list(
+                        F.when(
+                            F.col("__hot").isNull(),
+                            F.struct("para_idx", "para_text"),
+                        )
+                    )
                 ),
                 lambda s: s["para_text"],
             ),
             sep,
         ).alias("text_clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
     )
-    stats = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paragraphs"))
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(stats, "id", "left")
-        .join(rebuilt, "id", "left")
+        .join(per_doc, "id", "left")
         .select(
             "id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
             F.coalesce("n_paragraphs", F.lit(0)).cast("int").alias(
                 "n_paragraphs"
             ),
-            (
-                F.coalesce("n_paragraphs", F.lit(0))
-                - F.coalesce("__n_kept", F.lit(0))
-            ).cast("int").alias("n_removed"),
+            F.coalesce("__n_hot", F.lit(0)).cast("int").alias("n_removed"),
         )
     )

@@ -94,6 +94,14 @@ def pagerank(
         # the default.
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+            # NOTE: the per-round checkpoints deliberately stay alive —
+            # with eager=False nothing materializes until the caller's
+            # first action, and a localCheckpoint whose blocks are
+            # dropped cannot be recomputed (lineage is gone), so a
+            # mid-loop release_local_checkpoint would break the final
+            # evaluation.  The chain is bounded by ``iterations``; the
+            # caller can release the RETURNED frame when done
+            # (dedup.release_local_checkpoint).
     return ranks
 
 
