@@ -634,3 +634,46 @@ def test_extended_tokenizer_marks_parity(spark):
     py = [tokenize_py(t, mode) for t in texts]
     assert jvm == py
     assert py[1][0] == "a҃b"  # titlo kept inside the token
+
+
+def test_tokenizer_jvm_py_unicode_fuzz_parity(spark):
+    """Seeded unicode fuzz: the JVM index tokenizer and the Python
+    query tokenizer must agree token-for-token across scripts,
+    combining marks (all blocks), digits, punctuation, and explicit
+    tokenchars/separators — one DataFrame pass per mode, 300 strings."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from dogsheep_beta_spark.functions.tokenizer import (
+        tokenize_expr,
+        tokenize_py,
+    )
+
+    rng = random.Random(4242)
+    alphabet = (
+        "abcXYZ012 _-#.'\"\t "
+        "éçñüα βγДжص ضहिनאְ҃́ा"
+        "漢字かカ​€"
+    )
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    for mode in (
+        "portable",
+        "unicode61",
+        "unicode61 tokenchars '#'",
+        "unicode61 separators 'c' remove_diacritics '0'",
+        "portable tokenchars '_' separators 'x'",
+    ):
+        df = spark.createDataFrame([(t,) for t in cases], "t string")
+        jvm = [
+            r[0]
+            for r in df.select(tokenize_expr(SF.col("t"), mode)).collect()
+        ]
+        py = [tokenize_py(t, mode) for t in cases]
+        mismatches = [
+            (t, j, p) for t, j, p in zip(cases, jvm, py) if j != p
+        ]
+        assert not mismatches, (mode, mismatches[:3])

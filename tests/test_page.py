@@ -439,7 +439,11 @@ def test_http_serve_e2e(page_ctx):
         srv.server_close()
 
 
-def test_serve_while_indexing_e2e(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("partitioned", [False, True])
+def test_serve_while_indexing_e2e(spark, partitioned):
     """Serve-while-indexing (round 6): a LIVE server whose index + FTS
     layouts are being appended by the streaming foreachBatch merge —
     the reference's trigger-maintained-FTS story (utils.py:90: SQLite
@@ -448,7 +452,10 @@ def test_serve_while_indexing_e2e(spark):
     searchable WITHOUT restart; (2) no request observes a partial
     generation — result counts only ever take complete-batch values
     (docs arrive 5 per batch, so any count outside {5, 10} is a torn
-    read); (3) the server survives the concurrent publish."""
+    read); (3) the server survives the concurrent publish; (4) the
+    BM25 corpus scalars track the published generation in BOTH layouts
+    (the partitioned layout's top-level realpath never changes — its
+    per-partition symlink targets are the cache key since round 6)."""
     import os
     import re
     import shutil
@@ -475,7 +482,8 @@ def test_serve_while_indexing_e2e(spark):
                 spark.read.parquet(src).schema
             ).parquet(src)
             q = incremental_fts_stream(
-                spark, stream, index_path, fts_path, "live.db/docs", ckpt
+                spark, stream, index_path, fts_path, "live.db/docs", ckpt,
+                partitioned=partitioned,
             )
             q.awaitTermination(120)
 
@@ -521,6 +529,13 @@ def test_serve_while_indexing_e2e(spark):
             assert observed and all(c in (5, 10) for c in observed), observed
             # (1) the new docs are searchable now, no restart
             assert fetch_count() == 10
+            # (4) the per-request snapshot's BM25 scalars follow the
+            # publish — a stale cache froze n_docs at the first
+            # request's generation forever in the partitioned layout
+            from dogsheep_beta_spark.server import load_live_snapshot
+
+            _, live_fts = load_live_snapshot(spark, index_path, fts_path)
+            assert live_fts.n_docs == 10
         finally:
             srv.shutdown()
             srv.server_close()
