@@ -254,9 +254,12 @@ def cmd_serve(args) -> int:
     index_df = index_df.persist()
     index_df.count()  # materialize before the first request arrives
     # persist-then-count so request-time term lookups hit executor
-    # cache (a bare count would scan the postings and cache nothing)
+    # cache (a bare count would scan the postings and cache nothing);
+    # doc_lengths is scanned per request too (BM25 length norm)
     fts.postings = fts.postings.persist()
     fts.postings.count()
+    fts.doc_lengths = fts.doc_lengths.persist()
+    fts.doc_lengths.count()
     srv = make_server(
         spark, index_df, fts, rules, host=args.host, port=args.port
     )

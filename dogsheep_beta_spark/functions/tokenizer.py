@@ -176,8 +176,6 @@ def _py_token_char(ch: str, base: str, tc: str, sp: str) -> bool:
         return True
     if base == "portable":
         return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9")
-    import unicodedata
-
     return unicodedata.category(ch)[0] in ("L", "M", "N")
 
 

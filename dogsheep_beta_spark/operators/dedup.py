@@ -379,33 +379,52 @@ def minhash_lsh_pairs(
     # expensive; per-pair verification stays proportional to the
     # candidate count).
     if verify_k and verify_k != k:
-        # docs too short for verify_k-shingles fall back to their
-        # k-shingles: an inner join against a verify_k-only table would
-        # silently DROP candidate pairs involving short docs (even
-        # exact duplicates) instead of scoring them
+        # short docs (no verify_k-shingles) must not silently vanish
+        # from the output (an inner join against a verify_k-only table
+        # dropped even exact duplicates), and the fallback must be
+        # decided PER PAIR: comparing one side's k-shingles against the
+        # other's verify_k-shingles intersects incompatible
+        # granularities and mis-scores a true near-dup as ~0 — when
+        # EITHER side lacks verify_k-shingles, both sides verify on
+        # their k-shingles.
         vk = shingles_expr(F.col("__tk"), verify_k)
         kk = shingles_expr(F.col("__tk"), k)
         vpre = (
             bound_tokens(df, id_col, text_col)
+            .select("id", kk.alias("ks"), vk.alias("vs"))
+            .where(F.size("ks") > 0)
+        )
+        sa = vpre.select(
+            F.col("id").alias("a"),
+            F.col("ks").alias("ksa"),
+            F.col("vs").alias("vsa"),
+        )
+        sb = vpre.select(
+            F.col("id").alias("b"),
+            F.col("ks").alias("ksb"),
+            F.col("vs").alias("vsb"),
+        )
+        use_v = (F.size("vsa") > 0) & (F.size("vsb") > 0)
+        joined = (
+            cand.join(sa, "a")
+            .join(sb, "b")
             .select(
-                "id",
-                F.when(F.size(vk) > 0, vk).otherwise(kk).alias("shingles"),
+                "a",
+                "b",
+                F.when(use_v, F.col("vsa")).otherwise(F.col("ksa")).alias("sa"),
+                F.when(use_v, F.col("vsb")).otherwise(F.col("ksb")).alias("sb"),
             )
-            .where(F.size("shingles") > 0)
         )
     else:
-        vpre = pre  # reuse the persisted shingle sets — no re-tokenization
-    sa = vpre.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
-    sb = vpre.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
+        # reuse the persisted shingle sets — no re-tokenization
+        sa = pre.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
+        sb = pre.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
+        joined = cand.join(sa, "a").join(sb, "b")
     inter = F.size(F.array_intersect("sa", "sb"))
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
-        )
+    return joined.select(
+        "a",
+        "b",
+        (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
     )
 
 
@@ -465,18 +484,24 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     smaller codegen (cold-start dominated the round-1 bench at 2.4×).
 
     Unpack: votes_b = 2·count_b − n_tokens > 0 ⟺ bit b set.  The
-    packed-lane capacity is 32767 tokens per doc: the top lane shifts
-    counts by 48 bits, so a set-count of 32768 would carry into the
-    sign bit of the long SUM — silent wraparound with ANSI off, an
-    ArithmeticException with Spark 4's default ANSI mode.  Docs beyond
-    the cap raise a loud per-doc error instead of either (seen below);
-    to lift it, widen to 8 longs × 2 lanes of 32 bits.
+    packed-lane capacity is 32767 tokens per doc — beyond that, lane
+    counts would carry into the next 15-bit lane — and docs over the
+    cap raise a loud per-doc error (seen below).  The lanes are spaced
+    15 bits (shifts 0/15/30/45) rather than 16 precisely so the SUM
+    itself cannot overflow a signed long before the guard runs: the
+    top lane accumulates ≤ n·2^45, safe for n up to 2^18 — and the
+    token stream is hard-capped at 2^18 rows per doc (a slice before
+    the explode; truncation only affects docs the guard rejects
+    anyway), so Spark 4's default ANSI mode can never throw a cryptic
+    ArithmeticException mid-aggregation in place of the guard's error.
+    To lift the capacity, widen to 8 longs × 2 lanes of 32 bits.
     NULL token (empty doc) contributes count 0 on every bit and n=1,
     so votes = −1 everywhere -> simhash 0, same as the array form.
     """
+    toks = tokens_expr(F.col(text_col))
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(tokens_expr(F.col(text_col))).alias("t"),
+        F.explode_outer(F.slice(toks, 1, 1 << 18)).alias("t"),
     )
     h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
 
@@ -484,7 +509,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         e = None
         for k in range(4):
             b = 4 * j + k
-            c = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * k)
+            c = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), 15 * k)
             e = c if e is None else e + c
         return F.sum(e).alias(f"p{j}")
 
@@ -495,8 +520,8 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for j in range(8):
         for k in range(4):
             b = 4 * j + k
-            cnt = F.shiftright(F.col(f"p{j}"), 16 * k).bitwiseAND(
-                F.lit((1 << 16) - 1)
+            cnt = F.shiftright(F.col(f"p{j}"), 15 * k).bitwiseAND(
+                F.lit((1 << 15) - 1)
             )
             term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
             sim = term if sim is None else sim + term

@@ -67,15 +67,24 @@ def apply_filters(df: DataFrame, plan: QueryPlan) -> DataFrame:
     and partition pruning when the index is partitioned by type.
     """
     def int_eq(col: str, value):
-        # request args arrive as strings; a non-numeric value matches
-        # NOTHING (the reference binds the raw string into SQLite,
-        # whose affinity comparison just finds no rows and renders a
-        # normal 0-result page) — int() raising here turned a bad
-        # ?category= query param into a 500
+        # request args arrive as strings; SQLite's NUMERIC AFFINITY is
+        # the reference semantics: a numeric-like string compares
+        # numerically ('1.0' and ' 1e0' match category 1), anything
+        # else matches NOTHING and renders a normal 0-result page —
+        # int() raising here used to turn ?category=abc into a 500,
+        # and int()-only parsing wrongly zeroed out ?category=1.0
         try:
-            return F.col(col) == int(value)
+            fv = float(value)
         except (TypeError, ValueError):
             return F.lit(False)
+        # integral values compare as int so the predicate stays
+        # parquet-pushable (an int-column = double-literal comparison
+        # wraps the column in a cast and loses pushdown); fractional
+        # values fall through to the float compare (no int row matches,
+        # same as SQLite)
+        if fv.is_integer() and -(2**63) <= fv < 2**63:
+            return F.col(col) == int(fv)
+        return F.col(col) == fv
 
     if plan.type is not None:
         df = df.filter(F.col("type") == str(plan.type))

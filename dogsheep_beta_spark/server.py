@@ -179,7 +179,10 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
     with _SCALAR_LOCK:
         cached = _SCALAR_CACHE.get(ck)
     if cached is None:
-        n_docs = index_df.count()
+        # NULL-key rows are outside the FTS doc universe (see
+        # fts_index.postings_and_lengths) — count only keyed docs so
+        # live-mode scalars equal the static build's
+        n_docs = index_df.where(F.col("key").isNotNull()).count()
         total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
         cached = (n_docs, (total / n_docs) if n_docs else 0.0)
         with _SCALAR_LOCK:

@@ -1450,7 +1450,9 @@ def test_banded_rows_rejects_non_divisor_bands(docs):
 
 def test_minhash_verify_k_keeps_short_docs(spark):
     """verify_k > doc length must not silently drop candidate pairs:
-    short docs fall back to k-shingle verification."""
+    short docs fall back to k-shingle verification — and the fallback
+    is PER PAIR: a short/long pair verifies k-vs-k, never k-vs-
+    verify_k (incompatible granularities score a true near-dup ~0)."""
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta eps"), (2, "alpha beta gamma delta eps")],
         "doc_id int, text string",
@@ -1463,14 +1465,37 @@ def test_minhash_verify_k_keeps_short_docs(spark):
     }
     assert out[(1, 2)] == 1.0  # 5-token exact dups have no 8-shingles
 
+    seven = "w1 w2 w3 w4 w5 w6 w7"
+    mixed = spark.createDataFrame(
+        [(1, seven), (2, seven + " w8")],  # 7 vs 8 tokens, near-identical
+        "doc_id int, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            mixed, "doc_id", "text", k=3, verify_k=8
+        ).collect()
+    }
+    # doc 1 has no 8-shingles -> BOTH sides verify on 3-shingles:
+    # 5 shared of 6 union
+    assert got[(1, 2)] == pytest.approx(5 / 6)
+
 
 def test_simhash_token_capacity_guard(spark):
-    """Docs beyond the 32767-token packed-lane capacity fail LOUDLY
-    (silent lane wraparound / ANSI ArithmeticException otherwise)."""
+    """Docs beyond the 32767-token packed-lane capacity fail LOUDLY —
+    including the worst case of 32768 IDENTICAL tokens (every set
+    bit's lane count hits the limit at once), which under 16-bit lane
+    spacing overflowed the SUM inside the aggregation and threw a
+    cryptic ANSI ArithmeticException before any guard could run."""
     big = " ".join(f"w{i}" for i in range(32768))
     df = spark.createDataFrame([(1, big)], "doc_id int, text string")
     with pytest.raises(Exception, match="packed-lane capacity"):
         dd.simhash_table(df, "doc_id", "text").collect()
+    same = spark.createDataFrame(
+        [(1, " ".join(["dup"] * 32768))], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="packed-lane capacity"):
+        dd.simhash_table(same, "doc_id", "text").collect()
     ok = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id int, text string"
     )

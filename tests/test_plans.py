@@ -568,3 +568,25 @@ def test_search_tokenizer_args_plan_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     entry.teardown(SF_DIR)
+
+
+def test_strip_boilerplate_plan_shape(spark):
+    """Removal = hash-agg + hot-mark join + ONE per-doc aggregation:
+    no cartesian, no window, and exactly one final per-id aggregate
+    (the r6 first cut paid an extra shuffle for separate stats)."""
+    from dogsheep_beta_spark.operators.chunking import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(i, f"common head\n\nbody {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = (
+        strip_boilerplate(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # one aggregation keyed on id (partial+final pair), not two
+    assert plan.count("functions=[count(1)") <= 2

@@ -125,3 +125,10 @@ def test_non_numeric_facet_args_match_nothing(spark, plugin_index):
     assert out.count() == 0
     out2 = apply_filters(plugin_index, QueryPlan(is_public=""))
     assert out2.count() == 0
+    # SQLite numeric affinity: '1.0' and ' 1e0' compare numerically
+    base = apply_filters(plugin_index, QueryPlan(category=1)).count()
+    assert base > 0
+    for v in ("1.0", " 1e0"):
+        assert apply_filters(plugin_index, QueryPlan(category=v)).count() == base
+    # fractional value matches no integer category (not a 500)
+    assert apply_filters(plugin_index, QueryPlan(category="1.5")).count() == 0
