@@ -3001,6 +3001,179 @@ def q_dedup_strip_boilerplate(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    embeddings table: k-means cells (the persisted _kmeans_layout —
+    the build amortizes like every IVF consumer), within-cell cosine
+    >= 0.40 pairs (this synthetic table has no true near-dups — global
+    max cosine is 0.51 — so the threshold sits where the pair graph is
+    non-trivial), connected components, and the paper's keep rule:
+    each group keeps the member with the LOWEST cosine to its cell
+    centroid (least prototypical = most diverse), ties on id.  The
+    oracle replays every stage in SQL — seeds by md5 order, 6-dp
+    rounded argmax assignment, recursive-CTE components, window-ranked
+    keeper."""
+    from dogsheep_beta_spark.operators.dedup import semantic_dedup
+
+    assigned, cents = _kmeans_layout(spark, sf_dir)
+    return (
+        semantic_dedup(
+            assigned,
+            "vec_id",
+            "embedding",
+            tau=0.40,
+            assigned=assigned,
+            cents=cents,
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("grp").cast("long").alias("grp"),
+            "cent_cos",
+            "is_keep",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _importance_ratios(spark, sf_dir):
+    """One-time per sf_dir: estimate the DSIR hashed-bigram log-ratio
+    table (lang='en' target vs the full corpus, 1024 buckets) — ONE
+    bounded aggregation, ≤ 1024 rows collected.  In the paper's
+    deployment the ratios are fit once against a trusted target sample
+    and then applied to the (much larger, possibly streaming) raw
+    corpus, so the estimation amortizes exactly like the FTS/IVF
+    builds; bench reports it as ``importance_ratio_build``."""
+    from dogsheep_beta_spark.operators.sampling import (
+        importance_log_ratios,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "importance_ratios" not in c:
+        register_testdata(spark, sf_dir, tables=("documents",))
+        c["importance_ratios"] = importance_log_ratios(
+            spark.table("documents"),
+            "text",
+            F.col("lang") == "en",
+            n_buckets=1024,
+        )
+    return c["importance_ratios"]
+
+
+def q_sample_importance(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    hashed-bigram bag-of-ngrams importance weights
+    ln p_target − ln p_raw with the ``lang = 'en'`` slice as the
+    target distribution, Laplace-smoothed over 1024 buckets; top-50
+    most-target-like docs.  The ratio table comes from the amortized
+    ``importance_ratio_build`` (_importance_ratios); the query itself
+    is pure map-side scoring — a fold over an array literal, no join,
+    no shuffle — plus a TakeOrderedAndProject top-k (plan-asserted in
+    tests/test_plans.py)."""
+    from dogsheep_beta_spark.operators.sampling import importance_weights
+
+    lrs = _importance_ratios(spark, sf_dir)
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    w = F.round(F.col("logw"), 6)
+    return (
+        importance_weights(docs, "doc_id", "text", log_ratios=lrs)
+        .select("doc_id", "lang", w.alias("logw"))
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(50)
+    )
+
+
+def q_quality_gopher_rules(spark, sf_dir):
+    """Gopher / MassiveText quality-rule filter (Rae et al. 2021,
+    arXiv:2112.11446 App. A) at the paper's published thresholds,
+    reported per language: docs passing each rule and the conjunction.
+    The rule evaluation is ONE map-side projection (plan-asserted —
+    no joins/shuffles/UDFs; at 100 TB it's a scan); the only shuffle
+    here is the per-lang report aggregation."""
+    from dogsheep_beta_spark.functions.text import gopher_rules
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    flags = gopher_rules(docs, "doc_id", "text", keep=["lang"])
+    rules = [
+        "r_word_count",
+        "r_word_len",
+        "r_symbol_ratio",
+        "r_bullets",
+        "r_ellipsis",
+        "r_alpha_words",
+        "r_required_words",
+        "gopher_pass",
+    ]
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(r).cast("long").alias(r) for r in rules],
+        )
+        .orderBy("lang")
+    )
+
+
+def q_clean_c4_lines(spark, sf_dir):
+    """C4 line-and-page cleaning (Raffel et al. 2020, §2.2) over a
+    deterministically SYNTHESIZED line corpus — the documents table
+    has no newlines or punctuation (TESTDATA.md), so the query builds
+    one from it, identically in both engines (the media_video_demux
+    device): each doc's tokens fold into 10-word lines; line i gets a
+    terminal '.' iff (doc_id+i)%10 < 7, a 'lorem ipsum' prefix iff
+    %17 == 0, a 'javascript' prefix iff %13 == 0; docs with
+    doc_id%19 == 0 gain a '{ code }.' line (the page-level code rule).
+    c4_clean then applies the published rules; the report aggregates
+    per source.  Construction + rules are ONE map-side projection."""
+    from dogsheep_beta_spark.operators.chunking import c4_clean
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    b = docs.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("__tk")
+    )
+    nl = F.greatest(
+        F.ceil(F.size("__tk") / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+
+    def mk_line(i):
+        base = F.concat_ws(" ", F.slice(F.col("__tk"), i * 10 + 1, 10))
+        j = F.col("doc_id") + i
+        pre = (
+            F.when(j % 17 == 0, F.concat(F.lit("lorem ipsum "), base))
+            .when(j % 13 == 0, F.concat(F.lit("javascript "), base))
+            .otherwise(base)
+        )
+        return F.concat(
+            pre, F.when(j % 10 < 7, F.lit(".")).otherwise(F.lit(""))
+        )
+
+    text2 = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1), mk_line), "\n"
+    )
+    text2 = F.when(
+        F.col("doc_id") % 19 == 0, F.concat(text2, F.lit("\n{ code }."))
+    ).otherwise(text2)
+    synth = b.select("doc_id", "source", text2.alias("text"))
+    cleaned = c4_clean(
+        synth, "doc_id", "text", min_sentences=4, keep=["source"]
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+            F.sum("n_sentences").cast("long").alias("n_sentences"),
+            F.sum("keep_doc").cast("long").alias("kept_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_rule_sql_udfs(spark, sf_dir):
     """Rule-style SQL exercising the engine's SQL-callable functions
     (H11 — datasette pre-registers escape_fts for every query; here the
@@ -3529,6 +3702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_best": q_entity_link_best,
         "search_tokenizer_args": q_search_tokenizer_args,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
+        "dedup_semantic": q_dedup_semantic,
+        "sample_importance": q_sample_importance,
+        "quality_gopher_rules": q_quality_gopher_rules,
+        "clean_c4_lines": q_clean_c4_lines,
     }
 
 
@@ -5895,6 +6072,249 @@ LIMIT 100
     # incremental linkage converges to the batch result: the oracle is
     # entity_link_best's SQL verbatim (same blocked generator + argmin).
     d["streaming_entity_link"] = d["entity_link_best"]
+    # SemDeDup: seeds by md5 order, 6-dp-rounded argmax cell assignment
+    # (identical float discipline to the kmeans oracle), within-cell
+    # pairs thresholded at 0.40, recursive-CTE components, keeper =
+    # window-ranked (cent_cos, id) min per group.
+    d["dedup_semantic"] = (
+        "WITH RECURSIVE "
+        + _EMB_CTE.strip().removeprefix("WITH")
+        + f"""
+        , seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cell,
+                   v AS centroid
+            FROM e
+            QUALIFY cell < 8
+        )
+        , asg AS (
+            SELECT vec_id, v, cell, cc FROM (
+                SELECT e.vec_id, e.v, s.cell,
+                       {_COS.format(a='e.v', b='s.centroid')} AS cc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
+                                    DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        )
+        , pr AS (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM asg x JOIN asg y
+              ON x.cell = y.cell AND x.vec_id < y.vec_id
+            WHERE {_COS.format(a='x.v', b='y.v')} >= 0.40
+        )
+        , edges AS (
+            SELECT a AS s, b AS d FROM pr UNION SELECT b, a FROM pr
+        )
+        , r AS (
+            SELECT s AS root, s AS node
+            FROM (SELECT DISTINCT s FROM edges)
+            UNION
+            SELECT r.root, e2.d FROM r JOIN edges e2 ON e2.s = r.node
+        )
+        , comp AS (SELECT root AS id, MIN(node) AS grp FROM r GROUP BY root)
+        , dup AS (
+            SELECT a.vec_id, c.grp, a.cc
+            FROM asg a JOIN comp c ON a.vec_id = c.id
+        )
+        , keepers AS (
+            SELECT grp, vec_id AS keep_id FROM (
+                SELECT grp, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY cc, vec_id
+                       ) AS rn
+                FROM dup
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               CAST(COALESCE(c.grp, a.vec_id) AS BIGINT) AS grp,
+               a.cc AS cent_cos,
+               CAST(CASE WHEN k.keep_id IS NULL OR k.keep_id = a.vec_id
+                    THEN 1 ELSE 0 END AS INT) AS is_keep
+        FROM asg a
+        LEFT JOIN comp c ON a.vec_id = c.id
+        LEFT JOIN keepers k ON COALESCE(c.grp, a.vec_id) = k.grp
+        ORDER BY a.vec_id
+    """
+    )
+    # DSIR: hashed-bigram buckets (same md5 device as the samplers),
+    # one-pass target/raw counts, Laplace-smoothed log ratios, per-doc
+    # SUM — both engines round to 6 dp before the top-50 ordering.
+    d["sample_importance"] = (
+        ORACLE_DOC_TOKENS
+        + """
+        , bg AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(len(toks) - 1),
+                           i -> toks[i+1] || ' ' || toks[i+2])
+                   ELSE []::VARCHAR[] END AS grams
+            FROM toks
+        )
+        , bk AS (
+            SELECT s.doc_id,
+                   ('0x' || substr(md5(s.g), 1, 8))::BIGINT % 1024 AS bkt,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS t
+            FROM (SELECT doc_id, unnest(grams) AS g FROM bg) s
+            JOIN documents d ON s.doc_id = d.doc_id
+        )
+        , agg AS (
+            SELECT bkt, COUNT(*) AS cr, SUM(t) AS ct FROM bk GROUP BY bkt
+        )
+        , tot AS (
+            SELECT SUM(cr) * 1.0 AS tr, SUM(ct) * 1.0 AS tt FROM agg
+        )
+        , lr AS (
+            SELECT bkt,
+                   LN((ct + 1.0) / (tt + 1024.0))
+                       - LN((cr + 1.0) / (tr + 1024.0)) AS lr
+            FROM agg, tot
+        )
+        , dw AS (
+            SELECT bk.doc_id, SUM(lr.lr) AS logw
+            FROM bk JOIN lr ON bk.bkt = lr.bkt GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               ROUND(COALESCE(w.logw, 0.0), 6) AS logw
+        FROM documents d LEFT JOIN dw w ON d.doc_id = w.doc_id
+        ORDER BY ROUND(COALESCE(w.logw, 0.0), 6) DESC, d.doc_id
+        LIMIT 50
+    """
+    )
+    # Gopher rules: every rule restated as DuckDB list/string
+    # expressions with the same empty/NULL guards as the Spark
+    # projection (functions/text.py:gopher_rules).
+    d["quality_gopher_rules"] = r"""
+        WITH f AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+')
+                   END AS w,
+                   string_split(coalesce(text, ''), chr(10)) AS ln,
+                   trim(coalesce(text, '')) AS s
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lang,
+                   len(w) AS n_words,
+                   CASE WHEN len(w) > 0
+                        THEN len(w)::DOUBLE ELSE 1.0 END AS nz,
+                   COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                       AS sum_wl,
+                   len(s) - len(replace(s, '#', '')) AS n_hash,
+                   (len(s) - len(replace(s, '...', ''))) / 3
+                       + (len(s) - len(replace(s, '…', ''))) AS n_ell,
+                   CASE WHEN len(ln) > 0
+                        THEN len(ln)::DOUBLE ELSE 1.0 END AS n_lines,
+                   len(list_filter(ln,
+                       x -> starts_with(trim(x), '•')
+                            OR starts_with(trim(x), '- '))) AS n_bullet,
+                   len(list_filter(ln,
+                       x -> ends_with(trim(x), '...')
+                            OR ends_with(trim(x), '…'))) AS n_ellline,
+                   len(list_filter(w,
+                       x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                   len(list_intersect(
+                       list_distinct(list_transform(w, x -> lower(x))),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS n_req
+            FROM f
+        ), r AS (
+            SELECT doc_id, lang,
+                   CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+                       AS r_word_count,
+                   CAST(sum_wl / nz >= 3.0 AND sum_wl / nz <= 10.0 AS INT)
+                       AS r_word_len,
+                   CAST((n_hash + n_ell) / nz <= 0.1 AS INT)
+                       AS r_symbol_ratio,
+                   CAST(n_bullet / n_lines <= 0.9 AS INT) AS r_bullets,
+                   CAST(n_ellline / n_lines <= 0.3 AS INT) AS r_ellipsis,
+                   CAST(n_alpha / nz >= 0.8 AS INT) AS r_alpha_words,
+                   CAST(n_req >= 2 AS INT) AS r_required_words
+            FROM m
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(r_word_count) AS BIGINT) AS r_word_count,
+               CAST(SUM(r_word_len) AS BIGINT) AS r_word_len,
+               CAST(SUM(r_symbol_ratio) AS BIGINT) AS r_symbol_ratio,
+               CAST(SUM(r_bullets) AS BIGINT) AS r_bullets,
+               CAST(SUM(r_ellipsis) AS BIGINT) AS r_ellipsis,
+               CAST(SUM(r_alpha_words) AS BIGINT) AS r_alpha_words,
+               CAST(SUM(r_required_words) AS BIGINT) AS r_required_words,
+               CAST(SUM(r_word_count * r_word_len * r_symbol_ratio
+                        * r_bullets * r_ellipsis * r_alpha_words
+                        * r_required_words) AS BIGINT) AS gopher_pass
+        FROM r GROUP BY lang ORDER BY lang
+    """
+    # C4 rules over the same synthesized line corpus: identical
+    # construction arithmetic, then the published line/page rules in
+    # DuckDB list/string expressions.
+    d["clean_c4_lines"] = ORACLE_DOC_TOKENS + r"""
+        , nl AS (
+            SELECT doc_id, toks,
+                   CAST(greatest(ceil(len(toks) / 10.0), 1) AS INT) AS n
+            FROM toks
+        ), li AS (
+            SELECT doc_id, toks, CAST(u.i AS BIGINT) AS i
+            FROM nl, UNNEST(range(0, n)) u(i)
+        ), lines AS (
+            SELECT doc_id, i,
+                   (CASE WHEN (doc_id + i) % 17 = 0 THEN 'lorem ipsum '
+                              || array_to_string(
+                                     list_slice(toks, i*10 + 1, i*10 + 10),
+                                     ' ')
+                         WHEN (doc_id + i) % 13 = 0 THEN 'javascript '
+                              || array_to_string(
+                                     list_slice(toks, i*10 + 1, i*10 + 10),
+                                     ' ')
+                         ELSE array_to_string(
+                                  list_slice(toks, i*10 + 1, i*10 + 10),
+                                  ' ')
+                    END)
+                   || (CASE WHEN (doc_id + i) % 10 < 7 THEN '.'
+                            ELSE '' END) AS ln
+            FROM li
+        ), t2 AS (
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY i)
+                   || CASE WHEN doc_id % 19 = 0
+                           THEN chr(10) || '{ code }.' ELSE '' END AS text
+            FROM lines GROUP BY doc_id
+        ), c AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lns,
+                   NOT contains(text, '{') AS nobrace
+            FROM t2
+        ), k AS (
+            SELECT doc_id, nobrace, len(lns) AS n_lines,
+                   list_filter(lns, x ->
+                       (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                        OR ends_with(trim(x), '?')
+                        OR ends_with(trim(x), '"'))
+                       AND trim(x) <> ''
+                       AND len(string_split_regex(trim(x), '\s+')) >= 3
+                       AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                       AND NOT regexp_matches(lower(trim(x)),
+                                              '\bjavascript\b')) AS kept
+            FROM c
+        ), m AS (
+            SELECT doc_id, nobrace, n_lines, len(kept) AS n_kept,
+                   len(cl) - len(regexp_replace(cl, '[.!?]', '', 'g'))
+                       AS n_sent
+            FROM (SELECT *, array_to_string(kept, chr(10)) AS cl FROM k)
+        )
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(m.n_lines) AS BIGINT) AS n_lines,
+               CAST(SUM(m.n_kept) AS BIGINT) AS n_kept,
+               CAST(SUM(m.n_sent) AS BIGINT) AS n_sentences,
+               CAST(SUM(CASE WHEN m.nobrace AND m.n_sent >= 4
+                        THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+        FROM m JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """
     return d
 
 

@@ -81,6 +81,7 @@ def main() -> None:
         ("tokargs_fts_build", entry._ctx_tokargs),
         ("pq_build", entry._pq_layout),
         ("minhash_stream_build", entry._minhash_stream_layout),
+        ("importance_ratio_build", entry._importance_ratios),
     ):
         t0 = time.time()
         try:

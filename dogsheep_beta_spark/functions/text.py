@@ -632,3 +632,137 @@ def char_entropy_table(df, id_col: str, text_col: str):
             "entropy_bits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix A)
+# ---------------------------------------------------------------------------
+
+# at least 2 of these must appear for the "required words" rule — the
+# published list, inlined so any engine reproduces the rule.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+    keep: list | None = None,
+):
+    """The Gopher / MassiveText document-quality rule filter (Rae et
+    al. 2021, Appendix A), with the paper's published thresholds as
+    defaults: word-count band, mean-word-length band, symbol-to-word
+    ratio (# and ellipsis), bullet-started and ellipsis-ended line
+    fractions, alphabetic-word fraction, and the required-word rule
+    (>= 2 of the 8 common English words).  Returns one row per doc
+    with each rule as an int flag (1 = PASS) plus the conjunction
+    ``gopher_pass`` — keep the flags, not just the verdict, so a
+    pipeline can report WHICH rule rejects (the paper tunes rules per
+    corpus).
+
+    Everything is a single map-side projection over bound token/line
+    arrays — no joins, no shuffles, no UDFs; at 100 TB this is a scan.
+    The paper's remaining rules (duplicate-line / top-n-gram
+    repetition fractions) need per-doc token aggregation and live in
+    :func:`repetition_table` — the full MassiveText filter is this
+    conjunction AND the repetition thresholds joined on id.  ``keep``
+    names extra input columns carried through (a per-group report
+    then needs no join back to the corpus).
+    """
+    s = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (keep or [])],
+        F.when(s == "", F.array().cast("array<string>"))
+        .otherwise(F.split(s, r"\s+"))
+        .alias("__w"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__ln"),
+        s.alias("__s"),
+    )
+    w, ln = F.col("__w"), F.col("__ln")
+    n_words = F.size(w)
+    nz = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    mean_wl = (
+        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / nz
+    )
+    n_hash = F.length(F.col("__s")) - F.length(
+        F.regexp_replace(F.col("__s"), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col("__s"))
+        - F.length(F.regexp_replace(F.col("__s"), r"\.\.\.", ""))
+    ) / 3 + (
+        F.length(F.col("__s"))
+        - F.length(F.regexp_replace(F.col("__s"), "…", ""))
+    )
+    n_lines = F.when(F.size(ln) > 0, F.size(ln).cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    bullet_frac = (
+        F.size(
+            F.filter(
+                ln,
+                lambda x: F.trim(x).startswith("•")
+                | F.trim(x).startswith("- "),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                ln,
+                lambda x: F.trim(x).endswith("...")
+                | F.trim(x).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_word_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / nz
+    )
+    lw = F.transform(w, lambda x: F.lower(x))
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(lw),
+            F.array(*[F.lit(t) for t in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+
+    def flag(cond):
+        return cond.cast("int")
+
+    rules = {
+        "r_word_count": flag(
+            (n_words >= min_words) & (n_words <= max_words)
+        ),
+        "r_word_len": flag(
+            (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
+        ),
+        "r_symbol_ratio": flag(
+            (n_hash + n_ellipsis) / nz <= max_symbol_ratio
+        ),
+        "r_bullets": flag(bullet_frac <= max_bullet_frac),
+        "r_ellipsis": flag(ellipsis_frac <= max_ellipsis_frac),
+        "r_alpha_words": flag(alpha_word_frac >= min_alpha_word_frac),
+        "r_required_words": flag(n_required >= min_required_words),
+    }
+    out = bound.select(
+        "id",
+        *[F.col(c) for c in (keep or [])],
+        *[c.alias(name) for name, c in rules.items()],
+    )
+    passed = reduce(
+        lambda a, b: a & b, [F.col(name) == 1 for name in rules]
+    )
+    return out.withColumn("gopher_pass", passed.cast("int"))

@@ -185,3 +185,81 @@ def strip_boilerplate(
             F.coalesce("__n_hot", F.lit(0)).cast("int").alias("n_removed"),
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    keep: list | None = None,
+) -> DataFrame:
+    """(id, text_clean, n_lines, n_kept, n_sentences, keep_doc) — the
+    C4 line-and-page cleaning rules (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2), the published recipe behind the C4 corpus:
+
+    line rules (a line survives iff ALL hold):
+      - ends in terminal punctuation (``.``, ``!``, ``?``, ``"``);
+      - has at least ``min_line_words`` whitespace words;
+      - does not contain the phrase ``lorem ipsum`` (case-folded);
+      - does not contain the word ``javascript`` (case-folded).
+    page rules (``keep_doc``):
+      - the ORIGINAL text contains no ``{`` (the code heuristic);
+      - the cleaned text has at least ``min_sentences`` sentences
+        (terminal-punctuation count over kept lines).
+
+    Every input doc comes back with its cleaned text and a
+    ``keep_doc`` verdict — dropping is the caller's sampling decision,
+    the same contract as ``strip_boilerplate``.  The paper's remaining
+    step (three-sentence-span dedup across pages) is cross-document
+    state and lives in the dedup family (``verbatim_overlap_pairs`` /
+    ``dedup.paragraphs``).
+
+    Scale shape: one map-side projection over a bound line array — no
+    joins, no shuffles, no UDFs; a scan at any corpus size.  ``keep``
+    names extra input columns carried through to the output (so a
+    per-source report needs no join back to the corpus).
+    """
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (keep or [])],
+        F.split(s, "\n").alias("__ln"),
+        (F.instr(s, "{") == 0).alias("__nobrace"),
+    )
+
+    def line_ok(x):
+        t = F.trim(x)
+        low = F.lower(t)
+        terminal = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?")
+            | t.endswith('"')
+        )
+        words = F.size(F.split(t, r"\s+"))
+        return (
+            terminal
+            & (t != "")
+            & (words >= min_line_words)
+            & ~low.contains("lorem ipsum")
+            & ~low.rlike(r"\bjavascript\b")
+        )
+
+    kept = F.filter(F.col("__ln"), line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(clean)
+        - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    )
+    out = bound.select(
+        "id",
+        *[F.col(c) for c in (keep or [])],
+        clean.alias("text_clean"),
+        F.size("__ln").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        (
+            F.col("__nobrace") & (n_sent >= min_sentences)
+        ).cast("int").alias("keep_doc"),
+    )
+    return out

@@ -35,8 +35,11 @@ def tokens_expr(col):
     return F.filter(F.split(F.lower(F.coalesce(col, F.lit(""))), PORTABLE_SPLIT), lambda x: x != "")
 
 
-def shingles_expr(tokens, k: int):
-    """k-token shingles joined by single spaces (distinct set).
+def grams_expr(tokens, k: int):
+    """k-token grams joined by single spaces — the BAG (duplicates
+    kept, document order).  Shared window builder under
+    ``shingles_expr`` (which distincts it) and the DSIR hashed-bigram
+    features (which must NOT — bag-of-ngrams counts).
 
     Guarded for short docs: Spark's sequence(0, n) with n < 0 would
     produce a DESCENDING sequence, so size < k yields [] explicitly.
@@ -49,14 +52,21 @@ def shingles_expr(tokens, k: int):
     inlined tokenizer turns this linear pass quadratic (measured 28×
     on 500-token docs).  ``bound_tokens`` is the helper."""
     if k == 1:
-        return F.array_distinct(tokens)
+        return tokens
     sh = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - k),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
     )
-    return F.when(F.size(tokens) >= k, F.array_distinct(sh)).otherwise(
+    return F.when(F.size(tokens) >= k, sh).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_expr(tokens, k: int):
+    """k-token shingles joined by single spaces (DISTINCT set) — see
+    ``grams_expr`` for the window builder and its performance
+    contract."""
+    return F.array_distinct(grams_expr(tokens, k))
 
 
 def bound_tokens(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
@@ -630,6 +640,7 @@ def embedding_dup_pairs(
     block_col: str,
     min_cosine: float = 0.0,
     gemm: bool = True,
+    with_block: bool = False,
 ) -> DataFrame:
     """Blocked pairwise cosine: group on the blocking key (label /
     LSH bucket / IVF cell), all-pairs cosine within each block,
@@ -655,15 +666,23 @@ def embedding_dup_pairs(
         import pandas as pd
 
         id_dt = e.schema["id"].dataType.simpleString()
+        blk_dt = e.schema["block"].dataType.simpleString()
         out_schema = f"a {id_dt}, b {id_dt}, cosine double"
+        if with_block:
+            out_schema += f", block {blk_dt}"
 
         def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             n = len(pdf)
+            cols = ["a", "b", "cosine"] + (["block"] if with_block else [])
             if n < 2:
-                return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                empty = {c: [] for c in cols}
+                out = pd.DataFrame(empty).astype(
                     {"a": pdf["id"].dtype, "b": pdf["id"].dtype, "cosine": float}
                 )
+                if with_block:
+                    out["block"] = out["block"].astype(pdf["block"].dtype)
+                return out
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(M, axis=1)
             norms[norms == 0.0] = np.nan  # match x/0 -> non-finite semantics
@@ -673,23 +692,29 @@ def embedding_dup_pairs(
             out = pd.DataFrame(
                 {"a": ids[iu], "b": ids[ju], "cosine": S[iu, ju]}
             )
+            if with_block:
+                out["block"] = pdf["block"].iloc[0]
             if min_cosine > 0:
                 out = out[out["cosine"] >= min_cosine]
             return out
 
         return e.groupBy("block").applyInPandas(block_pairs, out_schema)
 
+    keep = [
+        F.col("x.id").alias("a"),
+        F.col("y.id").alias("b"),
+        cosine_expr(
+            F.col("x.v").cast("array<double>"), F.col("y.v").cast("array<double>")
+        ).alias("cosine"),
+    ]
+    if with_block:
+        # USING-join: the coalesced key survives as one column
+        keep.append(F.col("block"))
     pairs = (
         e.alias("x")
         .join(e.alias("y"), "block")
         .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            cosine_expr(
-                F.col("x.v").cast("array<double>"), F.col("y.v").cast("array<double>")
-            ).alias("cosine"),
-        )
+        .select(*keep)
     )
     if min_cosine > 0:
         pairs = pairs.where(F.col("cosine") >= min_cosine)
@@ -826,6 +851,144 @@ def cluster_keep(
             (F.col(id_col) == F.col("cluster")).cast("int"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup — k-means-blocked embedding near-dup groups (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    tau: float = 0.95,
+    gemm: bool = True,
+    assigned: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): every row tagged
+    with its k-means cell, semantic-dup group, and a keep flag.
+
+    The pipeline the paper runs over web-scale corpora, composed from
+    this engine's existing primitives: (1) cluster the embeddings into
+    ``k`` cells (deterministic hash-seeded Voronoi —
+    similarity.kmeans_cells), (2) within each cell compute pairwise
+    cosine and threshold at ``tau`` (embedding_dup_pairs — the blocked
+    BLAS GEMM), (3) close the thresholded pair graph into groups
+    (cell-local union-find in ONE shuffle — linkage.blocked_components,
+    exact because edges never cross cells; a~b and b~c is ONE group
+    even when (a, c) never paired), and (4) from each group KEEP the
+    member with the
+    LOWEST cosine to its cell centroid — the paper's rule: the least
+    prototypical example preserves diversity, where naive min-id would
+    keep an arbitrary one.  Ties break on id; singletons keep
+    themselves.
+
+    Determinism discipline: both the cell argmax and the pair
+    threshold compare cosines ROUNDED to 6 dp (the voronoi_assign /
+    oracle convention), so any engine reproduces the exact groups.
+
+    Scale shape (100 TB): the corpus is scanned once; centroids are a
+    k-row broadcast; pair generation is O(Σ cell²) BLAS work with one
+    shuffle on the cell key; components run over dup docs only (a tiny
+    fraction of the corpus); group labels and keeper ids come back as
+    two broadcast joins — the corpus itself never shuffles after cell
+    assignment.  For corpora where cells outgrow an executor, raise
+    ``k``: the paper uses k ≈ sqrt(n) clusters for exactly this
+    reason.
+
+    Returns ``df``'s columns plus ``cell`` (int), ``cent_cos`` (double,
+    6 dp), ``grp`` (group label: min member id), ``is_keep`` (int).
+
+    Pass a pre-built ``(assigned, cents)`` pair (kmeans_cells output,
+    possibly persisted by an index-build step) to skip the clustering
+    pass — the one-layout-many-queries amortization every IVF consumer
+    here uses.
+    """
+    if (assigned is None) != (cents is None):
+        raise ValueError(
+            "semantic_dedup: pass BOTH assigned and cents or neither"
+        )
+    if assigned is not None and assigned is not df:
+        # the layout DEFINES the row set — a df filtered differently
+        # from the prebuilt assignment would silently resurrect
+        # excluded rows; require the caller to pass the layout frame
+        # itself so the contract is visible at the call site
+        raise ValueError(
+            "semantic_dedup: with a prebuilt layout, df must BE the "
+            "assigned frame (the layout defines the row set)"
+        )
+    if assigned is None:
+        # local import: similarity.py imports cosine_expr from this
+        # module
+        from dogsheep_beta_spark.operators.similarity import kmeans_cells
+
+        assigned, cents = kmeans_cells(df, id_col, vec_col, k)
+    c = F.broadcast(
+        cents.select(
+            F.col("cell"), F.col("centroid").alias("__centroid")
+        )
+    )
+    acc = (
+        assigned.join(c, "cell")
+        .withColumn(
+            "cent_cos",
+            F.round(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col("__centroid")
+                ),
+                6,
+            ),
+        )
+        .drop("__centroid")
+    )
+    # threshold on the ROUNDED cosine (engine-portable); the GEMM's own
+    # min_cosine pre-filter runs a hair below tau so rounding can only
+    # ADD borderline pairs, never lose them
+    pairs = embedding_dup_pairs(
+        acc,
+        id_col,
+        vec_col,
+        "cell",
+        min_cosine=max(tau - 1e-6, 0.0),
+        gemm=gemm,
+        with_block=True,
+    ).where(F.round(F.col("cosine"), 6) >= tau)
+    # pairs are WITHIN-CELL by construction, so transitive closure is
+    # cell-local: one shuffle of the edges to cell buckets + an
+    # in-memory union-find per bucket (linkage.blocked_components) —
+    # not the global multi-round label-propagation loop, whose 2-3
+    # supersteps × (2 shuffles + checkpoint + convergence probe) set
+    # the wall for a graph that never crosses a cell boundary.
+    from dogsheep_beta_spark.operators.linkage import blocked_components
+
+    comp = blocked_components(pairs, key_col="block", a_col="a", b_col="b")
+    labels = comp.select(
+        F.col("id").alias(id_col), F.col("comp").alias("grp")
+    )
+    dup = acc.select(F.col(id_col), "cent_cos").join(
+        F.broadcast(labels), id_col
+    )
+    keepers = dup.groupBy("grp").agg(
+        F.min_by(
+            F.col(id_col), F.struct(F.col("cent_cos"), F.col(id_col))
+        ).alias("__keep_id")
+    )
+    out = (
+        acc.join(F.broadcast(labels), id_col, "left")
+        .withColumn("grp", F.coalesce("grp", F.col(id_col)))
+        .join(F.broadcast(keepers), "grp", "left")
+        .withColumn(
+            "is_keep",
+            (F.coalesce("__keep_id", F.col(id_col)) == F.col(id_col)).cast(
+                "int"
+            ),
+        )
+        .drop("__keep_id")
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -369,3 +369,154 @@ def temperature_sample(
         .where(b < F.col("__thr"))
         .drop("__thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# importance resampling — hashed-n-gram DSIR (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def hashed_bigrams_expr(tokens, n_buckets: int):
+    """Bucket ids (array<long>, one per BIGRAM occurrence, duplicates
+    kept — DSIR's features are a bag of hashed n-grams, not a set) from
+    a BOUND token-array column.  Bucket = first 8 md5 hex chars as an
+    int mod ``n_buckets`` — the engine-portable hash every sampler
+    here uses (DuckDB: ``('0x' || substr(md5(g), 1, 8))::BIGINT``).
+
+    Same HOF performance contract as ``grams_expr``: pass a bound
+    column, never an inline tokenizer expression."""
+    from dogsheep_beta_spark.operators.dedup import grams_expr
+
+    return F.transform(
+        grams_expr(tokens, 2),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def importance_log_ratios(
+    df: DataFrame,
+    text_col: str,
+    target_cond,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> list:
+    """Per-bucket log importance ratios ``ln p_target(b) − ln p_raw(b)``
+    over hashed-bigram buckets — the DSIR (Data Selection via
+    Importance Resampling, Xie et al. 2023, arXiv:2302.03169) estimator.
+
+    ``p_target`` comes from the rows matching ``target_cond`` (a
+    boolean Column — e.g. a trusted high-quality slice), ``p_raw``
+    from ALL rows; both Laplace-smoothed with ``smoothing`` so unseen
+    buckets stay finite.  ONE aggregation pass computes both
+    distributions (count + conditional count per bucket, map-side
+    partial), and the result is an ``n_buckets``-row collect —
+    bounded by construction, the ``temperature_rates`` discipline
+    (n_buckets is a model size, not data size; 1024–65536 in the
+    paper)."""
+    import math
+
+    if n_buckets < 1 or n_buckets > 1 << 20:
+        raise ValueError(
+            f"importance_log_ratios: n_buckets={n_buckets} out of range "
+            "(1..1048576) — the bucket table is collected to the driver"
+        )
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+
+    b = (
+        df.select(
+            tokens_expr(F.col(text_col)).alias("__tk"),
+            F.when(target_cond, F.lit(1)).otherwise(F.lit(0)).alias("__t"),
+        )
+        .select(
+            F.explode(hashed_bigrams_expr(F.col("__tk"), n_buckets)).alias(
+                "b"
+            ),
+            "__t",
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum("__t").alias("ct"),
+        )
+        .collect()
+    )
+    cr = {int(r["b"]): int(r["cr"]) for r in b}
+    ct = {int(r["b"]): int(r["ct"]) for r in b}
+    tr = float(sum(cr.values()))
+    tt = float(sum(ct.values()))
+    s = float(smoothing)
+    denom_t = tt + s * n_buckets
+    denom_r = tr + s * n_buckets
+    return [
+        math.log((ct.get(i, 0) + s) / denom_t)
+        - math.log((cr.get(i, 0) + s) / denom_r)
+        for i in range(n_buckets)
+    ]
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond=None,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    log_ratios: list | None = None,
+) -> DataFrame:
+    """Adds ``logw``: each document's DSIR importance weight — the sum
+    of its hashed-bigram buckets' log ratios (higher = more
+    target-like).  Selecting the top-N by ``logw`` (or Gumbel-perturbed
+    ``logw`` for sampling without replacement) is the paper's data
+    selection step; a deterministic top-N compiles to
+    TakeOrderedAndProject.
+
+    Scale shape: the ratio table is an ``n_buckets``-double ARRAY
+    LITERAL folded over each doc's bigram buckets — pure map-side
+    expression work, no join, no shuffle, no Python; the corpus is
+    scanned exactly once (twice when this call also estimates the
+    ratios).  Docs with fewer than two tokens score 0.0 (an empty
+    bag carries no evidence either way)."""
+    if log_ratios is None:
+        if target_cond is None:
+            raise ValueError(
+                "importance_weights: pass target_cond or precomputed "
+                "log_ratios"
+            )
+        log_ratios = importance_log_ratios(
+            df, text_col, target_cond, n_buckets, smoothing
+        )
+    elif target_cond is not None:
+        # both supplied: the ratios win silently otherwise — the
+        # caller's cond/n_buckets/smoothing would be ignored without
+        # a trace, so make the conflict loud
+        raise ValueError(
+            "importance_weights: pass EITHER target_cond (estimate "
+            "here) OR precomputed log_ratios, not both"
+        )
+    if not log_ratios:
+        raise ValueError("importance_weights: log_ratios is empty")
+    # local import keeps module deps one-way (dedup never imports
+    # sampling)
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+
+    # ONE SQL expression string parsed JVM-side, not F.lit(list):
+    # PySpark converts list literals element-by-element over py4j
+    # (~1 s for 1024 doubles, measured) — per CALL, on the driver.
+    # repr() is the shortest exact round-trip, so the parsed doubles
+    # are bit-identical to the estimates.
+    lr = F.expr(
+        "array(" + ",".join(repr(float(x)) for x in log_ratios) + ")"
+    )
+    n = len(log_ratios)
+    # bind tokens AND buckets as attribute columns before the fold —
+    # the shingles_expr HOF contract (lambdas over bound columns only)
+    tdf = df.withColumn("__tk", tokens_expr(F.col(text_col))).withColumn(
+        "__bk", hashed_bigrams_expr(F.col("__tk"), n)
+    )
+    logw = F.aggregate(
+        F.col("__bk"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.element_at(lr, (x + 1).cast("int")),
+    )
+    return tdf.withColumn("logw", logw).drop("__tk", "__bk")

@@ -1586,3 +1586,173 @@ def test_strip_boilerplate_removes_cross_doc_paragraphs(spark):
     assert out[4]["text_clean"] == "repeat me\n\nrepeat me\n\nsolo"
     assert out[4]["n_removed"] == 0
     assert out[5]["text_clean"] == "" and out[5]["n_paragraphs"] == 0
+
+
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    """SemDeDup: transitive within-cell groups; the KEPT member is the
+    one with the LOWEST cosine to its cell centroid (the paper's
+    least-prototypical rule), not min id; singletons keep themselves."""
+    from dogsheep_beta_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),  # ~dup of 1
+        (3, [0.998, 0.06, 0.0]),  # ~dup of 2 -> transitively of 1
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, "vec_id", "embedding", k=2, tau=0.99)
+        .collect()
+    }
+    assert len(out) == 5  # every row comes back
+    assert out[1]["grp"] == out[2]["grp"] == out[3]["grp"]
+    keep = [i for i in (1, 2, 3) if out[i]["is_keep"]]
+    assert len(keep) == 1
+    cc = {i: out[i]["cent_cos"] for i in (1, 2, 3)}
+    assert cc[keep[0]] == min(cc.values())  # furthest from centroid
+    assert out[4]["is_keep"] == 1 and out[5]["is_keep"] == 1
+    assert out[4]["grp"] == 4 and out[5]["grp"] == 5
+
+
+def test_semantic_dedup_requires_paired_layout(spark):
+    """Passing only one of (assigned, cents) is a loud error, not a
+    silently recomputed layout."""
+    import pytest as _pytest
+
+    from dogsheep_beta_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="BOTH assigned and cents"):
+        semantic_dedup(df, "vec_id", "embedding", assigned=df)
+    # a prebuilt layout defines the row set: df must BE the layout
+    # frame, or a differently-filtered df would silently resurrect
+    # excluded rows
+    other = df.where(F.col("vec_id") > 0)
+    with _pytest.raises(ValueError, match="must BE the assigned"):
+        semantic_dedup(
+            other, "vec_id", "embedding", assigned=df, cents=df
+        )
+
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    """DSIR: docs sharing the target slice's bigrams outrank raw-like
+    docs; sub-2-token docs score exactly 0; precomputed ratios are
+    honored; bad bucket counts fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.sampling import (
+        importance_log_ratios,
+        importance_weights,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps", "good"),
+        (2, "the quick brown dog sits", "good"),
+        (3, "lorem ipsum dolor sit amet", "bad"),
+        (4, "lorem ipsum quux zzz yyy", "bad"),
+        (5, "the quick brown fox runs", "pool"),   # target-like
+        (6, "lorem ipsum dolor foo bar", "pool"),  # raw-like
+        (7, "x", "pool"),                          # <2 tokens
+        (8, None, "pool"),                         # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, tag string")
+    cond = F.col("tag") == "good"
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(
+            df, "doc_id", "text", cond, n_buckets=64
+        ).collect()
+    }
+    assert out[5] > out[6]
+    assert out[7] == 0.0 and out[8] == 0.0
+    # shared ratio table reproduces the same weights
+    lrs = importance_log_ratios(df, "text", cond, n_buckets=64)
+    out2 = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(
+            df, "doc_id", "text", log_ratios=lrs
+        ).collect()
+    }
+    assert out2 == out
+    with _pytest.raises(ValueError, match="n_buckets"):
+        importance_log_ratios(df, "text", cond, n_buckets=0)
+    with _pytest.raises(ValueError, match="target_cond"):
+        importance_weights(df, "doc_id", "text")
+    with _pytest.raises(ValueError, match="not both"):
+        importance_weights(df, "doc_id", "text", cond, log_ratios=lrs)
+    with _pytest.raises(ValueError, match="empty"):
+        importance_weights(df, "doc_id", "text", log_ratios=[])
+
+
+def test_gopher_rules_flags_and_pass(spark):
+    """Gopher quality rules (Rae et al. 2021 App. A): each rule flags
+    independently, the verdict is their conjunction, NULL text fails
+    word count, and the whole thing is one map-side projection."""
+    from dogsheep_beta_spark.functions.text import gopher_rules
+
+    good = " ".join(["the", "been", "with", "that", "have", "word"] * 10)
+    rows = [
+        (1, good),                                 # 60 words, all rules pass
+        (2, "short doc"),                          # word-count fail
+        (3, " ".join(["supercalifragilistic"] * 60)),  # word-len + required
+        (4, "# " * 60),                            # symbol + alpha fail
+        (5, "\n".join(["- bullet line"] * 10)),    # bullet fraction fail
+        (6, good + ("\nthe end..." * 30)),         # ellipsis-line fail
+        (7, None),                                 # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = gopher_rules(df, "doc_id", "text")
+    r = {x["id"]: x.asDict() for x in out.collect()}
+    assert r[1]["gopher_pass"] == 1
+    assert r[2]["r_word_count"] == 0
+    assert r[3]["r_word_len"] == 0 and r[3]["r_required_words"] == 0
+    assert r[4]["r_symbol_ratio"] == 0 and r[4]["r_alpha_words"] == 0
+    assert r[5]["r_bullets"] == 0
+    assert r[6]["r_ellipsis"] == 0
+    assert r[7]["r_word_count"] == 0 and r[7]["gopher_pass"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # a scan, even at 100 TB
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 (Raffel et al. 2020 §2.2): terminal-punctuation lines with
+    >= 3 words survive; lorem-ipsum / javascript / short lines go;
+    pages with '{' or too few sentences flag keep_doc = 0; every doc
+    comes back; the whole thing is map-only."""
+    from dogsheep_beta_spark.operators.chunking import c4_clean
+
+    good = "this sentence has plenty of words and ends properly."
+    rows = [
+        (1, "\n".join([good] * 5)),                    # clean page
+        (2, good + "\nno terminal punctuation here"),  # line 2 dropped
+        (3, good + "\nlorem ipsum dolor sit amet."),   # lorem line dropped
+        (4, good + "\nenable javascript to view."),    # javascript dropped
+        (5, good + "\ntoo short."),                    # < 3 words dropped
+        (6, "\n".join([good] * 5) + "\nif (x) { y }."),  # brace page
+        (7, good),                                     # < 5 sentences
+        (8, None),                                     # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["id"]: r.asDict() for r in c4_clean(df, "doc_id", "text").collect()}
+    assert len(out) == 8
+    assert out[1]["keep_doc"] == 1 and out[1]["n_kept"] == 5
+    assert out[2]["n_kept"] == 1 and out[2]["n_lines"] == 2
+    assert out[3]["n_kept"] == 1
+    assert out[4]["n_kept"] == 1
+    assert out[5]["n_kept"] == 1
+    assert out[6]["keep_doc"] == 0 and out[6]["n_kept"] == 6  # lines fine, page not
+    assert out[7]["keep_doc"] == 0 and out[7]["n_sentences"] == 1
+    assert out[8]["n_kept"] == 0 and out[8]["keep_doc"] == 0
+    plan = (
+        c4_clean(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

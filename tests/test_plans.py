@@ -590,3 +590,29 @@ def test_strip_boilerplate_plan_shape(spark):
     assert "Window" not in plan
     # one aggregation keyed on id (partial+final pair), not two
     assert plan.count("functions=[count(1)") <= 2
+
+
+def test_importance_scoring_plan_is_map_only(spark):
+    """DSIR scoring with precomputed ratios: an array-literal fold —
+    no join, no Exchange anywhere; the declared query's top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.sampling import importance_weights
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(16)],
+        "doc_id long, text string",
+    )
+    scored = importance_weights(
+        df, "doc_id", "text", log_ratios=[0.0] * 64
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    topk = (
+        scored.select("doc_id", F.round("logw", 6).alias("logw"))
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(50)
+    )
+    tplan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tplan

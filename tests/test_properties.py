@@ -529,3 +529,186 @@ def test_tokenizer_args_match_fts5(text, tokenchars, separators):
     want = [r[0] for r in con.execute("SELECT term FROM v ORDER BY offset")]
     con.close()
     assert tokenize_py(text, mode) == want, (mode, text)
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: semantic_dedup vs a brute-force Python pipeline
+# ---------------------------------------------------------------------------
+
+
+def _bf_semantic_dedup(rows, k, tau):
+    """Independent Python evaluation of the whole SemDeDup pipeline:
+    md5-ordered seeds, 6-dp rounded argmax assignment, thresholded
+    within-cell pairs, union-find transitivity, lowest-centroid-cosine
+    keeper."""
+    import hashlib
+    import math
+
+    def cos6(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return round(dot / (nu * nv), 6)
+
+    ids = sorted(rows)
+    seeds = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    cents = {c: rows[i] for c, i in enumerate(seeds)}
+    cell, cent_cos = {}, {}
+    for i in ids:
+        best = max(
+            cents, key=lambda c: (cos6(rows[i], cents[c]), -c)
+        )
+        cell[i], cent_cos[i] = best, cos6(rows[i], cents[best])
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in ids:
+            if a < b and cell[a] == cell[b] and cos6(rows[a], rows[b]) >= tau:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    grp = {i: find(i) for i in ids}
+    members = {}
+    for i in ids:
+        members.setdefault(grp[i], []).append(i)
+    keep = {}
+    for g, ms in members.items():
+        keeper = min(ms, key=lambda i: (cent_cos[i], i))
+        for i in ms:
+            keep[i] = 1 if (len(ms) == 1 or i == keeper) else 0
+    return {
+        i: (cell[i], grp[i], cent_cos[i], keep[i]) for i in ids
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_semantic_dedup_fuzz_vs_bruteforce(spark, seed):
+    """Random clustered vectors: the distributed SemDeDup must equal
+    the brute-force Python pipeline row for row — cells, transitive
+    groups, centroid cosines, and the keep rule."""
+    import random
+
+    from dogsheep_beta_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(seed)
+    dirs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    rows = {}
+    for i in range(1, 31):
+        base = dirs[rng.randrange(3)]
+        rows[i] = [x + rng.uniform(-0.05, 0.05) for x in base]
+    expected = _bf_semantic_dedup(rows, k=3, tau=0.995)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows.items()],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (
+            r["cell"],
+            r["grp"],
+            r["cent_cos"],
+            r["is_keep"],
+        )
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, tau=0.995
+        ).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: DSIR importance weights vs a brute-force Python scorer
+# ---------------------------------------------------------------------------
+
+
+def _bf_importance(texts, targets, n_buckets, smoothing=1.0):
+    """Python re-derivation of importance_weights: portable tokenize,
+    bigram bag, md5 bucket, Laplace-smoothed log ratios, per-doc sum
+    in document bigram order (matching the Spark fold)."""
+    import hashlib
+    import math
+    import re
+
+    def toks(t):
+        return [
+            x
+            for x in re.split(r"[^a-z0-9]+", (t or "").lower())
+            if x != ""
+        ]
+
+    def buckets(t):
+        tk = toks(t)
+        return [
+            int(
+                hashlib.md5(
+                    (tk[i] + " " + tk[i + 1]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % n_buckets
+            for i in range(len(tk) - 1)
+        ]
+
+    cr, ct = {}, {}
+    for i, t in texts.items():
+        for b in buckets(t):
+            cr[b] = cr.get(b, 0) + 1
+            if i in targets:
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = float(sum(cr.values())), float(sum(ct.values()))
+    s = smoothing
+    lr = [
+        math.log((ct.get(b, 0) + s) / (tt + s * n_buckets))
+        - math.log((cr.get(b, 0) + s) / (tr + s * n_buckets))
+        for b in range(n_buckets)
+    ]
+    out = {}
+    for i, t in texts.items():
+        acc = 0.0
+        for b in buckets(t):
+            acc = acc + lr[b]
+        out[i] = acc
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_importance_weights_fuzz_vs_bruteforce(spark, seed):
+    """Random word-soup corpora: the map-side DSIR fold must equal the
+    Python scorer bit-for-bit (same fold order, same md5 device)."""
+    import random
+
+    from dogsheep_beta_spark.operators.sampling import importance_weights
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
+    texts, tags = {}, {}
+    for i in range(1, 41):
+        n = rng.randrange(0, 12)
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+        tags[i] = rng.random() < 0.3
+    targets = {i for i, v in tags.items() if v}
+    expected = _bf_importance(texts, targets, n_buckets=32)
+    df = spark.createDataFrame(
+        [(i, texts[i], tags[i]) for i in texts],
+        "doc_id int, text string, is_tgt boolean",
+    )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(
+            df, "doc_id", "text", F.col("is_tgt"), n_buckets=32
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for i in got:
+        assert got[i] == pytest.approx(expected[i], abs=1e-12), i

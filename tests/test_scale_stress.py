@@ -393,3 +393,53 @@ def test_streaming_minhash_per_batch_stays_bounded(spark):
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_scale_semantic_dedup_10x(spark):
+    """SemDeDup at 1x vs 10x replicated embeddings (10-way duplicate
+    classes): wall grows ~linearly (the GEMM is O(Σ cell²) in cell
+    sizes, cells grow linearly with fixed k only if k scales — here k
+    scales with sqrt(n) as the paper prescribes, keeping cell size
+    ~sqrt-bounded) and the output keeps exactly one doc per duplicate
+    class."""
+    from dogsheep_beta_spark.operators.dedup import semantic_dedup
+    from dogsheep_beta_spark.sources.registry import register_testdata
+
+    register_testdata(spark, SF_DIR, tables=("embeddings",))
+    base = spark.table("embeddings").where(F.col("vec_id") < 500)
+
+    def emb(replicas: int):
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        return (
+            base.crossJoin(reps)
+            .select(
+                (F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    def run(replicas: int, k: int):
+        df = emb(replicas).persist()
+        n = df.count()
+        t0 = time.time()
+        out = semantic_dedup(
+            df, "vec_id", "embedding", k=k, tau=0.9999
+        ).persist()
+        kept = out.where(F.col("is_keep") == 1).count()
+        wall = time.time() - t0
+        _no_stragglers(out)
+        out.unpersist()
+        df.unpersist()
+        return n, kept, wall
+
+    # replicas of the SAME vector are exact dups (cosine 1.0 >= tau);
+    # distinct base vectors never cross 0.9999 (max pairwise cosine in
+    # this table is ~0.51) -> keep exactly one per base id
+    n1, kept1, t1 = run(2, 8)
+    n10, kept10, t10 = run(20, 25)  # k ~ sqrt(10k/16) scaled
+    assert kept1 == 500 and n1 == 1000
+    assert kept10 == 500 and n10 == 10000
+    _linear(t1, t10, "semantic_dedup")
+    print(f"\nSCALE semantic_dedup 1x={t1:.1f}s 10x={t10:.1f}s")
