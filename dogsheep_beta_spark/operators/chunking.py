@@ -220,6 +220,11 @@ def c4_clean(
     joins, no shuffles, no UDFs; a scan at any corpus size.  ``keep``
     names extra input columns carried through to the output (so a
     per-source report needs no join back to the corpus).
+
+    Line trimming is ASCII-space only (Spark ``trim`` ≡ DuckDB
+    ``trim`` — the cross-engine parity contract); a line ending in a
+    tab therefore fails the terminal-punctuation rule.  Normalize
+    tabs upstream if your corpus carries them.
     """
     s = F.coalesce(F.col(text_col), F.lit(""))
     bound = df.select(

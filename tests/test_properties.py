@@ -712,3 +712,115 @@ def test_importance_weights_fuzz_vs_bruteforce(spark, seed):
     assert set(got) == set(expected)
     for i in got:
         assert got[i] == pytest.approx(expected[i], abs=1e-12), i
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: gopher_rules / c4_clean vs brute-force Python evaluators
+# ---------------------------------------------------------------------------
+
+
+def _bf_gopher(text):
+    import re as _re
+
+    s = (text or "").strip()
+    w = s.split() if s else []
+    ln = (text or "").split("\n")
+    nz = float(len(w)) if w else 1.0
+    mean_wl = sum(len(x) for x in w) / nz
+    n_hash = s.count("#")
+    n_ell = s.count("...") + s.count("…")
+    n_lines = float(len(ln)) if ln else 1.0
+    bullets = sum(
+        1 for x in ln if x.strip().startswith(("•", "- "))
+    ) / n_lines
+    ells = sum(
+        1 for x in ln if x.strip().endswith(("...", "…"))
+    ) / n_lines
+    alpha = sum(1 for x in w if _re.search("[a-zA-Z]", x)) / nz
+    req = len(
+        {x.lower() for x in w}
+        & {"the", "be", "to", "of", "and", "that", "have", "with"}
+    )
+    return {
+        "r_word_count": int(50 <= len(w) <= 100_000),
+        "r_word_len": int(3.0 <= mean_wl <= 10.0),
+        "r_symbol_ratio": int((n_hash + n_ell) / nz <= 0.1),
+        "r_bullets": int(bullets <= 0.9),
+        "r_ellipsis": int(ells <= 0.3),
+        "r_alpha_words": int(alpha >= 0.8),
+        "r_required_words": int(req >= 2),
+    }
+
+
+def _bf_c4(text, min_line_words=3, min_sentences=5):
+    import re as _re
+
+    lines = (text or "").split("\n")
+
+    def ok(x):
+        t = x.strip()
+        low = t.lower()
+        return (
+            t.endswith((".", "!", "?", '"'))
+            and t != ""
+            and len(t.split()) >= min_line_words
+            and "lorem ipsum" not in low
+            and not _re.search(r"\bjavascript\b", low)
+        )
+
+    kept = [x for x in lines if ok(x)]
+    clean = "\n".join(kept)
+    n_sent = sum(clean.count(c) for c in ".!?")
+    return {
+        "text_clean": clean,
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "n_sentences": n_sent,
+        "keep_doc": int("{" not in (text or "") and n_sent >= min_sentences),
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_quality_filters_fuzz_vs_bruteforce(spark, seed):
+    """Random punctuated multi-line docs: gopher_rules and c4_clean
+    must match independent Python evaluations of the published rules
+    on every doc."""
+    import random
+
+    from dogsheep_beta_spark.functions.text import gopher_rules
+    from dogsheep_beta_spark.operators.chunking import c4_clean
+
+    rng = random.Random(seed)
+    vocab = ["the", "word", "of", "supercal", "x1", "#", "…", "javascript"]
+    docs = {}
+    for i in range(1, 41):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            n = rng.randrange(0, 12)
+            line = " ".join(rng.choice(vocab) for _ in range(n))
+            line += rng.choice([".", "!", "?", '"', "", "...", " {"])
+            if rng.random() < 0.1:
+                line = "- " + line
+            if rng.random() < 0.1:
+                line = "lorem ipsum " + line
+            lines.append(line)
+        docs[i] = "\n".join(lines)
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id int, text string"
+    )
+    got_g = {
+        r["id"]: r.asDict()
+        for r in gopher_rules(df, "doc_id", "text").collect()
+    }
+    for i, t in docs.items():
+        exp = _bf_gopher(t)
+        for k, v in exp.items():
+            assert got_g[i][k] == v, (i, k, t)
+        assert got_g[i]["gopher_pass"] == int(all(exp.values()))
+    got_c = {
+        r["id"]: r.asDict() for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    for i, t in docs.items():
+        exp = _bf_c4(t)
+        for k, v in exp.items():
+            assert got_c[i][k] == v, (i, k, t)
