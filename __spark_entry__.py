@@ -2854,6 +2854,73 @@ def q_streaming_minhash_dedup(spark, sf_dir):
     )
 
 
+def _semantic_stream_layout(spark, sf_dir):
+    """Amortized incremental-SemDeDup state build: embeddings replayed
+    as a 2-file stream, each micro-batch Voronoi-assigned against the
+    persisted k-means centroids (_kmeans_layout — the SAME fixed
+    centroid contract the IVF stream uses) and compared only against
+    the stored vectors of its touched cells
+    (streaming/incremental.py:merge_semantic_batch).  Built once per
+    sf_dir, reported by bench as ``semantic_stream_build``; the
+    declared query prices the match-table read."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_semantic_dedup,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    root = c.get("sem_root")
+    if root is not None:
+        return root
+    _, cents = _kmeans_layout(spark, sf_dir)
+    work = c.get("sem_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_sem_stream_")
+        c["sem_stream_path"] = work
+    src = os.path.join(work, "src")
+    root = os.path.join(work, "root")
+    ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        _embeddings(spark, sf_dir).select(
+            "vec_id", "embedding"
+        ).repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = streaming_semantic_dedup(stream, root, ckpt, cents, tau=0.40)
+        q.awaitTermination(300)
+    c["sem_root"] = root
+    return root
+
+
+def q_streaming_semantic_dedup(spark, sf_dir):
+    """Incremental SemDeDup: the within-cell near-dup pairs the
+    streamed merge accumulated (_semantic_stream_layout — the
+    amortized ``semantic_stream_build`` bench entry).  The match table
+    must equal the batch within-cell pair generator over the same
+    final corpus and centroids regardless of batch boundaries, so the
+    oracle is dedup_semantic's pair stage with the cosine value."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_semantic_matches,
+    )
+
+    root = _semantic_stream_layout(spark, sf_dir)
+    return (
+        read_semantic_matches(spark, root)
+        .select("a", "b", "cosine")
+        .orderBy("a", "b")
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
     add-1-smoothed conditional bigram NLL per doc; the SHARED persisted
@@ -3706,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_importance": q_sample_importance,
         "quality_gopher_rules": q_quality_gopher_rules,
         "clean_c4_lines": q_clean_c4_lines,
+        "streaming_semantic_dedup": q_streaming_semantic_dedup,
     }
 
 
@@ -6315,6 +6383,40 @@ LIMIT 100
         FROM m JOIN documents d USING (doc_id)
         GROUP BY d.source ORDER BY d.source
     """
+    # incremental SemDeDup convergence: the streamed match table must
+    # equal dedup_semantic's PAIR stage (same seeds, same 6-dp argmax
+    # assignment, same rounded-cosine threshold) with the cosine value.
+    d["streaming_semantic_dedup"] = (
+        _EMB_CTE
+        + f"""
+        , seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cell,
+                   v AS centroid
+            FROM e
+            QUALIFY cell < 8
+        )
+        , asg AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, s.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
+                                    DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               {_COS.format(a='x.v', b='y.v')} AS cosine
+        FROM asg x JOIN asg y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE {_COS.format(a='x.v', b='y.v')} >= 0.40
+        ORDER BY a, b
+    """
+    )
     return d
 
 
@@ -6511,6 +6613,27 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             stream, work, os.path.join(ck, "c"), "doc_id", "text"
         )
 
+    emb_dir, emb_schema = batched_src(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+    def start_semantic(ck):
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_semantic_dedup,
+        )
+
+        _, cents = _kmeans_layout(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="dbs_steady_sem_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(emb_dir)
+        )
+        return streaming_semantic_dedup(
+            stream, work, os.path.join(ck, "c"), cents, tau=0.40
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
@@ -6519,6 +6642,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_ivf_upsert", start_ivf),
         ("streaming_entity_link", start_entity_link),
         ("streaming_minhash_dedup", start_minhash),
+        ("streaming_semantic_dedup", start_semantic),
     ):
         try:
             out[name] = measure(starter)

@@ -82,6 +82,7 @@ def main() -> None:
         ("pq_build", entry._pq_layout),
         ("minhash_stream_build", entry._minhash_stream_layout),
         ("importance_ratio_build", entry._importance_ratios),
+        ("semantic_stream_build", entry._semantic_stream_layout),
     ):
         t0 = time.time()
         try:

@@ -1660,3 +1660,169 @@ def streaming_minhash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup — streaming embedding near-dup vs the full history
+# ---------------------------------------------------------------------------
+
+
+def merge_semantic_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root_path: str,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+) -> None:
+    """foreachBatch body: SemDeDup a micro-batch of embeddings against
+    EVERYTHING seen so far — the streaming twin of
+    ``dedup.semantic_dedup``'s pair stage, for the crawl that never
+    stops arriving.  Centroids are FIXED (the persisted k-means layout
+    every IVF consumer shares, ``merge_ivf_batch``'s contract); cells
+    therefore never move, which is what makes history cell-scoped.
+
+    Two stores under ``root_path``:
+
+    - ``store/``   (id, v) partitioned by ``cell`` — the per-cell
+      vector history (at most k partitions, k = #centroids);
+    - ``matches/`` (a, b, cosine) append-only, unpartitioned (pure
+      output; the read path dropDuplicates for retry hygiene).
+
+    Per batch: Voronoi-assign the batch (broadcast centroids, 6-dp
+    rounded argmax — the shared engine discipline), open ONLY the
+    store partitions of the batch's touched cells, pair new×(old ∪
+    new) within cell under the once-per-pair later-arrival rule
+    (``merge_link_batch``), keep pairs with ROUND(cos, 6) >= tau, and
+    append the genuinely-new vectors into their cell partitions.  The
+    final match table equals the batch generator
+    (``embedding_dup_pairs`` over the same assignment, thresholded on
+    the rounded cosine) regardless of arrival order or batch
+    boundaries: a pair is emitted exactly once, when its later member
+    arrives and finds the earlier one in the store (or in the same
+    batch).
+
+    Scale contract, stated precisely: untouched cell partitions are
+    never OPENED (scan cost is O(touched cells)), but within a
+    touched cell every new vector compares against ALL stored
+    cell-mates — comparison volume is batch × cell occupancy, which
+    grows LINEARLY with history under fixed centroids (pinned by
+    tests/test_scale_stress.py).  That linearity is inherent to
+    SemDeDup's blocking (the cell IS the candidate set — there is no
+    content-keyed pruning like the minhash band index); the remedy at
+    scale is the paper's k ~ sqrt(n) centroid count, which keeps cell
+    width sqrt-bounded, or periodic re-clustering + store rewrite when
+    occupancy outgrows the executor-fits-a-cell contract."""
+    import os
+
+    from dogsheep_beta_spark.operators.dedup import cosine_expr
+    from dogsheep_beta_spark.operators.similarity import voronoi_assign
+
+    store_path = os.path.join(root_path, "store")
+    match_path = os.path.join(root_path, "matches")
+
+    pre = (
+        voronoi_assign(
+            batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).dropDuplicates(["id"]),
+            "id",
+            "v",
+            cents,
+        )
+        .select("id", "v", "cell")
+        .persist()
+    )
+    touched = [str(r[0]) for r in pre.select("cell").distinct().collect()]
+    if not touched:
+        pre.unpersist()
+        return
+
+    store = _read_partitioned(spark, store_path, touched, col="cell")
+    new_ids = pre.select("id")
+    if store is not None:
+        old = store.select("id", "v", "cell").join(new_ids, "id", "left_anti")
+        both = (
+            old.withColumn("__new", F.lit(0))
+            .unionByName(pre.withColumn("__new", F.lit(1)))
+        )
+    else:
+        both = pre.withColumn("__new", F.lit(1))
+
+    n = both.filter(F.col("__new") == 1)
+    o = both.select(
+        F.col("cell").alias("o_cell"),
+        F.col("id").alias("o_id"),
+        F.col("v").alias("o_v"),
+        F.col("__new").alias("o_new"),
+    )
+    # once-per-pair direction rules: a NEW row pairs with smaller-id
+    # cell-mates, and with larger-id OLD mates (the larger-id NEW mate
+    # emits the new-new pair from its own side)
+    once = (F.col("o_id") < F.col("id")) | (
+        (F.col("o_new") == 0) & (F.col("o_id") > F.col("id"))
+    )
+    cos = F.round(cosine_expr(F.col("v"), F.col("o_v")), 6)
+    fresh = (
+        n.join(o, (F.col("cell") == F.col("o_cell")) & once)
+        .select(
+            F.least("id", "o_id").alias("a"),
+            F.greatest("id", "o_id").alias("b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+    )
+    fresh.write.mode("append").parquet(match_path)
+
+    if store is not None:
+        new_recs = pre.join(store.select("id"), "id", "left_anti")
+    else:
+        new_recs = pre
+    new_recs.select("id", "v", "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(store_path)
+    pre.unpersist()
+
+
+def read_semantic_matches(spark: SparkSession, root_path: str) -> DataFrame:
+    """(a, b, cosine) from the streamed semantic match store —
+    dropDuplicates for replayed-batch retry hygiene (pairs are unique
+    by the later-arrival rule, so duplicates only exist after a
+    foreachBatch retry)."""
+    import os
+
+    p = os.path.join(root_path, "matches")
+    return spark.read.parquet(p).dropDuplicates(["a", "b"])
+
+
+def streaming_semantic_dedup(
+    stream_df: DataFrame,
+    root_path: str,
+    checkpoint_dir: str,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+):
+    """Incremental SemDeDup over an embedding stream: each micro-batch
+    Voronoi-assigns against the FIXED centroid table and compares only
+    against the stored vectors of its touched cells (see
+    ``merge_semantic_batch``).  The final match table equals the batch
+    ``embedding_dup_pairs`` over the same assignment — the convergence
+    contract every incremental op in this module carries."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_semantic_batch(
+                spark, bdf, bid, root_path, cents,
+                id_col, vec_col, tau,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

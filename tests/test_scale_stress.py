@@ -443,3 +443,81 @@ def test_scale_semantic_dedup_10x(spark):
     assert kept10 == 500 and n10 == 10000
     _linear(t1, t10, "semantic_dedup")
     print(f"\nSCALE semantic_dedup 1x={t1:.1f}s 10x={t10:.1f}s")
+
+
+@pytest.mark.slow
+def test_streaming_semantic_per_batch_grows_linearly(spark):
+    """History-growth check for the incremental SemDeDup merge: four
+    equal batches of DISTINCT vectors.  Unlike the minhash stream
+    (whose candidates are CONTENT-keyed buckets — distinct content →
+    ~zero candidates regardless of history), SemDeDup's blocking is
+    the cell itself: every new vector cosine-compares against all its
+    cell-mates, so per-batch comparison volume grows LINEARLY with
+    cell occupancy under fixed centroids.  The assertion pins exactly
+    that contract — marginal growth stays ~constant (linear total,
+    never quadratic), and the remedy at scale is the paper's
+    k ~ sqrt(n) centroid count, which keeps cell width sqrt-bounded."""
+    import tempfile
+
+    from dogsheep_beta_spark.operators.similarity import hash_seeds
+    from dogsheep_beta_spark.sources.registry import register_testdata
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_semantic_dedup,
+    )
+
+    register_testdata(spark, SF_DIR, tables=("embeddings",))
+    base = spark.table("embeddings").where(F.col("vec_id") < 2000)
+    cents = hash_seeds(base, "vec_id", "embedding", 8).localCheckpoint(
+        eager=True
+    )
+    work = tempfile.mkdtemp(prefix="dbs_sem_scale_", dir="/tmp")
+    src = os.path.join(work, "src")
+    # 4 files = 4 micro-batches; unique ids + a per-batch scalar bend
+    # (append one extra coordinate valued b) keeps batches from
+    # near-dup'ing each other at high tau
+    for b in range(4):
+        (
+            base.select(
+                (F.col("vec_id") + b * 10_000).alias("vec_id"),
+                F.concat(
+                    F.col("embedding"),
+                    F.array(F.lit(float(b * 7 + 1))),
+                ).alias("embedding"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    # centroids need the widened dimension too
+    wide_cents = cents.select(
+        "cell",
+        F.concat(F.col("centroid"), F.array(F.lit(0.0))).alias("centroid"),
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_semantic_dedup(
+        stream, os.path.join(work, "root"), os.path.join(work, "ck"),
+        wide_cents, tau=0.999,
+    )
+    q.awaitTermination(600)
+    durs = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    assert len(durs) == 4, durs
+    # linear-in-history: the marginal step from batch 3 to 4 must not
+    # exceed the batch-2-to-3 step by more than scheduling slack (a
+    # quadratic path would accelerate); and batch 4 stays within the
+    # linear envelope extrapolated from batches 2-3
+    d23, d34 = durs[2] - durs[1], durs[3] - durs[2]
+    assert d34 <= max(2 * max(d23, 0.5), d23 + 10), durs
+    assert durs[3] <= max(3 * durs[1], durs[1] + 20), durs
+    print(f"\nSCALE sem-stream per-batch walls: "
+          + " ".join(f"{t:.1f}s" for t in durs))
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)

@@ -1231,3 +1231,69 @@ def test_streaming_sessionize_string_keys(spark, tmpdir):
         for r in spark.table("sess_str_test").collect()
     ]
     assert got == [("alice", 1, 2)]  # bob's session is still open
+
+
+def test_streaming_semantic_dedup_converges_to_batch(spark, tmpdir):
+    """Incremental SemDeDup == batch embedding_dup_pairs over the same
+    final corpus and fixed centroids, regardless of batch boundaries:
+    cross-batch near-dup pairs surface when the LATER vector arrives,
+    in-batch pairs immediately, nothing twice."""
+    from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
+    from dogsheep_beta_spark.operators.similarity import voronoi_assign
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_semantic_matches,
+        streaming_semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    src = os.path.join(tmpdir, "sem_src")
+    root = os.path.join(tmpdir, "sem")
+    ckpt = os.path.join(tmpdir, "sem_ckpt")
+    schema = "vec_id long, embedding array<double>"
+    rows1 = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # in-batch near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    rows2 = [
+        (5, [0.998, 0.06, 0.0]),   # CROSS-batch near-dup of 1 and 2
+        (6, [0.0, 0.995, 0.1]),    # cross-batch near-dup of 3
+    ]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_semantic_dedup(stream, root, ckpt, cents, tau=0.99)
+        q.awaitTermination(120)
+
+    run(rows1)
+    run(rows2)
+
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in read_semantic_matches(spark, root).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    assigned = voronoi_assign(full, "vec_id", "embedding", cents)
+    want = {
+        (r["a"], r["b"]): round(r["cosine"], 6)
+        for r in embedding_dup_pairs(
+            assigned, "vec_id", "embedding", "cell", gemm=False
+        ).collect()
+        if round(r["cosine"], 6) >= 0.99
+    }
+    assert got == want
+    assert (1, 2) in got          # in-batch
+    assert (1, 5) in got and (2, 5) in got  # cross-batch
+    assert (3, 6) in got
+    assert (3, 4) not in got      # different cells / below tau
+    # replayed pairs deduplicated at read; raw store has unique pairs
+    raw = spark.read.parquet(os.path.join(root, "matches"))
+    assert raw.count() == raw.select("a", "b").distinct().count()
