@@ -1406,6 +1406,11 @@ def _kmeans_layout(spark, sf_dir):
         assigned, cents = kmeans_cells(emb, "vec_id", "embedding", k=8)
         assigned = assigned.persist()
         assigned.count()
+        # materialize the 8-row seed table too: unmaterialized it is a
+        # lazy TakeOrderedAndProject over the WHOLE embeddings table,
+        # re-executed by every consumer that broadcasts it (each
+        # semantic-stream micro-batch paid a full-corpus seed scan)
+        cents = cents.localCheckpoint(eager=True)
         c["kmeans_cells"] = (assigned, cents)
     return c["kmeans_cells"]
 
@@ -2829,7 +2834,12 @@ def _minhash_stream_layout(spark, sf_dir):
         q = streaming_minhash_dedup(
             stream, root, ckpt, "doc_id", "text", n_buckets=8
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "minhash stream build did not finish in 300s — the "
+                "match table would be partial; not caching"
+            )
     c["mh_root"] = root
     return root
 
@@ -2897,7 +2907,12 @@ def _semantic_stream_layout(spark, sf_dir):
     )
     with _stream_partitions(spark):
         q = streaming_semantic_dedup(stream, root, ckpt, cents, tau=0.40)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "semantic stream build did not finish in 300s — the "
+                "match table would be partial; not caching"
+            )
     c["sem_root"] = root
     return root
 
@@ -3958,6 +3973,35 @@ _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# Shared k-means seed + assignment CTE (mirrors similarity.hash_seeds /
+# voronoi_assign: seeds by md5 order, 6-dp-rounded argmax with cell-id
+# tie-break).  ONE definition — three oracles (ann_ivf_kmeans_topk,
+# dedup_semantic, streaming_semantic_dedup) must assign identically or
+# they silently desynchronize.  ``cc`` (cosine to own centroid) rides
+# along; consumers that don't need it ignore the column.
+_KMEANS_ASG_CTE = f"""
+, seeds AS (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1 AS cell,
+           v AS centroid
+    FROM e
+    QUALIFY cell < 8
+)
+, asg AS (
+    SELECT vec_id, v, cell, cc FROM (
+        SELECT e.vec_id, e.v, s.cell,
+               {_COS.format(a='e.v', b='s.centroid')} AS cc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS.format(a='e.v', b='s.centroid')} DESC,
+                            s.cell
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+    ) WHERE rn = 1
+)
+"""
 
 
 def _minhash_oracle() -> str:
@@ -5065,26 +5109,8 @@ LIMIT 100
         # over ROUND(cos, 6) with cell-id tie-break — identical float
         # discipline to the Spark plan.
         "ann_ivf_kmeans_topk": _EMB_CTE
+        + _KMEANS_ASG_CTE
         + f"""
-            , seeds AS (
-                SELECT ROW_NUMBER() OVER (
-                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                       ) - 1 AS cell,
-                       v AS centroid
-                FROM e
-                QUALIFY cell < 8
-            )
-            , asg AS (
-                SELECT vec_id, v, cell FROM (
-                    SELECT e.vec_id, e.v, s.cell,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY e.vec_id
-                               ORDER BY {_COS.format(a='e.v', b='s.centroid')} DESC,
-                                        s.cell
-                           ) AS rn
-                    FROM e CROSS JOIN seeds s
-                ) WHERE rn = 1
-            )
             , qc AS (
                 SELECT s.cell FROM seeds s, q
                 ORDER BY {_COS.format(a='s.centroid', b='q.qv')} DESC, s.cell
@@ -6147,28 +6173,8 @@ LIMIT 100
     d["dedup_semantic"] = (
         "WITH RECURSIVE "
         + _EMB_CTE.strip().removeprefix("WITH")
+        + _KMEANS_ASG_CTE
         + f"""
-        , seeds AS (
-            SELECT ROW_NUMBER() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                   ) - 1 AS cell,
-                   v AS centroid
-            FROM e
-            QUALIFY cell < 8
-        )
-        , asg AS (
-            SELECT vec_id, v, cell, cc FROM (
-                SELECT e.vec_id, e.v, s.cell,
-                       {_COS.format(a='e.v', b='s.centroid')} AS cc,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
-                                    DESC,
-                                    s.cell
-                       ) AS rn
-                FROM e CROSS JOIN seeds s
-            ) WHERE rn = 1
-        )
         , pr AS (
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM asg x JOIN asg y
@@ -6388,27 +6394,8 @@ LIMIT 100
     # assignment, same rounded-cosine threshold) with the cosine value.
     d["streaming_semantic_dedup"] = (
         _EMB_CTE
+        + _KMEANS_ASG_CTE
         + f"""
-        , seeds AS (
-            SELECT ROW_NUMBER() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                   ) - 1 AS cell,
-                   v AS centroid
-            FROM e
-            QUALIFY cell < 8
-        )
-        , asg AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, s.cell,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
-                                    DESC,
-                                    s.cell
-                       ) AS rn
-                FROM e CROSS JOIN seeds s
-            ) WHERE rn = 1
-        )
         SELECT x.vec_id AS a, y.vec_id AS b,
                {_COS.format(a='x.v', b='y.v')} AS cosine
         FROM asg x JOIN asg y
@@ -6612,10 +6599,6 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         return streaming_minhash_dedup(
             stream, work, os.path.join(ck, "c"), "doc_id", "text"
         )
-
-    emb_dir, emb_schema = batched_src(
-        os.path.join(sf_dir, "embeddings.parquet")
-    )
 
     def start_semantic(ck):
         from dogsheep_beta_spark.streaming.incremental import (

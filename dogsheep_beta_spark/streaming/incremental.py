@@ -1702,7 +1702,11 @@ def merge_semantic_batch(
     the rounded cosine) regardless of arrival order or batch
     boundaries: a pair is emitted exactly once, when its later member
     arrives and finds the earlier one in the store (or in the same
-    batch).
+    batch).  Ids are STABLE stream keys: a redelivered id (same-cell)
+    is dropped with the stored copy authoritative; an id that
+    re-arrives with a vector assigning to a DIFFERENT cell violates
+    the contract undetectably — stable ids are a requirement, not a
+    best effort.
 
     Scale contract, stated precisely: untouched cell partitions are
     never OPENED (scan cost is O(touched cells)), but within a
@@ -1742,14 +1746,27 @@ def merge_semantic_batch(
         return
 
     store = _read_partitioned(spark, store_path, touched, col="cell")
-    new_ids = pre.select("id")
     if store is not None:
-        old = store.select("id", "v", "cell").join(new_ids, "id", "left_anti")
+        # persist: the touched-cell history feeds BOTH the pair join
+        # and the append anti-join below — unpersisted it would be
+        # re-read from parquet for the second job, doubling the I/O on
+        # exactly the component that grows with the stream's lifetime
+        store = store.select("id", "v", "cell").persist()
+        # ids are STABLE stream keys (crawl dedup's contract): a row
+        # whose id already exists in the store is a redelivery, and the
+        # STORED copy stays authoritative — drop it from the batch so
+        # its pairs are not re-emitted and the store is never
+        # contradicted.  (A redelivery that lands in a DIFFERENT cell
+        # than its stored copy cannot be detected without an
+        # O(history) scan; that is why the id-stability contract is a
+        # contract, not a best effort.)
+        new = pre.join(store.select("id"), "id", "left_anti")
         both = (
-            old.withColumn("__new", F.lit(0))
-            .unionByName(pre.withColumn("__new", F.lit(1)))
+            store.withColumn("__new", F.lit(0))
+            .unionByName(new.withColumn("__new", F.lit(1)))
         )
     else:
+        new = pre
         both = pre.withColumn("__new", F.lit(1))
 
     n = both.filter(F.col("__new") == 1)
@@ -1777,13 +1794,11 @@ def merge_semantic_batch(
     )
     fresh.write.mode("append").parquet(match_path)
 
-    if store is not None:
-        new_recs = pre.join(store.select("id"), "id", "left_anti")
-    else:
-        new_recs = pre
-    new_recs.select("id", "v", "cell").write.mode("append").partitionBy(
+    new.select("id", "v", "cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(store_path)
+    if store is not None:
+        store.unpersist()
     pre.unpersist()
 
 

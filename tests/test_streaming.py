@@ -1244,7 +1244,6 @@ def test_streaming_semantic_dedup_converges_to_batch(spark, tmpdir):
         read_semantic_matches,
         streaming_semantic_dedup,
     )
-    from pyspark.sql import functions as F
 
     src = os.path.join(tmpdir, "sem_src")
     root = os.path.join(tmpdir, "sem")
@@ -1297,3 +1296,49 @@ def test_streaming_semantic_dedup_converges_to_batch(spark, tmpdir):
     # replayed pairs deduplicated at read; raw store has unique pairs
     raw = spark.read.parquet(os.path.join(root, "matches"))
     assert raw.count() == raw.select("a", "b").distinct().count()
+
+
+def test_streaming_semantic_dedup_redelivery_is_dropped(spark, tmpdir):
+    """Ids are stable stream keys: a redelivered id (batch 2 re-sends
+    id 1, even with a perturbed vector that still lands in the same
+    cell) is dropped with the STORED copy authoritative — no
+    re-emitted pairs, no second store row, no contradictory cosine."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_semantic_matches,
+        streaming_semantic_dedup,
+    )
+
+    src = os.path.join(tmpdir, "re_src")
+    root = os.path.join(tmpdir, "re")
+    ckpt = os.path.join(tmpdir, "re_ckpt")
+    schema = "vec_id long, embedding array<double>"
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_semantic_dedup(stream, root, ckpt, cents, tau=0.99)
+        assert q.awaitTermination(120)
+
+    run([(1, [1.0, 0.0]), (2, [0.999, 0.01])])
+    run([(1, [0.998, 0.02]), (3, [0.997, 0.03])])  # id 1 redelivered
+
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in read_semantic_matches(spark, root).collect()
+    }
+    # (1,2) emitted once from batch 1; (1,3)/(2,3) from batch 2 against
+    # the STORED v1 of id 1 — and the raw store has no duplicate rows
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    raw = spark.read.parquet(os.path.join(root, "matches"))
+    assert raw.count() == 3
+    store = spark.read.parquet(os.path.join(root, "store"))
+    assert store.count() == 3  # one row per distinct id
+    # id 1's stored vector is the ORIGINAL
+    v1 = store.where(F.col("id") == 1).collect()[0]["v"]
+    assert v1 == [1.0, 0.0]
