@@ -3256,6 +3256,69 @@ def q_clean_c4_lines(spark, sf_dir):
     )
 
 
+def q_html_extract_text(spark, sf_dir):
+    """HTML → text extraction (operators/html.py: stdlib HTMLParser
+    through Arrow mapInPandas): the documents table is wrapped into
+    deterministic HTML — <title>Doc {id}</title>, a <script> that must
+    be dropped, one <p> per 10-word line, every (doc_id+i)%5==0 line
+    wrapped in an <a href>, every %23==0 line carrying an '&amp;'
+    entity — identically derivable in both engines (the
+    media_video_demux device).  The ENGINE runs the real parser; the
+    oracle constructs the EXPECTED extraction from the same recipe and
+    compares title, link counts, and the md5 of the full extracted
+    text — so entity unescaping, script dropping, block structure and
+    whitespace collapsing are all value-pinned."""
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+    from dogsheep_beta_spark.operators.html import html_to_text
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    docs = spark.table("documents")
+    b = docs.select("doc_id", tokens_expr(F.col("text")).alias("__tk"))
+    nl = F.greatest(
+        F.ceil(F.size("__tk") / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+
+    def mk_p(i):
+        base = F.concat_ws(" ", F.slice(F.col("__tk"), i * 10 + 1, 10))
+        j = F.col("doc_id") + i
+        content = F.when(
+            j % 23 == 0, F.concat(base, F.lit(" a&amp;b"))
+        ).otherwise(base)
+        linked = F.when(
+            j % 5 == 0,
+            F.concat(
+                F.lit('<a href="https://ex.com/'),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                F.lit(i).cast("string"),
+                F.lit('">'),
+                content,
+                F.lit("</a>"),
+            ),
+        ).otherwise(content)
+        return F.concat(F.lit("<p>"), linked, F.lit("</p>"))
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x = "<p>not text</p>";</script>'),
+        F.lit("</head><body>"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), mk_p), ""),
+        F.lit("</body></html>"),
+    )
+    synth = b.select("doc_id", html.alias("html"))
+    return (
+        html_to_text(synth, "doc_id", "html")
+        .select(
+            F.col("id").alias("doc_id"),
+            "title",
+            "n_links",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_rule_sql_udfs(spark, sf_dir):
     """Rule-style SQL exercising the engine's SQL-callable functions
     (H11 — datasette pre-registers escape_fts for every query; here the
@@ -3789,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_rules": q_quality_gopher_rules,
         "clean_c4_lines": q_clean_c4_lines,
         "streaming_semantic_dedup": q_streaming_semantic_dedup,
+        "html_extract_text": q_html_extract_text,
     }
 
 
@@ -6388,6 +6452,47 @@ LIMIT 100
                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
         FROM m JOIN documents d USING (doc_id)
         GROUP BY d.source ORDER BY d.source
+    """
+    # HTML extraction: the oracle CONSTRUCTS the expected extraction
+    # from the same deterministic recipe the query uses to synthesize
+    # the HTML (title line + non-empty <p> line texts, entity '&amp;'
+    # unescaped to '&', links counted even when their text is empty)
+    # and compares md5 of the full text — the engine side runs the
+    # real stdlib HTMLParser.
+    d["html_extract_text"] = ORACLE_DOC_TOKENS + """
+        , nl AS (
+            SELECT doc_id, toks,
+                   CAST(greatest(ceil(len(toks) / 10.0), 1) AS INT) AS n
+            FROM toks
+        ), li AS (
+            SELECT doc_id, toks, CAST(u.i AS BIGINT) AS i
+            FROM nl, UNNEST(range(0, n)) u(i)
+        ), lines AS (
+            SELECT doc_id, i,
+                   CASE WHEN (doc_id + i) % 23 = 0
+                        THEN ltrim(array_to_string(
+                                 list_slice(toks, i*10 + 1, i*10 + 10),
+                                 ' ') || ' a&b')
+                        ELSE array_to_string(
+                                 list_slice(toks, i*10 + 1, i*10 + 10),
+                                 ' ')
+                   END AS ln,
+                   CASE WHEN (doc_id + i) % 5 = 0 THEN 1 ELSE 0 END AS lnk
+            FROM li
+        ), agg AS (
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR)
+                   || COALESCE(chr(10) || string_agg(ln, chr(10)
+                                  ORDER BY i)
+                          FILTER (WHERE ln <> ''), '') AS text,
+                   SUM(lnk) AS n_links
+            FROM lines GROUP BY doc_id
+        )
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               CAST(n_links AS INT) AS n_links,
+               md5(text) AS text_md5
+        FROM agg ORDER BY doc_id
     """
     # incremental SemDeDup convergence: the streamed match table must
     # equal dedup_semantic's PAIR stage (same seeds, same 6-dp argmax

@@ -1,0 +1,113 @@
+"""HTML → text extraction for web-corpus ingestion.
+
+Training pipelines consume crawls whose payloads are HTML; the first
+transform is always extract-the-text (drop markup, scripts, styles;
+keep block structure; unescape entities; count/collect links).  The
+reference indexes pre-extracted text (dogsheep_beta/utils.py feeds
+SQLite rows), so this is an engine extension, not a port.
+
+Spark shape: the parser is stdlib ``html.parser.HTMLParser`` (no
+external deps) driven through Arrow-batched ``mapInPandas`` — Python
+touches data in columnar batches only, the same contract as the media
+codecs in operators/multimodal.py.  Everything downstream (quality
+rules, dedup, tokenization) consumes the extracted ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# tags whose text content is dropped entirely
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+# tags that delimit text blocks (flush the buffer on open AND close)
+_BLOCK_TAGS = {
+    "p", "div", "li", "br", "title", "h1", "h2", "h3", "h4", "h5",
+    "h6", "tr", "table", "section", "article", "header", "footer",
+    "blockquote", "pre",
+}
+
+
+def _parse_one(html: str) -> tuple[str, str, int]:
+    """(text, title, n_links): block-structured text — one line per
+    non-empty block, internal whitespace collapsed to single spaces —
+    plus the <title> content and the count of <a href=...> anchors.
+    Entities are unescaped (convert_charrefs), script/style content is
+    dropped, malformed markup is tolerated (stdlib parser recovers)."""
+    from html.parser import HTMLParser
+
+    class X(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[str] = []
+            self.buf: list[str] = []
+            self.skip = 0
+            self.in_title = False
+            self.title = ""
+            self.n_links = 0
+
+        def _flush(self):
+            text = " ".join("".join(self.buf).split())
+            if text:
+                self.blocks.append(text)
+            self.buf = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self.skip += 1
+                return
+            if tag == "a" and any(k == "href" for k, _ in attrs):
+                self.n_links += 1
+            if tag in _BLOCK_TAGS:
+                self._flush()
+                if tag == "title":
+                    self.in_title = True
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                self.skip = max(0, self.skip - 1)
+                return
+            if tag in _BLOCK_TAGS:
+                if tag == "title" and self.buf:
+                    self.title = " ".join("".join(self.buf).split())
+                self._flush()
+                self.in_title = False
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.buf.append(data)
+
+    p = X()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    return "\n".join(p.blocks), p.title, p.n_links
+
+
+def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, text, title, n_links) — extracted text per document.
+
+    ``text`` is one line per non-empty block element (whitespace
+    collapsed), entities unescaped, script/style dropped; ``title`` is
+    the <title> content ('' if absent); ``n_links`` counts anchors
+    with an href.  Map-only: one Arrow batch in, one out, no shuffle —
+    at 100 TB this is a scan whose cost is the parse itself."""
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"id": [], "text": [], "title": [], "n_links": []}
+            for i, h in zip(pdf[id_col], pdf[html_col]):
+                text, title, n_links = _parse_one(
+                    h if isinstance(h, str) else ""
+                )
+                out["id"].append(i)
+                out["text"].append(text)
+                out["title"].append(title)
+                out["n_links"].append(n_links)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        extract, schema=f"id {id_dt}, text string, title string, n_links int"
+    )

@@ -1756,3 +1756,41 @@ def test_c4_clean_line_and_page_rules(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_html_to_text_extraction(spark):
+    """HTML → text: block structure (one line per non-empty block),
+    entity unescaping, script/style dropped, links counted, title
+    captured, malformed markup tolerated, NULL html → empty — and the
+    whole thing is a map-only plan."""
+    from dogsheep_beta_spark.operators.html import html_to_text
+
+    rows = [
+        (1, "<html><head><title>T One</title><script>var a='<p>x</p>';"
+            "</script></head><body><p>Hello   world &amp; friends.</p>"
+            '<div>Second <b>block</b> <a href="http://x.com">link</a>.'
+            "</div><p></p><ul><li>item one</li><li>item two</li></ul>"
+            "</body></html>"),
+        (2, "<p>unclosed <b>bold<p>next block"),     # malformed
+        (3, None),
+        (4, "plain text, no markup at all"),
+        (5, '<a name="anchor-no-href">not a link</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html string")
+    out = {r["id"]: r.asDict() for r in html_to_text(df, "doc_id", "html").collect()}
+    assert out[1]["title"] == "T One" and out[1]["n_links"] == 1
+    assert out[1]["text"].split("\n") == [
+        "T One", "Hello world & friends.", "Second block link.",
+        "item one", "item two",
+    ]
+    assert out[2]["text"] == "unclosed bold\nnext block"
+    assert out[3]["text"] == "" and out[3]["n_links"] == 0
+    assert out[4]["text"] == "plain text, no markup at all"
+    assert out[5]["n_links"] == 0  # href-less anchor is not a link
+    plan = (
+        html_to_text(df, "doc_id", "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
