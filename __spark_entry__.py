@@ -3715,6 +3715,73 @@ def q_streaming_entity_link(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """Approximate distinct count via the KMV synopsis
+    (operators/sketches.py): the 128 smallest distinct 60-bit md5
+    hashes of o_custkey → D̂ = 127·2^60/h₍₁₂₈₎.  The exact
+    COUNT(DISTINCT) rides along to pin the estimator against truth —
+    at 100 TB you would return only the sketch columns; the synopsis
+    costs a per-partition-distinct exchange + a 128-row top-k, never
+    a full-cardinality aggregate.  Deterministic: the md5-parity hash
+    means the oracle reproduces the estimate bit-for-bit."""
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct
+
+    register_testdata(spark, sf_dir, tables=("orders",))
+    orders = spark.table("orders")
+    est = kmv_distinct(orders, "o_custkey", k=128, salt="kmv:")
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def q_sketch_cms_freq(spark, sf_dir):
+    """Count-Min frequency estimation over the corpus vocabulary
+    (operators/sketches.py): a 4×1024 sketch built in one
+    map-side-partial pass over the SHARED persisted token stream, then
+    point-queried for the exact top-20 terms.  cms_n ≥ exact_n always
+    (one-sided error); the exact counts ride along to expose the
+    collision overshoot.  At 100 TB the 4096-row sketch IS the state
+    you keep — it broadcasts into the lookup, and sketches from
+    separate shards merge by (row,bucket) addition."""
+    from dogsheep_beta_spark.operators.sketches import cms_build, cms_lookup
+
+    toks = _token_stream_ctx(spark, sf_dir)
+    cms = cms_build(toks, "t", width=1024, depth=4, salt="sk:")
+    top = (
+        toks.groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(20)
+    )
+    looked = cms_lookup(
+        cms, top.withColumnRenamed("term", "t"), "t", 1024, 4, salt="sk:"
+    )
+    return (
+        looked.select(
+            F.col("t").alias("term"),
+            "exact_n",
+            F.col("cms_est").alias("cms_n"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+    )
+
+
+def q_embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix Xᵀ X over the embedding table
+    (operators/linalg.py:quantized_gram) — the building block under
+    PCA / whitening / linear probes.  Arrow-batched partial GEMM per
+    partition (numpy), then a d²-bounded groupBy-sum: the ONLY
+    exchange carries ≤ 2080 upper-triangle cells per partition no
+    matter how many embedding rows exist.  Integer quantization
+    (floor(x·1000+0.5)) makes the matrix exact and engine-identical —
+    the oracle computes the same sums by unnesting."""
+    from dogsheep_beta_spark.operators.linalg import quantized_gram
+
+    emb = _embeddings(spark, sf_dir)
+    return quantized_gram(emb, "embedding", dim=64, scale=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate samples the FIRST
     # 50 keys (CORRECTNESS_r0{1..5}.json all covered the same 50). The window
@@ -3756,7 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_verbatim_overlap": q_dedup_verbatim_overlap,
-        "dedup_simhash": q_dedup_simhash,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "dedup_cluster_keep": q_dedup_cluster_keep,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "decontaminate": q_decontaminate,
@@ -3778,6 +3845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_manifest_compact": q_layout_manifest_compact,
         "media_video_demux": q_media_video_demux,
         # --- end of the driver's 50-key window ----------------------------
+        "dedup_simhash": q_dedup_simhash,
+        "sketch_cms_freq": q_sketch_cms_freq,
+        "embedding_gram": q_embedding_gram,
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_distinct_users": q_agg_distinct_users,
         "agg_rollup_orders": q_agg_rollup_orders,
@@ -5483,6 +5553,69 @@ LIMIT 100
             SELECT term, COUNT(DISTINCT doc_id) AS df
             FROM t GROUP BY term
             ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        # KMV: ('0x'||hex)::BIGINT == Spark conv(hex,16,10); 15 hex
+        # chars = 60 bits, exact in BIGINT; 127·2^60 is an exact double
+        # so the division is the identical IEEE op on both engines.
+        "sketch_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                    CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), sk AS (SELECT h FROM h ORDER BY h LIMIT 128),
+            agg AS (SELECT COUNT(*) AS k_filled, MAX(h) AS kth_hash FROM sk)
+            SELECT k_filled, kth_hash,
+                   ROUND(CASE WHEN k_filled < 128 THEN CAST(k_filled AS DOUBLE)
+                         ELSE 127.0 * 1152921504606846976.0
+                              / CAST(kth_hash AS DOUBLE) END, 4) AS est_distinct,
+                   (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
+            FROM agg
+        """,
+        # Quantized Gram by unnesting: floor(x·1000+0.5) in exact
+        # BIGINT arithmetic equals the engine's numpy partial GEMM.
+        "embedding_gram": """
+            WITH x AS (
+                SELECT vec_id, r.i,
+                       CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            )
+            SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i ORDER BY a.i, b.i
+        """,
+        # Count-Min point queries for the exact top-20 terms: same
+        # salted 60-bit md5 buckets, min over the 4 sketch rows.
+        "sketch_cms_freq": ORACLE_DOC_TOKENS
+        + """
+            , t AS (SELECT unnest(toks) AS t FROM toks),
+            cms AS (
+                SELECT d.d AS row,
+                       CAST(CAST(('0x' || substr(md5('sk:cms' || CAST(d.d AS VARCHAR)
+                                                 || ':' || t), 1, 15)) AS BIGINT)
+                            % 1024 AS INT) AS bucket,
+                       COUNT(*) AS n
+                FROM t CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) d
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT t AS term, COUNT(*) AS exact_n
+                FROM t GROUP BY t
+                ORDER BY exact_n DESC, term ASC LIMIT 20
+            ),
+            probe AS (
+                SELECT term, exact_n, d.d AS row,
+                       CAST(CAST(('0x' || substr(md5('sk:cms' || CAST(d.d AS VARCHAR)
+                                                 || ':' || term), 1, 15)) AS BIGINT)
+                            % 1024 AS INT) AS bucket
+                FROM top CROSS JOIN (SELECT unnest([0,1,2,3]) AS d) d
+            )
+            SELECT p.term, p.exact_n, MIN(COALESCE(c.n, 0)) AS cms_n
+            FROM probe p LEFT JOIN cms c USING (row, bucket)
+            GROUP BY p.term, p.exact_n
+            ORDER BY p.exact_n DESC, p.term ASC
         """,
         # the power-iteration supersteps unrolled as chained CTEs — the
         # SQL statement of exactly what operators/graph.py:pagerank

@@ -165,30 +165,44 @@ def load_live_snapshot(spark, index_path, fts_path, mode="portable", stem=False)
 
     from dogsheep_beta_spark.operators.fts_index import FtsIndex
 
-    idx_real = os.path.realpath(index_path.rstrip("/"))
-    post_real = os.path.realpath(os.path.join(fts_path, "postings"))
-    len_real = os.path.realpath(os.path.join(fts_path, "doc_lengths"))
-    index_df = spark.read.parquet(idx_real)
-    postings = spark.read.parquet(post_real)
-    doc_lengths = spark.read.parquet(len_real)
-    ck = (
-        _generation_token(index_path.rstrip("/")),
-        _generation_token(os.path.join(fts_path, "postings")),
-        _generation_token(os.path.join(fts_path, "doc_lengths")),
-    )
-    with _SCALAR_LOCK:
-        cached = _SCALAR_CACHE.get(ck)
-    if cached is None:
+    def token3() -> tuple:
+        return (
+            _generation_token(index_path.rstrip("/")),
+            _generation_token(os.path.join(fts_path, "postings")),
+            _generation_token(os.path.join(fts_path, "doc_lengths")),
+        )
+
+    # The read paths are derived FROM the token (its first component is
+    # the resolved version dir), and the token is re-checked after the
+    # scalar jobs: a publish that lands between resolving the data and
+    # computing the cache key would otherwise store the OLD generation's
+    # scalars under the NEW generation's key — a permanently poisoned
+    # cache that froze n_docs at the stale value for every later
+    # request (observed as a torn snapshot under concurrent publish).
+    for attempt in range(5):
+        ck = token3()
+        index_df = spark.read.parquet(ck[0][0])
+        postings = spark.read.parquet(ck[1][0])
+        doc_lengths = spark.read.parquet(ck[2][0])
+        with _SCALAR_LOCK:
+            cached = _SCALAR_CACHE.get(ck)
+        if cached is not None:
+            break
         # NULL-key rows are outside the FTS doc universe (see
         # fts_index.postings_and_lengths) — count only keyed docs so
         # live-mode scalars equal the static build's
         n_docs = index_df.where(F.col("key").isNotNull()).count()
         total = doc_lengths.agg(F.sum("dl")).collect()[0][0] or 0
         cached = (n_docs, (total / n_docs) if n_docs else 0.0)
+        if token3() != ck:
+            if attempt < 4:
+                continue  # generation cut over mid-count: retry
+            break  # give up retrying: serve the values, never cache them
         with _SCALAR_LOCK:
             _SCALAR_CACHE[ck] = cached
             while len(_SCALAR_CACHE) > 32:
                 _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)), None)
+        break
     n_docs, avgdl = cached
     return index_df, FtsIndex(
         postings=postings,

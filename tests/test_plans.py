@@ -616,3 +616,31 @@ def test_importance_scoring_plan_is_map_only(spark):
     )
     tplan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in tplan
+
+
+def test_sketch_plans_bounded_state(spark):
+    """KMV: the exchange carries per-partition DISTINCT hashes (partial
+    HashAggregate before the Exchange) and the synopsis is a
+    TakeOrderedAndProject — never a full-cardinality sort.  CMS lookup:
+    the ≤depth*width sketch broadcasts; the candidate side never
+    sort-merge-joins."""
+    from dogsheep_beta_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").alias("v"))
+    kplan = _plan(kmv_sketch(df, "v", k=64))
+    assert "TakeOrderedAndProject" in kplan
+    # partial dedup before the shuffle: a keyed HashAggregate appears
+    # on the map side (below the Exchange in the plan string)
+    assert kplan.index("HashAggregate") < kplan.index("Exchange") or (
+        "Exchange" in kplan and kplan.count("HashAggregate") >= 2
+    )
+
+    cms = cms_build(df, "v", width=64, depth=3)
+    items = df.distinct().limit(10)
+    lplan = _plan(cms_lookup(cms, items, "v", 64, 3))
+    assert "BroadcastHashJoin" in lplan
+    assert "SortMergeJoin" not in lplan
