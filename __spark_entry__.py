@@ -3767,6 +3767,159 @@ def q_sketch_cms_freq(spark, sf_dir):
     )
 
 
+def _kmv_stream_layout(spark, sf_dir):
+    """Amortized incremental-KMV state build: orders.o_custkey replayed
+    as a 3-file stream; each micro-batch folds into the k=128 synopsis
+    (streaming/incremental.py:merge_kmv_batch — O(k + batch) per
+    batch, never O(history)).  Built once per sf_dir, reported by
+    bench as ``kmv_stream_build``; the declared query prices the
+    synopsis read."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        streaming_kmv_distinct,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    root = c.get("kmv_root")
+    if root is not None:
+        return root
+    work = c.get("kmv_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_kmv_stream_")
+        c["kmv_stream_path"] = work
+    src = os.path.join(work, "src")
+    root = os.path.join(work, "root")
+    ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        register_testdata(spark, sf_dir, tables=("orders",))
+        spark.table("orders").select("o_custkey").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = streaming_kmv_distinct(
+            stream, root, ckpt, "o_custkey", k=128, salt="kmv:"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "kmv stream build did not finish in 300s — the synopsis "
+                "would be partial; not caching"
+            )
+    c["kmv_root"] = root
+    return root
+
+
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Incremental distinct-count: the estimate read off the streamed
+    KMV synopsis (_kmv_stream_layout — the amortized
+    ``kmv_stream_build`` bench entry).  The union-merge law makes the
+    streamed synopsis the IDENTICAL hash set to the batch sketch over
+    the full history, so the oracle is sketch_kmv_distinct's SQL
+    byte-for-byte."""
+    from dogsheep_beta_spark.streaming.incremental import read_kmv_estimate
+
+    root = _kmv_stream_layout(spark, sf_dir)
+    register_testdata(spark, sf_dir, tables=("orders",))
+    exact = spark.table("orders").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return read_kmv_estimate(spark, root, k=128).crossJoin(F.broadcast(exact))
+
+
+def _warc_segments(spark, sf_dir):
+    """One-time per sf_dir: materialize documents into REAL ``.warc``
+    + ``.warc.gz`` segment files (sources/warc.py fixture writer) —
+    one HTTP response record per document, sharded into 4 segments by
+    doc_id so the binaryFile read has file-level parallelism, the way
+    a Common Crawl drop does."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "warc_glob" not in c:
+        import os
+        import tempfile
+
+        from dogsheep_beta_spark.sources.warc import write_warc_fixture
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        docs = (
+            spark.table("documents")
+            .select("doc_id", "source", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        tmp = tempfile.mkdtemp(prefix="dbs_warc_")
+        for shard in range(4):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{r.doc_id}>",
+                    "target_uri": (
+                        f"http://corpus/{r.source}/{r.doc_id}"
+                    ),
+                    "warc_date": "2020-01-01T00:00:00Z",
+                    "payload": (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+                        + (r.text or "").encode("utf-8")
+                    ),
+                }
+                for r in docs
+                if r.doc_id % 4 == shard
+            ]
+            ext = ".warc.gz" if shard % 2 else ".warc"
+            write_warc_fixture(
+                recs, os.path.join(tmp, f"seg{shard}{ext}"),
+                compress=bool(shard % 2),
+            )
+        c["warc_tmp_path"] = tmp  # *_path: teardown rmtrees it
+        c["warc_glob"] = os.path.join(tmp, "seg*")
+    return c["warc_glob"]
+
+
+def q_warc_source_ingest(spark, sf_dir):
+    """Crawl-container ingestion: real WARC segments (2 plain + 2
+    per-shard gzipped) read through the binaryFile + Content-Length
+    record splitter (sources/warc.py:read_warc), HTTP envelopes
+    stripped, aggregated per source parsed from the target URI.  The
+    oracle runs the same aggregation on the parquet original:
+    equality proves the container round-trip is lossless through
+    framing, gzip, HTTP split, and utf-8 — the Common Crawl ingest
+    path in miniature."""
+    from dogsheep_beta_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, _warc_segments(spark, sf_dir), http_split=True)
+    return (
+        recs.where(F.col("http_status") == 200)
+        .select(
+            F.regexp_extract("target_uri", r"http://corpus/([^/]+)/", 1).alias(
+                "source"
+            ),
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("http_body"), "utf-8").alias("text"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_embedding_gram(spark, sf_dir):
     """Distributed Gram matrix Xᵀ X over the embedding table
     (operators/linalg.py:quantized_gram) — the building block under
@@ -3923,6 +4076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_c4_lines": q_clean_c4_lines,
         "streaming_semantic_dedup": q_streaming_semantic_dedup,
         "html_extract_text": q_html_extract_text,
+        "streaming_kmv_distinct": q_streaming_kmv_distinct,
+        "warc_source_ingest": q_warc_source_ingest,
     }
 
 
@@ -4857,6 +5012,16 @@ LIMIT 100
         # SAME parquet; the oracle aggregates the parquet directly, so a
         # hash match proves the sqlite round-trip is lossless.
         "sqlite_source_ingest": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # same lossless-round-trip contract as sqlite_source_ingest:
+        # the WARC framing + gzip + HTTP split + utf-8 must reproduce
+        # the parquet original exactly.
+        "warc_source_ingest": """
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
                    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
@@ -6238,6 +6403,9 @@ LIMIT 100
     # equal the batch pair generator over the same final corpus, so the
     # oracle is BYTE-IDENTICAL to dedup_minhash_lsh's.
     d["streaming_minhash_dedup"] = d["dedup_minhash_lsh"]
+    # KMV union-merge law: the streamed synopsis is the identical hash
+    # set to the batch sketch, so the oracle is sketch_kmv_distinct's.
+    d["streaming_kmv_distinct"] = d["sketch_kmv_distinct"]
     d["media_video_demux"] = """
         WITH ids AS (
             SELECT doc_id FROM documents WHERE doc_id < 500
@@ -6855,6 +7023,25 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             stream, work, os.path.join(ck, "c"), cents, tau=0.40
         )
 
+    ord_dir, ord_schema = batched_src(os.path.join(sf_dir, "orders.parquet"))
+
+    def start_kmv(ck):
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_kmv_distinct,
+        )
+
+        work = tempfile.mkdtemp(prefix="dbs_steady_kmv_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(ord_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(ord_dir)
+        )
+        return streaming_kmv_distinct(
+            stream, work, os.path.join(ck, "c"), "o_custkey",
+            k=128, salt="kmv:",
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
@@ -6864,6 +7051,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_entity_link", start_entity_link),
         ("streaming_minhash_dedup", start_minhash),
         ("streaming_semantic_dedup", start_semantic),
+        ("streaming_kmv_distinct", start_kmv),
     ):
         try:
             out[name] = measure(starter)

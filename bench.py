@@ -83,6 +83,7 @@ def main() -> None:
         ("minhash_stream_build", entry._minhash_stream_layout),
         ("importance_ratio_build", entry._importance_ratios),
         ("semantic_stream_build", entry._semantic_stream_layout),
+        ("kmv_stream_build", entry._kmv_stream_layout),
     ):
         t0 = time.time()
         try:

@@ -1841,3 +1841,82 @@ def streaming_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental KMV — streaming distinct-count synopsis
+# ---------------------------------------------------------------------------
+
+
+def merge_kmv_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root_path: str,
+    col: str,
+    k: int = 256,
+    salt: str = "",
+) -> None:
+    """foreachBatch body: fold a micro-batch into a stored KMV
+    distinct-count synopsis (operators/sketches.py) — the streaming
+    "how many distinct users/urls/keys have we EVER seen" counter
+    that needs k longs of state, not a distinct-keys store.
+
+    Per batch: sketch the batch, union with the stored synopsis,
+    distinct → min-k, publish atomically (``_atomic_swap_write`` —
+    readers see complete generations only).  KMV's union-merge law
+    makes the result arrival-order independent and retry-idempotent:
+    re-merging an already-merged batch is a no-op because union is
+    idempotent on hash sets.  State and per-batch cost are O(k + 
+    batch), never O(history) — the whole point of the synopsis."""
+    import os
+
+    from dogsheep_beta_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    sk_path = os.path.join(root_path, "sketch")
+    batch_sk = kmv_sketch(batch_df, col, k=k, salt=salt)
+    if os.path.lexists(sk_path):
+        merged = kmv_merge([spark.read.parquet(sk_path), batch_sk], k=k)
+    else:
+        merged = batch_sk.orderBy("h").limit(k)
+    _atomic_swap_write(merged.coalesce(1), sk_path)
+
+
+def read_kmv_estimate(spark: SparkSession, root_path: str, k: int) -> DataFrame:
+    """1-row (k_filled, kth_hash, est_distinct) from the streamed
+    synopsis — equals the batch ``kmv_distinct`` estimate over the
+    full history (union-merge law), which is the oracle."""
+    import os
+
+    from dogsheep_beta_spark.operators.sketches import kmv_estimate
+
+    return kmv_estimate(
+        spark.read.parquet(os.path.join(root_path, "sketch")), k
+    )
+
+
+def streaming_kmv_distinct(
+    stream_df: DataFrame,
+    root_path: str,
+    checkpoint_dir: str,
+    col: str,
+    k: int = 256,
+    salt: str = "",
+):
+    """Incremental distinct-count over a stream via the mergeable KMV
+    synopsis (see ``merge_kmv_batch``).  The published sketch after
+    the last batch is IDENTICAL to the batch sketch over the full
+    history — not just statistically: the same k hash values —
+    so the estimate is byte-equal to the batch oracle."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_kmv_batch(
+                spark, bdf, bid, root_path, col, k, salt
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

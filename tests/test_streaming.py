@@ -1342,3 +1342,52 @@ def test_streaming_semantic_dedup_redelivery_is_dropped(spark, tmpdir):
     # id 1's stored vector is the ORIGINAL
     v1 = store.where(F.col("id") == 1).collect()[0]["v"]
     assert v1 == [1.0, 0.0]
+
+
+def test_streaming_kmv_distinct_converges_to_batch(spark, tmpdir):
+    """The streamed KMV synopsis after N batches is the IDENTICAL hash
+    set (not just a similar estimate) to the batch sketch over the
+    union — the union-merge law — and is arrival-order independent."""
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct, kmv_sketch
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_kmv_estimate,
+        streaming_kmv_distinct,
+    )
+
+    schema = "user_id long"
+    batches = [
+        [(i,) for i in range(0, 300)],
+        [(i,) for i in range(200, 500)],  # overlap with batch 1
+        [(i,) for i in range(450, 700)],
+    ]
+
+    def run_all(order, tag):
+        src = os.path.join(tmpdir, f"src_{tag}")
+        root = os.path.join(tmpdir, f"kmv_{tag}")
+        ckpt = os.path.join(tmpdir, f"ckpt_{tag}")
+        for rows in order:
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = streaming_kmv_distinct(stream, root, ckpt, "user_id", k=64)
+            q.awaitTermination(120)
+        return root
+
+    root = run_all(batches, "fwd")
+    sk = spark.read.parquet(os.path.join(root, "sketch"))
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = kmv_sketch(full, "user_id", k=64)
+    assert [r.h for r in sk.orderBy("h").collect()] == [
+        r.h for r in want.collect()
+    ]
+    [est] = read_kmv_estimate(spark, root, k=64).collect()
+    [bat] = kmv_distinct(full, "user_id", k=64).collect()
+    assert tuple(est) == tuple(bat)
+
+    # arrival order does not matter
+    root2 = run_all(list(reversed(batches)), "rev")
+    sk2 = spark.read.parquet(os.path.join(root2, "sketch"))
+    assert sorted(r.h for r in sk2.collect()) == sorted(r.h for r in sk.collect())
