@@ -3920,6 +3920,34 @@ def q_warc_source_ingest(spark, sf_dir):
     )
 
 
+def q_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
+    iterations over the corpus's distinct-word table.  Per iteration
+    ONE bounded pair aggregate (map-side partial over the exploded
+    adjacent pairs) + a TakeOrdered(1) argmax + a map-side bracketed
+    replace — the superstep discipline PageRank uses, with one 1-row
+    collect per iteration as the only driver traffic.  The bracketed
+    symbol encoding makes plain non-overlapping ``replace`` equal
+    BPE's leftmost-greedy merge in every engine, so the oracle unrolls
+    the identical iterations as chained CTEs."""
+    from dogsheep_beta_spark.operators.bpe import learn_bpe
+
+    words = (
+        _token_stream_ctx(spark, sf_dir)
+        .groupBy(F.col("t").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges, final = learn_bpe(words, "word", "n", n_merges=3)
+    final.unpersist()
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, cnt)
+            for i, (a, b, cnt) in enumerate(merges)
+        ],
+        "merge_no int, a string, b string, cnt long",
+    ).orderBy("merge_no")
+
+
 def q_embedding_gram(spark, sf_dir):
     """Distributed Gram matrix Xᵀ X over the embedding table
     (operators/linalg.py:quantized_gram) — the building block under
@@ -4078,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": q_html_extract_text,
         "streaming_kmv_distinct": q_streaming_kmv_distinct,
         "warc_source_ingest": q_warc_source_ingest,
+        "bpe_learn_merges": q_bpe_learn_merges,
     }
 
 
@@ -5736,6 +5765,69 @@ LIMIT 100
                               / CAST(kth_hash AS DOUBLE) END, 4) AS est_distinct,
                    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
             FROM agg
+        """,
+        # BPE supersteps unrolled as chained CTEs (the pagerank
+        # discipline): bracketed symbols make plain non-overlapping
+        # replace() == BPE leftmost-greedy merge in both engines.
+        "bpe_learn_merges": ORACLE_DOC_TOKENS
+        + """
+            , tt AS (SELECT unnest(toks) AS word FROM toks),
+            w AS (SELECT word, COUNT(*) AS n FROM tt GROUP BY word),
+            s0 AS (
+                SELECT substr(x, 1, length(x) - 1) AS sym, n FROM (
+                    SELECT '[' || regexp_replace(word, '(.)', '\\1][', 'g')
+                               AS x, n
+                    FROM w
+                )
+            ),
+            p1 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s0
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b1 AS (SELECT a, b, cnt FROM p1
+                   ORDER BY cnt DESC, a, b LIMIT 1),
+            s1 AS (
+                SELECT replace(sym, '[' || b1.a || '][' || b1.b || ']',
+                               '[' || b1.a || b1.b || ']') AS sym, n
+                FROM s0, b1
+            ),
+            p2 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s1
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b2 AS (SELECT a, b, cnt FROM p2
+                   ORDER BY cnt DESC, a, b LIMIT 1),
+            s2 AS (
+                SELECT replace(sym, '[' || b2.a || '][' || b2.b || ']',
+                               '[' || b2.a || b2.b || ']') AS sym, n
+                FROM s1, b2
+            ),
+            p3 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s2
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b3 AS (SELECT a, b, cnt FROM p3
+                   ORDER BY cnt DESC, a, b LIMIT 1)
+            SELECT * FROM (
+                SELECT 1 AS merge_no, a, b, cnt FROM b1
+                UNION ALL SELECT 2, a, b, cnt FROM b2
+                UNION ALL SELECT 3, a, b, cnt FROM b3
+            ) ORDER BY merge_no
         """,
         # Quantized Gram by unnesting: floor(x·1000+0.5) in exact
         # BIGINT arithmetic equals the engine's numpy partial GEMM.

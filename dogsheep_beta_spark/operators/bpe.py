@@ -1,0 +1,121 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+Tokenizer training is a corpus-scale job: each BPE iteration counts
+adjacent symbol-pair frequencies over the (word, count) table and
+merges the argmax pair everywhere.  The Spark-correct decomposition:
+
+1. The corpus collapses to DISTINCT word counts first (one groupBy —
+   at 100 TB the distinct-word table is millions of rows, not
+   trillions; every later iteration touches only this table).
+2. Per iteration: explode adjacent pairs (map-side), partial-agg
+   groupBy(pair) weighted by word count — the shuffle carries distinct
+   pairs per partition — then TakeOrdered(1) picks the argmax with a
+   deterministic (count DESC, pair ASC) tie-break, broadcasts it, and
+   a map-side ``replace`` rewrites every word.  No driver loop over
+   data; the only driver-side value per iteration is the ONE winning
+   pair.
+
+Symbol representation: each word is a BRACKETED symbol string —
+``low`` → ``[l][o][w]``.  Merging pair (a, b) is then literally
+``replace(word, '[a][b]', '[ab]')``: because adjacent occurrences
+share no characters, plain left-to-right non-overlapping string
+replacement implements exactly BPE's leftmost-greedy merge semantics
+(``[a][a][a]`` + merge(a,a) → ``[aa][a]``, not ``[a][aa]``), and the
+same ``replace`` exists in every SQL engine — which is what makes the
+whole training loop ORACLE-ABLE as unrolled CTEs (the pagerank
+discipline).  Brackets are escaped out of the alphabet by
+construction (tokenizer output is [a-z0-9]+).
+
+State per iteration is one broadcast row; words never leave their
+partitions; iterations reuse one persisted lineage (caller persists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def words_to_symbols(words: DataFrame, word_col: str, count_col: str) -> DataFrame:
+    """(sym, n): the bracketed symbol-string start state —
+    ``[c][h][a][r]`` per word.  Characters only (the classic BPE
+    char-level init)."""
+    sym = F.concat(
+        F.lit("["),
+        F.array_join(F.split(F.col(word_col), ""), "]["),
+        F.lit("]"),
+    )
+    return words.select(
+        sym.alias("sym"), F.col(count_col).cast("long").alias("n")
+    )
+
+
+def pair_counts(symbols: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-pair frequencies weighted by word count.
+    One map-side explode of zip(symbols, tail) + a partial-aggregated
+    groupBy — shuffle rows ≤ distinct pairs per partition."""
+    toks = F.split(
+        F.regexp_replace(F.col("sym"), r"^\[|\]$", ""), r"\]\["
+    )
+    t = F.col("__t")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        symbols.withColumn("__t", toks)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def best_pair(counts: DataFrame):
+    """The argmax pair as a 1-row DataFrame — deterministic
+    (cnt DESC, a ASC, b ASC) tie-break, TakeOrderedAndProject plan."""
+    return counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+
+
+def apply_merge(symbols: DataFrame, a: str, b: str) -> DataFrame:
+    """Map-side merge of pair (a, b) in every word: plain non-
+    overlapping left-to-right replace == BPE leftmost-greedy."""
+    return symbols.withColumn(
+        "sym",
+        F.replace(
+            F.col("sym"), F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]")
+        ),
+    )
+
+
+def learn_bpe(
+    words: DataFrame,
+    word_col: str,
+    count_col: str,
+    n_merges: int = 3,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run ``n_merges`` BPE iterations over the distinct-word table.
+
+    Returns (merges, final_symbols): ``merges`` is the learned rule
+    list [(a, b, cnt), ...] in order; ``final_symbols`` the rewritten
+    word table.  The driver sees exactly one 1-row collect per
+    iteration (the winning pair — the broadcast-scalar discipline);
+    everything else is map-side or a bounded pair aggregate."""
+    symbols = words_to_symbols(words, word_col, count_col).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = best_pair(pair_counts(symbols)).collect()
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            merges.append((a, b, int(cnt)))
+            nxt = apply_merge(symbols, a, b).persist()
+            nxt.count()  # materialize before dropping the parent
+            symbols.unpersist()
+            symbols = nxt
+        return merges, symbols
+    except Exception:
+        symbols.unpersist()
+        raise
