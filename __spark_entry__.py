@@ -3920,6 +3920,22 @@ def q_warc_source_ingest(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_by_group(spark, sf_dir):
+    """Per-group distinct-count estimates via one bounded KMV synopsis
+    per group (operators/sketches.py:kmv_distinct_by) — "distinct
+    customers per priority" with k longs of state per group instead of
+    a per-group distinct set.  WindowGroupLimit applies the rank-k
+    filter per partition BEFORE the window exchange (plan-asserted in
+    tests), so the shuffle carries candidates, not cardinalities."""
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct_by
+
+    register_testdata(spark, sf_dir, tables=("orders",))
+    return kmv_distinct_by(
+        spark.table("orders"), "o_orderpriority", "o_custkey",
+        k=64, salt="kg:",
+    ).orderBy("o_orderpriority")
+
+
 def q_bpe_learn_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
     iterations over the corpus's distinct-word table.  Per iteration
@@ -4107,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_distinct": q_streaming_kmv_distinct,
         "warc_source_ingest": q_warc_source_ingest,
         "bpe_learn_merges": q_bpe_learn_merges,
+        "sketch_kmv_by_group": q_sketch_kmv_by_group,
     }
 
 
@@ -5842,6 +5859,28 @@ LIMIT 100
             SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i ORDER BY a.i, b.i
+        """,
+        "sketch_kmv_by_group": """
+            WITH h AS (
+                SELECT DISTINCT o_orderpriority,
+                    CAST(('0x' || substr(md5('kg:' || CAST(o_custkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+            ), r AS (
+                SELECT o_orderpriority, h,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY h) AS rn
+                FROM h
+            ), agg AS (
+                SELECT o_orderpriority, COUNT(*) AS k_filled,
+                       MAX(h) AS kth_hash
+                FROM r WHERE rn <= 64 GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, k_filled, kth_hash,
+                   ROUND(CASE WHEN k_filled < 64 THEN CAST(k_filled AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0
+                              / CAST(kth_hash AS DOUBLE) END, 4) AS est_distinct
+            FROM agg ORDER BY o_orderpriority
         """,
         # Count-Min point queries for the exact top-20 terms: same
         # salted 60-bit md5 buckets, min over the 4 sketch rows.

@@ -197,3 +197,48 @@ def cms_lookup(
         .groupBy(*items.columns)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 128,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group distinct-count estimates — "distinct users per
+    day/segment" at corpus scale, one bounded synopsis per group.
+
+    Plan: dedup (group, hash) with a map-side partial aggregate, then
+    rank hashes inside each group and keep k — Spark's
+    WindowGroupLimit applies the rank filter per partition BEFORE the
+    window exchange, so the shuffle carries at most k candidates per
+    group per partition, never the full per-group distinct set.  The
+    estimator is applied per group exactly as in ``kmv_estimate``.
+
+    Returns (group_col, k_filled, kth_hash, est_distinct), one row
+    per group (groups whose column is all-NULL produce no row)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_distinct_by: k must be >= 2, got {k}")
+    h = hash60(F.col(col), salt)
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = (
+        df.select(F.col(group_col), h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("k_filled"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("k_filled") < k, F.col("k_filled").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        group_col, "k_filled", "kth_hash", F.round(est, 4).alias("est_distinct")
+    )

@@ -120,3 +120,41 @@ def test_hash60_duckdb_parity(spark):
         ).fetchone()
         assert got[v] == exp, v
     assert all(0 <= h < KMV_SPACE for h in got.values())
+
+
+def test_kmv_distinct_by_groups(spark):
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct_by
+
+    # group 'small': 10 distinct (< k, exact); 'big': 2000 distinct
+    df = _ids(spark, 0, 4000).select(
+        F.when(F.col("id") < 2000, "big").otherwise("small").alias("g"),
+        F.when(F.col("id") < 2000, F.col("id"))
+        .otherwise(F.col("id") % 10 + 10_000)
+        .alias("v"),
+    )
+    rows = {r.g: r for r in kmv_distinct_by(df, "g", "v", k=64).collect()}
+    assert rows["small"].k_filled == 10
+    assert rows["small"].est_distinct == 10.0
+    assert rows["big"].k_filled == 64
+    assert 0.6 * 2000 <= rows["big"].est_distinct <= 1.4 * 2000
+    # per-group result equals the global sketch restricted to the group
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct
+
+    [solo] = kmv_distinct(
+        df.where(F.col("g") == "big").select("v"), "v", k=64
+    ).collect()
+    assert (rows["big"].k_filled, rows["big"].kth_hash,
+            rows["big"].est_distinct) == tuple(solo)
+
+
+def test_kmv_distinct_by_plan_group_limit(spark):
+    from dogsheep_beta_spark.operators.sketches import kmv_distinct_by
+
+    df = _ids(spark, 0, 1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        kmv_distinct_by(df, "g", "v", k=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # rank filter before the exchange
