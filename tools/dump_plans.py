@@ -51,6 +51,11 @@ HEADLINE = {
     "sample_importance": "DSIR scoring is a map-side array-literal fold (no join, no shuffle); top-50 compiles to TakeOrderedAndProject",
     "quality_gopher_rules": "all seven Gopher rules in one map-side projection; the only Exchange is the per-lang report aggregation",
     "clean_c4_lines": "C4 corpus synthesis + line/page rules fused into one map-side projection; the only Exchange is the per-source report aggregation",
+    "sketch_kmv_distinct": "KMV synopsis: map-side partial dedup feeds the exchange (per-partition distincts only), TakeOrderedAndProject keeps k",
+    "sketch_kmv_by_group": "per-group synopsis: WindowGroupLimit filters rank-k candidates before the window exchange",
+    "sketch_cms_freq": "CMS build is one map-side explode into a depth*width-bounded partial agg; the point-query join broadcasts the sketch",
+    "embedding_gram": "partial GEMM per partition (MapInPandas); the only data-sized exchange feeds the d^2-bounded cell aggregate (the scan-side Exchange is the registry's conditional single-row-group scatter, absent on real multi-row-group inputs; the last is the declared ORDER BY of 2080 cells)",
+    "warc_source_ingest": "binaryFile file-level parallelism: one task per WARC segment, record split + HTTP split in-task",
 }
 
 
