@@ -3920,6 +3920,41 @@ def q_warc_source_ingest(spark, sf_dir):
     )
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup — the pass a web corpus runs BEFORE content
+    dedup (CCNet/RefinedWeb order).  Two synthesized crawl variants of
+    each document's URL (case/port/trailing-slash/param-order/fragment
+    noise) collapse to one canonical key via the map-only
+    canonicalize_url expression (functions/urls.py); the per-source
+    report pins both the collapse ratio AND the canonical strings
+    (min(cu)).  Synthesis is deterministic from doc_id/source — the
+    media_video_demux discipline — so the oracle reproduces the
+    variants and the SQL twin of the canonicalizer byte-for-byte."""
+    from dogsheep_beta_spark.functions.urls import canonicalize_url
+
+    d = _documents(spark, sf_dir).select("doc_id", "source")
+    v1 = F.concat(
+        F.lit("http://WWW."), F.upper("source"), F.lit(".corpus:80/d/"),
+        F.col("doc_id").cast("string"), F.lit("/?b=2&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".corpus/d/"),
+        F.col("doc_id").cast("string"), F.lit("?a=1&b=2"),
+    )
+    urls = d.select(
+        "source", F.explode(F.array(v1, v2)).alias("u")
+    ).select("source", canonicalize_url(F.col("u")).alias("cu"))
+    return (
+        urls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("cu").alias("n_pages"),
+            F.min("cu").alias("sample_url"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sketch_kmv_by_group(spark, sf_dir):
     """Per-group distinct-count estimates via one bounded KMV synopsis
     per group (operators/sketches.py:kmv_distinct_by) — "distinct
@@ -4124,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source_ingest": q_warc_source_ingest,
         "bpe_learn_merges": q_bpe_learn_merges,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 
 
@@ -4244,6 +4280,32 @@ WITH search_index AS (
 
 
 # --- extension oracles: shared CTE fragments ------------------------------
+
+def _url_canon_oracle() -> str:
+    """url_canonical_dedup's oracle: the synthesized crawl variants +
+    the SQL twin of functions/urls.py:canonicalize_url."""
+    from dogsheep_beta_spark.functions.urls import CANONICALIZE_URL_SQL
+
+    canon = CANONICALIZE_URL_SQL.format(col="u")
+    return f"""
+        WITH v AS (
+            SELECT source, unnest([
+                'http://WWW.' || upper(source) || '.corpus:80/d/'
+                    || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag',
+                'http://' || source || '.corpus/d/'
+                    || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+            ]) AS u
+            FROM documents
+        ), c AS (SELECT source, {canon} AS cu FROM v)
+        SELECT source, COUNT(*) AS n_urls,
+               COUNT(DISTINCT cu) AS n_pages,
+               MIN(cu) AS sample_url
+        FROM c GROUP BY source ORDER BY source
+    """
+
+
+_URL_CANON_ORACLE = _url_canon_oracle()
+
 
 ORACLE_DOC_TOKENS = """
 WITH toks AS (
@@ -5860,6 +5922,10 @@ LIMIT 100
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i ORDER BY a.i, b.i
         """,
+        # same synthesized variants + the SQL twin of canonicalize_url
+        # (functions/urls.py:CANONICALIZE_URL_SQL — kept beside the
+        # Spark expression so the two evolve together)
+        "url_canonical_dedup": _URL_CANON_ORACLE,
         "sketch_kmv_by_group": """
             WITH h AS (
                 SELECT DISTINCT o_orderpriority,

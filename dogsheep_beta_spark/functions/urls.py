@@ -1,0 +1,90 @@
+"""URL canonicalization — the dedup key a web corpus uses BEFORE any
+content-level dedup (CCNet / RefinedWeb order: URL dedup → exact hash
+→ near-dup).  Two crawls of ``HTTP://Example.COM:80/a/?b=2&a=1#x`` and
+``http://example.com/a?a=1&b=2`` are the same page; canonicalizing to
+one key collapses them in a single map-side pass.
+
+Everything here is a pure codegen column expression (regexp + split +
+sort_array + concat) so canonicalization costs no shuffle, and the
+SAME steps are expressible in any SQL engine — which keeps the
+declared query strict-hash oracle-able.
+
+Canonical form (the common subset of the public normalization rules,
+RFC 3986 §6 + the de-facto crawler extras):
+
+- scheme and host lowercased
+- default ports stripped (``:80`` for http, ``:443`` for https)
+- fragment (``#...``) dropped
+- trailing ``/`` on a non-root path dropped
+- query parameters SORTED lexicographically (param order is
+  insignificant to almost every server); empty query dropped
+- leading ``www.`` stripped (crawler convention: example.com and
+  www.example.com are overwhelmingly the same origin)
+
+Deliberately NOT done (lossy or server-dependent): percent-decoding,
+utm-param stripping, path-segment ``..`` resolution — callers layer
+those if their corpus warrants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL key as described in the module docstring.
+    NULL-safe: NULL in → NULL out; a string with no scheme is returned
+    lowercased-host-only on a best-effort basis (no exceptions —
+    corpus rows must never kill a task)."""
+    u = F.regexp_replace(url, r"#.*$", "")  # drop fragment first
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # trim non-root trailing /
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(sorted_q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), sorted_q)
+            ),
+        )
+    )
+
+
+#: the DuckDB twin of canonicalize_url, as a SQL template over {col} —
+#: kept next to the Spark expression so the two evolve together (the
+#: oracle in __spark_entry__ interpolates it).
+CANONICALIZE_URL_SQL = """
+    CASE WHEN {col} IS NULL THEN NULL ELSE
+        lower(regexp_extract(regexp_replace({col}, '#.*$', ''),
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(regexp_replace({col}, '#.*$', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+            ':(80|443)$', ''), '^www\\.', '') ||
+        CASE WHEN regexp_replace(
+                regexp_extract(regexp_replace({col}, '#.*$', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+                '(.)/$', '\\1') = ''
+             THEN '/'
+             ELSE regexp_replace(
+                regexp_extract(regexp_replace({col}, '#.*$', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+                '(.)/$', '\\1') END ||
+        CASE WHEN regexp_extract(regexp_replace({col}, '#.*$', ''),
+                                 '\\?(.*)$', 1) = '' THEN ''
+             ELSE '?' || array_to_string(list_sort(string_split(
+                regexp_extract(regexp_replace({col}, '#.*$', ''),
+                               '\\?(.*)$', 1), '&')), '&') END
+    END
+"""
