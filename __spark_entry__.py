@@ -3920,6 +3920,91 @@ def q_warc_source_ingest(spark, sf_dir):
     )
 
 
+def _cms_stream_layout(spark, sf_dir):
+    """Amortized incremental-CMS state build: documents replayed as a
+    3-file stream, tokenized map-side INSIDE the stream, each
+    micro-batch's 4×1024 sketch addition-merged into the stored one
+    (streaming/incremental.py:merge_cms_batch — O(batch + d·w) per
+    batch).  Built once per sf_dir, reported by bench as
+    ``cms_stream_build``; the declared query prices the point-query
+    read."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.functions.text import tokens_expr
+    from dogsheep_beta_spark.streaming.incremental import streaming_cms_freq
+
+    c = _CTX.setdefault(sf_dir, {})
+    root = c.get("cms_root")
+    if root is not None:
+        return root
+    work = c.get("cms_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_cms_stream_")
+        c["cms_stream_path"] = work
+    src = os.path.join(work, "src")
+    root = os.path.join(work, "root")
+    ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        _documents(spark, sf_dir).select("doc_id", "text").repartition(
+            3
+        ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(F.explode(tokens_expr(F.col("text"))).alias("t"))
+    )
+    with _stream_partitions(spark):
+        q = streaming_cms_freq(
+            stream, root, ckpt, "t", width=1024, depth=4, salt="sk:"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "cms stream build did not finish in 300s — the sketch "
+                "would be partial; not caching"
+            )
+    c["cms_root"] = root
+    return root
+
+
+def q_streaming_cms_freq(spark, sf_dir):
+    """Incremental frequency sketching: point queries against the
+    streamed Count-Min sketch (_cms_stream_layout — the amortized
+    ``cms_stream_build`` bench entry).  The addition-merge law makes
+    the streamed sketch IDENTICAL to the batch build over the full
+    corpus, so the output — estimates for the exact top-20 terms —
+    shares sketch_cms_freq's oracle byte-for-byte."""
+    from dogsheep_beta_spark.operators.sketches import cms_lookup
+    from dogsheep_beta_spark.streaming.incremental import read_cms_sketch
+
+    root = _cms_stream_layout(spark, sf_dir)
+    cms = read_cms_sketch(spark, root)
+    toks = _token_stream_ctx(spark, sf_dir)
+    top = (
+        toks.groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(20)
+    )
+    looked = cms_lookup(
+        cms, top.withColumnRenamed("term", "t"), "t", 1024, 4, salt="sk:"
+    )
+    return (
+        looked.select(
+            F.col("t").alias("term"),
+            "exact_n",
+            F.col("cms_est").alias("cms_n"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+    )
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL-level dedup — the pass a web corpus runs BEFORE content
     dedup (CCNet/RefinedWeb order).  Two synthesized crawl variants of
@@ -4160,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "streaming_cms_freq": q_streaming_cms_freq,
     }
 
 
@@ -6603,6 +6689,9 @@ LIMIT 100
     # KMV union-merge law: the streamed synopsis is the identical hash
     # set to the batch sketch, so the oracle is sketch_kmv_distinct's.
     d["streaming_kmv_distinct"] = d["sketch_kmv_distinct"]
+    # CMS addition-merge law: the streamed sketch equals the batch
+    # build, so the point-query output shares sketch_cms_freq's oracle.
+    d["streaming_cms_freq"] = d["sketch_cms_freq"]
     d["media_video_demux"] = """
         WITH ids AS (
             SELECT doc_id FROM documents WHERE doc_id < 500

@@ -84,6 +84,7 @@ def main() -> None:
         ("importance_ratio_build", entry._importance_ratios),
         ("semantic_stream_build", entry._semantic_stream_layout),
         ("kmv_stream_build", entry._kmv_stream_layout),
+        ("cms_stream_build", entry._cms_stream_layout),
     ):
         t0 = time.time()
         try:

@@ -1920,3 +1920,85 @@ def streaming_kmv_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root_path: str,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "",
+    weight_col: str | None = None,
+) -> None:
+    """foreachBatch body: fold a micro-batch into a stored Count-Min
+    sketch — the streaming "how often has each term/URL/key occurred"
+    counter in depth×width longs of state.
+
+    CMS sketches ADD: the batch's sketch unions with the stored one
+    and sums per (row, bucket); the published table stays ≤
+    depth*width rows forever.  Per-batch cost is O(batch + d·w),
+    never O(history).  Unlike the KMV merge, re-delivery of a batch
+    is NOT naturally idempotent (counts would double) — exactly-once
+    here comes from the checkpointed availableNow replay, same
+    contract as the windowed-count stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.sketches import cms_build
+
+    sk_path = os.path.join(root_path, "sketch")
+    batch_sk = cms_build(
+        batch_df, col, width=width, depth=depth, salt=salt,
+        weight_col=weight_col,
+    )
+    if os.path.lexists(sk_path):
+        merged = (
+            spark.read.parquet(sk_path)
+            .unionByName(batch_sk)
+            .groupBy("row", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        merged = batch_sk
+    _atomic_swap_write(merged.coalesce(1), sk_path)
+
+
+def read_cms_sketch(spark: SparkSession, root_path: str) -> DataFrame:
+    """(row, bucket, n) — the streamed sketch's current generation."""
+    import os
+
+    return spark.read.parquet(os.path.join(root_path, "sketch"))
+
+
+def streaming_cms_freq(
+    stream_df: DataFrame,
+    root_path: str,
+    checkpoint_dir: str,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "",
+    weight_col: str | None = None,
+):
+    """Incremental frequency sketching over a stream via the
+    addition-mergeable Count-Min sketch (see ``merge_cms_batch``).
+    After the last batch the published sketch EQUALS the batch
+    ``cms_build`` over the full history (addition-merge law), so any
+    point query against it is byte-equal to the batch oracle."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_cms_batch(
+                spark, bdf, bid, root_path, col, width, depth, salt,
+                weight_col,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

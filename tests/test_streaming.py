@@ -1391,3 +1391,40 @@ def test_streaming_kmv_distinct_converges_to_batch(spark, tmpdir):
     root2 = run_all(list(reversed(batches)), "rev")
     sk2 = spark.read.parquet(os.path.join(root2, "sketch"))
     assert sorted(r.h for r in sk2.collect()) == sorted(r.h for r in sk.collect())
+
+
+def test_streaming_cms_converges_to_batch(spark, tmpdir):
+    """The streamed CMS after N batches equals the batch sketch over
+    the union (addition-merge law) — identical (row, bucket, n)."""
+    from dogsheep_beta_spark.operators.sketches import cms_build
+    from dogsheep_beta_spark.streaming.incremental import (
+        read_cms_sketch,
+        streaming_cms_freq,
+    )
+
+    schema = "v long"
+    batches = [
+        [(i % 40,) for i in range(200)],
+        [(i % 25,) for i in range(150)],
+        [(7,)] * 50,
+    ]
+    src = os.path.join(tmpdir, "src")
+    root = os.path.join(tmpdir, "cms")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_cms_freq(stream, root, ckpt, "v", width=64, depth=3)
+        q.awaitTermination(120)
+
+    got = {
+        (r.row, r.bucket): r.n for r in read_cms_sketch(spark, root).collect()
+    }
+    full = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        (r.row, r.bucket): r.n
+        for r in cms_build(full, "v", width=64, depth=3).collect()
+    }
+    assert got == want
