@@ -7328,6 +7328,25 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             k=128, salt="kmv:",
         )
 
+    def start_cms(ck):
+        from dogsheep_beta_spark.functions.text import tokens_expr
+        from dogsheep_beta_spark.streaming.incremental import (
+            streaming_cms_freq,
+        )
+
+        work = tempfile.mkdtemp(prefix="dbs_steady_cms_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(doc_dir)
+            .select(F.explode(tokens_expr(F.col("text"))).alias("t"))
+        )
+        return streaming_cms_freq(
+            stream, work, os.path.join(ck, "c"), "t",
+            width=1024, depth=4, salt="sk:",
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
@@ -7338,6 +7357,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_minhash_dedup", start_minhash),
         ("streaming_semantic_dedup", start_semantic),
         ("streaming_kmv_distinct", start_kmv),
+        ("streaming_cms_freq", start_cms),
     ):
         try:
             out[name] = measure(starter)
