@@ -4005,6 +4005,60 @@ def q_streaming_cms_freq(spark, sf_dir):
     )
 
 
+def q_html_link_graph(spark, sf_dir):
+    """Link-graph extraction: the REAL HTML parser pulls (href,
+    anchor) edges out of synthesized pages (operators/html.py:
+    extract_links, Arrow map-only), each href then canonicalized
+    (functions/urls.py) before the per-source edge report — the
+    crawl → link-graph → PageRank-prior pipeline head.  Pages carry
+    doc_id%3+1 anchors whose raw hrefs exercise every
+    canonicalization rule (case, :443, www., trailing slash, param
+    order, fragment); the oracle rebuilds the same raw hrefs from the
+    recipe and runs the canonicalizer's SQL twin on them."""
+    from dogsheep_beta_spark.functions.urls import canonicalize_url
+    from dogsheep_beta_spark.operators.html import extract_links
+
+    register_testdata(spark, sf_dir, tables=("documents",))
+    d = spark.table("documents").select("doc_id", "source")
+    anchor_js = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+        lambda j: F.concat(
+            F.lit('<a href="HTTPS://WWW.EX'),
+            F.col("source"),
+            F.lit(".com:443/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            j.cast("string"),
+            F.lit('/?b=2&a=1#f">link '),
+            j.cast("string"),
+            F.lit("</a>"),
+        ),
+    )
+    pages = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><body><p>"), F.array_join(anchor_js, " "),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "doc_id", "html")
+    edges = links.join(
+        F.broadcast(d), links.id == d.doc_id
+    ).select(
+        "source", canonicalize_url(F.col("href")).alias("target")
+    )
+    return (
+        edges.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("target").alias("n_targets"),
+            F.min("target").alias("sample_target"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL-level dedup — the pass a web corpus runs BEFORE content
     dedup (CCNet/RefinedWeb order).  Two synthesized crawl variants of
@@ -4246,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
+        "html_link_graph": q_html_link_graph,
     }
 
 
@@ -4391,6 +4446,30 @@ def _url_canon_oracle() -> str:
 
 
 _URL_CANON_ORACLE = _url_canon_oracle()
+
+
+def _html_link_oracle() -> str:
+    """html_link_graph's oracle: rebuild the synthesized raw hrefs
+    from the recipe and canonicalize with the SQL twin."""
+    from dogsheep_beta_spark.functions.urls import CANONICALIZE_URL_SQL
+
+    canon = CANONICALIZE_URL_SQL.format(col="u")
+    return f"""
+        WITH v AS (
+            SELECT source,
+                   'HTTPS://WWW.EX' || source || '.com:443/d/'
+                       || CAST(doc_id AS VARCHAR) || '/'
+                       || CAST(r.j AS VARCHAR) || '/?b=2&a=1#f' AS u
+            FROM documents, UNNEST(range(0, doc_id % 3 + 1)) r(j)
+        ), c AS (SELECT source, {canon} AS target FROM v)
+        SELECT source, COUNT(*) AS n_links,
+               COUNT(DISTINCT target) AS n_targets,
+               MIN(target) AS sample_target
+        FROM c GROUP BY source ORDER BY source
+    """
+
+
+_HTML_LINK_ORACLE = _html_link_oracle()
 
 
 ORACLE_DOC_TOKENS = """
@@ -6012,6 +6091,9 @@ LIMIT 100
         # (functions/urls.py:CANONICALIZE_URL_SQL — kept beside the
         # Spark expression so the two evolve together)
         "url_canonical_dedup": _URL_CANON_ORACLE,
+        # real parser on the engine side, recipe + SQL-twin on the
+        # oracle side (the html_extract_text discipline)
+        "html_link_graph": _HTML_LINK_ORACLE,
         "sketch_kmv_by_group": """
             WITH h AS (
                 SELECT DISTINCT o_orderpriority,

@@ -101,8 +101,21 @@ def learn_bpe(
     list [(a, b, cnt), ...] in order; ``final_symbols`` the rewritten
     word table.  The driver sees exactly one 1-row collect per
     iteration (the winning pair — the broadcast-scalar discipline);
-    everything else is map-side or a bounded pair aggregate."""
-    symbols = words_to_symbols(words, word_col, count_col).persist()
+    everything else is map-side or a bounded pair aggregate.
+
+    Only the BASE symbol table is persisted: each iteration's merge is
+    one literal ``replace`` — a map-only expression — so iteration i
+    re-applies i-1 cached-plan replaces over the persisted base
+    instead of materializing an intermediate table per step.  That
+    keeps the job count at one aggregate per iteration (the per-job
+    scheduling floor dominates wall time at bench scale; at corpus
+    scale the replace chain is noise next to the pair shuffle).
+    Callers running MANY merges (n >> 10) should re-persist
+    periodically.  The base is unpersisted before returning (it only
+    serves the training loop); the returned table recomputes lazily
+    from ``words`` if executed."""
+    base = words_to_symbols(words, word_col, count_col).persist()
+    symbols = base
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -111,11 +124,7 @@ def learn_bpe(
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
             merges.append((a, b, int(cnt)))
-            nxt = apply_merge(symbols, a, b).persist()
-            nxt.count()  # materialize before dropping the parent
-            symbols.unpersist()
-            symbols = nxt
+            symbols = apply_merge(symbols, a, b)
         return merges, symbols
-    except Exception:
-        symbols.unpersist()
-        raise
+    finally:
+        base.unpersist()

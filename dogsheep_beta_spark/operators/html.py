@@ -111,3 +111,69 @@ def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     return df.select(id_col, html_col).mapInPandas(
         extract, schema=f"id {id_dt}, text string, title string, n_links int"
     )
+
+
+def _parse_links(html: str) -> list:
+    """(href, anchor_text) per <a href=...> — nested anchors each
+    collect their own text; anchors without href are skipped; script
+    content never parses as markup (HTMLParser treats it as CDATA)."""
+    from html.parser import HTMLParser
+
+    class _Links(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.links: list = []  # [href, [text parts]]
+            self.open: list = []  # indices into links, or None
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                href = dict(attrs).get("href")
+                if href is not None:
+                    self.open.append(len(self.links))
+                    self.links.append([href, []])
+                else:
+                    self.open.append(None)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self.open:
+                self.open.pop()
+
+        def handle_data(self, data):
+            for idx in self.open:
+                if idx is not None:
+                    self.links[idx][1].append(data)
+
+    p = _Links()
+    p.feed(html or "")
+    p.close()
+    return [
+        (href, " ".join("".join(parts).split()))
+        for href, parts in p.links
+    ]
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, href, anchor) — one row per anchor with an href, in
+    document order.  The edge list under every link-graph signal
+    (PageRank priors, anchor-text retrieval, spam neighborhoods).
+    Map-only Arrow batches, the html_to_text contract; compose with
+    functions/urls.py:canonicalize_url for graph-key hygiene."""
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"id": [], "href": [], "anchor": []}
+            for i, h in zip(pdf[id_col], pdf[html_col]):
+                for href, anchor in _parse_links(
+                    h if isinstance(h, str) else ""
+                ):
+                    out["id"].append(i)
+                    out["href"].append(href)
+                    out["anchor"].append(anchor)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        extract, schema=f"id {id_dt}, href string, anchor string"
+    )

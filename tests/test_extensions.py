@@ -1794,3 +1794,25 @@ def test_html_to_text_extraction(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_extract_links_hrefs_anchors_and_nesting(spark):
+    from dogsheep_beta_spark.operators.html import extract_links
+
+    html = (
+        '<html><body>'
+        '<script>var s = \'<a href="http://fake/">no</a>\';</script>'
+        '<p><a href="http://a/1">first &amp; main</a></p>'
+        '<a>no href</a>'
+        '<a href="http://a/2">outer <b>bold</b> text</a>'
+        '<div><a href="/rel">rel&#33;</a></div>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "id int, h string")
+    rows = extract_links(df, "id", "h").collect()
+    got = [(r.id, r.href, r.anchor) for r in rows]
+    assert got == [
+        (1, "http://a/1", "first & main"),
+        (1, "http://a/2", "outer bold text"),
+        (1, "/rel", "rel!"),
+    ]
