@@ -3735,19 +3735,14 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     return est.crossJoin(F.broadcast(exact))
 
 
-def q_sketch_cms_freq(spark, sf_dir):
-    """Count-Min frequency estimation over the corpus vocabulary
-    (operators/sketches.py): a 4×1024 sketch built in one
-    map-side-partial pass over the SHARED persisted token stream, then
-    point-queried for the exact top-20 terms.  cms_n ≥ exact_n always
-    (one-sided error); the exact counts ride along to expose the
-    collision overshoot.  At 100 TB the 4096-row sketch IS the state
-    you keep — it broadcasts into the lookup, and sketches from
-    separate shards merge by (row,bucket) addition."""
-    from dogsheep_beta_spark.operators.sketches import cms_build, cms_lookup
+def _cms_top20_report(spark, sf_dir, cms):
+    """Shared read path of the two CMS queries: point-query the exact
+    top-20 terms (by total frequency, deterministic tie-break) against
+    ``cms`` — one definition so the batch and streaming queries can
+    never drift from their shared oracle."""
+    from dogsheep_beta_spark.operators.sketches import cms_lookup
 
     toks = _token_stream_ctx(spark, sf_dir)
-    cms = cms_build(toks, "t", width=1024, depth=4, salt="sk:")
     top = (
         toks.groupBy(F.col("t").alias("term"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -3765,6 +3760,22 @@ def q_sketch_cms_freq(spark, sf_dir):
         )
         .orderBy(F.desc("exact_n"), F.asc("term"))
     )
+
+
+def q_sketch_cms_freq(spark, sf_dir):
+    """Count-Min frequency estimation over the corpus vocabulary
+    (operators/sketches.py): a 4×1024 sketch built in one
+    map-side-partial pass over the SHARED persisted token stream, then
+    point-queried for the exact top-20 terms.  cms_n ≥ exact_n always
+    (one-sided error); the exact counts ride along to expose the
+    collision overshoot.  At 100 TB the 4096-row sketch IS the state
+    you keep — it broadcasts into the lookup, and sketches from
+    separate shards merge by (row,bucket) addition."""
+    from dogsheep_beta_spark.operators.sketches import cms_build
+
+    toks = _token_stream_ctx(spark, sf_dir)
+    cms = cms_build(toks, "t", width=1024, depth=4, salt="sk:")
+    return _cms_top20_report(spark, sf_dir, cms)
 
 
 def _kmv_stream_layout(spark, sf_dir):
@@ -3980,29 +3991,10 @@ def q_streaming_cms_freq(spark, sf_dir):
     the streamed sketch IDENTICAL to the batch build over the full
     corpus, so the output — estimates for the exact top-20 terms —
     shares sketch_cms_freq's oracle byte-for-byte."""
-    from dogsheep_beta_spark.operators.sketches import cms_lookup
     from dogsheep_beta_spark.streaming.incremental import read_cms_sketch
 
     root = _cms_stream_layout(spark, sf_dir)
-    cms = read_cms_sketch(spark, root)
-    toks = _token_stream_ctx(spark, sf_dir)
-    top = (
-        toks.groupBy(F.col("t").alias("term"))
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-        .limit(20)
-    )
-    looked = cms_lookup(
-        cms, top.withColumnRenamed("term", "t"), "t", 1024, 4, salt="sk:"
-    )
-    return (
-        looked.select(
-            F.col("t").alias("term"),
-            "exact_n",
-            F.col("cms_est").alias("cms_n"),
-        )
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-    )
+    return _cms_top20_report(spark, sf_dir, read_cms_sketch(spark, root))
 
 
 def q_html_link_graph(spark, sf_dir):
@@ -4127,8 +4119,7 @@ def q_bpe_learn_merges(spark, sf_dir):
         .groupBy(F.col("t").alias("word"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    merges, final = learn_bpe(words, "word", "n", n_merges=3)
-    final.unpersist()
+    merges, _final = learn_bpe(words, "word", "n", n_merges=3)
     return spark.createDataFrame(
         [
             (i + 1, a, b, cnt)

@@ -182,7 +182,17 @@ def cms_lookup(
     as 0, so an unseen item estimates 0).
 
     The sketch is ≤ depth*width rows → broadcast; the candidate side
-    never shuffles.  Output: ``items`` columns + ``cms_est``."""
+    never shuffles.  Output: ``items`` columns + ``cms_est``.
+
+    Join internals use ``__cms_``-prefixed names so candidate tables
+    that already carry ``row``/``bucket``/``n`` columns (a counted
+    term table is the natural candidate shape) don't collide."""
+    for reserved in ("__cms_row", "__cms_bucket", "__cms_n", "cms_est"):
+        if reserved in items.columns:
+            raise ValueError(
+                f"cms_lookup: items may not contain a column named "
+                f"{reserved!r}"
+            )
     buckets = F.array(
         *[
             (hash60(F.col(col), f"{salt}cms{d}:") % width).cast("int")
@@ -190,12 +200,19 @@ def cms_lookup(
         ]
     )
     probes = items.select(
-        "*", F.posexplode(buckets).alias("row", "bucket")
+        "*", F.posexplode(buckets).alias("__cms_row", "__cms_bucket")
+    )
+    cms_r = cms.select(
+        F.col("row").alias("__cms_row"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("n").alias("__cms_n"),
     )
     return (
-        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        probes.join(F.broadcast(cms_r), ["__cms_row", "__cms_bucket"], "left")
         .groupBy(*items.columns)
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("__cms_n"), F.lit(0))).alias("cms_est")
+        )
     )
 
 

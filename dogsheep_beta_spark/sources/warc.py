@@ -45,7 +45,7 @@ WARC_SCHEMA = (
 )
 
 
-def parse_warc_records(buf: bytes) -> Iterator[tuple]:
+def parse_warc_records(buf: bytes, on_error: str = "raise") -> Iterator[tuple]:
     """Split one WARC file's bytes into records.
 
     Framing per ISO 28500: a header block terminated by CRLFCRLF whose
@@ -53,32 +53,49 @@ def parse_warc_records(buf: bytes) -> Iterator[tuple]:
     payload, then two CRLFs.  Seeking by Content-Length (never by
     scanning for the next magic) is what makes binary payloads safe.
     Yields (offset, warc_type, record_id, target_uri, warc_date,
-    content_length, payload)."""
+    content_length, payload).
+
+    ``on_error``: ``"raise"`` aborts on the first malformed byte (the
+    fixture/round-trip posture); ``"quarantine"`` — the crawl posture,
+    where one corrupt record in one segment must NOT kill a
+    terabyte-scale job — stops parsing THAT FILE at the bad offset
+    (Content-Length framing cannot be resynced safely) and yields one
+    final marker record with ``warc_type='__malformed__'`` whose
+    payload is the error message, so corruption is visible downstream
+    instead of silently swallowed."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
     pos, n = 0, len(buf)
     while pos < n:
         while pos < n and buf[pos : pos + 1] in (b"\r", b"\n"):
             pos += 1
         if pos >= n:
             return
-        if not buf.startswith(b"WARC/", pos):
-            raise ValueError(
-                f"malformed WARC: expected record header at byte {pos}"
-            )
-        hdr_end = buf.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            raise ValueError("malformed WARC: unterminated header block")
-        head = buf[pos:hdr_end].decode("latin-1")
-        headers: dict[str, str] = {}
-        for line in head.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get("content-length", "0"))
-        payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
-        if len(payload) != clen:
-            raise ValueError(
-                f"malformed WARC: truncated payload at byte {pos} "
-                f"(want {clen}, have {len(payload)})"
-            )
+        try:
+            if not buf.startswith(b"WARC/", pos):
+                raise ValueError(
+                    f"malformed WARC: expected record header at byte {pos}"
+                )
+            hdr_end = buf.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                raise ValueError("malformed WARC: unterminated header block")
+            head = buf[pos:hdr_end].decode("latin-1")
+            headers: dict[str, str] = {}
+            for line in head.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            clen = int(headers.get("content-length", "0"))
+            payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+            if len(payload) != clen:
+                raise ValueError(
+                    f"malformed WARC: truncated payload at byte {pos} "
+                    f"(want {clen}, have {len(payload)})"
+                )
+        except ValueError as e:
+            if on_error == "raise":
+                raise
+            yield (pos, "__malformed__", "", "", "", 0, str(e).encode())
+            return
         yield (
             pos,
             headers.get("warc-type", ""),
@@ -92,7 +109,10 @@ def parse_warc_records(buf: bytes) -> Iterator[tuple]:
 
 
 def read_warc(
-    spark: SparkSession, path: str, http_split: bool = False
+    spark: SparkSession,
+    path: str,
+    http_split: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """WARC segment files → one row per record (WARC_SCHEMA).
 
@@ -101,7 +121,13 @@ def read_warc(
     decompressed in-task (multi-member gzip == per-record-gzipped
     WARC).  With ``http_split=True``, response records additionally
     carry ``http_status int`` and ``http_body binary`` (the payload
-    minus its HTTP header envelope); non-response records get NULLs."""
+    minus its HTTP header envelope); non-response records get NULLs.
+
+    ``on_error="quarantine"`` is the crawl posture: a corrupt record
+    stops parsing of that one file and surfaces as a
+    ``warc_type='__malformed__'`` marker row instead of failing the
+    job (see parse_warc_records); gzip decode errors quarantine the
+    whole file the same way."""
     import pandas as pd
 
     schema = WARC_SCHEMA + (
@@ -120,11 +146,18 @@ def read_warc(
             }
             for path_, content in zip(pdf["path"], pdf["content"]):
                 buf = bytes(content)
-                if path_.endswith(".gz"):
-                    buf = gzip.decompress(buf)
+                try:
+                    if path_.endswith(".gz"):
+                        buf = gzip.decompress(buf)
+                    records = list(parse_warc_records(buf, on_error))
+                except (OSError, EOFError, ValueError) as e:
+                    if on_error == "raise":
+                        raise
+                    records = [(0, "__malformed__", "", "", "", 0,
+                                str(e).encode())]
                 for (
                     off, wtype, rid, uri, date, clen, payload
-                ) in parse_warc_records(buf):
+                ) in records:
                     out["warc_file"].append(path_)
                     out["record_offset"].append(off)
                     out["warc_type"].append(wtype)

@@ -1878,7 +1878,7 @@ def merge_kmv_batch(
     if os.path.lexists(sk_path):
         merged = kmv_merge([spark.read.parquet(sk_path), batch_sk], k=k)
     else:
-        merged = batch_sk.orderBy("h").limit(k)
+        merged = batch_sk  # already the ordered min-k synopsis
     _atomic_swap_write(merged.coalesce(1), sk_path)
 
 
@@ -1940,10 +1940,16 @@ def merge_cms_batch(
     CMS sketches ADD: the batch's sketch unions with the stored one
     and sums per (row, bucket); the published table stays ≤
     depth*width rows forever.  Per-batch cost is O(batch + d·w),
-    never O(history).  Unlike the KMV merge, re-delivery of a batch
-    is NOT naturally idempotent (counts would double) — exactly-once
-    here comes from the checkpointed availableNow replay, same
-    contract as the windowed-count stream."""
+    never O(history).
+
+    Unlike the KMV merge, addition is NOT naturally replay-idempotent
+    (foreachBatch is at-least-once: a crash between publish and the
+    stream's epoch commit re-delivers the batch, and re-adding would
+    permanently inflate the counters).  The published table therefore
+    carries the last-merged ``batch_id`` in a ``last_batch`` column
+    (one value, stamped on every row); a re-delivered batch_id ≤
+    last_batch is a NO-OP — the same dedup-by-batch-id discipline the
+    other merges in this module get from their anti-joins."""
     import os
 
     from pyspark.sql import functions as F
@@ -1956,22 +1962,32 @@ def merge_cms_batch(
         weight_col=weight_col,
     )
     if os.path.lexists(sk_path):
+        stored = spark.read.parquet(sk_path)
+        last = stored.agg(F.max("last_batch")).collect()[0][0]
+        if last is not None and batch_id <= last:
+            return  # re-delivered batch: already folded in
         merged = (
-            spark.read.parquet(sk_path)
+            stored.drop("last_batch")
             .unionByName(batch_sk)
             .groupBy("row", "bucket")
             .agg(F.sum("n").alias("n"))
         )
     else:
         merged = batch_sk
-    _atomic_swap_write(merged.coalesce(1), sk_path)
+    _atomic_swap_write(
+        merged.withColumn("last_batch", F.lit(int(batch_id))).coalesce(1),
+        sk_path,
+    )
 
 
 def read_cms_sketch(spark: SparkSession, root_path: str) -> DataFrame:
-    """(row, bucket, n) — the streamed sketch's current generation."""
+    """(row, bucket, n) — the streamed sketch's current generation
+    (the internal ``last_batch`` replay marker is dropped)."""
     import os
 
-    return spark.read.parquet(os.path.join(root_path, "sketch"))
+    return spark.read.parquet(os.path.join(root_path, "sketch")).drop(
+        "last_batch"
+    )
 
 
 def streaming_cms_freq(

@@ -56,7 +56,6 @@ def test_learn_bpe_matches_reference(spark):
     got = {
         tuple(r.sym[1:-1].split("][")): r.n for r in final.collect()
     }
-    final.unpersist()
     assert got == ref_words
 
 
@@ -76,15 +75,13 @@ def test_pair_counts_weighted_and_tiebreak(spark):
         for r in pair_counts(words_to_symbols(df, "word", "n")).collect()
     }
     assert pc == {("a", "b"): 3, ("b", "a"): 3}
-    merges, final = learn_bpe(df, "word", "n", n_merges=1)
-    final.unpersist()
+    merges, _final = learn_bpe(df, "word", "n", n_merges=1)
     assert merges == [("a", "b", 3)]  # tie broken by pair asc
 
 
 def test_single_char_words_no_pairs(spark):
     df = spark.createDataFrame([("a", 9), ("b", 4)], "word string, n long")
-    merges, final = learn_bpe(df, "word", "n", n_merges=2)
-    final.unpersist()
+    merges, _final = learn_bpe(df, "word", "n", n_merges=2)
     assert merges == []
 
 

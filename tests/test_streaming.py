@@ -1428,3 +1428,28 @@ def test_streaming_cms_converges_to_batch(spark, tmpdir):
         for r in cms_build(full, "v", width=64, depth=3).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_redelivery_is_dropped(spark, tmpdir):
+    """foreachBatch is at-least-once: re-delivering an already-merged
+    batch_id must be a no-op, not a double count."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_cms_batch,
+        read_cms_sketch,
+    )
+
+    root = os.path.join(tmpdir, "cms")
+    b0 = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    b1 = spark.createDataFrame([(2,), (3,)], "v long")
+    merge_cms_batch(spark, b0, 0, root, "v", width=64, depth=3)
+    merge_cms_batch(spark, b1, 1, root, "v", width=64, depth=3)
+    want = sorted(
+        (r.row, r.bucket, r.n) for r in read_cms_sketch(spark, root).collect()
+    )
+    # replay both batches (crash-after-publish recovery scenario)
+    merge_cms_batch(spark, b1, 1, root, "v", width=64, depth=3)
+    merge_cms_batch(spark, b0, 0, root, "v", width=64, depth=3)
+    got = sorted(
+        (r.row, r.bucket, r.n) for r in read_cms_sketch(spark, root).collect()
+    )
+    assert got == want

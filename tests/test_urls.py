@@ -22,6 +22,14 @@ CASES = [
     ("http://example.com/a#b#c", "http://example.com/a"),
     ("ftp://Host/Dir/", "ftp://host/Dir"),  # path case preserved
     ("http://www.www-site.com/x", "http://www-site.com/x"),  # only leading www.
+    # cross-scheme default ports are DIFFERENT origins — kept
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    ("ftp://example.com:80/x", "ftp://example.com:80/x"),
+    # scheme-less / relative: defragment only, never collapsed
+    ("a.html#top", "a.html"),
+    ("/dir/page?b=1", "/dir/page?b=1"),
+    ("example.com/x", "example.com/x"),
 ]
 
 
@@ -32,6 +40,17 @@ def test_canonicalize_semantics(spark):
         for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in CASES]
+
+
+def test_relative_urls_never_collapse(spark):
+    # regression: these used to all canonicalize to ':///'
+    df = spark.createDataFrame(
+        [("a.html",), ("b.html",), ("example.com/x",)], "url string"
+    )
+    got = {
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == {"a.html", "b.html", "example.com/x"}
 
 
 def test_canonicalize_null_safe(spark):

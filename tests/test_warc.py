@@ -104,3 +104,35 @@ def test_multimember_gzip_like_common_crawl(spark, tmpdir):
         df.agg(F.sum("content_length")).collect()[0][0]
         == sum(len(r["payload"]) for r in recs)
     )
+
+
+def test_quarantine_mode_survives_corruption(spark, tmpdir):
+    """One corrupt segment must not kill the job: good records before
+    the corruption survive, the corruption surfaces as a
+    __malformed__ marker row, and other files are unaffected."""
+    recs = _recs()
+    good = warc_bytes(recs)
+    p_bad = os.path.join(tmpdir, "bad.warc")
+    with open(p_bad, "wb") as f:
+        f.write(good[:-20])  # truncate the last record's payload
+    write_warc_fixture(recs, os.path.join(tmpdir, "good.warc"))
+    # also a file that is not gzip despite the extension
+    with open(os.path.join(tmpdir, "notgz.warc.gz"), "wb") as f:
+        f.write(b"this is not gzip data")
+
+    df = read_warc(spark, os.path.join(tmpdir, "*.warc*"), on_error="quarantine")
+    rows = df.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r.warc_file), []).append(r)
+    assert len(by_file["good.warc"]) == 3
+    bad = by_file["bad.warc"]
+    assert [r.warc_type for r in bad] == ["response", "metadata", "__malformed__"]
+    assert b"truncated payload" in bytes(bad[-1].payload)
+    notgz = by_file["notgz.warc.gz"]
+    assert [r.warc_type for r in notgz] == ["__malformed__"]
+    # default raise posture still aborts
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_warc(spark, p_bad).collect()
