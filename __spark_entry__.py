@@ -4051,6 +4051,29 @@ def q_html_link_graph(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """Distinct-set overlap WITHOUT joining the raw sets
+    (operators/sketches.py:kmv_overlap, Beyer et al. 2007): how many
+    distinct customers the URGENT and LOW order segments share,
+    estimated from two 64-long synopses — the audience-overlap query
+    that at 100 TB must never shuffle the key sets themselves.  All
+    membership is exact integer work on the md5-parity hashes, so the
+    estimates strict-hash against the oracle."""
+    from dogsheep_beta_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    register_testdata(spark, sf_dir, tables=("orders",))
+    orders = spark.table("orders")
+    a = kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        "o_custkey", k=64, salt="kv2:",
+    )
+    b = kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "5-LOW"),
+        "o_custkey", k=64, salt="kv2:",
+    )
+    return kmv_overlap(a, b, k=64)
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL-level dedup — the pass a web corpus runs BEFORE content
     dedup (CCNet/RefinedWeb order).  Two synthesized crawl variants of
@@ -4292,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
         "html_link_graph": q_html_link_graph,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
     }
 
 
@@ -6085,6 +6109,54 @@ LIMIT 100
         # real parser on the engine side, recipe + SQL-twin on the
         # oracle side (the html_extract_text discipline)
         "html_link_graph": _HTML_LINK_ORACLE,
+        # Beyer et al. KMV multiset estimates: union synopsis = min-k
+        # of the sketch union; Jaccard = shared fraction of it.  All
+        # divisions/multiplications mirror the engine expression
+        # (rounded union reused in the intersection product).
+        "sketch_kmv_overlap": """
+            WITH ha AS (
+                SELECT DISTINCT
+                    CAST(('0x' || substr(md5('kv2:' || CAST(o_custkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+            ), hb AS (
+                SELECT DISTINCT
+                    CAST(('0x' || substr(md5('kv2:' || CAST(o_custkey AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS h
+                FROM orders
+                WHERE o_orderpriority = '5-LOW' AND o_custkey IS NOT NULL
+            ),
+            ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+            skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+            both_h AS (SELECT h FROM ska INTERSECT SELECT h FROM skb),
+            u AS (
+                SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+                ORDER BY h LIMIT 64
+            ),
+            agg AS (
+                SELECT COUNT(*) AS k_used, MAX(u.h) AS kth_hash,
+                       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS shared_in_topk
+                FROM u LEFT JOIN both_h b ON u.h = b.h
+            ),
+            est AS (
+                SELECT k_used, shared_in_topk,
+                       ROUND(CASE WHEN k_used < 64
+                             THEN CAST(k_used AS DOUBLE)
+                             ELSE 63.0 * 1152921504606846976.0
+                                  / CAST(kth_hash AS DOUBLE) END, 4) AS ue
+                FROM agg
+            )
+            SELECT k_used, shared_in_topk,
+                   ROUND(CAST(shared_in_topk AS DOUBLE)
+                         / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+                   ue AS union_est,
+                   ROUND((CAST(shared_in_topk AS DOUBLE)
+                          / CAST(k_used AS DOUBLE)) * ue, 4)
+                       AS intersection_est
+            FROM est
+        """,
         "sketch_kmv_by_group": """
             WITH h AS (
                 SELECT DISTINCT o_orderpriority,

@@ -259,3 +259,58 @@ def kmv_distinct_by(
     return agg.select(
         group_col, "k_filled", "kth_hash", F.round(est, 4).alias("est_distinct")
     )
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Distinct-set OVERLAP estimates from two KMV synopses (Beyer et
+    al. 2007, "On synopses for distinct value estimation under
+    multiset operations"): how many distinct keys two segments share,
+    without ever joining the raw sets.
+
+    L = the k smallest hashes of the synopsis UNION is itself the KMV
+    synopsis of A ∪ B; the fraction of L present in BOTH input
+    sketches estimates the Jaccard similarity, and Ĵ · |A ∪ B|̂
+    estimates the intersection cardinality.  Everything is exact
+    integer membership plus the same IEEE division/multiplication in
+    any engine, so the estimates are bit-deterministic.
+
+    Returns one row: (k_used, shared_in_topk, jaccard_est, union_est,
+    intersection_est).  k_used < k means the union synopsis was not
+    saturated — the estimates are then exact."""
+    both = F.broadcast(
+        sketch_a.select("h").intersect(sketch_b.select("h"))
+        .withColumn("__both", F.lit(1))
+    )
+    union_sketch = kmv_merge([sketch_a, sketch_b], k)
+    marked = union_sketch.join(both, "h", "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.coalesce(F.col("__both"), F.lit(0))).alias("shared_in_topk"),
+    )
+    union_est = F.round(
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(KMV_SPACE)
+            / F.col("kth_hash").cast("double")
+        ),
+        4,
+    )
+    jac = F.round(
+        F.col("shared_in_topk").cast("double") / F.col("k_used").cast("double"),
+        6,
+    )
+    return agg.select(
+        "k_used",
+        "shared_in_topk",
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        F.round(
+            (
+                F.col("shared_in_topk").cast("double")
+                / F.col("k_used").cast("double")
+            )
+            * union_est,
+            4,
+        ).alias("intersection_est"),
+    )

@@ -158,3 +158,39 @@ def test_kmv_distinct_by_plan_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan  # rank filter before the exchange
+
+
+def test_kmv_overlap_estimates(spark):
+    from dogsheep_beta_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    # A = 0..2999, B = 2000..4999 → |A∪B|=5000, |A∩B|=1000, J=0.2
+    a = kmv_sketch(_ids(spark, 0, 3000, "v"), "v", k=128)
+    b = kmv_sketch(_ids(spark, 2000, 5000, "v"), "v", k=128)
+    [row] = kmv_overlap(a, b, k=128).collect()
+    assert row.k_used == 128
+    assert 0.10 <= row.jaccard_est <= 0.32
+    assert 0.7 * 5000 <= row.union_est <= 1.3 * 5000
+    assert 0.5 * 1000 <= row.intersection_est <= 1.7 * 1000
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    from dogsheep_beta_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    a = kmv_sketch(_ids(spark, 0, 30, "v"), "v", k=256)
+    b = kmv_sketch(_ids(spark, 20, 50, "v"), "v", k=256)
+    [row] = kmv_overlap(a, b, k=256).collect()
+    assert row.k_used == 50  # union not saturated → exact
+    assert row.shared_in_topk == 10
+    assert row.union_est == 50.0
+    assert row.intersection_est == 10.0
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from dogsheep_beta_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    a = kmv_sketch(_ids(spark, 0, 1000, "v"), "v", k=64)
+    b = kmv_sketch(_ids(spark, 5000, 6000, "v"), "v", k=64)
+    [dis] = kmv_overlap(a, b, k=64).collect()
+    assert dis.jaccard_est == 0.0 and dis.intersection_est == 0.0
+    [ident] = kmv_overlap(a, a, k=64).collect()
+    assert ident.jaccard_est == 1.0
