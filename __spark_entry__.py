@@ -4074,6 +4074,60 @@ def q_sketch_kmv_overlap(spark, sf_dir):
     return kmv_overlap(a, b, k=64)
 
 
+#: robots fixtures for q_robots_url_filter — h0 pins the RFC's
+#: longest-match-wins interplay (/p/src10 Allow overrides the shorter
+#: /p/src1 Disallow), h1 pins * and $ wildcards, h2 has no file at
+#: all (no-rules ⇒ allowed).
+_ROBOTS_FIXTURE = {
+    "h0.corpus": "User-agent: *\nDisallow: /p/src1\nAllow: /p/src10\n",
+    "h1.corpus": (
+        "User-agent: other\nDisallow: /\n"
+        "User-agent: *\nDisallow: /p/*7\nDisallow: /p/src2$\n"
+    ),
+}
+
+
+def q_robots_url_filter(spark, sf_dir):
+    """Crawl-compliance filtering (functions/robots.py, RFC 9309):
+    synthesized per-host robots.txt rules broadcast against a URL
+    table derived from documents; per-source allowed/blocked report.
+    The rule parse is driver-side (files are tiny), matching is a
+    broadcast join + per-URL longest-match argmax whose window is
+    bounded by rules-per-host — the URL side never shuffles.  The
+    oracle embeds the SAME parsed rule table (generated by the same
+    parser) and replays the matching semantics in SQL."""
+    from dogsheep_beta_spark.functions.robots import (
+        robots_filter,
+        robots_rules_df,
+    )
+
+    rules = robots_rules_df(spark, _ROBOTS_FIXTURE, agent="corpusbot")
+    d = _documents(spark, sf_dir).select("doc_id", "source")
+    urls = d.select(
+        "source",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".corpus/p/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    verdicts = robots_filter(urls, "url", rules)
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("robots_allowed").cast("long").alias("n_allowed"),
+            (F.count(F.lit(1)) - F.sum("robots_allowed"))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL-level dedup — the pass a web corpus runs BEFORE content
     dedup (CCNet/RefinedWeb order).  Two synthesized crawl variants of
@@ -4316,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_freq": q_streaming_cms_freq,
         "html_link_graph": q_html_link_graph,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "robots_url_filter": q_robots_url_filter,
     }
 
 
@@ -4485,6 +4540,55 @@ def _html_link_oracle() -> str:
 
 
 _HTML_LINK_ORACLE = _html_link_oracle()
+
+
+def _robots_oracle() -> str:
+    """robots_url_filter's oracle: the SAME parsed rule table (built
+    by functions/robots.py:parse_robots, embedded as VALUES literals)
+    + the RFC matching semantics replayed in SQL."""
+    from dogsheep_beta_spark.functions.robots import parse_robots
+
+    rows = []
+    for host, text in sorted(_ROBOTS_FIXTURE.items()):
+        for allow, rule_len, pattern in parse_robots(text, "corpusbot"):
+            pat = pattern.replace("'", "''")
+            rows.append(f"('{host}', {int(allow)}, {rule_len}, '{pat}')")
+    values = ", ".join(rows)
+    return f"""
+        WITH u AS (
+            SELECT source,
+                   'h' || CAST(doc_id % 3 AS VARCHAR) || '.corpus' AS host,
+                   '/p/' || source || '/' || CAST(doc_id AS VARCHAR) AS path
+            FROM documents
+        ),
+        r(host, allow, rule_len, pattern) AS (VALUES {values}),
+        cand AS (
+            SELECT u.source, u.host, u.path, r.allow, r.rule_len,
+                   CASE WHEN r.pattern IS NOT NULL
+                             AND regexp_matches(u.path, r.pattern)
+                        THEN 1 ELSE 0 END AS m
+            FROM u LEFT JOIN r ON u.host = r.host
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY host, path
+                ORDER BY m DESC, rule_len DESC, allow DESC
+            ) AS rn
+            FROM cand
+        ),
+        verdict AS (
+            SELECT source,
+                   CASE WHEN m = 0 THEN 1 ELSE allow END AS ok
+            FROM ranked WHERE rn = 1
+        )
+        SELECT source, COUNT(*) AS n_urls,
+               CAST(SUM(ok) AS BIGINT) AS n_allowed,
+               CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_blocked
+        FROM verdict GROUP BY source ORDER BY source
+    """
+
+
+_ROBOTS_ORACLE = _robots_oracle()
 
 
 ORACLE_DOC_TOKENS = """
@@ -6106,6 +6210,7 @@ LIMIT 100
         # (functions/urls.py:CANONICALIZE_URL_SQL — kept beside the
         # Spark expression so the two evolve together)
         "url_canonical_dedup": _URL_CANON_ORACLE,
+        "robots_url_filter": _ROBOTS_ORACLE,
         # real parser on the engine side, recipe + SQL-twin on the
         # oracle side (the html_extract_text discipline)
         "html_link_graph": _HTML_LINK_ORACLE,

@@ -1,0 +1,94 @@
+"""robots.txt parsing + filtering (functions/robots.py) against the
+RFC 9309 semantics: group selection, wildcard rules, longest-match
+with Allow winning ties, no-match default."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dogsheep_beta_spark.functions.robots import (
+    parse_robots,
+    robots_filter,
+    robots_rules_df,
+    rule_to_regex,
+)
+
+ROBOTS = """
+# example file
+User-agent: FancyBot
+Disallow: /private/
+
+User-agent: *
+Allow: /public/
+Disallow: /pub*
+Disallow: /tmp$
+Disallow:
+Crawl-delay: 10
+"""
+
+
+def test_group_selection_prefers_longest_agent_prefix():
+    fancy = parse_robots(ROBOTS, agent="fancybot/1.2")
+    assert [(a, l) for a, l, _ in fancy] == [(False, 9)]
+    star = parse_robots(ROBOTS, agent="otherbot")
+    # empty Disallow dropped; 3 rules survive
+    assert [(a, l) for a, l, _ in star] == [
+        (True, 8), (False, 5), (False, 5)
+    ]
+
+
+def test_rule_to_regex_wildcards():
+    import re
+
+    assert re.match(rule_to_regex("/pub*"), "/public/x")
+    assert re.match(rule_to_regex("/tmp$"), "/tmp")
+    assert not re.match(rule_to_regex("/tmp$"), "/tmp/x")
+    assert re.match(rule_to_regex("/a*b$"), "/aXXXb")
+    # regex metachars in paths are literal
+    assert re.match(rule_to_regex("/a.b"), "/a.b")
+    assert not re.match(rule_to_regex("/a.b"), "/aXb")
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    rules = robots_rules_df(spark, {"ex.com": ROBOTS}, agent="otherbot")
+    urls = spark.createDataFrame(
+        [
+            ("http://ex.com/public/page",),   # Allow /public/ (8) beats /pub* (4)
+            ("http://ex.com/pubx",),          # only /pub* matches -> blocked
+            ("http://ex.com/tmp",),           # /tmp$ -> blocked
+            ("http://ex.com/tmp/file",),      # $ anchor does not match -> allowed
+            ("http://ex.com/other",),         # no match -> allowed
+            ("http://other.com/pubx",),       # no rules for host -> allowed
+            ("http://EX.com:8080/pubx",),     # host casefold + port strip
+        ],
+        "url string",
+    )
+    got = {
+        r.url: r.robots_allowed
+        for r in robots_filter(urls, "url", rules).collect()
+    }
+    assert got == {
+        "http://ex.com/public/page": 1,
+        "http://ex.com/pubx": 0,
+        "http://ex.com/tmp": 0,
+        "http://ex.com/tmp/file": 1,
+        "http://ex.com/other": 1,
+        "http://other.com/pubx": 1,
+        "http://EX.com:8080/pubx": 0,
+    }
+
+
+def test_robots_filter_keeps_duplicate_rows(spark):
+    rules = robots_rules_df(spark, {"ex.com": ROBOTS}, agent="x")
+    urls = spark.createDataFrame(
+        [("http://ex.com/pubx",)] * 3, "url string"
+    )
+    out = robots_filter(urls, "url", rules)
+    assert out.count() == 3  # one verdict per input row, dups preserved
+
+
+def test_allow_wins_equal_length_tie(spark):
+    txt = "User-agent: *\nAllow: /dir/\nDisallow: /dir/"
+    rules = robots_rules_df(spark, {"h.io": txt})
+    urls = spark.createDataFrame([("https://h.io/dir/x",)], "url string")
+    [r] = robots_filter(urls, "url", rules).collect()
+    assert r.robots_allowed == 1
