@@ -4087,6 +4087,39 @@ _ROBOTS_FIXTURE = {
 }
 
 
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: instead of DROPPING duplicates, weight each doc by
+    1/|its exact-dup cluster| so repeated training epochs see every
+    duplicate class with unit total mass (the public data-constrained
+    scaling recipe; CCNet's dedup-by-weight variant).  One window
+    count over the normalized-text hash — a single shuffle, no join,
+    no doc ever leaves its partition twice.  Report per source:
+    docs, effective (weighted) mass, and the biggest cluster."""
+    from pyspark.sql import Window
+
+    d = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    h = F.md5(F.col("text"))  # the exact-dedup fingerprint (dedup_exact)
+    w = Window.partitionBy("__h")
+    weighted = (
+        d.withColumn("__h", h)
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .select(
+            "source",
+            "__n",
+            (F.lit(1.0) / F.col("__n").cast("double")).alias("__w"),
+        )
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("__w"), 6).alias("effective_docs"),
+            F.max("__n").cast("long").alias("max_cluster"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_robots_url_filter(spark, sf_dir):
     """Crawl-compliance filtering (functions/robots.py, RFC 9309):
     synthesized per-host robots.txt rules broadcast against a URL
@@ -4371,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_graph": q_html_link_graph,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "robots_url_filter": q_robots_url_filter,
+        "dedup_soft_weights": q_dedup_soft_weights,
     }
 
 
@@ -5433,6 +5467,17 @@ LIMIT 100
             SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) ORDER BY fingerprint
+        """,
+        "dedup_soft_weights": """
+            WITH c AS (
+                SELECT source,
+                       COUNT(*) OVER (PARTITION BY md5(text)) AS n
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(SUM(1.0 / CAST(n AS DOUBLE)), 6) AS effective_docs,
+                   CAST(MAX(n) AS BIGINT) AS max_cluster
+            FROM c GROUP BY source ORDER BY source
         """,
         "dedup_ngram_jaccard": _JACCARD_PRUNED
         + """
