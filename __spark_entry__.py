@@ -4125,16 +4125,13 @@ def q_robots_url_filter(spark, sf_dir):
     synthesized per-host robots.txt rules broadcast against a URL
     table derived from documents; per-source allowed/blocked report.
     The rule parse is driver-side (files are tiny), matching is a
-    broadcast join + per-URL longest-match argmax whose window is
-    bounded by rules-per-host — the URL side never shuffles.  The
+    literal rules-map lookup + higher-order longest-match argmax —
+    MAP-ONLY, the URL side genuinely never shuffles (plan has no
+    Exchange before the report aggregate).  The
     oracle embeds the SAME parsed rule table (generated by the same
     parser) and replays the matching semantics in SQL."""
-    from dogsheep_beta_spark.functions.robots import (
-        robots_filter,
-        robots_rules_df,
-    )
+    from dogsheep_beta_spark.functions.robots import robots_filter
 
-    rules = robots_rules_df(spark, _ROBOTS_FIXTURE, agent="corpusbot")
     d = _documents(spark, sf_dir).select("doc_id", "source")
     urls = d.select(
         "source",
@@ -4147,7 +4144,7 @@ def q_robots_url_filter(spark, sf_dir):
             F.col("doc_id").cast("string"),
         ).alias("url"),
     )
-    verdicts = robots_filter(urls, "url", rules)
+    verdicts = robots_filter(urls, "url", _ROBOTS_FIXTURE, agent="corpusbot")
     return (
         verdicts.groupBy("source")
         .agg(

@@ -4,11 +4,13 @@ before (or while re-validating) ingestion.
 
 Shape: robots.txt files are tiny (one per host) and the rule set for
 a whole crawl fits in a broadcast; URLs are the 100 TB side.  So the
-parse is driver-side Python (``parse_robots``, golden-tested against
-the RFC's own examples), the rules become a small DataFrame
-(``robots_rules_df``), and the filter is a broadcast join on host +
-a per-URL longest-match argmax (``robots_filter``) — the URL table
-never shuffles on anything but its own partitioning.
+parse is driver-side Python (``parse_robots``), and the filter is
+MAP-ONLY: the rules become one literal map expression and each URL
+decides its verdict with a higher-order longest-match argmax
+(``robots_filter``) — the URL table genuinely never moves.  For rule
+sets too large for a literal there is a broadcast-join variant
+(``robots_filter_join`` over ``robots_rules_df``) that costs one
+bounded candidate window.
 
 Matching semantics per RFC 9309 §2.2:
 
@@ -51,11 +53,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, int, str]]:
     ``[(allow, rule_len, regex), ...]``.
 
     Groups are runs of ``User-agent`` lines followed by rules; the
-    selected group is the longest user-agent token that is a prefix of
-    ``agent`` (case-insensitive), with ``*`` as the zero-length
-    fallback.  Empty Disallow values are dropped (they match
-    nothing).  Unknown directives (Crawl-delay, Sitemap, ...) are
-    ignored, comments stripped."""
+    applicable rules are those of EVERY group carrying the winning
+    user-agent token — the longest case-insensitive prefix of
+    ``agent``, with ``*`` as the zero-length fallback.  RFC 9309
+    §2.2.1 requires combining groups that name the same product token
+    (two separate ``User-agent: *`` groups both apply; selecting only
+    one silently un-disallows the other's paths).  Empty Disallow
+    values are dropped (they match nothing).  Unknown directives
+    (Crawl-delay, Sitemap, ...) are ignored, comments stripped."""
     agent_l = agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -81,17 +86,26 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, int, str]]:
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
-    best_len, best_rules = -1, []
-    for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                cand = 0
-            elif agent_l.startswith(a):
-                cand = len(a)
-            else:
-                continue
-            if cand > best_len:
-                best_len, best_rules = cand, rules
+    def match_len(a: str):
+        if a == "*":
+            return 0
+        return len(a) if agent_l.startswith(a) else None
+
+    lens = [
+        m
+        for agents, _ in groups
+        for a in agents
+        if (m := match_len(a)) is not None
+    ]
+    if not lens:
+        return []
+    best_len = max(lens)
+    best_rules = [
+        rule
+        for agents, rules in groups
+        if any(match_len(a) == best_len for a in agents)
+        for rule in rules
+    ]
     return [
         (allow, len(value), rule_to_regex(value))
         for allow, value in best_rules
@@ -134,26 +148,107 @@ def robots_rules_df(
 
 
 def robots_filter(
+    urls: DataFrame,
+    url_col: str,
+    robots_by_host: dict,
+    agent: str = "*",
+) -> DataFrame:
+    """Adds ``robots_allowed`` (int 0/1) per URL — MAP-ONLY.
+
+    The parsed rules become one literal ``map<host, array<struct>>``
+    expression; each URL looks its host's rules up, filters matches
+    with a higher-order lambda, and takes the (rule_len, allow)
+    struct-max — RFC longest-match with Allow winning ties.  Zero
+    joins, zero shuffles: the 100 TB URL side never moves (the window
+    variant this replaced shuffled the whole table on a row id).
+    URLs with no matching rule, no rules for their host, or no host
+    at all are allowed.
+
+    The literal map is the right shape up to ~10⁴ rules (whole-crawl
+    politeness sets usually fit: one host's rules are a handful).
+    Beyond that, use ``robots_filter_join`` with a rules DataFrame.
+    """
+    from dogsheep_beta_spark.functions.urls import url_host, url_path_query
+
+    per_host: dict = {}
+    for host, text in sorted(robots_by_host.items()):
+        rules = parse_robots(text, agent)
+        if rules:
+            per_host[host.lower()] = rules
+    if not per_host:
+        return urls.withColumn("robots_allowed", F.lit(1))
+    rules_map = F.map_from_arrays(
+        F.array(*[F.lit(h) for h in per_host]),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(allow)).alias("allow"),
+                            F.lit(rule_len).alias("rule_len"),
+                            F.lit(pattern).alias("pattern"),
+                        )
+                        for allow, rule_len, pattern in rules
+                    ]
+                )
+                for rules in per_host.values()
+            ]
+        ),
+    )
+    host = F.regexp_replace(
+        F.lower(url_host(F.col(url_col))), r":\d+$", ""
+    )
+    path = url_path_query(F.col(url_col))
+    matched = F.filter(
+        F.coalesce(
+            F.element_at(rules_map, host),
+            F.array().cast(
+                "array<struct<allow:int,rule_len:int,pattern:string>>"
+            ),
+        ),
+        lambda r: F.regexp_like(path, r["pattern"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["rule_len"].alias("rule_len"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return urls.withColumn(
+        "robots_allowed",
+        F.when(F.size(matched) == 0, F.lit(1)).otherwise(best["allow"]),
+    )
+
+
+def robots_filter_join(
     urls: DataFrame, url_col: str, rules: DataFrame
 ) -> DataFrame:
-    """Adds ``robots_allowed`` (int 0/1) per URL.
+    """The many-hosts variant of ``robots_filter``: same verdicts, but
+    the rule table is a DataFrame (``robots_rules_df`` or a real
+    crawl-wide store) broadcast-joined on host, with the longest-match
+    argmax as one bounded window.  Costs one shuffle of the candidate
+    rows on a synthetic row id — use the map-only ``robots_filter``
+    whenever the rule set fits a literal.
 
-    host/path split is a map-side regex; candidates = broadcast join
-    on host + regexp match; decision = longest-match argmax with
-    Allow winning ties (one window over the candidate rows — bounded
-    by rules-per-host, not corpus size); URLs with no matching rule
-    (or no rules for their host) are allowed."""
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
-    )
-    path = F.regexp_extract(
-        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1
-    )
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    ``urls`` may not contain the reserved working columns."""
+    from dogsheep_beta_spark.functions.urls import url_host, url_path_query
+
+    for reserved in (
+        "host", "allow", "rule_len", "pattern", "robots_allowed",
+        "__uid", "__host", "__path", "__match", "__rn",
+    ):
+        if reserved in urls.columns:
+            raise ValueError(
+                f"robots_filter_join: urls may not contain a column "
+                f"named {reserved!r}"
+            )
+    host = F.lower(url_host(F.col(url_col)))
     base = (
         urls.withColumn("__uid", F.monotonically_increasing_id())
         .withColumn("__host", F.regexp_replace(host, r":\d+$", ""))
-        .withColumn("__path", path)
+        .withColumn("__path", url_path_query(F.col(url_col)))
     )
     cand = base.join(
         F.broadcast(rules), base["__host"] == rules["host"], "left"

@@ -120,3 +120,21 @@ CANONICALIZE_URL_SQL = """
                                '\\?(.*)$', 1), '&')), '&') END
     END
 """
+
+
+#: the one scheme://authority matcher the URL family shares — robots
+#: filtering and canonicalization must split hosts identically or a
+#: page could be fetched under one host key and deduped under another.
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$"
+
+
+def url_host(url: Column) -> Column:
+    """Raw authority (host[:port]) of an absolute URL; '' if none."""
+    return F.regexp_extract(url, URL_HOST_RE, 1)
+
+
+def url_path_query(url: Column) -> Column:
+    """Path + query of an absolute URL ('/' for a bare origin)."""
+    p = F.regexp_extract(url, URL_PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)

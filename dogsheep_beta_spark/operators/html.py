@@ -113,50 +113,67 @@ def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     )
 
 
+#: defensive cap on collected anchor text — an anchor left unclosed
+#: to end-of-document must not emit megabytes of page body as "text"
+_MAX_ANCHOR_CHARS = 4096
+
+
 def _parse_links(html: str) -> list:
-    """(href, anchor_text) per <a href=...> — nested anchors each
-    collect their own text; anchors without href are skipped; script
-    content never parses as markup (HTMLParser treats it as CDATA)."""
+    """(href, anchor_text) per <a href=...>.
+
+    HTML5 semantics: anchors cannot nest — a new ``<a>`` start tag
+    auto-closes any open anchor (what browsers' tree builder does),
+    so a page full of unclosed ``<a href>`` tags (rampant in crawl
+    data) yields one bounded anchor per link instead of one anchor
+    accumulating the rest of the document.  Anchor text is further
+    capped at ``_MAX_ANCHOR_CHARS`` as a last-resort bound (an
+    unclosed FINAL anchor still stops collecting there).  Anchors
+    without href are skipped; script content never parses as markup
+    (HTMLParser treats it as CDATA)."""
     from html.parser import HTMLParser
 
     class _Links(HTMLParser):
         def __init__(self):
             super().__init__(convert_charrefs=True)
-            self.links: list = []  # [href, [text parts]]
-            self.open: list = []  # indices into links, or None
+            self.links: list = []  # [href, [text parts], n_chars]
+            self.open: int | None = None  # index into links
 
         def handle_starttag(self, tag, attrs):
             if tag == "a":
+                self.open = None  # HTML5: <a> auto-closes an open <a>
                 href = dict(attrs).get("href")
                 if href is not None:
-                    self.open.append(len(self.links))
-                    self.links.append([href, []])
-                else:
-                    self.open.append(None)
+                    self.open = len(self.links)
+                    self.links.append([href, [], 0])
 
         def handle_endtag(self, tag):
-            if tag == "a" and self.open:
-                self.open.pop()
+            if tag == "a":
+                self.open = None
 
         def handle_data(self, data):
-            for idx in self.open:
-                if idx is not None:
-                    self.links[idx][1].append(data)
+            if self.open is None:
+                return
+            link = self.links[self.open]
+            room = _MAX_ANCHOR_CHARS - link[2]
+            if room > 0:
+                link[1].append(data[:room])
+                link[2] += min(len(data), room)
 
     p = _Links()
     p.feed(html or "")
     p.close()
     return [
         (href, " ".join("".join(parts).split()))
-        for href, parts in p.links
+        for href, parts, _ in p.links
     ]
 
 
 def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     """(id, href, anchor) — one row per anchor with an href, in
-    document order.  The edge list under every link-graph signal
-    (PageRank priors, anchor-text retrieval, spam neighborhoods).
-    Map-only Arrow batches, the html_to_text contract; compose with
+    document order (HTML5 auto-close semantics, see _parse_links).
+    The edge list under every link-graph signal (PageRank priors,
+    anchor-text retrieval, spam neighborhoods).  Map-only Arrow
+    batches, the html_to_text contract; compose with
     functions/urls.py:canonicalize_url for graph-key hygiene."""
     import pandas as pd
 

@@ -66,6 +66,15 @@ def hash60(col: Column, salt: str = "") -> Column:
     ).cast("long")
 
 
+def _kmv_est_expr(k_filled, kth_hash, k: int):
+    """The KMV estimator as a Column: exact below k, else
+    (k-1)·2^60/h₍ₖ₎ — ONE definition shared by the global, per-group,
+    and overlap estimators so they can never drift."""
+    return F.when(k_filled < k, k_filled.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth_hash.cast("double")
+    )
+
+
 def kmv_sketch(df: DataFrame, col: str, k: int = 256, salt: str = "") -> DataFrame:
     """The KMV synopsis: the ``k`` smallest DISTINCT 60-bit hashes of
     ``col`` (one ``h`` long column, ≤ k rows).
@@ -111,11 +120,7 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     agg = sketch.agg(
         F.count(F.lit(1)).alias("k_filled"), F.max("h").alias("kth_hash")
     )
-    est = F.when(
-        F.col("k_filled") < k, F.col("k_filled").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
-    )
+    est = _kmv_est_expr(F.col("k_filled"), F.col("kth_hash"), k)
     return agg.select(
         "k_filled", "kth_hash", F.round(est, 4).alias("est_distinct")
     )
@@ -251,11 +256,7 @@ def kmv_distinct_by(
     agg = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("k_filled"), F.max("h").alias("kth_hash")
     )
-    est = F.when(
-        F.col("k_filled") < k, F.col("k_filled").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
-    )
+    est = _kmv_est_expr(F.col("k_filled"), F.col("kth_hash"), k)
     return agg.select(
         group_col, "k_filled", "kth_hash", F.round(est, 4).alias("est_distinct")
     )
@@ -289,12 +290,7 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
         F.sum(F.coalesce(F.col("__both"), F.lit(0))).alias("shared_in_topk"),
     )
     union_est = F.round(
-        F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(
-            F.lit(float(k - 1))
-            * F.lit(KMV_SPACE)
-            / F.col("kth_hash").cast("double")
-        ),
-        4,
+        _kmv_est_expr(F.col("k_used"), F.col("kth_hash"), k), 4
     )
     jac = F.round(
         F.col("shared_in_topk").cast("double") / F.col("k_used").cast("double"),

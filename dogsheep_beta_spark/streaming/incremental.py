@@ -1964,8 +1964,20 @@ def merge_cms_batch(
     if os.path.lexists(sk_path):
         stored = spark.read.parquet(sk_path)
         last = stored.agg(F.max("last_batch")).collect()[0][0]
-        if last is not None and batch_id <= last:
-            return  # re-delivered batch: already folded in
+        if last is not None and batch_id == last:
+            return  # re-delivered batch (crash after publish): folded in
+        if last is not None and batch_id < last:
+            # batch ids are per-checkpoint monotonic and Structured
+            # Streaming replays at most the LAST uncommitted batch, so
+            # an OLDER id means the checkpoint was reset against an
+            # existing sketch — silently skipping would freeze the
+            # sketch forever while new data streams past it.
+            raise ValueError(
+                f"merge_cms_batch: batch_id {batch_id} < stored "
+                f"last_batch {last} — the checkpoint was reset against "
+                f"an existing sketch at {sk_path}; start a fresh "
+                "root_path (or delete the sketch) to re-count"
+            )
         merged = (
             stored.drop("last_batch")
             .unionByName(batch_sk)

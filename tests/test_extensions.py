@@ -1816,3 +1816,27 @@ def test_extract_links_hrefs_anchors_and_nesting(spark):
         (1, "http://a/2", "outer bold text"),
         (1, "/rel", "rel!"),
     ]
+
+
+def test_extract_links_unclosed_anchor_auto_closes(spark):
+    """HTML5 semantics: a new <a> auto-closes an open one, and an
+    anchor left unclosed to EOF stops collecting at the cap — crawl
+    pages full of unclosed <a href> must not emit page-sized
+    anchors."""
+    from dogsheep_beta_spark.operators.html import (
+        _MAX_ANCHOR_CHARS,
+        extract_links,
+    )
+
+    html = (
+        '<a href="/one">first'          # never closed
+        '<a href="/two">second</a>'     # auto-closes /one
+        "<p>" + ("body " * 2000) + "</p>"
+        '<a href="/three">tail'         # unclosed to EOF
+        + ("x" * (2 * _MAX_ANCHOR_CHARS))
+    )
+    df = spark.createDataFrame([(1, html)], "id int, h string")
+    rows = {r.href: r.anchor for r in extract_links(df, "id", "h").collect()}
+    assert rows["/one"] == "first"      # no bleed into /two or the body
+    assert rows["/two"] == "second"
+    assert len(rows["/three"]) <= _MAX_ANCHOR_CHARS

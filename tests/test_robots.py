@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from dogsheep_beta_spark.functions.robots import (
     parse_robots,
     robots_filter,
+    robots_filter_join,
     robots_rules_df,
     rule_to_regex,
 )
@@ -49,7 +50,6 @@ def test_rule_to_regex_wildcards():
 
 
 def test_robots_filter_longest_match_and_defaults(spark):
-    rules = robots_rules_df(spark, {"ex.com": ROBOTS}, agent="otherbot")
     urls = spark.createDataFrame(
         [
             ("http://ex.com/public/page",),   # Allow /public/ (8) beats /pub* (4)
@@ -64,7 +64,9 @@ def test_robots_filter_longest_match_and_defaults(spark):
     )
     got = {
         r.url: r.robots_allowed
-        for r in robots_filter(urls, "url", rules).collect()
+        for r in robots_filter(
+            urls, "url", {"ex.com": ROBOTS}, agent="otherbot"
+        ).collect()
     }
     assert got == {
         "http://ex.com/public/page": 1,
@@ -78,17 +80,62 @@ def test_robots_filter_longest_match_and_defaults(spark):
 
 
 def test_robots_filter_keeps_duplicate_rows(spark):
-    rules = robots_rules_df(spark, {"ex.com": ROBOTS}, agent="x")
     urls = spark.createDataFrame(
         [("http://ex.com/pubx",)] * 3, "url string"
     )
-    out = robots_filter(urls, "url", rules)
+    out = robots_filter(urls, "url", {"ex.com": ROBOTS}, agent="x")
     assert out.count() == 3  # one verdict per input row, dups preserved
 
 
 def test_allow_wins_equal_length_tie(spark):
     txt = "User-agent: *\nAllow: /dir/\nDisallow: /dir/"
-    rules = robots_rules_df(spark, {"h.io": txt})
     urls = spark.createDataFrame([("https://h.io/dir/x",)], "url string")
-    [r] = robots_filter(urls, "url", rules).collect()
+    [r] = robots_filter(urls, "url", {"h.io": txt}).collect()
     assert r.robots_allowed == 1
+
+
+def test_split_groups_for_same_agent_combine():
+    """RFC 9309 §2.2.1 regression: two separate 'User-agent: *' groups
+    both apply — dropping the later one un-disallows its paths."""
+    txt = (
+        "User-agent: *\nDisallow: /private/\n\n"
+        "User-agent: googlebot\nDisallow: /g/\n\n"
+        "User-agent: *\nDisallow: /tmp/\n"
+    )
+    rules = parse_robots(txt, "mybot")
+    prefixes = sorted(pat for _, _, pat in rules)
+    assert prefixes == ["^/private/", "^/tmp/"]
+
+
+def test_robots_filter_is_map_only(spark):
+    urls = spark.createDataFrame([("http://ex.com/pubx",)], "url string")
+    out = robots_filter(urls, "url", {"ex.com": ROBOTS})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_join_variant_agrees_and_guards_reserved_names(spark):
+    urls = spark.createDataFrame(
+        [
+            ("http://ex.com/public/page",),
+            ("http://ex.com/pubx",),
+            ("http://ex.com/tmp",),
+            ("http://other.com/pubx",),
+        ],
+        "url string",
+    )
+    rules = robots_rules_df(spark, {"ex.com": ROBOTS}, agent="otherbot")
+    a = {
+        r.url: r.robots_allowed
+        for r in robots_filter_join(urls, "url", rules).collect()
+    }
+    b = {
+        r.url: r.robots_allowed
+        for r in robots_filter(
+            urls, "url", {"ex.com": ROBOTS}, agent="otherbot"
+        ).collect()
+    }
+    assert a == b
+    bad = urls.withColumnRenamed("url", "u").withColumn("host", F.lit("x"))
+    with pytest.raises(ValueError, match="host"):
+        robots_filter_join(bad, "u", rules)

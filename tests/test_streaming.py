@@ -1446,10 +1446,14 @@ def test_streaming_cms_redelivery_is_dropped(spark, tmpdir):
     want = sorted(
         (r.row, r.bucket, r.n) for r in read_cms_sketch(spark, root).collect()
     )
-    # replay both batches (crash-after-publish recovery scenario)
+    # replay of the LAST batch (crash-after-publish recovery) is a no-op
     merge_cms_batch(spark, b1, 1, root, "v", width=64, depth=3)
-    merge_cms_batch(spark, b0, 0, root, "v", width=64, depth=3)
     got = sorted(
         (r.row, r.bucket, r.n) for r in read_cms_sketch(spark, root).collect()
     )
     assert got == want
+    # an OLDER id means a checkpoint reset — loud error, not a freeze
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint was reset"):
+        merge_cms_batch(spark, b0, 0, root, "v", width=64, depth=3)
