@@ -56,6 +56,9 @@ HEADLINE = {
     "sketch_cms_freq": "CMS build is one map-side explode into a depth*width-bounded partial agg; the point-query join broadcasts the sketch",
     "embedding_gram": "partial GEMM per partition (MapInPandas); the only data-sized exchange feeds the d^2-bounded cell aggregate (the scan-side Exchange is the registry's conditional single-row-group scatter, absent on real multi-row-group inputs; the last is the declared ORDER BY of 2080 cells)",
     "warc_source_ingest": "binaryFile file-level parallelism: one task per WARC segment, record split + HTTP split in-task",
+    "robots_url_filter": "MAP-ONLY compliance filter: literal rules-map lookup + higher-order longest-match argmax; no Join, no Exchange before the report aggregate",
+    "dedup_soft_weights": "one window count over the content hash (single shuffle, no join) feeds the weighted per-source report",
+    "bpe_learn_merges": "per merge iteration: one partial-aggregated pair explode + TakeOrdered(1); map-only replace chain over the persisted base",
 }
 
 
