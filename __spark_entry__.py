@@ -4209,6 +4209,66 @@ def q_sketch_kmv_by_group(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def _gram_stream_layout(spark, sf_dir):
+    """Amortized incremental-Gram state build: embeddings replayed as
+    a 3-file stream, each micro-batch's integer Gram addition-merged
+    into the stored d×d matrix (streaming/incremental.py:
+    merge_gram_batch — O(batch + d²) per batch).  Built once per
+    sf_dir, reported by bench as ``gram_stream_build``; the declared
+    query prices the matrix read."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import streaming_gram
+
+    c = _CTX.setdefault(sf_dir, {})
+    root = c.get("gram_root")
+    if root is not None:
+        return root
+    work = c.get("gram_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_gram_stream_")
+        c["gram_stream_path"] = work
+    src = os.path.join(work, "src")
+    root = os.path.join(work, "root")
+    ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(src):
+        _embeddings(spark, sf_dir).select("vec_id", "embedding").repartition(
+            3
+        ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_partitions(spark):
+        q = streaming_gram(stream, root, ckpt, "embedding", dim=64)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "gram stream build did not finish in 300s — the matrix "
+                "would be partial; not caching"
+            )
+    c["gram_root"] = root
+    return root
+
+
+def q_streaming_gram(spark, sf_dir):
+    """Incremental second-moment accumulation: the streamed quantized
+    Gram matrix (_gram_stream_layout — the amortized
+    ``gram_stream_build`` bench entry).  Integer addition-merge makes
+    it IDENTICAL to the batch quantized_gram over the full history, so
+    the oracle is embedding_gram's SQL byte-for-byte."""
+    from dogsheep_beta_spark.streaming.incremental import read_gram
+
+    root = _gram_stream_layout(spark, sf_dir)
+    return read_gram(spark, root)
+
+
 def q_bpe_learn_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
     iterations over the corpus's distinct-word table.  Per iteration
@@ -4402,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "robots_url_filter": q_robots_url_filter,
         "dedup_soft_weights": q_dedup_soft_weights,
+        "streaming_gram": q_streaming_gram,
     }
 
 
@@ -6984,6 +7045,8 @@ LIMIT 100
     # CMS addition-merge law: the streamed sketch equals the batch
     # build, so the point-query output shares sketch_cms_freq's oracle.
     d["streaming_cms_freq"] = d["sketch_cms_freq"]
+    # integer Gram addition-merge law: streamed == batch matrix.
+    d["streaming_gram"] = d["embedding_gram"]
     d["media_video_demux"] = """
         WITH ids AS (
             SELECT doc_id FROM documents WHERE doc_id < 500

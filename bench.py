@@ -85,6 +85,7 @@ def main() -> None:
         ("semantic_stream_build", entry._semantic_stream_layout),
         ("kmv_stream_build", entry._kmv_stream_layout),
         ("cms_stream_build", entry._cms_stream_layout),
+        ("gram_stream_build", entry._gram_stream_layout),
     ):
         t0 = time.time()
         try:

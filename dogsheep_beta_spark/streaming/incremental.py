@@ -2030,3 +2030,96 @@ def streaming_cms_freq(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_gram_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    root_path: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+) -> None:
+    """foreachBatch body: fold a micro-batch of embeddings into a
+    stored quantized Gram matrix (operators/linalg.py) — the running
+    second-moment state under drift monitors, incremental PCA, and
+    whitening refreshes.
+
+    Integer Grams ADD exactly (the quantization makes per-batch
+    matrices bit-stable), so the merge is a union + sum per (i, j)
+    over ≤ d(d+1)/2 rows.  Replay discipline is the CMS merge's: the
+    published table carries ``last_batch``; an equal id re-delivery
+    (crash after publish) is a no-op, an OLDER id means a checkpoint
+    reset and raises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.linalg import quantized_gram
+
+    g_path = os.path.join(root_path, "gram")
+    batch_g = quantized_gram(batch_df, vec_col, dim=dim, scale=scale)
+    if os.path.lexists(g_path):
+        stored = spark.read.parquet(g_path)
+        last = stored.agg(F.max("last_batch")).collect()[0][0]
+        if last is not None and batch_id == last:
+            return
+        if last is not None and batch_id < last:
+            raise ValueError(
+                f"merge_gram_batch: batch_id {batch_id} < stored "
+                f"last_batch {last} — checkpoint reset against an "
+                f"existing gram at {g_path}; start a fresh root_path"
+            )
+        merged = (
+            stored.drop("last_batch")
+            .unionByName(batch_g)
+            .groupBy("i", "j")
+            .agg(F.sum("gram").alias("gram"))
+        )
+    else:
+        merged = batch_g
+    _atomic_swap_write(
+        merged.withColumn("last_batch", F.lit(int(batch_id))).coalesce(1),
+        g_path,
+    )
+
+
+def read_gram(spark: SparkSession, root_path: str) -> DataFrame:
+    """(i, j, gram) upper triangle — the streamed Gram's current
+    generation (internal replay marker dropped), ordered for the
+    convergence contract."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(root_path, "gram"))
+        .drop("last_batch")
+        .orderBy("i", "j")
+    )
+
+
+def streaming_gram(
+    stream_df: DataFrame,
+    root_path: str,
+    checkpoint_dir: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+):
+    """Incremental Gram/second-moment accumulation over an embedding
+    stream (see ``merge_gram_batch``).  Integer addition-merge makes
+    the published matrix IDENTICAL to the batch ``quantized_gram``
+    over the full history — the convergence contract, and why the
+    declared query shares embedding_gram's oracle byte-for-byte."""
+    spark = SparkSession.getActiveSession()
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_gram_batch(
+                spark, bdf, bid, root_path, vec_col, dim, scale
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1457,3 +1457,54 @@ def test_streaming_cms_redelivery_is_dropped(spark, tmpdir):
 
     with _pytest.raises(ValueError, match="checkpoint was reset"):
         merge_cms_batch(spark, b0, 0, root, "v", width=64, depth=3)
+
+
+def test_streaming_gram_converges_to_batch(spark, tmpdir):
+    """Streamed integer Gram == batch quantized_gram over the union
+    (addition-merge law), replay-guarded like the CMS merge."""
+    import numpy as np
+
+    from dogsheep_beta_spark.operators.linalg import quantized_gram
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_gram_batch,
+        read_gram,
+        streaming_gram,
+    )
+
+    rng = np.random.RandomState(5)
+    all_rows = [
+        (i, [float(x) for x in rng.randn(4).astype(np.float32)])
+        for i in range(90)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    src = os.path.join(tmpdir, "src")
+    root = os.path.join(tmpdir, "gram")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    for lo in (0, 30, 60):
+        spark.createDataFrame(all_rows[lo : lo + 30], schema).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = streaming_gram(stream, root, ckpt, "embedding", dim=4)
+        q.awaitTermination(120)
+
+    got = [(r.i, r.j, r.gram) for r in read_gram(spark, root).collect()]
+    full = spark.createDataFrame(all_rows, schema)
+    want = [
+        (r.i, r.j, r.gram)
+        for r in quantized_gram(full, "embedding", dim=4).collect()
+    ]
+    assert got == want
+    # replay guard: equal id no-ops, older id raises
+    b = spark.createDataFrame(all_rows[:5], schema)
+    import pytest as _pytest
+
+    last = spark.read.parquet(os.path.join(root, "gram")).agg(
+        F.max("last_batch")
+    ).collect()[0][0]
+    merge_gram_batch(spark, b, int(last), root, "embedding", 4)
+    assert [(r.i, r.j, r.gram) for r in read_gram(spark, root).collect()] == want
+    with _pytest.raises(ValueError, match="checkpoint reset"):
+        merge_gram_batch(spark, b, int(last) - 1, root, "embedding", 4)
