@@ -7702,6 +7702,20 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
             width=1024, depth=4, salt="sk:",
         )
 
+    def start_gram(ck):
+        from dogsheep_beta_spark.streaming.incremental import streaming_gram
+
+        work = tempfile.mkdtemp(prefix="dbs_steady_gram_")
+        tmp_dirs.append(work)
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(emb_dir)
+        )
+        return streaming_gram(
+            stream, work, os.path.join(ck, "c"), "embedding", dim=64
+        )
+
     for name, starter in (
         ("streaming_dedup", start_dedup),
         ("streaming_sessionize", start_sessionize),
@@ -7713,6 +7727,7 @@ def streaming_steady_state(spark, sf_dir: str, n_batches: int = 6) -> dict:
         ("streaming_semantic_dedup", start_semantic),
         ("streaming_kmv_distinct", start_kmv),
         ("streaming_cms_freq", start_cms),
+        ("streaming_gram", start_gram),
     ):
         try:
             out[name] = measure(starter)
