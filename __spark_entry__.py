@@ -7072,9 +7072,13 @@ LIMIT 100
             SELECT source, SUM(ntok) AS tot FROM n GROUP BY source
         ), kept AS (
             SELECT n.* FROM n JOIN tot USING (source)
-            WHERE CAST(('0x' || substr(md5('tb1' || CAST(doc_id AS VARCHAR)),
-                        1, 8))::BIGINT % 1000000 AS BIGINT)
-                  < CAST(ROUND(least(1.0, 50000.0 / tot) * 1000000) AS BIGINT)
+            -- integer-exact keep predicate (round 7): hash/1e6 <
+            -- budget/tot as hash*tot < budget*1e6 in HUGEINT — no
+            -- float divide or ROUND anywhere, byte-identical to the
+            -- Spark side's decimal(38,0) arithmetic
+            WHERE (('0x' || substr(md5('tb1' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000)::HUGEINT * tot::HUGEINT
+                  < 50000::HUGEINT * 1000000::HUGEINT
         )
         SELECT source, COUNT(*) AS n_kept, SUM(ntok) AS kept_tokens,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc

@@ -25,6 +25,12 @@ first Spark execution of a plan pays 1-2 s of whole-stage-codegen
 compilation and JIT that exists once per plan shape per JVM, not per
 query at steady state; ``cold_total_sec`` preserves the sum of
 first-run times for transparency.
+
+A fixed no-op sentinel job timed before each query's window makes host
+stall measurable inside the artifact (``sentinel_floor_sec``,
+``sentinel_stalled_queries``, ``stall_adjusted_total_sec``): two rounds
+of adjudication had to blame hypervisor steal for outliers with no
+in-JSON control (VERDICT r6 #4).
 """
 
 from __future__ import annotations
@@ -96,8 +102,23 @@ def main() -> None:
             print(f"# bench error in {label}: {e}", file=sys.stderr)
 
     ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+    # Host-stall sentinel (round 7, VERDICT r6 #4): a FIXED no-op Spark
+    # job timed immediately before each query's window.  Its wall is a
+    # pure function of host health (no data, no shuffle, constant plan),
+    # so a per-query floor that drifts ≥2× above the run's best floor
+    # marks that query's window as stalled — making hypervisor steal an
+    # in-artifact measurement instead of a post-hoc adjudication story.
+    def sentinel() -> float:
+        t0 = time.time()
+        spark.range(1_000_000).count()
+        return time.time() - t0
+
+    sentinel()  # one throwaway to absorb the range-plan's codegen cost
+    sentinels: dict[str, float] = {}
     cold_total = 0.0
     for name, fn in entry.queries().items():
+        sentinels[name] = round(sentinel(), 4)
         runs = []
         try:
             for _ in range(ITERS):
@@ -109,6 +130,21 @@ def main() -> None:
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+
+    floor = min(sentinels.values()) if sentinels else 0.0
+    stalled = sorted(
+        n for n, s in sentinels.items() if floor > 0 and s > 2 * floor
+    )
+    # stall-adjusted aggregate: scale each stalled query's wall by the
+    # clean-floor/window-floor ratio (stall inflates Spark's many-small-
+    # jobs profile roughly uniformly — BASELINE.md's host-variance
+    # adjudication); unflagged queries pass through unscaled.
+    adjusted = 0.0
+    for n, v in timings.items():
+        if v < 0:
+            continue
+        s = sentinels.get(n, floor)
+        adjusted += v * (floor / s) if (n in stalled and s > 0) else v
 
     # steady-state streaming: marginal per-micro-batch cost measured
     # from StreamingQuery progress metrics (median over batches after
@@ -165,6 +201,10 @@ def main() -> None:
                 "streaming_per_batch": streaming_per_batch,
                 "iterations": ITERS,
                 "cold_total_sec": round(cold_total, 3),
+                "sentinel_floor_sec": round(floor, 4),
+                "sentinel_stalled_queries": stalled,
+                "sentinels": sentinels,
+                "stall_adjusted_total_sec": round(adjusted, 3),
                 "sf": sf,
             }
         )

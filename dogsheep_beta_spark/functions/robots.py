@@ -147,6 +147,21 @@ def robots_rules_df(
     return spark.range(1).select(F.inline(F.array(*structs)))
 
 
+# host normalization shared by the rule keys (Python) and the URL
+# column (Spark): lowercase + strip an explicit :port — ANCHORED so a
+# bracketless IPv6 literal ('2001:db8::1') keeps its final group, and
+# bracketed-IPv6-with-port ('[::1]:8080') strips only the port.
+_PORT_STRIP_RE = r"^((?:\[[^\]]*\])|(?:[^:]+)):\d+$"
+
+
+def _norm_host_py(h: str) -> str:
+    import re
+
+    h = h.strip().lower()
+    m = re.match(_PORT_STRIP_RE, h)
+    return m.group(1) if m else h
+
+
 def robots_filter(
     urls: DataFrame,
     url_col: str,
@@ -174,7 +189,10 @@ def robots_filter(
     for host, text in sorted(robots_by_host.items()):
         rules = parse_robots(text, agent)
         if rules:
-            per_host[host.lower()] = rules
+            # the SAME lower+port-strip normalization the URL side
+            # gets below — a caller keying 'Example.com:8080' used to
+            # silently never match any URL (ADVICE r6)
+            per_host[_norm_host_py(host)] = rules
     if not per_host:
         return urls.withColumn("robots_allowed", F.lit(1))
     rules_map = F.map_from_arrays(
@@ -196,7 +214,7 @@ def robots_filter(
         ),
     )
     host = F.regexp_replace(
-        F.lower(url_host(F.col(url_col))), r":\d+$", ""
+        F.lower(url_host(F.col(url_col))), _PORT_STRIP_RE, "$1"
     )
     path = url_path_query(F.col(url_col))
     matched = F.filter(

@@ -68,6 +68,15 @@ def quantized_gram(
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in vecs]
             )
+            # non-finite rows are SKIPPED like NULL/wrong-dim vectors:
+            # floor(NaN·scale).astype(int64) is undefined (typically
+            # INT64_MIN) and one such row would silently poison the
+            # exact Gram (ADVICE r6)
+            finite = np.isfinite(x).all(axis=1)
+            if not finite.all():
+                x = x[finite]
+                if x.shape[0] == 0:
+                    continue
             q = np.floor(x * scale + 0.5).astype(np.int64)
             acc += q.T @ q
             seen = True

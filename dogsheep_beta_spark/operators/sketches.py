@@ -192,7 +192,9 @@ def cms_lookup(
     Join internals use ``__cms_``-prefixed names so candidate tables
     that already carry ``row``/``bucket``/``n`` columns (a counted
     term table is the natural candidate shape) don't collide."""
-    for reserved in ("__cms_row", "__cms_bucket", "__cms_n", "cms_est"):
+    for reserved in (
+        "__cms_row", "__cms_bucket", "__cms_n", "__cms_rid", "cms_est"
+    ):
         if reserved in items.columns:
             raise ValueError(
                 f"cms_lookup: items may not contain a column named "
@@ -204,7 +206,14 @@ def cms_lookup(
             for d in range(depth)
         ]
     )
-    probes = items.select(
+    # per-ROW surrogate key through the probe/groupBy: grouping by the
+    # item columns alone collapsed duplicate candidate rows to one
+    # output row, silently losing multiplicity for non-distinct item
+    # tables (ADVICE r6) — the id preserves exactly one output row per
+    # input row and is dropped on the way out
+    probes = items.withColumn(
+        "__cms_rid", F.monotonically_increasing_id()
+    ).select(
         "*", F.posexplode(buckets).alias("__cms_row", "__cms_bucket")
     )
     cms_r = cms.select(
@@ -214,10 +223,11 @@ def cms_lookup(
     )
     return (
         probes.join(F.broadcast(cms_r), ["__cms_row", "__cms_bucket"], "left")
-        .groupBy(*items.columns)
+        .groupBy("__cms_rid", *items.columns)
         .agg(
             F.min(F.coalesce(F.col("__cms_n"), F.lit(0))).alias("cms_est")
         )
+        .drop("__cms_rid")
     )
 
 

@@ -51,6 +51,23 @@ def test_gram_skips_null_and_wrong_dim(spark):
     assert got == {(1, 1): 1000000, (1, 2): 0, (2, 2): 1000000}
 
 
+def test_gram_skips_non_finite_vectors(spark):
+    """NaN/Inf components are skipped like NULL/wrong-dim rows (ADVICE
+    r6): floor(NaN·scale).astype(int64) is undefined behavior and one
+    such row used to silently poison the exact Gram."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [float("inf"), 1.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.gram for r in quantized_gram(df, "embedding", 2).collect()}
+    assert got == {(1, 1): 1000000, (1, 2): 0, (2, 2): 1000000}
+
+
 def test_gram_shuffle_bounded_by_dim(spark):
     """The exchange input is the partial rows (≤ d(d+1)/2 per
     partition), never the embedding rows."""

@@ -543,6 +543,119 @@ def test_serve_while_indexing_e2e(spark, partitioned):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_pytest.mark.parametrize("partitioned", [False, True])
+def test_snapshot_pins_survive_publish_storm(spark, partitioned):
+    """Fault injection for the round-7 pin protocol (VERDICT r6 #1):
+    a request acquires its snapshot, then MULTIPLE publishes land
+    BEFORE the request executes a single Spark job — exactly the
+    resolve-to-execute window of the torn-read race.  Without pins the
+    retention sweep deletes the acquired generation after the second
+    publish and the request's jobs die on missing files; with pins the
+    request must still read its own complete committed generation.
+    Releasing the snapshot must then let the very next publish reclaim
+    the superseded dirs (no version-dir leak)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.server import (
+        _resolve_parts,
+        load_live_snapshot,
+        release_snapshot,
+    )
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_fts_batch,
+        merge_fts_batch_scoped,
+    )
+
+    body = merge_fts_batch_scoped if partitioned else merge_fts_batch
+    root = tempfile.mkdtemp(prefix="dbs_pins_", dir="/tmp")
+    try:
+        index_path = os.path.join(root, "index")
+        fts_path = os.path.join(root, "fts")
+        schema = "key int, title string, search_1 string"
+
+        def publish(lo, hi):
+            bdf = spark.createDataFrame(
+                [(i, f"needle doc {i}", "filler") for i in range(lo, hi)],
+                schema,
+            )
+            body(spark, bdf, lo, index_path, fts_path, "live.db/docs")
+
+        publish(0, 5)
+        # the request resolves + pins its snapshot ... and then stalls
+        index_df, fts = load_live_snapshot(spark, index_path, fts_path)
+        pinned = [
+            vdir
+            for p in (
+                index_path,
+                os.path.join(fts_path, "postings"),
+                os.path.join(fts_path, "doc_lengths"),
+            )
+            for vdir, _ in _resolve_parts(p)
+        ]
+        # ... while three more generations publish (two would already
+        # sweep the pinned one under the old retain-exactly-one policy)
+        publish(5, 10)
+        publish(10, 15)
+        publish(15, 20)
+        # the stalled request finally executes: it must see ITS OWN
+        # generation (5 docs), complete, with working FTS scoring
+        assert index_df.count() == 5
+        assert fts.n_docs == 5
+        assert {r["key"] for r in index_df.select("key").collect()} == {
+            str(i) for i in range(5)
+        }  # conform casts key to string
+        assert all(os.path.isdir(v) for v in pinned)
+        # release → the next publish's sweep reclaims the old dirs
+        release_snapshot(fts)
+        publish(20, 25)
+        swept = [v for v in pinned if not os.path.isdir(v)]
+        assert swept, pinned  # superseded generations no longer leak
+        # and a fresh snapshot sees the full 25-doc corpus
+        fresh_df, fresh_fts = load_live_snapshot(spark, index_path, fts_path)
+        assert fresh_df.count() == 25
+        release_snapshot(fresh_fts)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stale_pins_do_not_block_retention(tmpdir):
+    """A crash-leaked pin (dead pid, or over TTL) must not pin a
+    generation forever: _generation_is_pinned ignores and collects it,
+    while a live in-process pin holds until released."""
+    import os
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    vdir = os.path.join(str(tmpdir), "idx.__v1__")
+    os.makedirs(vdir)
+    pin = inc.pin_generation(vdir)
+    assert pin is not None and os.path.exists(pin)
+    assert inc._generation_is_pinned(vdir)
+
+    # dead-pid pin: ignored AND garbage-collected
+    inc.release_pin(pin)
+    ghost = os.path.join(
+        os.path.dirname(vdir), ".__pins__", "idx.__v1__.deadbeef.pin"
+    )
+    with open(ghost, "w") as fh:
+        fh.write(f"999999999 {time.time()}")
+    assert not inc._generation_is_pinned(vdir)
+    assert not os.path.exists(ghost)
+
+    # over-TTL pin from a live pid: ignored too
+    with open(ghost, "w") as fh:
+        fh.write(f"{os.getpid()} {time.time() - inc._PIN_TTL_SECONDS - 1}")
+    assert not inc._generation_is_pinned(vdir)
+
+    # non-version dirs have no retention to defend: no pin is created
+    plain = os.path.join(str(tmpdir), "plain")
+    os.makedirs(plain)
+    assert inc.pin_generation(plain) is None
+
+
 def test_concurrent_search_requests_shared_index(page_ctx):
     """ThreadingHTTPServer handlers share one FtsIndex: concurrent
     requests with overlapping and distinct phrases must all succeed

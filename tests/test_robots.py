@@ -139,3 +139,31 @@ def test_join_variant_agrees_and_guards_reserved_names(spark):
     bad = urls.withColumnRenamed("url", "u").withColumn("host", F.lit("x"))
     with pytest.raises(ValueError, match="host"):
         robots_filter_join(bad, "u", rules)
+
+
+def test_host_keys_normalized_and_ipv6_ports_safe(spark):
+    """Rule keys get the SAME lower+port-strip normalization as the
+    URL side (a caller keying 'Example.com:8080' silently never
+    matched, ADVICE r6), and the port strip is anchored so IPv6
+    literals keep their final group."""
+    from dogsheep_beta_spark.functions.robots import _norm_host_py
+
+    assert _norm_host_py("Example.com:8080") == "example.com"
+    assert _norm_host_py("EXAMPLE.com") == "example.com"
+    assert _norm_host_py("2001:db8::1") == "2001:db8::1"  # not chopped
+    assert _norm_host_py("[::1]:8080") == "[::1]"
+    assert _norm_host_py("[2001:db8::1]") == "[2001:db8::1]"
+
+    urls = spark.createDataFrame(
+        [
+            ("http://ex.com:8080/tmp",),     # port URL vs ported key
+            ("http://ex.com:8080/public/page",),
+        ],
+        "url string",
+    )
+    got = {
+        r.url: r.robots_allowed
+        for r in robots_filter(urls, "url", {"EX.com:8080": ROBOTS}).collect()
+    }
+    assert got["http://ex.com:8080/tmp"] == 0
+    assert got["http://ex.com:8080/public/page"] == 1

@@ -194,3 +194,17 @@ def test_kmv_overlap_disjoint_and_identical(spark):
     assert dis.jaccard_est == 0.0 and dis.intersection_est == 0.0
     [ident] = kmv_overlap(a, a, k=64).collect()
     assert ident.jaccard_est == 1.0
+
+
+def test_cms_lookup_preserves_row_multiplicity(spark):
+    """Duplicate candidate rows each get their own estimate row (ADVICE
+    r6: the old groupBy(items.columns) silently collapsed them)."""
+    from dogsheep_beta_spark.operators.sketches import cms_build, cms_lookup
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    cms = cms_build(df, "v", width=64, depth=3)
+    items = spark.createDataFrame([(7,), (7,), (9,)], "v long")
+    rows = cms_lookup(cms, items, "v", 64, 3).collect()
+    assert len(rows) == 3
+    ests = sorted((r["v"], r["cms_est"]) for r in rows)
+    assert ests[0] == ests[1]  # both 7-rows present, same estimate
