@@ -620,7 +620,11 @@ def simhash_pairs(
 
 def cosine_expr(va, vb):
     """Cosine similarity of two array<float> columns — zip_with dot
-    product + aggregate norms, all JVM-side."""
+    product + aggregate norms, all JVM-side.  NULL (not an ANSI
+    divide-by-zero error) when either norm is zero: a zero vector has
+    no direction, and NULL propagates through every >= tau filter as
+    'no match' in both engines (round 7 — a single zero-norm embedding
+    used to kill the whole job under spark.sql.ansi.enabled)."""
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
@@ -630,7 +634,8 @@ def cosine_expr(va, vb):
     nb = F.sqrt(
         F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_dup_pairs(
