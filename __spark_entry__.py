@@ -1430,6 +1430,219 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall_report(spark, sf_dir):
+    """Retrieval-QUALITY report for every ANN index (VERDICT r6 #7: an
+    approximate index without a recall number is unshippable): recall@10
+    of label-cell IVF (2 probes), k-means IVF (2 probes), LSH (own
+    bucket), LSH multiprobe-1 and PQ-ADC against exact brute-force
+    cosine, averaged over a fixed 8-query panel (vec_id < 8) — fully
+    deterministic (seeded planes, md5-ordered seeds, rounded
+    tie-broken ranks), so the whole report strict-hashes against the
+    SQL twin.  One set-based plan: the (query × corpus) cosine table
+    computes once and every method is a filtered re-ranking of it;
+    hits_total is the integer pin (Σ over queries of |method∩exact|),
+    recall_at_10 the human-readable ratio."""
+    from dogsheep_beta_spark.operators.dedup import cosine_expr
+    from dogsheep_beta_spark.operators.similarity import (
+        centroids,
+        hyperplanes,
+        kmeans_cells,
+        lsh_bucket_expr,
+        pq_codebooks,
+        pq_encode,
+        _dot_expr,
+        _pq_sub_d,
+    )
+
+    from pyspark.sql import Window
+
+    K = 10
+    emb = _embeddings(spark, sf_dir)
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    qs = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pr = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
+            "label",
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+
+    def topk(cand):
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= K)
+            .select("qid", "id")
+        )
+
+    gt = topk(pr.select("qid", "id", "cos"))
+
+    def recall(method, cand):
+        hits = gt.join(cand, ["qid", "id"]).groupBy("qid").agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        perq = qs.select("qid").join(F.broadcast(hits), "qid", "left").select(
+            F.coalesce(F.col("h"), F.lit(0)).alias("h")
+        )
+        return perq.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("h").cast("long").alias("hits_total"),
+            F.round(F.avg(F.col("h") / float(K)), 4).alias("recall_at_10"),
+        ).select(
+            F.lit(method).alias("method"),
+            "n_queries",
+            "hits_total",
+            "recall_at_10",
+        )
+
+    out = [recall("0_exact_brute", gt)]
+
+    # label-cell IVF, 2 probes
+    cents_lbl = centroids(corpus, "v", "label")
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
+    bc2 = (
+        cents_lbl.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cell",
+            F.round(cosine_expr(F.col("centroid"), F.col("qv")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= 2)
+        .select("qid", F.col("cell").alias("label"))
+    )
+    out.append(
+        recall(
+            "1_ivf_label_p2",
+            topk(pr.join(F.broadcast(bc2), ["qid", "label"]).select(
+                "qid", "id", "cos"
+            )),
+        )
+    )
+
+    # k-means IVF (8 hash-seeded cells), 2 probes
+    assigned, kcents = kmeans_cells(
+        corpus.select("vec_id", "v"), "vec_id", "v", k=8
+    )
+    asg = assigned.select(F.col("vec_id").alias("id"), "cell")
+    qc2 = (
+        kcents.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cell",
+            F.round(cosine_expr(F.col("centroid"), F.col("qv")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= 2)
+        .select("qid", "cell")
+    )
+    out.append(
+        recall(
+            "2_kmeans_ivf_p2",
+            topk(
+                pr.join(asg, "id")
+                .join(F.broadcast(qc2), ["qid", "cell"])
+                .select("qid", "id", "cos")
+            ),
+        )
+    )
+    # the probe knob: recall must rise monotonically with nprobe (4 of
+    # 8 cells) — the number a deployment tunes against this report
+    qc4 = (
+        kcents.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cell",
+            F.round(cosine_expr(F.col("centroid"), F.col("qv")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= 4)
+        .select("qid", "cell")
+    )
+    out.append(
+        recall(
+            "2_kmeans_ivf_p4",
+            topk(
+                pr.join(asg, "id")
+                .join(F.broadcast(qc4), ["qid", "cell"])
+                .select("qid", "id", "cos")
+            ),
+        )
+    )
+
+    # LSH: own bucket, and multiprobe hamming<=1
+    planes = hyperplanes(64, 6, seed=42)
+    buckets = corpus.select(
+        F.col("vec_id").alias("id"),
+        lsh_bucket_expr(F.col("v"), planes).alias("bucket"),
+    )
+    qb = buckets.where(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("bucket").alias("qbucket")
+    )
+    lsh_pr = pr.join(buckets, "id").join(F.broadcast(qb), "qid")
+    out.append(
+        recall(
+            "3_lsh_h0",
+            topk(
+                lsh_pr.where(F.col("bucket") == F.col("qbucket")).select(
+                    "qid", "id", "cos"
+                )
+            ),
+        )
+    )
+    masks = [0] + [1 << b for b in range(6)]
+    out.append(
+        recall(
+            "4_lsh_mp1",
+            topk(
+                lsh_pr.where(
+                    F.col("bucket").bitwiseXOR(F.col("qbucket")).isin(masks)
+                ).select("qid", "id", "cos")
+            ),
+        )
+    )
+
+    # PQ-ADC (4 subspaces x 8 codes) over the FULL corpus encoding
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=4, k=8)
+    codes = pq_encode(emb, "vec_id", "embedding", cb, m=4)
+    sub_d = _pq_sub_d(F.size("qv"), 4)
+    lut = cb.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "sub",
+        "code",
+        _dot_expr(
+            F.col("centroid"),
+            F.slice(F.col("qv"), F.col("sub") * sub_d + 1, sub_d),
+        ).alias("part"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("part"), 6).alias("cos"))
+    )
+    out.append(recall("5_pq_adc", topk(adc)))
+
+    rep = out[0]
+    for o in out[1:]:
+        rep = rep.unionByName(o)
+    return rep.orderBy("method")
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """Exact top-20 over the int8-QUANTIZED embedding table: quantize
     (pure codegen, 4× smaller at rest) then rank by cosine over the
@@ -2219,6 +2432,93 @@ def q_pipeline_clean_corpus(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def q_pipeline_dedup_cascade(spark, sf_dir):
+    """Dedup CASCADE — exact → MinHash-LSH → verbatim, composed in the
+    order a production cleaning pass must run them (VERDICT r6 #6: the
+    100× tier proved verbatim's stop-shingle pruning silently drops
+    ultra-hot duplicate classes, so the cheap exact/MinHash passes must
+    eliminate hot classes BEFORE the pruned verbatim stage sees them;
+    tests/test_scale_stress.py asserts every 200-way class ends with
+    exactly one survivor end-to-end at that tier).
+
+    Stage 1 collapses byte-identical texts (one md5 shuffle); stage 2
+    near-dups the survivors (banded LSH, capped buckets, exact-Jaccard
+    verify >= 0.8, components, min-id keeper); stage 3 runs the
+    verbatim-span diagonal join over what remains and keeps one doc
+    per overlap component.  Output is the per-stage survivor ledger
+    (count + id-sum pin), which is what a pipeline report actually
+    records; the oracle unrolls all three stages (recursive-CTE
+    components) over the same corpus."""
+    docs = _documents(spark, sf_dir)
+    s1, s2, s3 = _cascade_ctx(spark, sf_dir)
+
+    def ledger(stage, df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "sum_ids")
+
+    return (
+        ledger("0_input", docs)
+        .unionByName(ledger("1_exact", s1))
+        .unionByName(ledger("2_minhash", s2))
+        .unionByName(ledger("3_verbatim", s3))
+        .orderBy("stage")
+    )
+
+
+def _cascade_ctx(spark, sf_dir):
+    """The persisted per-stage survivor tables of the dedup cascade,
+    built once per sf_dir (the _jaccard_pairs lifecycle: a cleaning
+    pass runs ONCE and many consumers read its keep-lists; bench
+    reports the build as ``cascade_build``).  Each stage's survivors
+    are (doc_id, text) only — the columns the next stage needs."""
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+        verbatim_overlap_pairs,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "cascade" not in c:
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        reg: list = []
+        s1 = docs.join(
+            exact_dedup(docs, "doc_id", "text").select(
+                F.col("keep_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ).persist()
+        mh = minhash_lsh_pairs(
+            s1, "doc_id", "text", k=3, n_hashes=16, bands=8,
+            max_bucket=100, cache_registry=reg,
+        ).where(F.col("jaccard") >= 0.8)
+        s2 = (
+            cluster_keep(s1, "doc_id", connected_components(mh))
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "text")
+            .persist()
+        )
+        vp = verbatim_overlap_pairs(
+            s2, "doc_id", "text", k=5, min_tokens=8, max_bucket=100,
+            cache_registry=reg,
+        )
+        s3 = (
+            cluster_keep(s2, "doc_id", connected_components(vp.select("a", "b")))
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "text")
+            .persist()
+        )
+        s3.count()  # materialize the chain, then release the internals
+        for df in reg:
+            df.unpersist()
+        c["cascade"] = (s1, s2, s3)
+    return c["cascade"]
 
 
 def q_media_feature_metadata(spark, sf_dir):
@@ -4443,6 +4743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shuffle": q_sample_shuffle,
         "pack_contiguous": q_pack_contiguous,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_dedup_cascade": q_pipeline_dedup_cascade,
+        "ann_recall_report": q_ann_recall_report,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
@@ -4485,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_distinct": q_streaming_kmv_distinct,
         "warc_source_ingest": q_warc_source_ingest,
         "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_encode_corpus": q_bpe_encode_corpus,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -4853,6 +5156,293 @@ SELECT c.a, c.b, ROUND(j.jaccard, 6) AS jaccard
 FROM cand c JOIN jac j ON c.a = j.a AND c.b = j.b
 ORDER BY jaccard DESC, c.a, c.b
 LIMIT 50
+"""
+    )
+
+
+def _cascade_oracle() -> str:
+    """Exact → MinHash → verbatim cascade, unrolled: stage 1 is the
+    md5 group-argmin, stage 2 re-bases the _minhash_oracle fragments
+    on the exact survivors and componentizes the >= 0.8 pairs with the
+    dedup_cluster_keep recursive-CTE device, stage 3 runs the verbatim
+    diagonal-join fragments over stage 2's survivors and componentizes
+    the overlap pairs the same way.  Output is the same per-stage
+    (count, id-sum) ledger the Spark query emits."""
+    from dogsheep_beta_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(16)
+
+    def mh(i):
+        a, b = params[i]
+        return (
+            f"list_min(list_transform(hbase, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        )
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, CAST({mh(2 * bi)} AS VARCHAR) || '|' || "
+        f"CAST({mh(2 * bi + 1)} AS VARCHAR) AS bucket "
+        "FROM shb WHERE len(shingles) > 0"
+        for bi in range(8)
+    )
+    # the shared shingle CTEs, re-based from documents onto the exact
+    # survivors (stage boundaries are WHAT the cascade is about)
+    shingles_s1 = (
+        ORACLE_SHINGLES3.strip().removeprefix("WITH").replace(
+            "FROM documents", "FROM s1"
+        )
+    )
+    # force one evaluation per multiply-referenced CTE: DuckDB inlines
+    # plain CTEs per reference, and the 8-band UNION ALL would expand
+    # the whole tokenize→shingle chain 8× (blowing the process fd
+    # limit on the parquet re-opens, let alone the wall)
+    for cte in ("toks", "sh", "s", "sz"):
+        shingles_s1 = shingles_s1.replace(
+            f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1
+        )
+    return f"""WITH RECURSIVE
+ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+{shingles_s1}
+, shb AS MATERIALIZED (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_PRIME})
+               AS hbase
+    FROM sh
+)
+, banded AS MATERIALIZED ({bands})
+, cand AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+, cids AS (SELECT a AS id FROM cand UNION SELECT b FROM cand)
+, cs AS MATERIALIZED (SELECT * FROM s WHERE doc_id IN (SELECT id FROM cids))
+, csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id)
+{_JACCARD_TAIL.format(src="cs", szsrc="csz")}
+, pth2 AS (
+    SELECT c.a, c.b FROM cand c
+    JOIN jac j ON c.a = j.a AND c.b = j.b
+    WHERE j.jaccard >= 0.8
+)
+, edges2 AS (SELECT a AS s, b AS d FROM pth2 UNION SELECT b, a FROM pth2)
+, r2 AS (
+    SELECT s AS root, s AS node FROM (SELECT DISTINCT s FROM edges2)
+    UNION
+    SELECT r2.root, e.d FROM r2 JOIN edges2 e ON e.s = r2.node
+)
+, comp2 AS (SELECT root AS id, MIN(node) AS comp FROM r2 GROUP BY root)
+, s2 AS MATERIALIZED (
+    SELECT d.* FROM s1 d LEFT JOIN comp2 c ON d.doc_id = c.id
+    WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
+)
+, vtoks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') AS toks
+    FROM s2
+)
+, vpos AS MATERIALIZED (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(toks[i:i+4], ' ')) AS h
+    FROM vtoks, UNNEST(range(1, len(toks) - 5 + 2)) r(i)
+    WHERE len(toks) >= 5
+)
+, vhot AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS df FROM vpos GROUP BY h
+    ) WHERE df > 100
+)
+, vpruned AS MATERIALIZED (SELECT * FROM vpos WHERE h NOT IN (SELECT h FROM vhot))
+, vco AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           x.pos AS pa, x.pos - y.pos AS diag
+    FROM vpruned x JOIN vpruned y USING (h)
+    WHERE x.doc_id < y.doc_id
+)
+, vruns AS (
+    SELECT a, b, diag,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY a, b, diag ORDER BY pa
+           ) AS island
+    FROM vco
+)
+, vlens AS MATERIALIZED (SELECT a, b, COUNT(*) AS run FROM vruns GROUP BY a, b, diag, island)
+, vp AS MATERIALIZED (SELECT a, b FROM vlens GROUP BY a, b HAVING MAX(run) + 4 >= 8)
+, edges3 AS (SELECT a AS s, b AS d FROM vp UNION SELECT b, a FROM vp)
+, r3 AS (
+    SELECT s AS root, s AS node FROM (SELECT DISTINCT s FROM edges3)
+    UNION
+    SELECT r3.root, e.d FROM r3 JOIN edges3 e ON e.s = r3.node
+)
+, comp3 AS (SELECT root AS id, MIN(node) AS comp FROM r3 GROUP BY root)
+, s3 AS MATERIALIZED (
+    SELECT d.* FROM s2 d LEFT JOIN comp3 c ON d.doc_id = c.id
+    WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
+)
+SELECT * FROM (
+    SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM documents
+    UNION ALL SELECT '1_exact', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s1
+    UNION ALL SELECT '2_minhash', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s2
+    UNION ALL SELECT '3_verbatim', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s3
+) ORDER BY stage
+"""
+
+
+def _ann_recall_oracle() -> str:
+    """recall@10 of every ANN index vs brute force over the fixed
+    8-query panel — mirrors q_ann_recall_report method by method: same
+    label-mean centroids, same md5-seeded k-means cells and PQ
+    codebooks, same seeded hyperplanes, same rounded tie-broken ranks.
+    Heavy shared CTEs MATERIALIZED (each is consumed by several method
+    branches)."""
+    from dogsheep_beta_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6, seed=42)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << b for b in range(6)])
+
+    def top10(src: str) -> str:
+        return (
+            f"SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER ("
+            f"PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM {src}) "
+            f"WHERE rn <= 10"
+        )
+
+    def rec(name: str, cand: str) -> str:
+        return f"""
+    SELECT '{name}' AS method, COUNT(*) AS n_queries,
+           CAST(SUM(h) AS BIGINT) AS hits_total,
+           ROUND(AVG(h / 10.0), 4) AS recall_at_10
+    FROM (
+        SELECT qs.qid, COALESCE(x.h, 0) AS h FROM qs LEFT JOIN (
+            SELECT gt.qid, COUNT(*) AS h
+            FROM gt JOIN {cand} cnd ON gt.qid = cnd.qid AND gt.id = cnd.id
+            GROUP BY gt.qid
+        ) x ON qs.qid = x.qid
+    )"""
+
+    return (
+        _EMB_CTE
+        + f"""
+, qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8)
+, pr AS MATERIALIZED (
+    SELECT qs.qid, e.vec_id AS id, e.label,
+           {_COS.format(a='e.v', b='qs.qv')} AS cos
+    FROM e, qs WHERE e.vec_id <> qs.qid
+)
+, gt AS MATERIALIZED ({top10('pr')})
+, dims AS (
+    SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+    FROM e
+)
+, cdim AS (SELECT label, dim, AVG(x) AS mx FROM dims GROUP BY label, dim)
+, cents AS (
+    SELECT label, list(mx ORDER BY dim) AS centroid FROM cdim GROUP BY label
+)
+, bc2 AS (
+    SELECT qid, label FROM (
+        SELECT qs.qid, cents.label, ROW_NUMBER() OVER (
+            PARTITION BY qs.qid
+            ORDER BY {_COS.format(a='cents.centroid', b='qs.qv')} DESC,
+                     cents.label
+        ) AS rn FROM cents, qs
+    ) WHERE rn <= 2
+)
+, civf AS MATERIALIZED ({top10('(SELECT pr.* FROM pr JOIN bc2 USING (qid, label))')})
+{_KMEANS_ASG_CTE}
+, qc2 AS (
+    SELECT qid, cell FROM (
+        SELECT qs.qid, s.cell, ROW_NUMBER() OVER (
+            PARTITION BY qs.qid
+            ORDER BY {_COS.format(a='s.centroid', b='qs.qv')} DESC, s.cell
+        ) AS rn FROM seeds s, qs
+    ) WHERE rn <= 2
+)
+, ckm AS MATERIALIZED ({top10(
+    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    'JOIN asg a ON pr.id = a.vec_id '
+    'JOIN qc2 ON pr.qid = qc2.qid AND a.cell = qc2.cell)')})
+, qc4 AS (
+    SELECT qid, cell FROM (
+        SELECT qs.qid, s.cell, ROW_NUMBER() OVER (
+            PARTITION BY qs.qid
+            ORDER BY {_COS.format(a='s.centroid', b='qs.qv')} DESC, s.cell
+        ) AS rn FROM seeds s, qs
+    ) WHERE rn <= 4
+)
+, ckm4 AS MATERIALIZED ({top10(
+    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    'JOIN asg a ON pr.id = a.vec_id '
+    'JOIN qc4 ON pr.qid = qc4.qid AND a.cell = qc4.cell)')})
+, b AS MATERIALIZED (SELECT vec_id, {terms} AS bucket FROM e)
+, qbx AS (SELECT qs.qid, b.bucket AS qbucket FROM b JOIN qs ON b.vec_id = qs.qid)
+, clsh AS MATERIALIZED ({top10(
+    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    'JOIN b ON pr.id = b.vec_id JOIN qbx ON pr.qid = qbx.qid '
+    'WHERE b.bucket = qbx.qbucket)')})
+, cmp1 AS MATERIALIZED ({top10(
+    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    'JOIN b ON pr.id = b.vec_id JOIN qbx ON pr.qid = qbx.qid '
+    f'WHERE xor(b.bucket, qbx.qbucket) IN ({masks}))')})
+, pseeds AS (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1 AS code,
+           v
+    FROM e
+    QUALIFY code < 8
+)
+, subs AS (SELECT unnest(range(4)) AS sub)
+, pcb AS (
+    SELECT subs.sub, pseeds.code,
+           pseeds.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS c
+    FROM pseeds CROSS JOIN subs
+)
+, psv AS (
+    SELECT e.vec_id, subs.sub,
+           e.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS vs
+    FROM e CROSS JOIN subs
+)
+, penc AS MATERIALIZED (
+    SELECT vec_id, sub, code FROM (
+        SELECT psv.vec_id, psv.sub, pcb.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY psv.vec_id, psv.sub
+                   ORDER BY ROUND(list_sum(list_transform(
+                       range(16),
+                       i -> (psv.vs[i + 1] - pcb.c[i + 1])
+                            * (psv.vs[i + 1] - pcb.c[i + 1])
+                   )), 6) ASC, pcb.code ASC
+               ) AS rn
+        FROM psv JOIN pcb ON psv.sub = pcb.sub
+    ) WHERE rn = 1
+)
+, plut AS (
+    SELECT qs.qid, pcb.sub, pcb.code,
+           list_dot_product(
+               pcb.c, qs.qv[pcb.sub * 16 + 1 : pcb.sub * 16 + 16]
+           ) AS part
+    FROM pcb, qs
+)
+, padc AS MATERIALIZED ({top10(
+    '(SELECT qid, id, cos FROM ('
+    'SELECT plut.qid, penc.vec_id AS id, ROUND(SUM(plut.part), 6) AS cos '
+    'FROM penc JOIN plut ON penc.sub = plut.sub AND penc.code = plut.code '
+    'WHERE penc.vec_id <> plut.qid GROUP BY plut.qid, penc.vec_id))')})
+SELECT * FROM (
+{rec('0_exact_brute', 'gt')}
+UNION ALL {rec('1_ivf_label_p2', 'civf')}
+UNION ALL {rec('2_kmeans_ivf_p2', 'ckm')}
+UNION ALL {rec('2_kmeans_ivf_p4', 'ckm4')}
+UNION ALL {rec('3_lsh_h0', 'clsh')}
+UNION ALL {rec('4_lsh_mp1', 'cmp1')}
+UNION ALL {rec('5_pq_adc', 'padc')}
+) ORDER BY method
 """
     )
 
@@ -5792,6 +6382,8 @@ LIMIT 100
             GROUP BY lang ORDER BY lang
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "pipeline_dedup_cascade": _cascade_oracle(),
+        "ann_recall_report": _ann_recall_oracle(),
         "dedup_minhash_calibration": _minhash_calibration_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """
@@ -6324,6 +6916,84 @@ LIMIT 100
                 UNION ALL SELECT 2, a, b, cnt FROM b2
                 UNION ALL SELECT 3, a, b, cnt FROM b3
             ) ORDER BY merge_no
+        """,
+        # learn-then-ENCODE: the same unrolled 3-merge chain, with the
+        # word column carried through so every distinct word encodes
+        # once and per-doc counts come from one occurrence join; token
+        # count per word = number of '[' in its encoded symbol string
+        # (the engine's map-side expression verbatim).  LEFT JOIN from
+        # documents keeps token-less docs at n_bpe = 0 like the
+        # engine's aggregate-over-empty-array.
+        "bpe_encode_corpus": ORACLE_DOC_TOKENS
+        + """
+            , tt AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+            w AS (SELECT word, COUNT(*) AS n FROM tt GROUP BY word),
+            s0 AS (
+                SELECT word, substr(x, 1, length(x) - 1) AS sym, n FROM (
+                    SELECT word,
+                           '[' || regexp_replace(word, '(.)', '\\1][', 'g')
+                               AS x, n
+                    FROM w
+                )
+            ),
+            p1 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s0
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+            s1 AS (
+                SELECT word, replace(sym, '[' || b1.a || '][' || b1.b || ']',
+                               '[' || b1.a || b1.b || ']') AS sym, n
+                FROM s0, b1
+            ),
+            p2 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s1
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+            s2 AS (
+                SELECT word, replace(sym, '[' || b2.a || '][' || b2.b || ']',
+                               '[' || b2.a || b2.b || ']') AS sym, n
+                FROM s1, b2
+            ),
+            p3 AS (
+                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                        SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                            '][') AS l, n
+                        FROM s2
+                    ), UNNEST(range(1, len(l))) r(i)
+                ) GROUP BY a, b
+            ),
+            b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+            s3 AS (
+                SELECT word, replace(sym, '[' || b3.a || '][' || b3.b || ']',
+                               '[' || b3.a || b3.b || ']') AS sym
+                FROM s2, b3
+            ),
+            enc AS (
+                SELECT word,
+                       length(sym) - length(replace(sym, '[', '')) AS ntok
+                FROM s3
+            ),
+            dc AS (
+                SELECT tt.doc_id, CAST(SUM(enc.ntok) AS BIGINT) AS n_bpe
+                FROM tt JOIN enc USING (word) GROUP BY tt.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(dc.n_bpe, 0) AS BIGINT) AS n_bpe
+            FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+            ORDER BY d.doc_id
         """,
         # Quantized Gram by unnesting: floor(x·1000+0.5) in exact
         # BIGINT arithmetic equals the engine's numpy partial GEMM.

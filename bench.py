@@ -92,6 +92,8 @@ def main() -> None:
         ("kmv_stream_build", entry._kmv_stream_layout),
         ("cms_stream_build", entry._cms_stream_layout),
         ("gram_stream_build", entry._gram_stream_layout),
+        ("bpe_merges_build", entry._bpe_merges_ctx),
+        ("cascade_build", entry._cascade_ctx),
     ):
         t0 = time.time()
         try:
