@@ -94,6 +94,7 @@ def main() -> None:
         ("gram_stream_build", entry._gram_stream_layout),
         ("bpe_merges_build", entry._bpe_merges_ctx),
         ("cascade_build", entry._cascade_ctx),
+        ("ann_recall_build", entry._recall_panel),
     ):
         t0 = time.time()
         try:

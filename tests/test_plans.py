@@ -663,3 +663,22 @@ def test_sampler_queries_same_session_double_evaluation(spark):
         a = [tuple(map(repr, r)) for r in fn(spark, sf_dir).collect()]
         b = [tuple(map(repr, r)) for r in fn(spark, sf_dir).collect()]
         assert sorted(a) == sorted(b), f"{name} diverged across evaluations"
+
+
+def test_fingerprint_table_is_map_only(spark):
+    """Round-7 rewrite pin: the winnowing fingerprint is one bound-norm
+    HOF per document — no Exchange, no Generate (the old explode shape
+    duplicated the normalized string into every window row)."""
+    from dogsheep_beta_spark.functions.text import fingerprint_table
+
+    df = spark.createDataFrame(
+        [(1, "some document text here")], "id long, text string"
+    )
+    plan = (
+        fingerprint_table(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

@@ -185,8 +185,19 @@ def register_duck_views(con, sf_dir: str) -> None:
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     strict = "--strict" in sys.argv[1:]
+    # --json=PATH: write the per-query machine-readable record (VERDICT
+    # r6 #9 — the committed full-gate artifact, so the driver's 50-key
+    # window is no longer the only machine-readable correctness record)
+    json_path = next(
+        (
+            a.split("=", 1)[1]
+            for a in sys.argv[1:]
+            if a.startswith("--json=")
+        ),
+        None,
+    )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -199,6 +210,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    record: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -209,17 +221,24 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "FAIL", "err": f"spark: {e}"}
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(sdf)}, {t_spark:.1f}s)")
+            record[name] = {
+                "status": "SKIP_NO_ORACLE",
+                "spark_rows": len(sdf),
+                "spark_sec": round(t_spark, 2),
+            }
             continue
         t0 = time.time()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
             failures += 1
             continue
         t_duck = time.time() - t0
@@ -231,10 +250,39 @@ def main():
             print(f"FAIL {name} (rows spark={len(sdf)} duck={len(ddf)}):")
             for p in problems:
                 print(f"    {p}")
+            record[name] = {
+                "status": "FAIL",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(ddf),
+                "problems": problems,
+            }
         else:
             print(
                 f"OK   {name}: {len(sdf)} rows  spark={t_spark:.1f}s duck={t_duck:.2f}s"
             )
+            record[name] = {
+                "status": "OK_STRICT" if strict else "OK",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(ddf),
+                "spark_sec": round(t_spark, 2),
+                "duck_sec": round(t_duck, 2),
+            }
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "strict": strict,
+                    "n_queries": len(record),
+                    "n_failures": failures,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"# wrote {json_path}")
     print(f"\n{failures} failures")
     sys.exit(1 if failures else 0)
 

@@ -59,7 +59,15 @@ HEADLINE = {
     "robots_url_filter": "MAP-ONLY compliance filter: literal rules-map lookup + higher-order longest-match argmax; no Join, no Exchange before the report aggregate",
     "dedup_soft_weights": "one window count over the content hash (single shuffle, no join) feeds the weighted per-source report",
     "bpe_learn_merges": "per merge iteration: one partial-aggregated pair explode + TakeOrdered(1); map-only replace chain over the persisted base",
+    "bpe_encode_corpus": "r7 encoder: the learned merge chain rides the scan as literal replaces — zero Exchange before the declared ORDER BY, no UDF",
+    "text_fingerprint": "r7 rewrite: bound-norm HOF min-4, MAP-ONLY (the old explode-per-window shape duplicated the normalized string per row and shuffled one hash row per window — 4x slower)",
 }
+
+# deliberately NOT dumped: pipeline_dedup_cascade and ann_recall_report
+# consume persisted _CTX panels, so their formatted plans are thousands
+# of InMemoryScan lines with no extra evidence — their plan story (one
+# window over a method-tagged union; per-stage ledger over persisted
+# survivors) is asserted in COVERAGE.md and tests instead.
 
 
 def main() -> None:
