@@ -2532,6 +2532,80 @@ def _cascade_ctx(spark, sf_dir):
     return c["cascade"]
 
 
+def _quality_probe(spark, sf_dir):
+    """Train the hashed-feature quality probe once per sf_dir
+    (operators/classifier.py — bench: ``quality_probe_build``): weak
+    labels y = quality_score >= 0.8, 64 hashed-TF buckets + 5
+    structural aux features, 8 integer-exact GD supersteps at
+    eta = 1024 (a power of two, so the driver fold stays bit-identical
+    to the oracle's SQL fold beyond 2^53).  Returns (feat, labels, w)
+    with feat/labels persisted."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.classifier import (
+        hashed_features,
+        train_linear_probe,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "qprobe" not in c:
+        d = _documents_persisted(spark, sf_dir)
+        labels = d.select(
+            F.col("doc_id").alias("id"),
+            (quality_score(F.col("text")) >= 0.8).cast("int").alias("y"),
+        ).persist()
+        feat = hashed_features(d, "doc_id", "text", dim=64).persist()
+        labels.count(), feat.count()
+        w = train_linear_probe(feat, labels, dim=69, iters=8, eta=1024)
+        c["qprobe"] = (feat, labels, w)
+    return c["qprobe"]
+
+
+def q_quality_probe_score(spark, sf_dir):
+    """TRAINED quality classifier scoring the corpus (operators/
+    classifier.py — the CCNet/RefinedWeb/fastText production pattern:
+    distill a hand-tuned heuristic into a cheap linear scorer and run
+    THAT over the crawl).  Features are hashed TFs + structural
+    signals; training is 8 integer-exact GD supersteps (quantized
+    residuals/weights — distributed float summation never enters a
+    sum, so the fitted weights are bit-identical in Spark, Python and
+    DuckDB and the whole train-then-score pipeline strict-hashes
+    against an unrolled-CTE oracle).  Output: per-source doc count,
+    summed micro-score (integer pin) and agreement with the weak
+    label — the number that says the distillation worked."""
+    feat, labels, w = _quality_probe(spark, sf_dir)
+    from dogsheep_beta_spark.operators.classifier import (
+        MICRO,
+        score_corpus_q,
+    )
+
+    d = _documents(spark, sf_dir)
+    sc = score_corpus_q(feat, w)
+    half = MICRO // 2
+    per_doc = (
+        d.select("doc_id", "source")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+        .join(sc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("score_q"), F.lit(half)).alias("s"),
+            "y",
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").cast("long").alias("sum_score_q"),
+            F.sum(
+                (
+                    (F.col("s") >= half).cast("int") == F.col("y")
+                ).cast("long")
+            ).alias("n_agree"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_media_feature_metadata(spark, sf_dir):
     """Multimodal metadata over the binary media column — n_bytes and
     digest are JVM codegen expressions (F.length / F.md5); no byte ever
@@ -4756,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "pipeline_dedup_cascade": q_pipeline_dedup_cascade,
         "ann_recall_report": q_ann_recall_report,
+        "quality_probe_score": q_quality_probe_score,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
@@ -5454,6 +5529,127 @@ UNION ALL {rec('3_lsh_h0', 'clsh')}
 UNION ALL {rec('4_lsh_mp1', 'cmp1')}
 UNION ALL {rec('5_pq_adc', 'padc')}
 ) ORDER BY method
+"""
+    )
+
+
+def _quality_probe_oracle(dim: int = 64, iters: int = 8, eta: int = 1024) -> str:
+    """Train-then-score unrolled: hashed milli-TF features + structural
+    aux buckets, ``iters`` GD supersteps as chained CTEs (margins →
+    residuals → integer gradient → weight fold), then the per-source
+    score/agreement report — mirroring operators/classifier.py step for
+    step.  Every sum that crosses rows is INTEGER (order-independent);
+    every float op is a single correctly-rounded scalar expression
+    shared verbatim with the Spark side; eta is a power of two so the
+    weight fold's one double multiply is exact."""
+
+    def sig(mq: str) -> str:
+        return (
+            f"CAST(floor((0.5 + ({mq} / 1000000.0) / "
+            f"(2.0 * (1.0 + abs({mq} / 1000000.0)))) * 1000000 + 0.5) "
+            f"AS BIGINT)"
+        )
+
+    steps = []
+    for t in range(1, iters + 1):
+        if t == 1:
+            # w0 = 0 everywhere → every doc sits at s(0) = 500000
+            steps.append(
+                ", r1 AS MATERIALIZED (SELECT doc_id, "
+                "CAST(y AS BIGINT) * 1000000 - 500000 AS r FROM lab)"
+            )
+        else:
+            steps.append(f"""
+, m{t} AS MATERIALIZED (
+    SELECT fc.doc_id, CAST(SUM(fc.x * COALESCE(w{t - 1}.wq, 0)) AS BIGINT) AS mq
+    FROM fc LEFT JOIN w{t - 1} ON fc.bucket = w{t - 1}.bucket
+    GROUP BY fc.doc_id
+)
+, r{t} AS MATERIALIZED (
+    SELECT lab.doc_id,
+           CAST(lab.y AS BIGINT) * 1000000 - {sig(f'COALESCE(m{t}.mq, 0)')} AS r
+    FROM lab LEFT JOIN m{t} ON lab.doc_id = m{t}.doc_id
+)""")
+        steps.append(f"""
+, g{t} AS MATERIALIZED (
+    SELECT fc.bucket, CAST(SUM(fc.x * r{t}.r) AS BIGINT) AS g
+    FROM fc JOIN r{t} ON fc.doc_id = r{t}.doc_id GROUP BY fc.bucket
+)""")
+        if t == 1:
+            steps.append(f"""
+, w1 AS MATERIALIZED (
+    SELECT bucket,
+           CAST(floor({eta}.0 * g / (n.n * 1000000.0)) AS BIGINT) AS wq
+    FROM g1, n
+)""")
+        else:
+            steps.append(f"""
+, w{t} AS MATERIALIZED (
+    SELECT COALESCE(wp.bucket, g.bucket) AS bucket,
+           CAST(COALESCE(wp.wq, 0)
+                + floor({eta}.0 * COALESCE(g.g, 0) / (n.n * 1000000.0))
+                AS BIGINT) AS wq
+    FROM w{t - 1} wp FULL JOIN g{t} g ON wp.bucket = g.bucket, n
+)""")
+    return (
+        ORACLE_DOC_TOKENS
+        + f"""
+, tt AS (SELECT doc_id, unnest(toks) AS word FROM toks)
+, wc AS (
+    SELECT doc_id,
+           (('0x' || substr(md5('qp:' || word), 1, 8))::BIGINT % {dim})::INT
+               AS bucket,
+           COUNT(*) AS cnt
+    FROM tt GROUP BY doc_id, bucket
+)
+, dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len FROM wc GROUP BY doc_id)
+"""
+        + _quality_cte("qc")
+        + f"""
+, fw AS (
+    SELECT wc.doc_id, wc.bucket,
+           CAST(floor(wc.cnt * 1000.0 / dl.len + 0.5) AS BIGINT) AS x
+    FROM wc JOIN dl ON wc.doc_id = dl.doc_id
+)
+, fx AS (
+    SELECT dl.doc_id, b.bucket,
+           CAST(CASE b.bucket
+               WHEN {dim} THEN 1000
+               WHEN {dim + 1} THEN floor(least(dl.len / 64.0, 1.0) * 1000 + 0.5)
+               WHEN {dim + 2} THEN floor(qc.ar * 1000 + 0.5)
+               WHEN {dim + 3} THEN floor((CASE WHEN qc.wl >= 3 AND qc.wl <= 10
+                                     THEN 1.0 ELSE 0.5 END) * 1000 + 0.5)
+               WHEN {dim + 4} THEN floor(least(qc.sr * 5, 1.0) * 1000 + 0.5)
+           END AS BIGINT) AS x
+    FROM dl JOIN qc ON dl.doc_id = qc.doc_id,
+         (VALUES ({dim}), ({dim + 1}), ({dim + 2}), ({dim + 3}), ({dim + 4}))
+             b(bucket)
+)
+, fc AS MATERIALIZED (
+    SELECT doc_id, bucket, x FROM fw
+    UNION ALL SELECT doc_id, bucket, x FROM fx
+)
+, lab AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN {_QUALITY_EXPR} >= 0.8 THEN 1 ELSE 0 END AS y
+    FROM qc
+)
+, n AS (SELECT COUNT(*) AS n FROM lab)
+{"".join(steps)}
+, mf AS MATERIALIZED (
+    SELECT fc.doc_id, CAST(SUM(fc.x * COALESCE(w{iters}.wq, 0)) AS BIGINT) AS mq
+    FROM fc LEFT JOIN w{iters} ON fc.bucket = w{iters}.bucket
+    GROUP BY fc.doc_id
+)
+, scs AS (SELECT doc_id, {sig('mq')} AS s FROM mf)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(scs.s, 500000)) AS BIGINT) AS sum_score_q,
+       CAST(SUM(CASE WHEN (COALESCE(scs.s, 500000) >= 500000) = (lab.y = 1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM documents d
+JOIN lab ON d.doc_id = lab.doc_id
+LEFT JOIN scs ON d.doc_id = scs.doc_id
+GROUP BY d.source ORDER BY d.source
 """
     )
 
@@ -6395,6 +6591,7 @@ LIMIT 100
         "dedup_minhash_lsh": _minhash_oracle(),
         "pipeline_dedup_cascade": _cascade_oracle(),
         "ann_recall_report": _ann_recall_oracle(),
+        "quality_probe_score": _quality_probe_oracle(),
         "dedup_minhash_calibration": _minhash_calibration_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """

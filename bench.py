@@ -95,6 +95,7 @@ def main() -> None:
         ("bpe_merges_build", entry._bpe_merges_ctx),
         ("cascade_build", entry._cascade_ctx),
         ("ann_recall_build", entry._recall_panel),
+        ("quality_probe_build", entry._quality_probe),
     ):
         t0 = time.time()
         try:
