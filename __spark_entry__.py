@@ -1654,6 +1654,58 @@ def _recall_panel(spark, sf_dir):
     return c["recall_panel"]
 
 
+def q_kmeans_lloyd_inertia(spark, sf_dir):
+    """Lloyd-REFINED k-means (similarity.py:kmeans_cells(iters=2)) —
+    the offline IVF index-build path, oracled end to end for the first
+    time (round 7): md5-seeded cells, two full E/M rounds (rounded-
+    cosine argmax assignment, exact per-dimension mean M-step), then
+    the per-cell member count + INERTIA report.  Inertia contributions
+    are quantized to integer micro-units per row before summing
+    (floor((1 − cos)·1e6 + 0.5)), so the only cross-row float
+    aggregates are the M-step means — the device the ann_ivf oracles
+    already rely on — and the report hash cannot drift on summation
+    order.  The declared ANN queries probe this exact layout shape;
+    this query certifies the REFINEMENT loop both engines compute."""
+    from dogsheep_beta_spark.operators.dedup import cosine_expr
+
+    assigned, cents = _lloyd_layout(spark, sf_dir)
+    cc = F.round(
+        cosine_expr(F.col("v"), F.col("centroid")), 6
+    )
+    contrib = F.floor((1.0 - cc) * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .select("cell", contrib.alias("iq"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("iq").cast("long").alias("inertia_q"),
+        )
+        .orderBy("cell")
+    )
+
+
+
+def _lloyd_layout(spark, sf_dir):
+    """The Lloyd-refined k-means layout, built once per sf_dir (bench:
+    ``lloyd_build``) — two E/M rounds with an eager localCheckpoint per
+    M-step is index-BUILD work; the declared query prices the final
+    assignment report only."""
+    from dogsheep_beta_spark.operators.similarity import kmeans_cells
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "lloyd" not in c:
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        assigned, cents = kmeans_cells(emb, "vec_id", "v", k=8, iters=2)
+        assigned = assigned.persist()
+        cents = cents.persist()
+        assigned.count(), cents.count()
+        c["lloyd"] = (assigned, cents)
+    return c["lloyd"]
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """Exact top-20 over the int8-QUANTIZED embedding table: quantize
     (pure codegen, 4× smaller at rest) then rank by cosine over the
@@ -4842,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_cascade": q_pipeline_dedup_cascade,
         "ann_recall_report": q_ann_recall_report,
         "quality_probe_score": q_quality_probe_score,
+        "kmeans_lloyd_inertia": q_kmeans_lloyd_inertia,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
@@ -5661,6 +5714,71 @@ FROM documents d
 JOIN lab ON d.doc_id = lab.doc_id
 LEFT JOIN scs ON d.doc_id = scs.doc_id
 GROUP BY d.source ORDER BY d.source
+"""
+    )
+
+
+
+def _lloyd_oracle(k: int = 8, iters: int = 2) -> str:
+    """kmeans_cells(iters) unrolled: seeds → (E-step, M-step) × iters →
+    final E-step → per-cell count + integer-quantized inertia.  The
+    E-step is the shared rounded-cosine argmax (cell-id tie-break);
+    the M-step is the exact per-dimension mean (the ann_ivf_topk
+    centroid device)."""
+
+    def estep(cents: str, out: str, with_cc: bool) -> str:
+        cc_sel = ", cc" if with_cc else ""
+        return f"""
+, {out} AS (
+    SELECT vec_id, v, cell{cc_sel} FROM (
+        SELECT e.vec_id, e.v, s.cell,
+               {_COS.format(a='e.v', b='s.centroid')} AS cc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS.format(a='e.v', b='s.centroid')} DESC,
+                            s.cell
+               ) AS rn
+        FROM e CROSS JOIN {cents} s
+    ) WHERE rn = 1
+)"""
+
+    def mstep(asg: str, out: str) -> str:
+        return f"""
+, {out} AS (
+    SELECT cell, list(mx ORDER BY dim) AS centroid FROM (
+        SELECT cell, dim, AVG(x) AS mx FROM (
+            SELECT cell, generate_subscripts(v, 1) - 1 AS dim,
+                   unnest(v) AS x
+            FROM {asg}
+        ) GROUP BY cell, dim
+    ) GROUP BY cell
+)"""
+
+    parts = [
+        f"""
+, seeds AS (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1 AS cell,
+           v AS centroid
+    FROM e
+    QUALIFY cell < {k}
+)"""
+    ]
+    prev_cents = "seeds"
+    for i in range(iters):
+        parts.append(estep(prev_cents, f"asg{i}", with_cc=False))
+        parts.append(mstep(f"asg{i}", f"cent{i + 1}"))
+        prev_cents = f"cent{i + 1}"
+    parts.append(estep(prev_cents, "asgf", with_cc=True))
+    return (
+        _EMB_CTE
+        + "".join(parts)
+        + """
+SELECT cell, COUNT(*) AS n_members,
+       CAST(SUM(CAST(floor((1.0 - cc) * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS inertia_q
+FROM asgf GROUP BY cell ORDER BY cell
 """
     )
 
@@ -6603,6 +6721,7 @@ LIMIT 100
         "pipeline_dedup_cascade": _cascade_oracle(),
         "ann_recall_report": _ann_recall_oracle(),
         "quality_probe_score": _quality_probe_oracle(),
+        "kmeans_lloyd_inertia": _lloyd_oracle(),
         "dedup_minhash_calibration": _minhash_calibration_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """

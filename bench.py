@@ -96,6 +96,7 @@ def main() -> None:
         ("cascade_build", entry._cascade_ctx),
         ("ann_recall_build", entry._recall_panel),
         ("quality_probe_build", entry._quality_probe),
+        ("lloyd_build", entry._lloyd_layout),
     ):
         t0 = time.time()
         try:
