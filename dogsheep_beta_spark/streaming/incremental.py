@@ -1947,12 +1947,21 @@ def merge_semantic_batch(
         )
         .persist()
     )
-    first = pre.select(F.size("v").alias("d")).first()
-    if first is None:
+    # pivot dimension from a NON-NULL vector (a NULL embedding in row
+    # one would crash the int(); all-NULL batches still store their
+    # rows for redelivery semantics — dim 1 pivots are never consulted
+    # because every rd is NULL and bands to -999)
+    first = (
+        pre.where(F.col("v").isNotNull())
+        .select(F.size("v").alias("d"))
+        .first()
+    )
+    if pre.isEmpty():
         pre.unpersist()
         return
+    dim = int(first["d"]) if first is not None and first["d"] else 1
     touched = [r[0] for r in pre.select("cell").distinct().collect()]
-    pivots = _cell_pivots_rows(spark, touched, int(first["d"]))
+    pivots = _cell_pivots_rows(spark, touched, dim)
 
     store = _read_partitioned(
         spark, store_path, [str(t) for t in touched], col="cell"

@@ -1578,3 +1578,36 @@ def test_streaming_gram_converges_to_batch(spark, tmpdir):
     assert [(r.i, r.j, r.gram) for r in read_gram(spark, root).collect()] == want
     with _pytest.raises(ValueError, match="checkpoint reset"):
         merge_gram_batch(spark, b, int(last) - 1, root, "embedding", 4)
+
+
+def test_streaming_semantic_null_embeddings_are_inert(spark, tmpdir):
+    """NULL embeddings in a micro-batch (even as the first/only rows)
+    must neither crash the merge nor ever match: they store for
+    redelivery semantics, band to the never-probed sentinel, and the
+    match table equals the batch generator over the non-null rows."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        read_semantic_matches,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, centroid array<double>"
+    )
+    root = os.path.join(tmpdir, "semnull")
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame(
+        [(1, None), (2, None)], schema
+    )  # all-NULL first batch
+    merge_semantic_batch(spark, b1, 0, root, cents, tau=0.9)
+    b2 = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (4, [0.999, 0.02]), (5, None)], schema
+    )
+    merge_semantic_batch(spark, b2, 1, root, cents, tau=0.9)
+    got = {
+        (r["a"], r["b"])
+        for r in read_semantic_matches(spark, root).collect()
+    }
+    assert got == {(3, 4)}  # NULL rows never pair
+    store = spark.read.parquet(os.path.join(root, "store"))
+    assert store.count() == 5  # but all ids are stored
+    assert store.where(F.col("b1") == -999).count() == 3
