@@ -2669,6 +2669,46 @@ def q_quality_probe_score(spark, sf_dir):
     )
 
 
+def q_snapshot_diff_report(spark, sf_dir):
+    """Corpus snapshot diff (operators/versioning.py) — the
+    incremental-recrawl audit: a deterministic 'next snapshot' is
+    synthesized from documents (every 97th id removed, every 13th
+    text edited, every 151st re-added under a new id — the
+    media_video_demux recipe device), then ONE full-outer digest join
+    classifies every id added/removed/changed/unchanged.  The text
+    column reduces to a 32-char md5 map-side; only digests cross the
+    single exchange.  Downstream: expensive per-doc signals re-run for
+    added ∪ changed only."""
+    from dogsheep_beta_spark.operators.versioning import snapshot_diff
+
+    old = _documents(spark, sf_dir).select("doc_id", "text")
+    kept = old.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 151 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    new = kept.unionByName(added)
+    return (
+        snapshot_diff(old, new, "doc_id", "text")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_media_feature_metadata(spark, sf_dir):
     """Multimodal metadata over the binary media column — n_bytes and
     digest are JVM codegen expressions (F.length / F.md5); no byte ever
@@ -4895,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "quality_probe_score": q_quality_probe_score,
         "kmeans_lloyd_inertia": q_kmeans_lloyd_inertia,
+        "snapshot_diff_report": q_snapshot_diff_report,
         "media_feature_metadata": q_media_feature_metadata,
         "media_frame_sample": q_media_frame_sample,
         "streaming_window_counts": q_streaming_window_counts,
@@ -6722,6 +6763,38 @@ LIMIT 100
         "ann_recall_report": _ann_recall_oracle(),
         "quality_probe_score": _quality_probe_oracle(),
         "kmeans_lloyd_inertia": _lloyd_oracle(),
+        # one full-outer digest join; null-safe hash equality so
+        # NULL→NULL text is 'unchanged' (IS NOT DISTINCT FROM mirrors
+        # Spark's eqNullSafe); the synthesized next snapshot uses the
+        # same deterministic recipe as the engine side
+        "snapshot_diff_report": """
+            WITH oldt AS (
+                SELECT doc_id AS id, md5(text) AS oh, 1 AS o FROM documents
+            ),
+            newsrc AS (
+                SELECT doc_id AS id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT 1000000 + doc_id,
+                       'new doc ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 151 = 0
+            ),
+            newt AS (SELECT id, md5(text) AS nh, 1 AS n FROM newsrc),
+            d AS (
+                SELECT COALESCE(oldt.id, newt.id) AS id,
+                       CASE WHEN oldt.o IS NULL THEN 'added'
+                            WHEN newt.n IS NULL THEN 'removed'
+                            WHEN oldt.oh IS NOT DISTINCT FROM newt.nh
+                                THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM oldt FULL JOIN newt ON oldt.id = newt.id
+            )
+            SELECT status, COUNT(*) AS n_docs,
+                   CAST(SUM(id) AS BIGINT) AS sum_ids
+            FROM d GROUP BY status ORDER BY status
+        """,
         "dedup_minhash_calibration": _minhash_calibration_oracle(),
         "dedup_simhash": ORACLE_DOC_TOKENS
         + """
