@@ -602,3 +602,39 @@ def test_scale_cascade_100x_one_survivor_per_hot_class(spark):
     for df in (docs, s1, s2):
         df.unpersist()
     print(f"\nSCALE100 cascade wall={wall:.1f}s survivors={len(texts)}")
+
+
+@pytest.mark.slow
+def test_scale_classifier_training_10x(spark):
+    """Probe training scales linearly: 10x docs -> ~linear superstep
+    wall (each superstep is one margin agg + one gradient agg over the
+    sparse feature table; a quadratic path would blow the bound)."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.classifier import (
+        hashed_features,
+        train_linear_probe,
+    )
+
+    def run(replicas):
+        docs = _docs(spark, replicas)
+        labels = docs.select(
+            F.col("doc_id").alias("id"),
+            (quality_score(F.col("text")) >= 0.8).cast("int").alias("y"),
+        ).persist()
+        feat = hashed_features(docs, "doc_id", "text", dim=64).persist()
+        labels.count(), feat.count()
+        t0 = time.monotonic()
+        w = train_linear_probe(feat, labels, dim=69, iters=4, eta=1024)
+        wall = time.monotonic() - t0
+        feat.unpersist(), labels.unpersist()
+        return w, wall
+
+    w1, t1 = run(1)
+    w10, t10 = run(10)
+    _linear(t1, t10, "classifier_train")
+    assert any(x != 0 for x in w10)
+    # replicas share texts pairwise, so the 10x corpus has the same
+    # distinct content: gradients scale but the fitted DIRECTION must
+    # stay sane (non-degenerate weights, same dims)
+    assert len(w10) == len(w1) == 69
+    print(f"\nSCALE classifier train 1x={t1:.1f}s 10x={t10:.1f}s")

@@ -1611,3 +1611,70 @@ def test_streaming_semantic_null_embeddings_are_inert(spark, tmpdir):
     store = spark.read.parquet(os.path.join(root, "store"))
     assert store.count() == 5  # but all ids are stored
     assert store.where(F.col("b1") == -999).count() == 3
+
+
+def test_streaming_semantic_pivot_prune_fuzz(spark, tmpdir):
+    """Seeded fuzz for the pivot prune's LOSSLESSNESS: random vector
+    sets (clusters + noise + boundary-ish pairs), random batch splits
+    — the streamed match table must equal the batch generator for
+    every seed.  Complements the hand-built fixture with shapes nobody
+    hand-picked."""
+    import random
+
+    from dogsheep_beta_spark.operators.dedup import embedding_dup_pairs
+    from dogsheep_beta_spark.operators.similarity import voronoi_assign
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        read_semantic_matches,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    schema = "vec_id long, embedding array<double>"
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = []
+        vid = 0
+        # a few tight clusters around random directions + noise
+        for _ in range(4):
+            base = [rng.uniform(-1, 1) for _ in range(3)]
+            for _ in range(rng.randint(2, 6)):
+                rows.append(
+                    (
+                        vid,
+                        [x + rng.uniform(-0.02, 0.02) for x in base],
+                    )
+                )
+                vid += 1
+        for _ in range(10):
+            rows.append((vid, [rng.uniform(-1, 1) for _ in range(3)]))
+            vid += 1
+        tau = 0.97
+        root = os.path.join(tmpdir, f"fz{seed}")
+        # random batch split
+        k = rng.randint(1, len(rows) - 1)
+        for j, batch in enumerate((rows[:k], rows[k:])):
+            merge_semantic_batch(
+                spark,
+                spark.createDataFrame(batch, schema),
+                j,
+                root,
+                cents,
+                tau=tau,
+            )
+        got = {
+            (r["a"], r["b"]): r["cosine"]
+            for r in read_semantic_matches(spark, root).collect()
+        }
+        full = spark.createDataFrame(rows, schema)
+        assigned = voronoi_assign(full, "vec_id", "embedding", cents)
+        want = {
+            (r["a"], r["b"]): round(r["cosine"], 6)
+            for r in embedding_dup_pairs(
+                assigned, "vec_id", "embedding", "cell", gemm=False
+            ).collect()
+            if r["cosine"] is not None and round(r["cosine"], 6) >= tau
+        }
+        assert got == want, (seed, got.keys() ^ want.keys())
