@@ -6753,7 +6753,8 @@ LIMIT 100
                        q.n_tok
                 FROM qual q JOIN keepset k ON q.doc_id = k.doc_id
             )
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                    ROUND(AVG(quality), 4) AS avg_quality
             FROM scoredq WHERE quality >= 0.5
             GROUP BY lang ORDER BY lang
@@ -8191,7 +8192,11 @@ LIMIT 100
                         1, 8))::BIGINT % 1000000)::HUGEINT * tot::HUGEINT
                   < 50000::HUGEINT * 1000000::HUGEINT
         )
-        SELECT source, COUNT(*) AS n_kept, SUM(ntok) AS kept_tokens,
+        -- CAST(... AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+        -- fetchdf() renders as float64 ('1435.0') while Spark's long
+        -- side renders '1435' — the round-6/7 driver hash red.
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(ntok) AS BIGINT) AS kept_tokens,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM kept GROUP BY source ORDER BY source
     """

@@ -88,6 +88,60 @@ def test_every_declared_query_has_an_oracle():
     assert not (NO_ORACLE_ALLOWED & oracles), "allowlisted query grew an oracle"
 
 
+def test_no_oracle_projects_hugeint():
+    """Sweep every declared oracle's FINAL projection (DuckDB DESCRIBE —
+    binds the query, executes nothing) and ban HUGEINT/UHUGEINT columns.
+    DuckDB sums BIGINT into HUGEINT, and fetchdf() renders HUGEINT as
+    float64, so the driver's raw-str hash sees '1435.0' against Spark's
+    '1435' — the exact root cause of the round-6/7 `sample_token_budget`
+    driver red (the local gate's `.12g` float text collapsed the two and
+    the red was misread as a flake).  Any aggregate that can widen must
+    CAST(... AS BIGINT) in the oracle."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tools.check_oracle import register_duck_views
+
+    con = duckdb.connect()
+    register_duck_views(con, SF_DIR)
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # a DESCRIBE-time error is its own failure
+            offenders[name] = f"describe failed: {e}"
+            continue
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if "HUGEINT" in str(typ).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle final projections with HUGEINT (fetchdf renders these as "
+        f"float64 → driver hash red): {offenders}"
+    )
+
+
+def test_dtype_parity_gate_catches_int_vs_float():
+    """The local strict gate must be at least as strict as the driver's
+    canonicalization: int64-vs-float64 column divergence fails even when
+    the values are numerically equal (round-7 VERDICT What's-wrong #1/#2)."""
+    import pandas as pd
+
+    from tools.check_oracle import compare_strict, dtype_parity_problems
+
+    a = pd.DataFrame({"k": ["x"], "n": pd.array([1435], dtype="int64")})
+    b = pd.DataFrame({"k": ["x"], "n": pd.array([1435.0], dtype="float64")})
+    assert dtype_parity_problems(a, b), "int-vs-float divergence not flagged"
+    assert compare_strict("t", a, b), "strict gate forgave the divergence"
+    # equal dtypes with equal values still pass
+    assert not compare_strict("t", a, a.copy())
+    # float-vs-float with equal values passes the dtype check
+    assert not dtype_parity_problems(b, b.copy())
+
+
 def test_jaccard_max_bucket_prunes_hot_shingles(spark):
     """The declared n-gram Jaccard query must keep stop-shingle pruning
     wired in: the hot-shingle anti-join is what bounds the inverted-

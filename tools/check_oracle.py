@@ -118,11 +118,41 @@ def _cell_repr(v) -> str:
     return str(v)
 
 
+def dtype_parity_problems(
+    spark_pd: pd.DataFrame, duck_pd: pd.DataFrame
+) -> list[str]:
+    """Fail when one engine hands back an integer column and the other a
+    float column for the same name.  The driver's hash stringifies cells
+    raw, so DuckDB HUGEINT→float64 renders '1435.0' against Spark's
+    '1435' and every hash differs — while this gate's `.12g` float text
+    used to collapse the two (the round-6/7 `sample_token_budget`
+    misread: the driver was red twice and the local gate green, so the
+    red was adjudicated as a flake when it was an oracle dtype bug).
+    The local gate must be at least as strict as the driver's."""
+    problems = []
+    for c in sorted(set(spark_pd.columns) & set(duck_pd.columns)):
+        ka = getattr(spark_pd[c].dtype, "kind", "O")
+        kb = getattr(duck_pd[c].dtype, "kind", "O")
+        ints, flts = {"i", "u"}, {"f"}
+        if (ka in ints and kb in flts) or (ka in flts and kb in ints):
+            problems.append(
+                f"column {c}: int-vs-float dtype divergence "
+                f"(spark={spark_pd[c].dtype} duck={duck_pd[c].dtype}) — "
+                f"the driver's raw-str hash WILL reject this even when "
+                f"values are numerically equal; CAST the oracle (DuckDB "
+                f"HUGEINT sums need CAST(... AS BIGINT)) or the Spark side"
+            )
+    return problems
+
+
 def compare_strict(
     name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame
 ) -> list[str]:
     import hashlib
 
+    dtp = dtype_parity_problems(spark_pd, duck_pd)
+    if dtp:
+        return dtp
     a, b = canon_csv(spark_pd), canon_csv(duck_pd)
     if a == b:
         return []
