@@ -2618,7 +2618,9 @@ def _quality_probe(spark, sf_dir):
         ).persist()
         feat = hashed_features(d, "doc_id", "text", dim=64).persist()
         labels.count(), feat.count()
-        w = train_linear_probe(feat, labels, dim=69, iters=8, eta=1024)
+        # dim = the HASH dim; train_linear_probe sizes the weight
+        # vector total_dim(64) = 69 itself (hash + 5 aux slots)
+        w = train_linear_probe(feat, labels, dim=64, iters=8, eta=1024)
         c["qprobe"] = (feat, labels, w)
     return c["qprobe"]
 

@@ -52,6 +52,15 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000  # residuals/margins in 1e-6 units — exact in BIGINT
 MILLI = 1_000      # features/weights in 1e-3 units (their product: micro)
+N_AUX = 5          # structural aux features appended by hashed_features
+
+
+def total_dim(hash_dim: int) -> int:
+    """Length of the weight vector that matches
+    ``hashed_features(dim=hash_dim)`` — the hash buckets plus the
+    ``N_AUX`` structural aux slots at ``hash_dim..hash_dim+N_AUX-1``.
+    Public so callers never have to remember the ``+5``."""
+    return hash_dim + N_AUX
 
 
 def hashed_features(
@@ -162,12 +171,28 @@ def margins_q(feat: DataFrame, weights_q: list[int]) -> DataFrame:
     """(id, margin_q): exact integer dot product of each doc's sparse
     milli-TFs against the literal milli-weight array (product: micro
     units) — map-side lookup + one partial-aggregated groupBy(id), no
-    join."""
+    join.  A bucket beyond the weight array raises LOUDLY (with or
+    without ANSI mode) instead of silently contributing NULL — the
+    failure mode of pairing ``hashed_features(dim=D)`` with a weight
+    vector shorter than ``total_dim(D)``."""
     w = F.array(*[F.lit(int(x)).cast("long") for x in weights_q])
+    lookup = F.when(
+        F.col("bucket") < F.lit(len(weights_q)),
+        F.element_at(w, F.col("bucket") + 1),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"margins_q: feature bucket out of range for the "
+                    f"{len(weights_q)}-weight vector (did you size "
+                    f"weights with total_dim(hash_dim)?): bucket="
+                ),
+                F.col("bucket").cast("string"),
+            )
+        ).cast("long")
+    )
     return (
-        feat.withColumn(
-            "__w", F.element_at(w, F.col("bucket") + 1)
-        )
+        feat.withColumn("__w", lookup)
         .groupBy("id")
         .agg(F.sum(F.col("x_q") * F.col("__w")).alias("margin_q"))
     )
@@ -182,6 +207,13 @@ def train_linear_probe(
 ) -> list[int]:
     """Fit milli-weights by ``iters`` GD supersteps from w = 0.
 
+    ``dim`` is the HASH dimension passed to ``hashed_features`` — the
+    returned weight vector has length ``total_dim(dim)`` so the aux
+    buckets at ``dim..dim+N_AUX-1`` (bias, length band, alpha ratio,
+    word-length band, stopword signal) get trained slots too.  Before
+    round 8 the caller had to remember to pass ``dim + 5`` here or the
+    aux features silently looked up NULL weights (ADVICE r7 medium).
+
     ``labels`` is (id, y) with y ∈ {0, 1}.  Per step: residual micro
     r_q = y·1e6 − s_q(margin) per doc; gradient g[b] = Σ x_q·r_q (an
     EXACT integer sum — order-independent, the whole reason the
@@ -190,10 +222,11 @@ def train_linear_probe(
     class).  One float op per fold entry (a single correctly-rounded
     division + floor), identical in Python and SQL, so the returned
     weights are cross-engine reproducible bit for bit."""
+    n_w = total_dim(dim)
     n_docs = labels.count()
     if n_docs == 0:
-        return [0] * dim
-    w = [0] * dim
+        return [0] * n_w
+    w = [0] * n_w
     denom = float(n_docs) * MICRO
     for _ in range(iters):
         m = margins_q(feat, w)
@@ -215,7 +248,7 @@ def train_linear_probe(
         }
         w = [
             w[b] + math.floor(eta * grad.get(b, 0) / denom)
-            for b in range(dim)
+            for b in range(n_w)
         ]
     return w
 

@@ -33,7 +33,7 @@ def toy(spark):
 
 def test_probe_learns_separable_labels(spark, toy):
     _, feat, labels = toy
-    w = train_linear_probe(feat, labels, dim=37, iters=8, eta=1024)
+    w = train_linear_probe(feat, labels, dim=32, iters=8, eta=1024)
     sc = score_corpus_q(feat, w)
     j = labels.join(sc, "id", "left").select(
         "y", F.coalesce("score_q", F.lit(MICRO // 2)).alias("s")
@@ -50,8 +50,8 @@ def test_probe_learns_separable_labels(spark, toy):
 
 def test_probe_training_is_deterministic(spark, toy):
     _, feat, labels = toy
-    a = train_linear_probe(feat, labels, dim=37, iters=4, eta=1024)
-    b = train_linear_probe(feat, labels, dim=37, iters=4, eta=1024)
+    a = train_linear_probe(feat, labels, dim=32, iters=4, eta=1024)
+    b = train_linear_probe(feat, labels, dim=32, iters=4, eta=1024)
     assert a == b
     assert any(x != 0 for x in a)
 
@@ -95,6 +95,32 @@ def test_margins_are_join_free_and_exact(spark, toy):
     _, feat, _ = toy
     real = {r["id"]: r["margin_q"] for r in margins_q(feat, w).collect()}
     assert set(real.values()) == {250000}
+
+
+def test_default_dim_pairing_trains_aux_slots(spark, toy):
+    """ADVICE r7 (medium): hashed_features(dim=D) + train_linear_probe
+    (dim=D) — the obvious pairing — must yield a weight vector covering
+    the aux buckets D..D+4, with the bias slot actually trained (it used
+    to silently look up NULL weights for all five aux features)."""
+    from dogsheep_beta_spark.operators.classifier import N_AUX, total_dim
+
+    _, feat, labels = toy
+    w = train_linear_probe(feat, labels, dim=32, iters=2, eta=1024)
+    assert len(w) == total_dim(32) == 32 + N_AUX
+    assert w[32] != 0  # the bias slot received gradient
+
+
+def test_margins_raise_loudly_on_short_weight_vector(spark, toy):
+    """A weight vector shorter than total_dim(hash_dim) must raise, not
+    silently NULL the aux features' contribution."""
+    from py4j.protocol import Py4JJavaError
+
+    _, feat, _ = toy
+    with pytest.raises(Exception) as exc:
+        margins_q(feat, [0] * 32).collect()
+    assert "bucket out of range" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
 
 
 def test_scores_monotone_in_margin(spark):

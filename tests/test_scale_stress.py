@@ -624,7 +624,7 @@ def test_scale_classifier_training_10x(spark):
         feat = hashed_features(docs, "doc_id", "text", dim=64).persist()
         labels.count(), feat.count()
         t0 = time.monotonic()
-        w = train_linear_probe(feat, labels, dim=69, iters=4, eta=1024)
+        w = train_linear_probe(feat, labels, dim=64, iters=4, eta=1024)
         wall = time.monotonic() - t0
         feat.unpersist(), labels.unpersist()
         return w, wall
