@@ -155,11 +155,22 @@ def _unescape_partition_value(raw: str):
     return unquote(raw)
 
 
+# Partition columns _read_parts may re-inject as STRING literals.  The
+# engine's only partitioned live layouts are ``type=`` (a string
+# column); re-injecting any other column here would silently coerce a
+# numeric/date partition value to string versus a normal partitioned
+# read (ADVICE r7) — extend this set ONLY with columns that are
+# string-typed in the batch-written schema.
+_STRING_PARTITION_COLS = frozenset({"type"})
+
+
 def _read_parts(spark, parts):
     """Union of the resolved partition dirs with the partition column
     re-injected as a literal (string-typed — the engine's only
     partitioned live layouts are ``type=``, a string column), column
-    order matching a normal partitioned read (partition col last)."""
+    order matching a normal partitioned read (partition col last).
+    Fails loudly on a partition column outside the known string-typed
+    layouts rather than silently changing its type."""
     from pyspark.sql import functions as F
 
     dfs = []
@@ -167,6 +178,15 @@ def _read_parts(spark, parts):
         df = spark.read.parquet(vdir)
         if dirname is not None:
             col, raw = dirname.split("=", 1)
+            if col not in _STRING_PARTITION_COLS:
+                raise ValueError(
+                    f"_read_parts: partition column {col!r} is not a "
+                    f"known string-typed live layout "
+                    f"({sorted(_STRING_PARTITION_COLS)}); re-injecting "
+                    "it as a string literal would silently change its "
+                    "type vs a normal partitioned read — add it here "
+                    "only if it is string-typed in the written schema"
+                )
             val = _unescape_partition_value(raw)
             df = df.withColumn(
                 col,

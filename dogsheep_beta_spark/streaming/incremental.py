@@ -121,8 +121,11 @@ def _publish_dir(src_dir: str, path: str, hidden: bool = False) -> None:
 # so a generation lives exactly as long as some snapshot references it
 # ("retain until unreferenced", the Delta/Iceberg reader-snapshot
 # contract).  Crash-leaked pins are neutralized two ways: a pin whose
-# pid is dead is ignored, and any pin older than _PIN_TTL_SECONDS is
-# ignored (a request cannot legitimately run that long).
+# pid is dead is ignored, and any pin older than the TTL is ignored.
+# The TTL is a crash-leak backstop, NOT a request deadline: a reader
+# that legitimately runs long (huge corpus, stalled executor) must call
+# refresh_pin() periodically — or raise DBS_PIN_TTL_SECONDS — so the
+# retention sweep never reclaims a generation mid-job (ADVICE r7).
 #
 # The pin-creation race (sweep lists pins an instant before the pin
 # file lands) cannot bite in practice because a reader pins the
@@ -131,7 +134,16 @@ def _publish_dir(src_dir: str, path: str, hidden: bool = False) -> None:
 # caller additionally re-checks its generation token after pinning and
 # retries if a cutover landed in between (load_live_snapshot).
 
-_PIN_TTL_SECONDS = 600.0
+_PIN_TTL_SECONDS = 600.0  # default; override with DBS_PIN_TTL_SECONDS
+
+
+def _pin_ttl() -> float:
+    import os
+
+    try:
+        return float(os.environ.get("DBS_PIN_TTL_SECONDS", ""))
+    except ValueError:
+        return _PIN_TTL_SECONDS
 
 
 def _pid_alive(pid: int) -> bool:
@@ -168,6 +180,29 @@ def pin_generation(vdir: str) -> str | None:
     return p
 
 
+def refresh_pin(pin_path: str | None) -> None:
+    """Re-stamp a pin's timestamp so a legitimately long-running reader
+    (> TTL) keeps its generation protected — call between job waves.
+    Atomic via write-aside + rename so the sweep never reads a torn
+    pin file; a pin that vanished underneath (already swept) is
+    silently re-created only if its directory still exists."""
+    import os
+    import time
+
+    if pin_path is None:
+        return
+    tmp = pin_path + ".tmp"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(f"{os.getpid()} {time.time()}")
+        os.replace(tmp, pin_path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def release_pin(pin_path: str | None) -> None:
     import os
 
@@ -199,7 +234,7 @@ def _generation_is_pinned(vdir: str) -> bool:
         try:
             with open(p) as fh:
                 pid_s, ts_s = fh.read().split()
-            fresh = (now - float(ts_s)) < _PIN_TTL_SECONDS
+            fresh = (now - float(ts_s)) < _pin_ttl()
             if fresh and _pid_alive(int(pid_s)):
                 live = True
                 continue
@@ -1863,6 +1898,78 @@ def _sem_thresh_q(tau: float) -> tuple[float, float]:
     return eps, max(0.005, eps / 3.0)
 
 
+def upgrade_semantic_store(
+    spark: SparkSession, root_path: str, tau: float = 0.95
+) -> bool:
+    """One-shot migration of a pre-round-7 semantic store (id, v /cell)
+    to the pivot-band layout (id, v, rd1, rd2, b1, b2 /cell) — ADVICE
+    r7: a legacy checkpoint must have an upgrade path, not just
+    "rebuild from scratch".  Recomputes the pivot geometry with the
+    SAME deterministic recipe appends use (_cell_pivots_rows is a pure
+    function of (cell, dim); _sem_thresh_q of tau), so an upgraded
+    store is byte-identical to one written natively.  ``tau`` must be
+    the store's own tau (the banding quantum is a function of it — the
+    same single-tau contract every append and probe already carries).
+    Rewrites aside then swaps via rename; run it OFFLINE (no stream
+    writing the store concurrently).  Returns True when an upgrade
+    happened, False when the store is absent or already current."""
+    import os
+    import shutil
+
+    store_path = os.path.join(root_path, "store")
+    if not os.path.isdir(store_path):
+        return False
+    df = spark.read.parquet(store_path)
+    if "b1" in df.columns:
+        return False
+    eps, q = _sem_thresh_q(tau)
+    first = (
+        df.where(F.col("v").isNotNull())
+        .select(F.size("v").alias("d"))
+        .first()
+    )
+    dim = int(first["d"]) if first is not None and first["d"] else 1
+    cells = [r[0] for r in df.select("cell").distinct().collect()]
+    pivots = _cell_pivots_rows(spark, cells, dim)
+    geo = (
+        df.join(F.broadcast(pivots), "cell", "left")
+        .withColumn("un", _unit_expr(F.col("v")))
+        .select(
+            "id",
+            "v",
+            "cell",
+            F.when(
+                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv1"))
+            ).alias("rd1"),
+            F.when(
+                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv2"))
+            ).alias("rd2"),
+        )
+    )
+    up = geo.select(
+        "id",
+        "v",
+        "cell",
+        "rd1",
+        "rd2",
+        F.coalesce(F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)).alias(
+            "b1"
+        ),
+        F.coalesce(F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)).alias(
+            "b2"
+        ),
+    )
+    tmp = store_path + ".__upgrade__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    up.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    old = store_path + ".__legacy__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def merge_semantic_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1969,7 +2076,9 @@ def merge_semantic_batch(
     if store is not None and "b1" not in store.columns:
         raise ValueError(
             f"semantic store at {store_path} predates the pivot-band "
-            "layout (round 7); rebuild it from a fresh checkpoint"
+            "layout (round 7); run upgrade_semantic_store(spark, "
+            "root_path, tau=<the store's tau>) once (offline) to "
+            "migrate it in place, or rebuild from a fresh checkpoint"
         )
     if store is not None:
         store = store.select(

@@ -656,6 +656,42 @@ def test_stale_pins_do_not_block_retention(tmpdir):
     assert inc.pin_generation(plain) is None
 
 
+def test_pin_ttl_env_override_and_refresh(tmpdir, monkeypatch):
+    """ADVICE r7: the pin TTL is a crash-leak backstop, not a request
+    deadline — it must be configurable (DBS_PIN_TTL_SECONDS) and a
+    long-running reader must be able to refresh_pin() to stay
+    protected past any TTL."""
+    import os
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    vdir = os.path.join(str(tmpdir), "idx.__v1__")
+    os.makedirs(vdir)
+
+    # a pin 30s old is stale under a 10s TTL override...
+    pin = inc.pin_generation(vdir)
+    with open(pin, "w") as fh:
+        fh.write(f"{os.getpid()} {time.time() - 30}")
+    monkeypatch.setenv("DBS_PIN_TTL_SECONDS", "10")
+    assert not inc._generation_is_pinned(vdir)
+    assert not os.path.exists(pin)  # collected as stale
+
+    # ...but a refreshed pin survives: refresh re-stamps the timestamp
+    pin = inc.pin_generation(vdir)
+    with open(pin, "w") as fh:
+        fh.write(f"{os.getpid()} {time.time() - 30}")
+    inc.refresh_pin(pin)
+    assert inc._generation_is_pinned(vdir)
+    inc.release_pin(pin)
+
+    # malformed override falls back to the default TTL
+    monkeypatch.setenv("DBS_PIN_TTL_SECONDS", "not-a-number")
+    assert inc._pin_ttl() == inc._PIN_TTL_SECONDS
+    # refresh of a released/None pin is a no-op
+    inc.refresh_pin(None)
+
+
 def test_concurrent_search_requests_shared_index(page_ctx):
     """ThreadingHTTPServer handlers share one FtsIndex: concurrent
     requests with overlapping and distinct phrases must all succeed
@@ -781,3 +817,24 @@ def test_live_snapshot_scalars_refresh_partitioned_layout(spark, tmp_path):
     write_gen(2, 8)  # publish: only the type=* symlinks change
     _, fts2 = load_live_snapshot(spark, index_path, fts_path)
     assert fts2.n_docs == 8  # stale-cache bug froze this at 4
+
+
+def test_read_parts_rejects_unknown_partition_column(spark, tmpdir):
+    """ADVICE r7: _read_parts re-injects partition values as STRING
+    literals; a non-string partition layout (e.g. shard=3) must fail
+    loudly instead of silently string-typing the column."""
+    import os
+
+    import pytest
+
+    from dogsheep_beta_spark import server as srv
+
+    d = os.path.join(str(tmpdir), "p")
+    os.makedirs(d)
+    spark.range(2).write.mode("overwrite").parquet(d)
+    with pytest.raises(ValueError, match="not a known string-typed"):
+        srv._read_parts(spark, [(d, "shard=3")])
+    # the known string layout still reads, with the column re-injected
+    df = srv._read_parts(spark, [(d, "type=docs")])
+    assert df.schema["type"].dataType.simpleString() == "string"
+    assert {r["type"] for r in df.collect()} == {"docs"}

@@ -1613,6 +1613,74 @@ def test_streaming_semantic_null_embeddings_are_inert(spark, tmpdir):
     assert store.where(F.col("b1") == -999).count() == 3
 
 
+def test_semantic_store_legacy_upgrade(spark, tmpdir):
+    """ADVICE r7: a pre-round-7 semantic store (no pivot-band columns)
+    must have a migration path.  upgrade_semantic_store recomputes
+    rd1/rd2/b1/b2 with the native recipe, so an upgraded store equals a
+    natively-written one row for row — and the stream continues
+    correctly afterwards."""
+    import shutil
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        read_semantic_matches,
+        upgrade_semantic_store,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    root = os.path.join(tmpdir, "semup")
+    schema = "vec_id long, embedding array<double>"
+    merge_semantic_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, [1.0, 0.01]), (2, [0.02, 1.0]), (3, None)], schema
+        ),
+        0, root, cents, tau=0.9,
+    )
+    store_path = os.path.join(root, "store")
+    native = sorted(
+        map(tuple, spark.read.parquet(store_path).collect())
+    )
+
+    # simulate the legacy layout: same rows, geometry columns dropped
+    legacy = spark.read.parquet(store_path).select("id", "v", "cell")
+    tmp = store_path + ".__mk_legacy__"
+    legacy.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
+
+    # the merge refuses the legacy store and names the upgrade helper
+    with pytest.raises(ValueError, match="upgrade_semantic_store"):
+        merge_semantic_batch(
+            spark,
+            spark.createDataFrame([(4, [1.0, 0.0])], schema),
+            1, root, cents, tau=0.9,
+        )
+
+    # one-shot upgrade: byte-equal to the natively-written store
+    assert upgrade_semantic_store(spark, root, tau=0.9) is True
+    upgraded = sorted(
+        map(tuple, spark.read.parquet(store_path).collect())
+    )
+    assert upgraded == native
+    # idempotent: second call is a no-op
+    assert upgrade_semantic_store(spark, root, tau=0.9) is False
+
+    # and the stream continues: a near-dup of id 1 matches post-upgrade
+    merge_semantic_batch(
+        spark,
+        spark.createDataFrame([(4, [0.999, 0.012])], schema),
+        1, root, cents, tau=0.9,
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in read_semantic_matches(spark, root).collect()
+    }
+    assert (1, 4) in got
+
+
 def test_streaming_semantic_pivot_prune_fuzz(spark, tmpdir):
     """Seeded fuzz for the pivot prune's LOSSLESSNESS: random vector
     sets (clusters + noise + boundary-ish pairs), random batch splits
