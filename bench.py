@@ -2,10 +2,16 @@
 
 Runs every declared query from ``__spark_entry__.queries()`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints the headline JSON line:
 
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Three lines total: a compact summary (no per-query maps), the full
+per-query record, and the compact summary again — so a capture that
+keeps only the head OR only the tail of stdout still contains one
+complete machine-readable headline (the driver's artifact is a
+fixed-size tail that the full line outgrew in rounds 5-7).
 
 Each query is timed end-to-end (plan build + execution + collect via
 toPandas).  The shared search-index/FTS build is cached inside
@@ -26,11 +32,15 @@ compilation and JIT that exists once per plan shape per JVM, not per
 query at steady state; ``cold_total_sec`` preserves the sum of
 first-run times for transparency.
 
-A fixed no-op sentinel job timed before each query's window makes host
+A fixed no-op sentinel job timed around each query's window makes host
 stall measurable inside the artifact (``sentinel_floor_sec``,
 ``sentinel_stalled_queries``, ``stall_adjusted_total_sec``): two rounds
 of adjudication had to blame hypervisor steal for outliers with no
-in-JSON control (VERDICT r6 #4).
+in-JSON control (VERDICT r6 #4).  Round 8 (ADVICE r7): windows are
+BRACKETED — a query is "stalled" only when the sentinels on BOTH sides
+flag, so a stall that begins mid-query or ends before it no longer
+mis-attributes; one-sided windows are listed separately and the
+adjusted total is reported as a confirmed/loose range.
 """
 
 from __future__ import annotations
@@ -120,10 +130,17 @@ def main() -> None:
         return time.time() - t0
 
     sentinel()  # one throwaway to absorb the range-plan's codegen cost
+    # Each query window is BRACKETED by sentinels (ADVICE r7: a before-
+    # only sentinel attributes a stall that begins mid-query to the
+    # wrong window).  The after-sentinel of query i doubles as the
+    # before-sentinel of query i+1, so bracketing costs ONE extra
+    # sentinel total, not one per query.
     sentinels: dict[str, float] = {}
+    sentinels_after: dict[str, float] = {}
     cold_total = 0.0
+    last_sent = round(sentinel(), 4)
     for name, fn in entry.queries().items():
-        sentinels[name] = round(sentinel(), 4)
+        sentinels[name] = last_sent
         runs = []
         try:
             for _ in range(ITERS):
@@ -135,21 +152,49 @@ def main() -> None:
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        last_sent = round(sentinel(), 4)
+        sentinels_after[name] = last_sent
 
-    floor = min(sentinels.values()) if sentinels else 0.0
+    all_sent = list(sentinels.values()) + [last_sent]
+    floor = min(all_sent) if all_sent else 0.0
+
+    def _is_stall(s: float) -> bool:
+        return floor > 0 and s > 2 * floor
+
+    # CONFIRMED stall: both bracketing sentinels flag (the stall spans
+    # the window).  ONE-SIDED: exactly one side flags (a stall that
+    # began or ended inside the window — evidence is ambiguous, so the
+    # headline adjustment leaves these unscaled and a LOOSE variant
+    # scales them, reported as a range).
     stalled = sorted(
-        n for n, s in sentinels.items() if floor > 0 and s > 2 * floor
+        n
+        for n in timings
+        if _is_stall(sentinels[n]) and _is_stall(sentinels_after.get(n, 0.0))
     )
-    # stall-adjusted aggregate: scale each stalled query's wall by the
+    stalled_one_sided = sorted(
+        n
+        for n in timings
+        if n not in stalled
+        and (
+            _is_stall(sentinels[n]) or _is_stall(sentinels_after.get(n, 0.0))
+        )
+    )
+    # stall-adjusted aggregates: scale a flagged query's wall by the
     # clean-floor/window-floor ratio (stall inflates Spark's many-small-
     # jobs profile roughly uniformly — BASELINE.md's host-variance
-    # adjudication); unflagged queries pass through unscaled.
-    adjusted = 0.0
+    # adjudication).  The window floor is the LESS-stalled side (the
+    # weaker evidence → the smaller correction).
+    adjusted = 0.0        # confirmed-only (conservative headline)
+    adjusted_loose = 0.0  # also scales one-sided windows (lower bound)
     for n, v in timings.items():
         if v < 0:
             continue
-        s = sentinels.get(n, floor)
-        adjusted += v * (floor / s) if (n in stalled and s > 0) else v
+        s = min(sentinels.get(n, floor), sentinels_after.get(n, floor))
+        scale = (floor / s) if s > 0 else 1.0
+        adjusted += v * scale if n in stalled else v
+        adjusted_loose += (
+            v * scale if (n in stalled or n in stalled_one_sided) else v
+        )
 
     # steady-state streaming: marginal per-micro-batch cost measured
     # from StreamingQuery progress metrics (median over batches after
@@ -191,29 +236,59 @@ def main() -> None:
     # (through round 5 the headline summed both, so a layout-build
     # regression moved the query-wall number; see BASELINE.md)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    shared = [
+        n for n, v in timings.items() if v >= 0 and duck.get(n, -1.0) >= 0
+    ]
+    spark_shared = round(sum(timings[n] for n in shared), 3)
+    duck_shared = round(sum(duck[n] for n in shared), 3)
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "spark_shared_sec": spark_shared,
+        "duck_shared_sec": duck_shared,
+        "spark_over_duck": (
+            round(spark_shared / duck_shared, 3) if duck_shared > 0 else None
+        ),
+        "build_total_sec": round(
+            sum(v for v in builds.values() if v >= 0), 3
+        ),
+        "cold_total_sec": round(cold_total, 3),
+        "sentinel_floor_sec": round(floor, 4),
+        "n_stalled": len(stalled),
+        "n_stalled_one_sided": len(stalled_one_sided),
+        "stall_adjusted_total_sec": round(adjusted, 3),
+        "stall_adjusted_total_loose_sec": round(adjusted_loose, 3),
+        "sf": sf,
+    }
+    # Truncation-proofing (VERDICT r7 #6): the driver records only a
+    # fixed-size TAIL of stdout, and the full per-query line outgrew it
+    # (BENCH_r05-07 all have parsed: null).  Emit the compact headline
+    # summary FIRST (head-capture) and again as the FINAL line (what a
+    # tail-capture's last line actually is), with the full per-query
+    # record in between — any contiguous capture window yields a
+    # machine-readable headline.
+    print(json.dumps({**summary, "line": "summary"}))
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
+                **summary,
+                "line": "full",
                 "queries": timings,
                 "builds": builds,
-                "build_total_sec": round(
-                    sum(v for v in builds.values() if v >= 0), 3
-                ),
                 "duckdb": duck,
                 "streaming_per_batch": streaming_per_batch,
                 "iterations": ITERS,
-                "cold_total_sec": round(cold_total, 3),
-                "sentinel_floor_sec": round(floor, 4),
                 "sentinel_stalled_queries": stalled,
+                "sentinel_stalled_one_sided": stalled_one_sided,
                 "sentinels": sentinels,
-                "stall_adjusted_total_sec": round(adjusted, 3),
-                "sf": sf,
+                "sentinels_after": sentinels_after,
             }
         )
     )
+    print(json.dumps({**summary, "line": "summary"}))
     spark.stop()
 
 
