@@ -39,6 +39,24 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _no_repo_relative_debris():
+    """Fail the session if any test wrote a repo-relative temp tree.
+    Round 7's `s/` debris came from str.join on this module's plain-str
+    tmpdir fixture (`tmpdir.join("ssj_src")` interleaves the tmpdir
+    between the CHARACTERS of the argument, yielding a relative path
+    starting with 's'); this guard makes any recurrence of that class
+    loud instead of a gitignored surprise."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yield
+    stray = os.path.join(repo, "s")
+    assert not os.path.exists(stray), (
+        f"repo-relative temp debris regrew at {stray} — some path is "
+        "resolving against the repo cwd (str.join on a str tmpdir, or "
+        "a relative TMPDIR/checkpoint dir)"
+    )
+
+
 @pytest.fixture(scope="session")
 def dogs_index(spark):
     """The CLI round-trip fixture from FIXTURES.md §1 / tests/test_cli.py."""

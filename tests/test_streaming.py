@@ -794,7 +794,12 @@ def test_streaming_interval_join_converges_across_batches(spark, tmpdir):
         (2, ts(9), "l", 203),   # 101 is 8 min old (> 5m): only 102
     ]
     batches = [rows[:3], rows[3:5], rows[5:]]
-    src = str(tmpdir.join("ssj_src"))
+    # NOTE: this module's tmpdir fixture yields a plain str, not
+    # pytest's py.path — tmpdir.join("x") here would be str.join,
+    # silently interleaving the tmpdir between the characters of "x"
+    # and writing a RELATIVE "s/tmp/..." tree into the repo cwd (the
+    # round-7 `s/` debris).
+    src = os.path.join(tmpdir, "ssj_src")
     os.makedirs(src)
     schema = "user_id long, ts timestamp, side string, id long"
     for i, batch in enumerate(batches):
@@ -807,7 +812,7 @@ def test_streaming_interval_join_converges_across_batches(spark, tmpdir):
         for f in fs
         if f.endswith(".parquet")
     )
-    flat = str(tmpdir.join("ssj_flat"))
+    flat = os.path.join(tmpdir, "ssj_flat")
     os.makedirs(flat)
     for i, f in enumerate(files):
         shutil.copy(f, os.path.join(flat, f"part-{i}.parquet"))
