@@ -4816,6 +4816,39 @@ def q_bpe_encode_corpus(spark, sf_dir):
     )
 
 
+def q_pack_bpe_exact(spark, sf_dir):
+    """Exact-token sequence packing under the LEARNED tokenizer
+    (VERDICT r7 #4): ``bpe_encode``'s per-doc n_bpe — not the
+    whitespace estimate — feeds ``pack_greedy``'s next-fit packer, the
+    composition a pretraining pipeline actually ships (tokenize with
+    the trained BPE, pack to the context window).  The encode stage is
+    the same zero-shuffle map-side replace chain as
+    ``bpe_encode_corpus`` (merges ride the plan as literals; the shard
+    key passes through the projection, no re-join), so the only
+    exchange is pack_greedy's one shard shuffle.  The oracle unrolls
+    learn-then-encode as CTEs and walks the identical next-fit rule
+    with a recursive CTE — full value parity for the whole
+    tokenize→pack path."""
+    from dogsheep_beta_spark.operators.bpe import bpe_encode
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    merges = _bpe_merges_ctx(spark, sf_dir)
+    d = _documents_persisted(spark, sf_dir)
+    enc = bpe_encode(
+        d, "doc_id", "text", merges, keep_cols=("source",)
+    )
+    return (
+        pack_greedy(enc, "id", "n_bpe", 2048, "source")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "shard",
+            F.col("n_tok").alias("n_bpe"),
+            "bin",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_gram(spark, sf_dir):
     """Distributed Gram matrix Xᵀ X over the embedding table
     (operators/linalg.py:quantized_gram) — the building block under
@@ -4981,6 +5014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source_ingest": q_warc_source_ingest,
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_encode_corpus": q_bpe_encode_corpus,
+        "pack_bpe_exact": q_pack_bpe_exact,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -5216,6 +5250,79 @@ WITH toks AS (
                        '[^a-z0-9]+'), x -> x <> '') AS toks
     FROM documents
 )
+"""
+
+# learn-then-ENCODE unrolled as chained CTEs (appended to
+# ORACLE_DOC_TOKENS; shared by the bpe_encode_corpus oracle and the
+# pack_bpe_exact packing oracle): every distinct word encodes once
+# through the same 3-merge replace chain the engine compiles map-side,
+# per-doc counts come from one occurrence join, and the final ``dc``
+# CTE exposes (doc_id, n_bpe).
+_BPE_ENCODE_CTES = """
+    , tt AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+    w AS (SELECT word, COUNT(*) AS n FROM tt GROUP BY word),
+    s0 AS (
+        SELECT word, substr(x, 1, length(x) - 1) AS sym, n FROM (
+            SELECT word,
+                   '[' || regexp_replace(word, '(.)', '\\1][', 'g')
+                       AS x, n
+            FROM w
+        )
+    ),
+    p1 AS (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                    '][') AS l, n
+                FROM s0
+            ), UNNEST(range(1, len(l))) r(i)
+        ) GROUP BY a, b
+    ),
+    b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    s1 AS (
+        SELECT word, replace(sym, '[' || b1.a || '][' || b1.b || ']',
+                       '[' || b1.a || b1.b || ']') AS sym, n
+        FROM s0, b1
+    ),
+    p2 AS (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                    '][') AS l, n
+                FROM s1
+            ), UNNEST(range(1, len(l))) r(i)
+        ) GROUP BY a, b
+    ),
+    b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    s2 AS (
+        SELECT word, replace(sym, '[' || b2.a || '][' || b2.b || ']',
+                       '[' || b2.a || b2.b || ']') AS sym, n
+        FROM s1, b2
+    ),
+    p3 AS (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
+                SELECT string_split(substr(sym, 2, length(sym) - 2),
+                                    '][') AS l, n
+                FROM s2
+            ), UNNEST(range(1, len(l))) r(i)
+        ) GROUP BY a, b
+    ),
+    b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    s3 AS (
+        SELECT word, replace(sym, '[' || b3.a || '][' || b3.b || ']',
+                       '[' || b3.a || b3.b || ']') AS sym
+        FROM s2, b3
+    ),
+    enc AS (
+        SELECT word,
+               length(sym) - length(replace(sym, '[', '')) AS ntok
+        FROM s3
+    ),
+    dc AS (
+        SELECT tt.doc_id, CAST(SUM(enc.ntok) AS BIGINT) AS n_bpe
+        FROM tt JOIN enc USING (word) GROUP BY tt.doc_id
+    )
 """
 
 ORACLE_SHINGLES3 = ORACLE_DOC_TOKENS + """
@@ -7339,75 +7446,44 @@ LIMIT 100
         # documents keeps token-less docs at n_bpe = 0 like the
         # engine's aggregate-over-empty-array.
         "bpe_encode_corpus": ORACLE_DOC_TOKENS
+        + _BPE_ENCODE_CTES
         + """
-            , tt AS (SELECT doc_id, unnest(toks) AS word FROM toks),
-            w AS (SELECT word, COUNT(*) AS n FROM tt GROUP BY word),
-            s0 AS (
-                SELECT word, substr(x, 1, length(x) - 1) AS sym, n FROM (
-                    SELECT word,
-                           '[' || regexp_replace(word, '(.)', '\\1][', 'g')
-                               AS x, n
-                    FROM w
-                )
-            ),
-            p1 AS (
-                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
-                        SELECT string_split(substr(sym, 2, length(sym) - 2),
-                                            '][') AS l, n
-                        FROM s0
-                    ), UNNEST(range(1, len(l))) r(i)
-                ) GROUP BY a, b
-            ),
-            b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-            s1 AS (
-                SELECT word, replace(sym, '[' || b1.a || '][' || b1.b || ']',
-                               '[' || b1.a || b1.b || ']') AS sym, n
-                FROM s0, b1
-            ),
-            p2 AS (
-                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
-                        SELECT string_split(substr(sym, 2, length(sym) - 2),
-                                            '][') AS l, n
-                        FROM s1
-                    ), UNNEST(range(1, len(l))) r(i)
-                ) GROUP BY a, b
-            ),
-            b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-            s2 AS (
-                SELECT word, replace(sym, '[' || b2.a || '][' || b2.b || ']',
-                               '[' || b2.a || b2.b || ']') AS sym, n
-                FROM s1, b2
-            ),
-            p3 AS (
-                SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-                    SELECT l[r.i] AS a, l[r.i + 1] AS b, n FROM (
-                        SELECT string_split(substr(sym, 2, length(sym) - 2),
-                                            '][') AS l, n
-                        FROM s2
-                    ), UNNEST(range(1, len(l))) r(i)
-                ) GROUP BY a, b
-            ),
-            b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
-            s3 AS (
-                SELECT word, replace(sym, '[' || b3.a || '][' || b3.b || ']',
-                               '[' || b3.a || b3.b || ']') AS sym
-                FROM s2, b3
-            ),
-            enc AS (
-                SELECT word,
-                       length(sym) - length(replace(sym, '[', '')) AS ntok
-                FROM s3
-            ),
-            dc AS (
-                SELECT tt.doc_id, CAST(SUM(enc.ntok) AS BIGINT) AS n_bpe
-                FROM tt JOIN enc USING (word) GROUP BY tt.doc_id
-            )
             SELECT d.doc_id,
                    CAST(COALESCE(dc.n_bpe, 0) AS BIGINT) AS n_bpe
             FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
             ORDER BY d.doc_id
+        """,
+        # tokenize-then-pack: the SAME unrolled learn-then-encode chain
+        # feeding the pack_greedy recursive next-fit walk — BPE-exact
+        # counts, not the whitespace estimate (VERDICT r7 #4)
+        "pack_bpe_exact": ORACLE_DOC_TOKENS.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + _BPE_ENCODE_CTES
+        + """
+            , nb AS (
+                SELECT d.doc_id, d.source AS shard,
+                       CAST(COALESCE(dc.n_bpe, 0) AS BIGINT) AS n_bpe
+                FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+            ), base AS (
+                SELECT doc_id, shard, n_bpe,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                       ) AS rn
+                FROM nb
+            ), g AS (
+                SELECT doc_id, shard, n_bpe, rn,
+                       CAST(0 AS BIGINT) AS bin, n_bpe AS fill
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.doc_id, b.shard, b.n_bpe, b.rn,
+                       CASE WHEN g.fill + b.n_bpe > 2048
+                            THEN g.bin + 1 ELSE g.bin END,
+                       CASE WHEN g.fill + b.n_bpe > 2048
+                            THEN b.n_bpe ELSE g.fill + b.n_bpe END
+                FROM g JOIN base b ON b.shard = g.shard AND b.rn = g.rn + 1
+            )
+            SELECT doc_id, shard, n_bpe, bin FROM g ORDER BY doc_id
         """,
         # Quantized Gram by unnesting: floor(x·1000+0.5) in exact
         # BIGINT arithmetic equals the engine's numpy partial GEMM.

@@ -226,3 +226,21 @@ def test_exact_token_packing_with_bpe_counts(spark):
     for r in rows:
         by_bin.setdefault(r["bin"], []).append(r["id"])
     assert sorted(len(v) for v in by_bin.values()) == [2, 2]
+
+
+def test_keep_cols_pass_through_map_side(spark):
+    """bpe_encode(keep_cols=...) carries the pack shard key through the
+    map-side projection — no join, no exchange — so the declared
+    pack_bpe_exact query's only shuffle is pack_greedy's shard
+    groupBy."""
+    from dogsheep_beta_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "s1"), (2, "cc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    enc = bpe_encode(docs, "doc_id", "text", merges=[], keep_cols=("source",))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    got = {(r["id"], r["source"], r["n_bpe"]) for r in enc.collect()}
+    assert got == {(1, "s1", 4), (2, "s2", 2)}
