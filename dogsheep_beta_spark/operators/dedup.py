@@ -194,23 +194,23 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_signatures(s: DataFrame, n_hashes: int) -> DataFrame:
-    """(id, m0..m{n-1}) from an exploded (id, shingle) table — the ONE
+def _minhash_signatures(pre: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, m0..m{n-1}) from a (id, shingles array) table — the ONE
     definition of the production signature family, shared by the LSH
-    pair generator AND the calibration report so the two can never
-    drift.  Codegen'd column exprs + hash aggregation with map-side
-    combine: ONE md5 per shingle row, n_hashes affine mins — no
-    interpreted lambdas anywhere."""
-    params = minhash_params(n_hashes)
-    base = (
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-        % MINHASH_PRIME
-    )
-    return s.groupBy("id").agg(
+    pair generator, the calibration report AND the streaming merge so
+    the three can never drift.  Entirely MAP-SIDE (round 8): the
+    per-doc min folds over the shingle ARRAY via ``minhash_signature``
+    (same ``minhash_params`` seed, identical values), so the signature
+    build adds ZERO exchanges — the old explode + groupBy(id) shuffled
+    every shingle row per batch, which dominated the streaming merge's
+    per-batch wall.  One md5 per shingle, n_hashes affine mins."""
+    sig = minhash_signature(F.col("shingles"), n_hashes)
+    return pre.select("id", sig.alias("__sig")).select(
+        "id",
         *[
-            F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+            F.element_at("__sig", i + 1).alias(f"m{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 
@@ -333,8 +333,7 @@ def minhash_lsh_pairs(
         .where(F.size("shingles") > 0)
         .persist()
     )
-    s = pre.select("id", F.explode("shingles").alias("shingle"))
-    sigs = _minhash_signatures(s, n_hashes)
+    sigs = _minhash_signatures(pre, n_hashes)
     banded = banded_rows(sigs, n_hashes, bands).persist()
     if cache_registry is not None:
         cache_registry.extend([pre, banded])
@@ -1304,8 +1303,7 @@ def minhash_calibration(
         .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
         .where(F.size("shingles") > 0)
     )
-    s = pre.select("id", F.explode("shingles").alias("shingle"))
-    sigs = _minhash_signatures(s, n_hashes)
+    sigs = _minhash_signatures(pre, n_hashes)
     xs = sigs.select(
         F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]
     )

@@ -1630,6 +1630,8 @@ def merge_minhash_batch(
     (``streaming_dedup``) which removes the exact-duplicate mass that
     creates hot buckets in the first place."""
     import os
+    import sys
+    import time
 
     from dogsheep_beta_spark.operators.dedup import (
         _minhash_signatures,
@@ -1642,6 +1644,19 @@ def merge_minhash_batch(
     store_path = os.path.join(root_path, "store")
     match_path = os.path.join(root_path, "matches")
 
+    _prof = os.environ.get("DBS_PROFILE_STREAM")
+    _t = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if _prof:
+            now = time.time()
+            print(
+                f"# mhprof b{batch_id} {label} {now - _t:.3f}",
+                file=sys.stderr,
+            )
+            _t = now
+
     pre = (
         bound_tokens(batch_df, id_col, text_col)
         .select(
@@ -1652,8 +1667,7 @@ def merge_minhash_batch(
         .dropDuplicates(["id"])
         .persist()
     )
-    s = pre.select("id", F.explode("shingles").alias("shingle"))
-    sigs = _minhash_signatures(s, n_hashes)
+    sigs = _minhash_signatures(pre, n_hashes)
     new_band = (
         banded_rows(sigs, n_hashes, bands)
         .withColumn(
@@ -1663,6 +1677,7 @@ def merge_minhash_batch(
         .persist()
     )
     touched = [str(r[0]) for r in new_band.select("bb").distinct().collect()]
+    _mark("touched_collect")
     if not touched:
         pre.unpersist()
         new_band.unpersist()
@@ -1678,6 +1693,26 @@ def merge_minhash_batch(
         )
     else:
         allb = new_band.withColumn("__new", F.lit(1))
+
+    # The band-index append depends only on (new_band, index) — both
+    # available here — so it runs CONCURRENTLY with candidate
+    # generation and verification below (self-idempotent via its own
+    # anti-join, see the writes note), hiding one job-floor wave.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if index is not None:
+        # left_anti needs no distinct on the right side
+        new_band_only = new_band.join(index.select("id"), "id", "left_anti")
+    else:
+        new_band_only = new_band
+
+    def _w_index():
+        new_band_only.write.mode("append").partitionBy("bb").parquet(
+            band_index_path
+        )
+
+    _pool = ThreadPoolExecutor(max_workers=3)
+    _index_fut = _pool.submit(_w_index)
 
     # once-per-pair direction rules (merge_link_batch): a NEW row pairs
     # with smaller-id bucket-mates, and with larger-id OLD mates (the
@@ -1721,11 +1756,13 @@ def merge_minhash_batch(
         .distinct()
         .collect()
     ]
+    _mark("cand_collect")
     store = (
         _read_partitioned(spark, store_path, cand_idb, col="idb")
         if cand_idb
         else None
     )
+    _mark("store_read")
     if store is not None:
         shings = (
             store.select("id", "shingles")
@@ -1752,27 +1789,48 @@ def merge_minhash_batch(
     # overhead buys nothing); a replayed batch re-appends the same
     # pairs and the read path dropDuplicates — same retry posture as
     # the store writes
-    fresh.write.mode("append").parquet(match_path)
-
     # append-only store/index growth: only genuinely-new rows (retry
     # idempotent via the anti-joins against what was just read)
     if store is not None:
         new_recs = pre.join(store.select("id"), "id", "left_anti")
     else:
         new_recs = pre
-    new_recs.select(
-        "id",
-        "shingles",
-        F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb"),
-    ).write.mode("append").partitionBy("idb").parquet(store_path)
-    if index is not None:
-        # left_anti needs no distinct on the right side
-        new_band_only = new_band.join(index.select("id"), "id", "left_anti")
-    else:
-        new_band_only = new_band
-    new_band_only.write.mode("append").partitionBy("bb").parquet(
-        band_index_path
-    )
+
+    # The three appends are INDEPENDENT and each is SELF-idempotent
+    # (matches: read-side dropDuplicates; store: anti-join against the
+    # store itself; index: anti-join against the index itself), so any
+    # crash-leaves-a-subset-written interleaving replays correctly —
+    # which is what makes running them CONCURRENTLY safe.  Each write
+    # is job-floor-bound at micro-batch scale, so overlapping them cuts
+    # the per-batch wall from the sum of three floors to roughly the
+    # max, and the index append (started above) additionally overlaps
+    # candidate generation (VERDICT r7 #3: the steady state was ~8× the
+    # next-heaviest lifecycle, dominated by serialized small jobs, not
+    # data).
+    def _w_matches():
+        # no candidate pairs ⇒ `fresh` is provably empty: skip the
+        # write (and its job floor) instead of committing an empty
+        # file — except the very first time, so the match table always
+        # exists with its schema for readers even on a dup-free corpus
+        if cand_idb or not os.path.isdir(match_path):
+            fresh.write.mode("append").parquet(match_path)
+
+    def _w_store():
+        new_recs.select(
+            "id",
+            "shingles",
+            F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias(
+                "idb"
+            ),
+        ).write.mode("append").partitionBy("idb").parquet(store_path)
+
+    try:
+        futs = [_pool.submit(w) for w in (_w_matches, _w_store)]
+        for f in (*futs, _index_fut):
+            f.result()  # re-raise the first failure
+    finally:
+        _pool.shutdown(wait=True)
+    _mark("writes")
     cand.unpersist()
     new_band.unpersist()
     pre.unpersist()
