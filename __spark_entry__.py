@@ -1430,28 +1430,19 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
-def q_ann_recall_report(spark, sf_dir):
-    """Retrieval-QUALITY report for every ANN index (VERDICT r6 #7: an
-    approximate index without a recall number is unshippable): recall@10
-    of label-cell IVF (2 probes), k-means IVF (2 and 4 probes), LSH
-    (own bucket), LSH multiprobe-1 and PQ-ADC against exact brute-force
-    cosine, averaged over a fixed 8-query panel (vec_id < 8) — fully
-    deterministic (seeded planes, md5-ordered seeds, rounded
-    tie-broken ranks), so the whole report strict-hashes against the
-    SQL twin.  The shared inputs (cosine table, ground truth, cell
-    assignments, buckets, PQ codes) are the amortized
-    ``ann_recall_build`` panel (_recall_panel); the report itself is
-    ONE window over a method-tagged union of candidate pools + one
-    hit-count aggregate — a handful of stages, not one plan per
-    method (the first shape paid a ~7-branch stage-floor tax).
-    hits_total is the integer pin (Σ over queries of |method∩exact|),
-    recall_at_10 the human-readable ratio."""
+def _recall_report_from_panel(
+    spark, panel, kmeans_probes, pq_names, pq_rerank=None
+):
+    """The recall@10 report over a built panel — shared by the
+    adversarial- and clustered-fixture declared queries: ONE window over
+    a method-tagged union of candidate pools + one hit-count aggregate
+    (a handful of stages, not one plan per method — the first shape
+    paid a ~7-branch stage-floor tax).  hits_total is the integer pin
+    (Σ over queries of |method∩exact|), recall_at_10 the ratio."""
     from pyspark.sql import Window
 
     K = 10
-    panel = _recall_panel(spark, sf_dir)
     qs, pr, gt = panel["qs"], panel["pr"], panel["gt"]
-    bc2, qc4 = panel["bc2"], panel["qc4"]
 
     def pool(method, df):
         return df.select(
@@ -1462,20 +1453,21 @@ def q_ann_recall_report(spark, sf_dir):
     pools = pools.unionByName(
         pool(
             "1_ivf_label_p2",
-            pr.join(F.broadcast(bc2), ["qid", "label"]).select(
+            pr.join(F.broadcast(panel["bc2"]), ["qid", "label"]).select(
                 "qid", "id", "cos"
             ),
         )
     )
-    km = pr.join(panel["asg"], "id").join(F.broadcast(qc4), ["qid", "cell"])
-    pools = pools.unionByName(
-        pool(
-            "2_kmeans_ivf_p2",
-            km.where(F.col("__rn") <= 2).select("qid", "id", "cos"),
-        )
-    ).unionByName(
-        pool("2_kmeans_ivf_p4", km.select("qid", "id", "cos"))
+    km = pr.join(panel["asg"], "id").join(
+        F.broadcast(panel["qck"]), ["qid", "cell"]
     )
+    for n in kmeans_probes:
+        pools = pools.unionByName(
+            pool(
+                f"2_kmeans_ivf_p{n}",
+                km.where(F.col("__rn") <= n).select("qid", "id", "cos"),
+            )
+        )
     lsh_pr = pr.join(panel["buckets"], "id").join(
         F.broadcast(panel["qb"]), "qid"
     )
@@ -1496,13 +1488,31 @@ def q_ann_recall_report(spark, sf_dir):
             ).select("qid", "id", "cos"),
         )
     )
-    adc = (
-        panel["codes"].join(F.broadcast(panel["lut"]), ["sub", "code"])
-        .where(F.col("id") != F.col("qid"))
-        .groupBy("qid", "id")
-        .agg(F.round(F.sum("part"), 6).alias("cos"))
-    )
-    pools = pools.unionByName(pool("5_pq_adc", adc))
+    adcs = {}
+    for name in pq_names:
+        codes, lut = panel["pq"][name]
+        adcs[name] = (
+            codes.join(F.broadcast(lut), ["sub", "code"])
+            .where(F.col("id") != F.col("qid"))
+            .groupBy("qid", "id")
+            .agg(F.round(F.sum("part"), 6).alias("cos"))
+        )
+        pools = pools.unionByName(pool(name, adcs[name]))
+    # ADC-shortlist + exact re-rank: the production IVF-PQ serving
+    # shape — the compressed scan proposes a 100-candidate shortlist,
+    # exact cosine re-ranks it (ADC alone cannot order vectors inside a
+    # tight cluster; re-ranking restores exactness at 100 vectors/query)
+    for rr_name, (src, shortlist) in (pq_rerank or {}).items():
+        wrr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+        short = (
+            adcs[src]
+            .withColumn("__rn", F.row_number().over(wrr))
+            .where(F.col("__rn") <= shortlist)
+            .select("qid", "id")
+        )
+        pools = pools.unionByName(
+            pool(rr_name, pr.join(short, ["qid", "id"]).select("qid", "id", "cos"))
+        )
 
     wm = Window.partitionBy("method", "qid").orderBy(
         F.desc("cos"), F.asc("id")
@@ -1515,10 +1525,13 @@ def q_ann_recall_report(spark, sf_dir):
     hits = top.join(F.broadcast(gt), ["qid", "id"]).groupBy(
         "method", "qid"
     ).agg(F.count(F.lit(1)).alias("h"))
-    methods = [
-        "0_exact_brute", "1_ivf_label_p2", "2_kmeans_ivf_p2",
-        "2_kmeans_ivf_p4", "3_lsh_h0", "4_lsh_mp1", "5_pq_adc",
-    ]
+    methods = (
+        ["0_exact_brute", "1_ivf_label_p2"]
+        + [f"2_kmeans_ivf_p{n}" for n in kmeans_probes]
+        + ["3_lsh_h0", "4_lsh_mp1"]
+        + list(pq_names)
+        + list((pq_rerank or {}).keys())
+    )
     grid = qs.select("qid").crossJoin(
         spark.range(1).select(
             F.explode(F.array(*[F.lit(m) for m in methods])).alias("method")
@@ -1538,13 +1551,108 @@ def q_ann_recall_report(spark, sf_dir):
     )
 
 
-def _recall_panel(spark, sf_dir):
-    """Shared inputs of the recall report, persisted once per sf_dir
-    (bench: ``ann_recall_build``): the 8-query panel, the (query x
-    corpus) exact cosine table + its ground-truth top-10, the label
-    centroids, the k-means assignment, the LSH buckets and the PQ
-    codebooks/codes — every method branch of the report re-RANKS these
-    materializations; nothing re-scores the corpus per evaluation."""
+_PQ_CFGS = {"5_pq_adc": (4, 8), "6_pq_adc_m16": (16, 16)}
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """Retrieval-QUALITY report for every ANN index (VERDICT r6 #7: an
+    approximate index without a recall number is unshippable): recall@10
+    of label-cell IVF (2 probes), k-means IVF (2 and 4 probes), LSH
+    (own bucket), LSH multiprobe-1 and PQ-ADC — both the legacy m=4/k=8
+    config and the r8-TUNED m=16/k=16 (4-dim subspaces, 16 codes: the
+    0.04 recall of the old config was misconfiguration, not just an
+    adversarial fixture) — against exact brute-force cosine, averaged
+    over a fixed 8-query panel (vec_id < 8).  Fully deterministic
+    (seeded planes, md5-ordered seeds, rounded tie-broken ranks), so
+    the whole report strict-hashes against the SQL twin.  The shared
+    inputs are the amortized ``ann_recall_build`` panel
+    (_recall_panel).  See q_ann_recall_clustered for the same methods
+    on a favorable fixture (VERDICT r7 #2)."""
+    return _recall_report_from_panel(
+        spark,
+        _recall_panel(spark, sf_dir),
+        kmeans_probes=(2, 4),
+        pq_names=("5_pq_adc", "6_pq_adc_m16"),
+        pq_rerank={"7_pq_m16_rr100": ("6_pq_adc_m16", 100)},
+    )
+
+
+def q_ann_recall_clustered(spark, sf_dir):
+    """The SAME 7-method recall@10 report over a deterministic
+    CLUSTERED embedding fixture (VERDICT r7 #2: the adversarial
+    near-uniform fixture proved honesty, not capability — nothing
+    showed the indexes can reach deployable recall on clusterable
+    data).  Fixture: 8 one-hot block clusters (cluster c = vec_id % 8
+    occupies dims 8c..8c+7) + bounded md5 noise (±0.08/dim) — derivable
+    in SQL, so the whole report strict-hashes.  k-means here uses k=32
+    hash-seeded cells (random seeding over 8 natural clusters needs
+    surplus seeds for coverage — the standard nlist >> natural-clusters
+    sizing) and sweeps probes 1/2/4/8 so the artifact shows where
+    recall crosses 0.9; PQ runs both the legacy m=4/k=8 and tuned
+    m=16/k=16 configs."""
+    return _recall_report_from_panel(
+        spark,
+        _recall_panel_clustered(spark, sf_dir),
+        kmeans_probes=(1, 2, 4, 8),
+        pq_names=("5_pq_adc", "6_pq_adc_m16"),
+        pq_rerank={"7_pq_m16_rr100": ("6_pq_adc_m16", 100)},
+    )
+
+
+def _clustered_corpus(spark, sf_dir):
+    """Deterministic CLUSTERED embedding fixture (VERDICT r7 #2):
+    same vec_ids as the embeddings table, 8 one-hot block clusters —
+    cluster c = vec_id % 8 puts 1.0 in dims 8c..8c+7 — plus bounded
+    md5-derived noise (±0.08 per dim).  One-hot bend coordinates, NOT a
+    growing scalar (the round-6 synthetic-fixture trap where late rows
+    degenerate to near-parallel).  Purely a function of vec_id, so the
+    SQL oracle rebuilds it exactly (_CLUSTERED_EMB_CTE); noise uses the
+    md5 bridge then three correctly-rounded scalar float ops shared
+    verbatim with the SQL text."""
+    emb = _embeddings(spark, sf_dir).select("vec_id")
+    c = (F.col("vec_id") % 8).cast("int")
+
+    def noise(j):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cf:"),
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+        )
+        return (h.cast("double") / 1000.0 - 1.0) * 0.08
+
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            F.floor(j / 8).cast("int") == c, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        + noise(j),
+    )
+    return emb.select("vec_id", c.alias("label"), v.alias("v"))
+
+
+def _build_recall_panel(spark, corpus, kmeans_k, kprobe_max, pq_cfgs):
+    """Shared inputs of a recall report over ``corpus`` (vec_id, label,
+    v): the 8-query panel, the (query × corpus) exact cosine table +
+    its ground-truth top-10, the label centroids, the k-means
+    assignment (``kmeans_k`` hash-seeded cells, probe ranks to
+    ``kprobe_max``), the LSH buckets and one PQ codebook/encode/LUT
+    chain per (m, k) config — every method branch of the report
+    re-RANKS these materializations; nothing re-scores the corpus per
+    evaluation."""
     from dogsheep_beta_spark.operators.dedup import cosine_expr
     from dogsheep_beta_spark.operators.similarity import (
         centroids,
@@ -1558,79 +1666,74 @@ def _recall_panel(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    c = _CTX.setdefault(sf_dir, {})
-    if "recall_panel" not in c:
-        emb = _embeddings(spark, sf_dir)
-        corpus = emb.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("v"),
+    qs = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    ).persist()
+    pr = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
             "label",
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"),
         )
-        qs = corpus.where(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-        ).persist()
-        pr = (
-            corpus.crossJoin(F.broadcast(qs))
-            .where(F.col("vec_id") != F.col("qid"))
+        .persist()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    gt = (
+        pr.select("qid", "id", "cos")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 10)
+        .select("qid", "id")
+        .persist()
+    )
+    assigned, kcents = kmeans_cells(
+        corpus.select("vec_id", "v"), "vec_id", "v", k=kmeans_k
+    )
+    asg = assigned.select(F.col("vec_id").alias("id"), "cell").persist()
+    planes = hyperplanes(64, 6, seed=42)
+    buckets = corpus.select(
+        F.col("vec_id").alias("id"),
+        lsh_bucket_expr(F.col("v"), planes).alias("bucket"),
+    ).persist()
+    cents_lbl = centroids(corpus, "v", "label").persist()
+
+    # panel-static probe tables: per-query probed cells (label IVF
+    # and k-means, one shared window), the query buckets and the PQ
+    # ADC lookup tables — every one is a pure function of the fixed
+    # panel + the built layouts, so rebuilding them per evaluation
+    # only re-paid ~8 broadcast-job floors per report
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
+
+    def probe_cells(cents, n):
+        return (
+            cents.crossJoin(F.broadcast(qs))
             .select(
                 "qid",
-                F.col("vec_id").alias("id"),
-                "label",
-                F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos"),
+                "cell",
+                F.round(
+                    cosine_expr(F.col("centroid"), F.col("qv")), 6
+                ).alias("ccos"),
             )
-            .persist()
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") <= n)
+            .select("qid", "cell", "__rn")
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
-        gt = (
-            pr.select("qid", "id", "cos")
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= 10)
-            .select("qid", "id")
-            .persist()
-        )
-        assigned, kcents = kmeans_cells(
-            corpus.select("vec_id", "v"), "vec_id", "v", k=8
-        )
-        asg = assigned.select(F.col("vec_id").alias("id"), "cell").persist()
-        planes = hyperplanes(64, 6, seed=42)
-        buckets = corpus.select(
-            F.col("vec_id").alias("id"),
-            lsh_bucket_expr(F.col("v"), planes).alias("bucket"),
-        ).persist()
-        cb = pq_codebooks(emb, "vec_id", "embedding", m=4, k=8).persist()
-        codes = pq_encode(emb, "vec_id", "embedding", cb, m=4).persist()
-        cents_lbl = centroids(corpus, "v", "label").persist()
 
-        # panel-static probe tables: per-query probed cells (label IVF
-        # and k-means, one shared window), the query buckets and the PQ
-        # ADC lookup table — every one is a pure function of the fixed
-        # panel + the built layouts, so rebuilding them per evaluation
-        # only re-paid ~8 broadcast-job floors per report
-        wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
-
-        def probe_cells(cents, n):
-            return (
-                cents.crossJoin(F.broadcast(qs))
-                .select(
-                    "qid",
-                    "cell",
-                    F.round(
-                        cosine_expr(F.col("centroid"), F.col("qv")), 6
-                    ).alias("ccos"),
-                )
-                .withColumn("__rn", F.row_number().over(wq))
-                .where(F.col("__rn") <= n)
-                .select("qid", "cell", "__rn")
-            )
-
-        bc2 = probe_cells(cents_lbl, 2).select(
-            "qid", F.col("cell").alias("label")
-        ).persist()
-        qc4 = probe_cells(kcents, 4).persist()
-        qb = buckets.where(F.col("id") < 8).select(
-            F.col("id").alias("qid"), F.col("bucket").alias("qbucket")
-        ).persist()
-        sub_d = _pq_sub_d(F.size("qv"), 4)
+    bc2 = probe_cells(cents_lbl, 2).select(
+        "qid", F.col("cell").alias("label")
+    ).persist()
+    qck = probe_cells(kcents, kprobe_max).persist()
+    qb = buckets.where(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("bucket").alias("qbucket")
+    ).persist()
+    pq = {}
+    to_warm = [qs, pr, gt, asg, buckets, cents_lbl, bc2, qck, qb]
+    for name, (m, k) in pq_cfgs.items():
+        cb = pq_codebooks(corpus, "vec_id", "v", m=m, k=k).persist()
+        codes = pq_encode(corpus, "vec_id", "v", cb, m=m).persist()
+        sub_d = _pq_sub_d(F.size("qv"), m)
         lut = cb.crossJoin(F.broadcast(qs)).select(
             "qid",
             "sub",
@@ -1640,18 +1743,47 @@ def _recall_panel(spark, sf_dir):
                 F.slice(F.col("qv"), F.col("sub") * sub_d + 1, sub_d),
             ).alias("part"),
         ).persist()
-        for df in (
-            qs, pr, gt, asg, buckets, cb, codes, cents_lbl,
-            bc2, qc4, qb, lut,
-        ):
-            df.count()
-        c["recall_panel"] = {
-            "qs": qs, "pr": pr, "gt": gt, "asg": asg, "kcents": kcents,
-            "buckets": buckets, "cb": cb, "codes": codes,
-            "cents_lbl": cents_lbl, "bc2": bc2, "qc4": qc4, "qb": qb,
-            "lut": lut,
-        }
+        pq[name] = (codes, lut)
+        to_warm.extend([cb, codes, lut])
+    for df in to_warm:
+        df.count()
+    return {
+        "qs": qs, "pr": pr, "gt": gt, "asg": asg, "kcents": kcents,
+        "buckets": buckets, "cents_lbl": cents_lbl, "bc2": bc2,
+        "qck": qck, "qb": qb, "pq": pq,
+    }
+
+
+def _recall_panel(spark, sf_dir):
+    """Adversarial-fixture panel (the real near-uniform embeddings
+    table), built once per sf_dir — bench: ``ann_recall_build``."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "recall_panel" not in c:
+        emb = _embeddings(spark, sf_dir)
+        corpus = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+        c["recall_panel"] = _build_recall_panel(
+            spark, corpus, kmeans_k=8, kprobe_max=4, pq_cfgs=_PQ_CFGS
+        )
     return c["recall_panel"]
+
+
+def _recall_panel_clustered(spark, sf_dir):
+    """Clustered-fixture panel (_clustered_corpus), built once per
+    sf_dir — bench: ``ann_recall_clustered_build``."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "recall_panel_clustered" not in c:
+        c["recall_panel_clustered"] = _build_recall_panel(
+            spark,
+            _clustered_corpus(spark, sf_dir),
+            kmeans_k=32,
+            kprobe_max=8,
+            pq_cfgs=_PQ_CFGS,
+        )
+    return c["recall_panel_clustered"]
 
 
 def q_kmeans_lloyd_inertia(spark, sf_dir):
@@ -4968,6 +5100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "pipeline_dedup_cascade": q_pipeline_dedup_cascade,
         "ann_recall_report": q_ann_recall_report,
+        "ann_recall_clustered": q_ann_recall_clustered,
         "quality_probe_score": q_quality_probe_score,
         "kmeans_lloyd_inertia": q_kmeans_lloyd_inertia,
         "snapshot_diff_report": q_snapshot_diff_report,
@@ -5386,14 +5519,21 @@ _COS = (
 # dedup_semantic, streaming_semantic_dedup) must assign identically or
 # they silently desynchronize.  ``cc`` (cosine to own centroid) rides
 # along; consumers that don't need it ignore the column.
-_KMEANS_ASG_CTE = f"""
+
+
+def _kmeans_asg_cte(k: int = 8) -> str:
+    """The shared k-means seed + assignment CTE text, parametrized by
+    seed count (the recall reports use k=8 on the adversarial fixture
+    and k=32 on the clustered one; every other consumer stays at the
+    shared default via the _KMEANS_ASG_CTE constant below)."""
+    return f"""
 , seeds AS (
     SELECT ROW_NUMBER() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
            ) - 1 AS cell,
            v AS centroid
     FROM e
-    QUALIFY cell < 8
+    QUALIFY cell < {k}
 )
 , asg AS (
     SELECT vec_id, v, cell, cc FROM (
@@ -5408,6 +5548,9 @@ _KMEANS_ASG_CTE = f"""
     ) WHERE rn = 1
 )
 """
+
+
+_KMEANS_ASG_CTE = _kmeans_asg_cte(8)
 
 
 def _minhash_oracle() -> str:
@@ -5590,13 +5733,37 @@ SELECT * FROM (
 """
 
 
-def _ann_recall_oracle() -> str:
+_CLUSTERED_EMB_CTE = """
+WITH e AS (
+    SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+           list_transform(range(64), j ->
+               (CASE WHEN j // 8 = vec_id % 8
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               + (CAST(('0x' || substr(md5('cf:' || CAST(vec_id AS VARCHAR)
+                          || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                        % 2001 AS DOUBLE) / 1000.0 - 1.0) * 0.08
+           ) AS v
+    FROM embeddings
+)
+"""
+
+
+def _ann_recall_oracle(
+    e_cte: str | None = None,
+    kmeans_k: int = 8,
+    kmeans_probes: tuple = (2, 4),
+    pq_cfgs: tuple = (("5_pq_adc", 4, 8),),
+    dim: int = 64,
+) -> str:
     """recall@10 of every ANN index vs brute force over the fixed
     8-query panel — mirrors q_ann_recall_report method by method: same
     label-mean centroids, same md5-seeded k-means cells and PQ
     codebooks, same seeded hyperplanes, same rounded tie-broken ranks.
     Heavy shared CTEs MATERIALIZED (each is consumed by several method
-    branches)."""
+    branches).  Parametrized (round 8, VERDICT r7 #2) so the SAME
+    builder emits the adversarial-fixture report and the CLUSTERED-
+    fixture report (``_CLUSTERED_EMB_CTE`` source, k=32 cells, probe
+    sweep, tuned PQ configs) — one definition, two fixtures."""
     from dogsheep_beta_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(64, 6, seed=42)
@@ -5626,8 +5793,107 @@ def _ann_recall_oracle() -> str:
         ) x ON qs.qid = x.qid
     )"""
 
+    # k-means IVF: one probe-ranking CTE per probe depth
+    km_blocks, km_recs = [], []
+    for n in kmeans_probes:
+        km_blocks.append(f"""
+, qc{n} AS (
+    SELECT qid, cell FROM (
+        SELECT qs.qid, s.cell, ROW_NUMBER() OVER (
+            PARTITION BY qs.qid
+            ORDER BY {_COS.format(a='s.centroid', b='qs.qv')} DESC, s.cell
+        ) AS rn FROM seeds s, qs
+    ) WHERE rn <= {n}
+)
+, ckm{n} AS MATERIALIZED ({top10(
+    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    'JOIN asg a ON pr.id = a.vec_id '
+    f'JOIN qc{n} ON pr.qid = qc{n}.qid AND a.cell = qc{n}.cell)')})""")
+        km_recs.append((f"2_kmeans_ivf_p{n}", f"ckm{n}"))
+
+    # PQ-ADC: one codebook/encode/LUT chain per (m, k) configuration;
+    # an optional 4th tuple element names a RERANK method — ADC
+    # shortlist (top-100) re-ranked by exact cosine, the production
+    # IVF-PQ serving shape (ADC alone cannot rank within a tight
+    # cluster; re-ranking a small shortlist restores exactness at
+    # 100-vector cost per query)
+    pq_blocks, pq_recs = [], []
+    for name, m, kk, *rr in pq_cfgs:
+        t = f"m{m}k{kk}"
+        sd = dim // m
+        pq_blocks.append(f"""
+, pseeds_{t} AS (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1 AS code,
+           v
+    FROM e
+    QUALIFY code < {kk}
+)
+, subs_{t} AS (SELECT unnest(range({m})) AS sub)
+, pcb_{t} AS (
+    SELECT s.sub, p.code,
+           p.v[s.sub * {sd} + 1 : s.sub * {sd} + {sd}] AS c
+    FROM pseeds_{t} p CROSS JOIN subs_{t} s
+)
+, psv_{t} AS (
+    SELECT e.vec_id, s.sub,
+           e.v[s.sub * {sd} + 1 : s.sub * {sd} + {sd}] AS vs
+    FROM e CROSS JOIN subs_{t} s
+)
+, penc_{t} AS MATERIALIZED (
+    SELECT vec_id, sub, code FROM (
+        SELECT psv.vec_id, psv.sub, pcb.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY psv.vec_id, psv.sub
+                   ORDER BY ROUND(list_sum(list_transform(
+                       range({sd}),
+                       i -> (psv.vs[i + 1] - pcb.c[i + 1])
+                            * (psv.vs[i + 1] - pcb.c[i + 1])
+                   )), 6) ASC, pcb.code ASC
+               ) AS rn
+        FROM psv_{t} psv JOIN pcb_{t} pcb ON psv.sub = pcb.sub
+    ) WHERE rn = 1
+)
+, plut_{t} AS (
+    SELECT qs.qid, pcb.sub, pcb.code,
+           list_dot_product(
+               pcb.c, qs.qv[pcb.sub * {sd} + 1 : pcb.sub * {sd} + {sd}]
+           ) AS part
+    FROM pcb_{t} pcb, qs
+)
+, adcs_{t} AS MATERIALIZED (
+    SELECT plut.qid, penc.vec_id AS id, ROUND(SUM(plut.part), 6) AS cos
+    FROM penc_{t} penc JOIN plut_{t} plut
+    ON penc.sub = plut.sub AND penc.code = plut.code
+    WHERE penc.vec_id <> plut.qid GROUP BY plut.qid, penc.vec_id
+)
+, padc_{t} AS MATERIALIZED ({top10(f'adcs_{t}')})""")
+        pq_recs.append((name, f"padc_{t}"))
+        if rr:
+            pq_blocks.append(f"""
+, prr_{t} AS (
+    SELECT qid, id FROM (
+        SELECT qid, id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos DESC, id
+        ) AS rn FROM adcs_{t}
+    ) WHERE rn <= 100
+)
+, crr_{t} AS MATERIALIZED ({top10(
+    f'(SELECT pr.qid, pr.id, pr.cos FROM pr '
+    f'JOIN prr_{t} USING (qid, id))')})""")
+            pq_recs.append((rr[0], f"crr_{t}"))
+
+    recs = (
+        [("0_exact_brute", "gt"), ("1_ivf_label_p2", "civf")]
+        + km_recs
+        + [("3_lsh_h0", "clsh"), ("4_lsh_mp1", "cmp1")]
+        + pq_recs
+    )
+    union = "\nUNION ALL ".join(rec(n, c) for n, c in recs)
+
     return (
-        _EMB_CTE
+        (e_cte if e_cte is not None else _EMB_CTE)
         + f"""
 , qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8)
 , pr AS MATERIALIZED (
@@ -5654,31 +5920,8 @@ def _ann_recall_oracle() -> str:
     ) WHERE rn <= 2
 )
 , civf AS MATERIALIZED ({top10('(SELECT pr.* FROM pr JOIN bc2 USING (qid, label))')})
-{_KMEANS_ASG_CTE}
-, qc2 AS (
-    SELECT qid, cell FROM (
-        SELECT qs.qid, s.cell, ROW_NUMBER() OVER (
-            PARTITION BY qs.qid
-            ORDER BY {_COS.format(a='s.centroid', b='qs.qv')} DESC, s.cell
-        ) AS rn FROM seeds s, qs
-    ) WHERE rn <= 2
-)
-, ckm AS MATERIALIZED ({top10(
-    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
-    'JOIN asg a ON pr.id = a.vec_id '
-    'JOIN qc2 ON pr.qid = qc2.qid AND a.cell = qc2.cell)')})
-, qc4 AS (
-    SELECT qid, cell FROM (
-        SELECT qs.qid, s.cell, ROW_NUMBER() OVER (
-            PARTITION BY qs.qid
-            ORDER BY {_COS.format(a='s.centroid', b='qs.qv')} DESC, s.cell
-        ) AS rn FROM seeds s, qs
-    ) WHERE rn <= 4
-)
-, ckm4 AS MATERIALIZED ({top10(
-    '(SELECT pr.qid, pr.id, pr.cos FROM pr '
-    'JOIN asg a ON pr.id = a.vec_id '
-    'JOIN qc4 ON pr.qid = qc4.qid AND a.cell = qc4.cell)')})
+{_kmeans_asg_cte(kmeans_k)}
+{''.join(km_blocks)}
 , b AS MATERIALIZED (SELECT vec_id, {terms} AS bucket FROM e)
 , qbx AS (SELECT qs.qid, b.bucket AS qbucket FROM b JOIN qs ON b.vec_id = qs.qid)
 , clsh AS MATERIALIZED ({top10(
@@ -5689,59 +5932,9 @@ def _ann_recall_oracle() -> str:
     '(SELECT pr.qid, pr.id, pr.cos FROM pr '
     'JOIN b ON pr.id = b.vec_id JOIN qbx ON pr.qid = qbx.qid '
     f'WHERE xor(b.bucket, qbx.qbucket) IN ({masks}))')})
-, pseeds AS (
-    SELECT ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-           ) - 1 AS code,
-           v
-    FROM e
-    QUALIFY code < 8
-)
-, subs AS (SELECT unnest(range(4)) AS sub)
-, pcb AS (
-    SELECT subs.sub, pseeds.code,
-           pseeds.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS c
-    FROM pseeds CROSS JOIN subs
-)
-, psv AS (
-    SELECT e.vec_id, subs.sub,
-           e.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS vs
-    FROM e CROSS JOIN subs
-)
-, penc AS MATERIALIZED (
-    SELECT vec_id, sub, code FROM (
-        SELECT psv.vec_id, psv.sub, pcb.code,
-               ROW_NUMBER() OVER (
-                   PARTITION BY psv.vec_id, psv.sub
-                   ORDER BY ROUND(list_sum(list_transform(
-                       range(16),
-                       i -> (psv.vs[i + 1] - pcb.c[i + 1])
-                            * (psv.vs[i + 1] - pcb.c[i + 1])
-                   )), 6) ASC, pcb.code ASC
-               ) AS rn
-        FROM psv JOIN pcb ON psv.sub = pcb.sub
-    ) WHERE rn = 1
-)
-, plut AS (
-    SELECT qs.qid, pcb.sub, pcb.code,
-           list_dot_product(
-               pcb.c, qs.qv[pcb.sub * 16 + 1 : pcb.sub * 16 + 16]
-           ) AS part
-    FROM pcb, qs
-)
-, padc AS MATERIALIZED ({top10(
-    '(SELECT qid, id, cos FROM ('
-    'SELECT plut.qid, penc.vec_id AS id, ROUND(SUM(plut.part), 6) AS cos '
-    'FROM penc JOIN plut ON penc.sub = plut.sub AND penc.code = plut.code '
-    'WHERE penc.vec_id <> plut.qid GROUP BY plut.qid, penc.vec_id))')})
+{''.join(pq_blocks)}
 SELECT * FROM (
-{rec('0_exact_brute', 'gt')}
-UNION ALL {rec('1_ivf_label_p2', 'civf')}
-UNION ALL {rec('2_kmeans_ivf_p2', 'ckm')}
-UNION ALL {rec('2_kmeans_ivf_p4', 'ckm4')}
-UNION ALL {rec('3_lsh_h0', 'clsh')}
-UNION ALL {rec('4_lsh_mp1', 'cmp1')}
-UNION ALL {rec('5_pq_adc', 'padc')}
+{union}
 ) ORDER BY method
 """
     )
@@ -6870,7 +7063,21 @@ LIMIT 100
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "pipeline_dedup_cascade": _cascade_oracle(),
-        "ann_recall_report": _ann_recall_oracle(),
+        "ann_recall_report": _ann_recall_oracle(
+            pq_cfgs=(
+                ("5_pq_adc", 4, 8),
+                ("6_pq_adc_m16", 16, 16, "7_pq_m16_rr100"),
+            ),
+        ),
+        "ann_recall_clustered": _ann_recall_oracle(
+            e_cte=_CLUSTERED_EMB_CTE,
+            kmeans_k=32,
+            kmeans_probes=(1, 2, 4, 8),
+            pq_cfgs=(
+                ("5_pq_adc", 4, 8),
+                ("6_pq_adc_m16", 16, 16, "7_pq_m16_rr100"),
+            ),
+        ),
         "quality_probe_score": _quality_probe_oracle(),
         "kmeans_lloyd_inertia": _lloyd_oracle(),
         # one full-outer digest join; null-safe hash equality so

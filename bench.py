@@ -105,6 +105,7 @@ def main() -> None:
         ("bpe_merges_build", entry._bpe_merges_ctx),
         ("cascade_build", entry._cascade_ctx),
         ("ann_recall_build", entry._recall_panel),
+        ("ann_recall_clustered_build", entry._recall_panel_clustered),
         ("quality_probe_build", entry._quality_probe),
         ("lloyd_build", entry._lloyd_layout),
     ):

@@ -1840,3 +1840,35 @@ def test_extract_links_unclosed_anchor_auto_closes(spark):
     assert rows["/one"] == "first"      # no bleed into /two or the body
     assert rows["/two"] == "second"
     assert len(rows["/three"]) <= _MAX_ANCHOR_CHARS
+
+
+def test_clustered_fixture_is_separable_and_deterministic(spark, sf_dir):
+    """The round-8 clustered recall fixture (VERDICT r7 #2): one-hot
+    block clusters + bounded md5 noise.  Within-cluster cosine must
+    dominate cross-cluster cosine by a wide margin (that's what makes
+    it a FAVORABLE fixture), labels must equal vec_id % 8, and the
+    construction must be deterministic across evaluations."""
+    import __spark_entry__ as entry
+    from dogsheep_beta_spark.operators.dedup import cosine_expr
+
+    c = entry._clustered_corpus(spark, sf_dir).where(F.col("vec_id") < 32)
+    rows = c.collect()
+    assert all(r["label"] == r["vec_id"] % 8 for r in rows)
+    a = c.select(F.col("vec_id").alias("ai"), F.col("v").alias("av"),
+                 F.col("label").alias("al"))
+    b = c.select(F.col("vec_id").alias("bi"), F.col("v").alias("bv"),
+                 F.col("label").alias("bl"))
+    pairs = (
+        a.crossJoin(b).where(F.col("ai") < F.col("bi"))
+        .select("al", "bl", cosine_expr(F.col("av"), F.col("bv")).alias("cos"))
+        .collect()
+    )
+    within = [p["cos"] for p in pairs if p["al"] == p["bl"]]
+    across = [p["cos"] for p in pairs if p["al"] != p["bl"]]
+    assert min(within) > 0.9, min(within)
+    assert max(across) < 0.3, max(across)
+    # deterministic: a second construction yields identical vectors
+    again = {r["vec_id"]: r["v"] for r in
+             entry._clustered_corpus(spark, sf_dir).where(
+                 F.col("vec_id") < 32).collect()}
+    assert all(again[r["vec_id"]] == r["v"] for r in rows)
