@@ -4981,6 +4981,142 @@ def q_pack_bpe_exact(spark, sf_dir):
     )
 
 
+def _pretrain_ctx(spark, sf_dir):
+    """Amortized capstone state (bench: ``pretrain_build``): the
+    quality-cleaned corpus and the dedup-cascade survivors OVER it
+    (exact → MinHash-LSH → verbatim, the _cascade_ctx recipe re-based
+    onto the cleaned set — a pretraining pass cleans before it dedups
+    so the cascade never wastes candidate budget on garbage docs)."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+        verbatim_overlap_pairs,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "pretrain" not in c:
+        docs = _documents_persisted(spark, sf_dir)
+        clean = (
+            docs.where(quality_score(F.col("text")) >= 0.6)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        reg: list = []
+        s1 = clean.join(
+            exact_dedup(clean, "doc_id", "text").select(
+                F.col("keep_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ).persist()
+        mh = minhash_lsh_pairs(
+            s1, "doc_id", "text", k=3, n_hashes=16, bands=8,
+            max_bucket=100, cache_registry=reg,
+        ).where(F.col("jaccard") >= 0.8)
+        s2 = (
+            cluster_keep(s1, "doc_id", connected_components(mh))
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        vp = verbatim_overlap_pairs(
+            s2, "doc_id", "text", k=5, min_tokens=8, max_bucket=100,
+            cache_registry=reg,
+        )
+        s3 = (
+            cluster_keep(
+                s2, "doc_id", connected_components(vp.select("a", "b"))
+            )
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        s3.count()  # materialize, then release intermediates
+        for df in reg + [s1, s2]:
+            df.unpersist()
+        c["pretrain"] = (clean, s3)
+    return c["pretrain"]
+
+
+def q_pipeline_pretraining_corpus(spark, sf_dir):
+    """CAPSTONE: the END-TO-END pretraining data pipeline as one
+    cross-engine-certified ledger (VERDICT r7 #8) — every stage is an
+    individually-oracled component, composed in production order:
+
+      raw → CLEAN (quality_score >= 0.6) → DEDUP (exact → MinHash-LSH
+      → verbatim cascade over the cleaned set, _pretrain_ctx) →
+      TRAINED-PROBE filter (the GD-fitted hashed-feature classifier,
+      score >= 0.5) → BPE-EXACT token counts (learned merges, map-side
+      replace chain) → TOKEN BUDGET (2 000 BPE tokens per source,
+      integer-exact hash threshold) → PACK (next-fit, capacity 2048).
+
+    Output: one row per source — survivor count after each stage, kept
+    BPE token mass, and the packed sequence count.  Every column is an
+    integer, every stage is deterministic, and the oracle re-derives
+    the whole pipeline (nested-WITH scoping composes the cascade and
+    probe cores without CTE-name collisions), so the LEDGER ITSELF
+    strict-hashes — the recipe a 100 TB run would publish next to its
+    dataset card."""
+    from dogsheep_beta_spark.operators.bpe import bpe_encode
+    from dogsheep_beta_spark.operators.classifier import MICRO, score_corpus_q
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+    from dogsheep_beta_spark.operators.sampling import token_budget_sample
+
+    docs = _documents_persisted(spark, sf_dir)
+    clean, s3 = _pretrain_ctx(spark, sf_dir)
+    feat, _labels, w = _quality_probe(spark, sf_dir)
+    merges = _bpe_merges_ctx(spark, sf_dir)
+    half = MICRO // 2
+    sc = score_corpus_q(feat, w).withColumnRenamed("id", "doc_id")
+    surv = (
+        s3.join(sc, "doc_id", "left")
+        .where(F.coalesce(F.col("score_q"), F.lit(half)) >= half)
+        .select("doc_id", "source", "text")
+    )
+    enc = bpe_encode(surv, "doc_id", "text", merges, keep_cols=("source",))
+    kept = token_budget_sample(
+        enc, "source", "id", F.col("n_bpe"), 2_000, salt="pp:"
+    )
+    packed = pack_greedy(kept, "id", "n_bpe", 2048, "source")
+
+    def per_source(df, **aggs):
+        return df.groupBy("source").agg(
+            *[expr.alias(name) for name, expr in aggs.items()]
+        )
+
+    raw = per_source(docs, n_raw=F.count(F.lit(1)))
+    c1 = per_source(clean, n_clean=F.count(F.lit(1)))
+    c2 = per_source(s3, n_dedup=F.count(F.lit(1)))
+    c3 = per_source(surv, n_probe=F.count(F.lit(1)))
+    c4 = per_source(
+        kept,
+        n_budget=F.count(F.lit(1)),
+        bpe_tokens=F.sum("n_bpe").cast("long"),
+    )
+    c5 = (
+        packed.groupBy("shard")
+        .agg(F.countDistinct("bin").alias("n_bins"))
+        .withColumnRenamed("shard", "source")
+    )
+    out = raw
+    for d in (c1, c2, c3, c4, c5):
+        out = out.join(d, "source", "left")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "source",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.coalesce(F.col("n_clean"), zero).cast("long").alias("n_clean"),
+        F.coalesce(F.col("n_dedup"), zero).cast("long").alias("n_dedup"),
+        F.coalesce(F.col("n_probe"), zero).cast("long").alias("n_probe"),
+        F.coalesce(F.col("n_budget"), zero).cast("long").alias("n_budget"),
+        F.coalesce(F.col("bpe_tokens"), zero).cast("long").alias("bpe_tokens"),
+        F.coalesce(F.col("n_bins"), zero).cast("long").alias("n_bins"),
+    ).orderBy("source")
+
+
 def q_embedding_gram(spark, sf_dir):
     """Distributed Gram matrix Xᵀ X over the embedding table
     (operators/linalg.py:quantized_gram) — the building block under
@@ -5148,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_encode_corpus": q_bpe_encode_corpus,
         "pack_bpe_exact": q_pack_bpe_exact,
+        "pipeline_pretraining_corpus": q_pipeline_pretraining_corpus,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -5603,14 +5740,15 @@ LIMIT 50
     )
 
 
-def _cascade_oracle() -> str:
-    """Exact → MinHash → verbatim cascade, unrolled: stage 1 is the
-    md5 group-argmin, stage 2 re-bases the _minhash_oracle fragments
-    on the exact survivors and componentizes the >= 0.8 pairs with the
-    dedup_cluster_keep recursive-CTE device, stage 3 runs the verbatim
-    diagonal-join fragments over stage 2's survivors and componentizes
-    the overlap pairs the same way.  Output is the same per-stage
-    (count, id-sum) ledger the Spark query emits."""
+def _cascade_chain(src: str = "documents") -> str:
+    """The exact → MinHash → verbatim cascade CTE CHAIN over ``src``
+    (needs doc_id + text), from ``ex`` through the final survivor set
+    ``s3`` — no WITH prefix, no final select, so it composes: the
+    standalone ledger oracle wraps it directly, and the pretraining
+    capstone embeds it as a NESTED ``WITH RECURSIVE`` subquery scoped
+    inside one CTE (DuckDB shadows outer names inside a nested WITH,
+    which is what lets its internal ``toks``/``s1``..``s3`` coexist
+    with the capstone's outer chain)."""
     from dogsheep_beta_spark.operators.dedup import MINHASH_PRIME, minhash_params
 
     params = minhash_params(16)
@@ -5642,9 +5780,8 @@ def _cascade_oracle() -> str:
         shingles_s1 = shingles_s1.replace(
             f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1
         )
-    return f"""WITH RECURSIVE
-ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+    return f"""ex AS (SELECT MIN(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
+s1 AS MATERIALIZED (SELECT d.* FROM {src} d JOIN ex USING (doc_id)),
 {shingles_s1}
 , shb AS MATERIALIZED (
     SELECT doc_id, shingles,
@@ -5722,7 +5859,21 @@ s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
 , s3 AS MATERIALIZED (
     SELECT d.* FROM s2 d LEFT JOIN comp3 c ON d.doc_id = c.id
     WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
-)
+)"""
+
+
+def _cascade_oracle() -> str:
+    """Exact → MinHash → verbatim cascade, unrolled: stage 1 is the
+    md5 group-argmin, stage 2 re-bases the _minhash_oracle fragments
+    on the exact survivors and componentizes the >= 0.8 pairs with the
+    dedup_cluster_keep recursive-CTE device, stage 3 runs the verbatim
+    diagonal-join fragments over stage 2's survivors and componentizes
+    the overlap pairs the same way.  Output is the same per-stage
+    (count, id-sum) ledger the Spark query emits."""
+    return (
+        "WITH RECURSIVE\n"
+        + _cascade_chain("documents")
+        + """
 SELECT * FROM (
     SELECT '0_input' AS stage, COUNT(*) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM documents
@@ -5731,6 +5882,7 @@ SELECT * FROM (
     UNION ALL SELECT '3_verbatim', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM s3
 ) ORDER BY stage
 """
+    )
 
 
 _CLUSTERED_EMB_CTE = """
@@ -5940,15 +6092,20 @@ SELECT * FROM (
     )
 
 
-def _quality_probe_oracle(dim: int = 64, iters: int = 8, eta: int = 1024) -> str:
-    """Train-then-score unrolled: hashed milli-TF features + structural
-    aux buckets, ``iters`` GD supersteps as chained CTEs (margins →
-    residuals → integer gradient → weight fold), then the per-source
-    score/agreement report — mirroring operators/classifier.py step for
-    step.  Every sum that crosses rows is INTEGER (order-independent);
-    every float op is a single correctly-rounded scalar expression
-    shared verbatim with the Spark side; eta is a power of two so the
-    weight fold's one double multiply is exact."""
+def _probe_scores_core(
+    dim: int = 64, iters: int = 8, eta: int = 1024
+) -> str:
+    """Train-then-score unrolled THROUGH the per-doc score CTE ``scs``
+    (doc_id, s) — hashed milli-TF features + structural aux buckets,
+    ``iters`` GD supersteps as chained CTEs (margins → residuals →
+    integer gradient → weight fold), mirroring operators/classifier.py
+    step for step.  Every sum that crosses rows is INTEGER
+    (order-independent); every float op is a single correctly-rounded
+    scalar expression shared verbatim with the Spark side; eta is a
+    power of two so the weight fold's one double multiply is exact.
+    Starts with its own WITH (ORACLE_DOC_TOKENS), so it serves as the
+    standalone report's body AND as a nested-WITH subquery inside the
+    pretraining capstone."""
 
     def sig(mq: str) -> str:
         return (
@@ -6048,7 +6205,114 @@ def _quality_probe_oracle(dim: int = 64, iters: int = 8, eta: int = 1024) -> str
     FROM fc LEFT JOIN w{iters} ON fc.bucket = w{iters}.bucket
     GROUP BY fc.doc_id
 )
-, scs AS (SELECT doc_id, {sig('mq')} AS s FROM mf)
+, scs AS MATERIALIZED (SELECT doc_id, {sig('mq')} AS s FROM mf)
+"""
+    )
+
+
+def _pretraining_capstone_oracle() -> str:
+    """The end-to-end pretraining-pipeline ledger, re-derived stage by
+    stage (mirrors q_pipeline_pretraining_corpus): quality clean over
+    the shared qual CTE, the CASCADE core nested as its own
+    WITH RECURSIVE scope over ``clean`` (inner CTE names shadow the
+    outer chain — the composition device that lets the individually-
+    oracled fragments reuse their canonical names), the PROBE core
+    nested the same way, the shared BPE learn-then-encode chain at the
+    outer level, then the integer-exact token-budget threshold and the
+    recursive next-fit pack."""
+    return (
+        "WITH RECURSIVE "
+        + ORACLE_DOC_TOKENS.strip().removeprefix("WITH")
+        + _quality_cte("qc")
+        + f"""
+, clean AS MATERIALIZED (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN qc ON d.doc_id = qc.doc_id
+    WHERE {_QUALITY_EXPR} >= 0.6
+)
+, casc AS MATERIALIZED (
+    WITH RECURSIVE
+    {_cascade_chain("clean")}
+    SELECT doc_id FROM s3
+)
+, probe AS MATERIALIZED (
+    {_probe_scores_core()}
+    SELECT doc_id, s FROM scs
+)
+{_BPE_ENCODE_CTES}
+, surv AS MATERIALIZED (
+    SELECT c.doc_id, d.source
+    FROM casc c JOIN documents d USING (doc_id)
+    LEFT JOIN probe p ON c.doc_id = p.doc_id
+    WHERE COALESCE(p.s, 500000) >= 500000
+)
+, nbt AS MATERIALIZED (
+    SELECT s.doc_id, s.source,
+           CAST(COALESCE(dc.n_bpe, 0) AS BIGINT) AS n_bpe
+    FROM surv s LEFT JOIN dc ON s.doc_id = dc.doc_id
+)
+, tot AS (SELECT source, SUM(n_bpe) AS tot FROM nbt GROUP BY source)
+, kept AS MATERIALIZED (
+    -- integer-exact budget threshold (the sample_token_budget device):
+    -- hash/1e6 < budget/tot as hash*tot < budget*1e6 in HUGEINT
+    SELECT nbt.* FROM nbt JOIN tot USING (source)
+    WHERE (('0x' || substr(md5('pp:' || CAST(doc_id AS VARCHAR)),
+                1, 8))::BIGINT % 1000000)::HUGEINT * tot::HUGEINT
+          < 2000::HUGEINT * 1000000::HUGEINT
+)
+, pbase AS (
+    SELECT doc_id, source, n_bpe,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM kept
+)
+, pg AS (
+    SELECT doc_id, source, n_bpe, rn,
+           CAST(0 AS BIGINT) AS bin, n_bpe AS fill
+    FROM pbase WHERE rn = 1
+    UNION ALL
+    SELECT b.doc_id, b.source, b.n_bpe, b.rn,
+           CASE WHEN pg.fill + b.n_bpe > 2048
+                THEN pg.bin + 1 ELSE pg.bin END,
+           CASE WHEN pg.fill + b.n_bpe > 2048
+                THEN b.n_bpe ELSE pg.fill + b.n_bpe END
+    FROM pg JOIN pbase b ON b.source = pg.source AND b.rn = pg.rn + 1
+)
+, srcs AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source)
+SELECT srcs.source,
+       CAST(srcs.n_raw AS BIGINT) AS n_raw,
+       CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_clean,
+       CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(c3.n, 0) AS BIGINT) AS n_probe,
+       CAST(COALESCE(c4.n, 0) AS BIGINT) AS n_budget,
+       CAST(COALESCE(c4.tk, 0) AS BIGINT) AS bpe_tokens,
+       CAST(COALESCE(c5.nb, 0) AS BIGINT) AS n_bins
+FROM srcs
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY source) c1
+    USING (source)
+LEFT JOIN (
+    SELECT d.source, COUNT(*) AS n
+    FROM casc c JOIN documents d USING (doc_id) GROUP BY d.source
+) c2 USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM surv GROUP BY source) c3
+    USING (source)
+LEFT JOIN (
+    SELECT source, COUNT(*) AS n, CAST(SUM(n_bpe) AS BIGINT) AS tk
+    FROM kept GROUP BY source
+) c4 USING (source)
+LEFT JOIN (
+    SELECT source, COUNT(DISTINCT bin) AS nb FROM pg GROUP BY source
+) c5 USING (source)
+ORDER BY srcs.source
+"""
+    )
+
+
+def _quality_probe_oracle(dim: int = 64, iters: int = 8, eta: int = 1024) -> str:
+    """The per-source trained-probe score/agreement report over the
+    unrolled train-then-score core (_probe_scores_core)."""
+    return (
+        _probe_scores_core(dim, iters, eta)
+        + """
 SELECT d.source, COUNT(*) AS n_docs,
        CAST(SUM(COALESCE(scs.s, 500000)) AS BIGINT) AS sum_score_q,
        CAST(SUM(CASE WHEN (COALESCE(scs.s, 500000) >= 500000) = (lab.y = 1)
@@ -7063,6 +7327,7 @@ LIMIT 100
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "pipeline_dedup_cascade": _cascade_oracle(),
+        "pipeline_pretraining_corpus": _pretraining_capstone_oracle(),
         "ann_recall_report": _ann_recall_oracle(
             pq_cfgs=(
                 ("5_pq_adc", 4, 8),

@@ -107,6 +107,7 @@ def main() -> None:
         ("ann_recall_build", entry._recall_panel),
         ("ann_recall_clustered_build", entry._recall_panel_clustered),
         ("quality_probe_build", entry._quality_probe),
+        ("pretrain_build", entry._pretrain_ctx),
         ("lloyd_build", entry._lloyd_layout),
     ):
         t0 = time.time()

@@ -1872,3 +1872,24 @@ def test_clustered_fixture_is_separable_and_deterministic(spark, sf_dir):
              entry._clustered_corpus(spark, sf_dir).where(
                  F.col("vec_id") < 32).collect()}
     assert all(again[r["vec_id"]] == r["v"] for r in rows)
+
+
+def test_pretraining_capstone_ledger_is_monotone(spark, sf_dir):
+    """The end-to-end pipeline ledger (round-8 capstone): each stage
+    can only shed documents (raw >= clean >= dedup >= probe >= budget),
+    token mass is positive exactly where docs survived, and packing
+    produced at least one sequence per surviving source."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_pipeline_pretraining_corpus(spark, sf_dir).collect()
+    assert rows, "ledger is empty"
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_clean"] >= r["n_dedup"]
+            >= r["n_probe"] >= r["n_budget"] >= 0
+        ), r
+        assert (r["bpe_tokens"] > 0) == (r["n_budget"] > 0), r
+        assert (r["n_bins"] > 0) == (r["n_budget"] > 0), r
+    # at least one stage sheds something somewhere, or the fixture is
+    # too easy for the pipeline to mean anything
+    assert any(r["n_raw"] > r["n_budget"] for r in rows)
