@@ -1490,13 +1490,7 @@ def _recall_report_from_panel(
     )
     adcs = {}
     for name in pq_names:
-        codes, lut = panel["pq"][name]
-        adcs[name] = (
-            codes.join(F.broadcast(lut), ["sub", "code"])
-            .where(F.col("id") != F.col("qid"))
-            .groupBy("qid", "id")
-            .agg(F.round(F.sum("part"), 6).alias("cos"))
-        )
+        adcs[name] = panel["pq"][name]  # persisted ADC score table
         pools = pools.unionByName(pool(name, adcs[name]))
     # ADC-shortlist + exact re-rank: the production IVF-PQ serving
     # shape — the compressed scan proposes a 100-candidate shortlist,
@@ -1731,8 +1725,8 @@ def _build_recall_panel(spark, corpus, kmeans_k, kprobe_max, pq_cfgs):
     pq = {}
     to_warm = [qs, pr, gt, asg, buckets, cents_lbl, bc2, qck, qb]
     for name, (m, k) in pq_cfgs.items():
-        cb = pq_codebooks(corpus, "vec_id", "v", m=m, k=k).persist()
-        codes = pq_encode(corpus, "vec_id", "v", cb, m=m).persist()
+        cb = pq_codebooks(corpus, "vec_id", "v", m=m, k=k)
+        codes = pq_encode(corpus, "vec_id", "v", cb, m=m)
         sub_d = _pq_sub_d(F.size("qv"), m)
         lut = cb.crossJoin(F.broadcast(qs)).select(
             "qid",
@@ -1742,9 +1736,20 @@ def _build_recall_panel(spark, corpus, kmeans_k, kprobe_max, pq_cfgs):
                 F.col("centroid"),
                 F.slice(F.col("qv"), F.col("sub") * sub_d + 1, sub_d),
             ).alias("part"),
-        ).persist()
-        pq[name] = (codes, lut)
-        to_warm.extend([cb, codes, lut])
+        )
+        # the ADC score table is PANEL-STATIC (codes × LUT over the
+        # fixed query set), so it belongs in the amortized build — the
+        # report re-ranks it instead of re-running the encode/LUT joins
+        # per evaluation (each cost ~2 stage floors per PQ config)
+        adc = (
+            codes.join(F.broadcast(lut), ["sub", "code"])
+            .where(F.col("id") != F.col("qid"))
+            .groupBy("qid", "id")
+            .agg(F.round(F.sum("part"), 6).alias("cos"))
+            .persist()
+        )
+        pq[name] = adc
+        to_warm.append(adc)
     for df in to_warm:
         df.count()
     return {
@@ -7268,7 +7273,11 @@ LIMIT 100
                             ELSE len(string_split_regex(trim(text), '\s+'))
                        END AS n_tok
                 FROM documents
-            ), base AS (
+            -- MATERIALIZED (r8): DuckDB inlines plain CTEs per
+            -- reference, so the recursive walk re-tokenized the corpus
+            -- every step (~18 s at sf0.1 vs ~1 s materialized) — the
+            -- honest single-node comparison materializes once
+            ), base AS MATERIALIZED (
                 SELECT doc_id, shard, n_tok,
                        ROW_NUMBER() OVER (
                            PARTITION BY shard ORDER BY doc_id
@@ -7937,7 +7946,11 @@ LIMIT 100
                 SELECT d.doc_id, d.source AS shard,
                        CAST(COALESCE(dc.n_bpe, 0) AS BIGINT) AS n_bpe
                 FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
-            ), base AS (
+            -- MATERIALIZED: the recursive walk references base once per
+            -- step, and DuckDB inlines plain CTEs per reference — an
+            -- unmaterialized base re-ran the whole learn-then-encode
+            -- chain every iteration (36 s at sf0.1 vs ~1 s materialized)
+            ), base AS MATERIALIZED (
                 SELECT doc_id, shard, n_bpe,
                        ROW_NUMBER() OVER (
                            PARTITION BY shard ORDER BY doc_id

@@ -61,11 +61,13 @@ HEADLINE = {
     "bpe_learn_merges": "per merge iteration: one partial-aggregated pair explode + TakeOrdered(1); map-only replace chain over the persisted base",
     "bpe_encode_corpus": "r7 encoder: the learned merge chain rides the scan as literal replaces — zero Exchange before the declared ORDER BY, no UDF",
     "text_fingerprint": "r7 rewrite: bound-norm HOF min-4, MAP-ONLY (the old explode-per-window shape duplicated the normalized string per row and shuffled one hash row per window — 4x slower)",
+    "pack_bpe_exact": "r8: BPE-exact counts feed the packer — the learned merge chain rides the scan map-side (keep_cols passes the shard key, no re-join); the only exchanges are pack_greedy's shard shuffle and the declared ORDER BY (the InMemoryRelation-internal Exchange is the registry's single-row-group scatter, absent on real multi-row-group inputs)",
 }
 
-# deliberately NOT dumped: pipeline_dedup_cascade and ann_recall_report
-# consume persisted _CTX panels, so their formatted plans are thousands
-# of InMemoryScan lines with no extra evidence — their plan story (one
+# deliberately NOT dumped: pipeline_dedup_cascade, ann_recall_report,
+# ann_recall_clustered and pipeline_pretraining_corpus consume
+# persisted _CTX panels, so their formatted plans are thousands of
+# InMemoryScan lines with no extra evidence — their plan story (one
 # window over a method-tagged union; per-stage ledger over persisted
 # survivors) is asserted in COVERAGE.md and tests instead.
 
