@@ -2112,20 +2112,24 @@ def merge_semantic_batch(
         )
         .persist()
     )
-    # pivot dimension from a NON-NULL vector (a NULL embedding in row
-    # one would crash the int(); all-NULL batches still store their
-    # rows for redelivery semantics — dim 1 pivots are never consulted
-    # because every rd is NULL and bands to -999)
-    first = (
-        pre.where(F.col("v").isNotNull())
-        .select(F.size("v").alias("d"))
-        .first()
-    )
-    if pre.isEmpty():
+    # ONE bounded aggregate replaces three driver round-trips (r8: the
+    # per-batch wall here is serialized job floors, same finding as the
+    # MinHash merge): row count (empty-batch early-out), the pivot
+    # dimension from any NON-NULL vector (a NULL embedding in row one
+    # would crash the int(); all-NULL batches still store their rows
+    # for redelivery semantics — dim 1 pivots are never consulted
+    # because every rd is NULL and bands to -999), and the touched-cell
+    # set (bounded by the centroid count).
+    hdr = pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("v"), ignorenulls=True).alias("d"),
+        F.collect_set("cell").alias("cells"),
+    ).first()
+    if not hdr["n"]:
         pre.unpersist()
         return
-    dim = int(first["d"]) if first is not None and first["d"] else 1
-    touched = [r[0] for r in pre.select("cell").distinct().collect()]
+    dim = int(hdr["d"]) if hdr["d"] else 1
+    touched = sorted(hdr["cells"])
     pivots = _cell_pivots_rows(spark, touched, dim)
 
     store = _read_partitioned(
@@ -2232,23 +2236,38 @@ def merge_semantic_batch(
             hits["p_id"] == F.col("id"),
         )
         fresh = fresh.unionByName(pairs(no))
-    fresh.write.mode("append").parquet(match_path)
 
-    # append the genuinely-new rows with their pivot bands (zero-norm
-    # rows band to −999: never probed, never matchable)
-    geo.select(
-        "id",
-        "v",
-        "cell",
-        "rd1",
-        "rd2",
-        F.coalesce(F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)).alias(
-            "b1"
-        ),
-        F.coalesce(F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)).alias(
-            "b2"
-        ),
-    ).write.mode("append").partitionBy("cell").parquet(store_path)
+    # The two appends are independent and SELF-idempotent (matches:
+    # read-side dropDuplicates; store: the append set is anti-joined
+    # against the store itself via `new`), so they run CONCURRENTLY —
+    # the same job-floor overlap that cut the MinHash merge (r8);
+    # either crash-subset replays correctly.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_matches():
+        fresh.write.mode("append").parquet(match_path)
+
+    def _w_store():
+        # append the genuinely-new rows with their pivot bands
+        # (zero-norm rows band to −999: never probed, never matchable)
+        geo.select(
+            "id",
+            "v",
+            "cell",
+            "rd1",
+            "rd2",
+            F.coalesce(
+                F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
+            ).alias("b1"),
+            F.coalesce(
+                F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
+            ).alias("b2"),
+        ).write.mode("append").partitionBy("cell").parquet(store_path)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(w) for w in (_w_matches, _w_store)]
+        for f in futs:
+            f.result()  # re-raise the first failure
 
     geo.unpersist()
     if store is not None:
