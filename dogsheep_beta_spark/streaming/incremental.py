@@ -1502,40 +1502,59 @@ def merge_link_batch(
         )
     )
 
-    mstage = match_path.rstrip("/") + ".__stage__"
-    shutil.rmtree(mstage, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("bkb").parquet(mstage)
-    os.makedirs(match_path, exist_ok=True)
-    # a touched bucket whose matches ALL died (cap crossing) writes no
-    # stage partition — drop its live partition explicitly, or the
-    # stale matches would survive the publish
-    present = {e for e in os.listdir(mstage) if e.startswith("bkb=")}
-    _publish_partitions(mstage, match_path, col="bkb")
-    for t in touched:
-        name = f"bkb={t}"
-        if name in present:
-            continue
-        live = os.path.join(match_path, name)
-        if os.path.islink(live):
-            os.remove(live)
-        elif os.path.isdir(live):
-            shutil.rmtree(live, ignore_errors=True)
-        gen = os.path.join(match_path, ".__gen__")
-        if os.path.isdir(gen):
-            for f in os.listdir(gen):
-                if f.startswith(name + ".__v"):
-                    shutil.rmtree(os.path.join(gen, f), ignore_errors=True)
+    # The match-table rewrite and the store append are independent and
+    # each idempotent on its own (the match table is RECOMPUTED from
+    # old ∪ fresh and published by swap; the store append set is
+    # anti-joined against the store itself, and reads dropDuplicates on
+    # __id) — so they run CONCURRENTLY, overlapping their job floors
+    # (the r8 steady-state treatment shared with the MinHash/SemDeDup
+    # merges).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # the store is append-only (records never change): write ONLY the
-    # batch's genuinely-new rows, O(batch) I/O instead of rewriting
-    # every touched bucket's history.  The anti-join makes a batch
-    # retry idempotent (foreachBatch replays on failure); reads also
-    # dropDuplicates on __id, so a raced duplicate is harmless.
-    if store is not None:
-        new_only = new.join(store.select("__id"), "__id", "left_anti")
-    else:
-        new_only = new
-    new_only.write.mode("append").partitionBy("bkb").parquet(store_path)
+    def _w_matches():
+        mstage = match_path.rstrip("/") + ".__stage__"
+        shutil.rmtree(mstage, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("bkb").parquet(mstage)
+        os.makedirs(match_path, exist_ok=True)
+        # a touched bucket whose matches ALL died (cap crossing) writes
+        # no stage partition — drop its live partition explicitly, or
+        # the stale matches would survive the publish
+        present = {e for e in os.listdir(mstage) if e.startswith("bkb=")}
+        _publish_partitions(mstage, match_path, col="bkb")
+        for t in touched:
+            name = f"bkb={t}"
+            if name in present:
+                continue
+            live = os.path.join(match_path, name)
+            if os.path.islink(live):
+                os.remove(live)
+            elif os.path.isdir(live):
+                shutil.rmtree(live, ignore_errors=True)
+            gen = os.path.join(match_path, ".__gen__")
+            if os.path.isdir(gen):
+                for f in os.listdir(gen):
+                    if f.startswith(name + ".__v"):
+                        shutil.rmtree(
+                            os.path.join(gen, f), ignore_errors=True
+                        )
+
+    def _w_store():
+        # the store is append-only (records never change): write ONLY
+        # the batch's genuinely-new rows, O(batch) I/O instead of
+        # rewriting every touched bucket's history.  The anti-join
+        # makes a batch retry idempotent (foreachBatch replays on
+        # failure); reads also dropDuplicates on __id, so a raced
+        # duplicate is harmless.
+        if store is not None:
+            new_only = new.join(store.select("__id"), "__id", "left_anti")
+        else:
+            new_only = new
+        new_only.write.mode("append").partitionBy("bkb").parquet(store_path)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(w) for w in (_w_matches, _w_store)]
+        for f in futs:
+            f.result()  # re-raise the first failure
     all_recs.unpersist()
 
 
