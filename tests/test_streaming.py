@@ -1751,3 +1751,33 @@ def test_streaming_semantic_pivot_prune_fuzz(spark, tmpdir):
             if r["cosine"] is not None and round(r["cosine"], 6) >= tau
         }
         assert got == want, (seed, got.keys() ^ want.keys())
+
+
+def test_minhash_replay_is_idempotent_for_candidateless_docs(spark, tmpdir):
+    """Round-8 regression: a replayed batch must not duplicate STORE
+    rows for docs that produce no candidates on the retry — the append
+    anti-join used to be scoped by the CANDIDATE ids' partitions, so a
+    candidate-less doc's partition was never read and its row
+    re-appended on every replay (permanent store growth).  The scope is
+    now the batch's own id partitions, collected in the same header
+    aggregate as the band partitions."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_minhash_batch,
+        read_minhash_matches,
+    )
+
+    root = os.path.join(tmpdir, "mh_replay")
+    b = spark.createDataFrame(
+        [
+            (1, "utterly unique content alpha beta gamma delta epsilon"),
+            (2, "another completely different text with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    merge_minhash_batch(spark, b, 0, root, "doc_id", "text")
+    merge_minhash_batch(spark, b, 0, root, "doc_id", "text")  # replay
+    store = spark.read.parquet(os.path.join(root, "store"))
+    assert store.groupBy("id").count().where("count > 1").count() == 0
+    idx = spark.read.parquet(os.path.join(root, "band_index"))
+    assert idx.groupBy("id", "band").count().where("count > 1").count() == 0
+    assert read_minhash_matches(spark, root).count() == 0
