@@ -4986,6 +4986,49 @@ def q_pack_bpe_exact(spark, sf_dir):
     )
 
 
+def q_dedup_cross_corpus(spark, sf_dir):
+    """CROSS-corpus dedup (operators/dedup.py:cross_minhash_pairs):
+    near-dup the training corpus against a frozen HELD-OUT reference
+    set (here: every 7th doc plays the benchmark/eval corpus) — the
+    document-level complement of n-gram ``decontaminate``, and the
+    batch twin of the streaming new-vs-history merge.  Candidate
+    generation is a banded LSH equi-join BETWEEN the two tables (never
+    a self-join, so cost is bounded by the tiny reference side), exact
+    shingle-Jaccard verification at >= 0.8.  Output: per-source count
+    of corpus docs contaminated by the reference set, with an id-sum
+    pin."""
+    from dogsheep_beta_spark.operators.dedup import cross_minhash_pairs
+
+    docs = _documents_persisted(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    flagged = (
+        cross_minhash_pairs(corpus, ref, "doc_id", "text")
+        .where(F.col("jaccard") >= 0.8)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        corpus.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("__c").isNotNull(), F.col("doc_id")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("contaminated_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def _pretrain_ctx(spark, sf_dir):
     """Amortized capstone state (bench: ``pretrain_build``): the
     quality-cleaned corpus and the dedup-cascade survivors OVER it
@@ -5290,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": q_bpe_encode_corpus,
         "pack_bpe_exact": q_pack_bpe_exact,
         "pipeline_pretraining_corpus": q_pipeline_pretraining_corpus,
+        "dedup_cross_corpus": q_dedup_cross_corpus,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -6211,6 +6255,66 @@ def _probe_scores_core(
     GROUP BY fc.doc_id
 )
 , scs AS MATERIALIZED (SELECT doc_id, {sig('mq')} AS s FROM mf)
+"""
+    )
+
+
+def _cross_corpus_oracle() -> str:
+    """Cross-corpus dedup report, unrolled: the shared shingle/minhash
+    fragments over ALL documents, one band table, candidate generation
+    restricted to corpus×reference rows at the band join, exact-Jaccard
+    verification over candidate ids only (the cascade's cs/csz
+    scoping), then the per-source contamination ledger."""
+    from dogsheep_beta_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(16)
+
+    def mh(i):
+        a, b = params[i]
+        return (
+            f"list_min(list_transform(hbase, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        )
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, CAST({mh(2 * bi)} AS VARCHAR) || '|' || "
+        f"CAST({mh(2 * bi + 1)} AS VARCHAR) AS bucket "
+        "FROM shb WHERE len(shingles) > 0"
+        for bi in range(8)
+    )
+    return (
+        ORACLE_SHINGLES3
+        + f"""
+, shb AS MATERIALIZED (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_PRIME})
+               AS hbase
+    FROM sh
+)
+, banded AS MATERIALIZED ({bands})
+, cand AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS cid, y.doc_id AS rid
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id % 7 <> 0 AND y.doc_id % 7 = 0
+)
+, cids AS (SELECT cid AS id FROM cand UNION SELECT rid FROM cand)
+, cs AS MATERIALIZED (SELECT * FROM s WHERE doc_id IN (SELECT id FROM cids))
+, csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id)
+{_JACCARD_TAIL.format(src="cs", szsrc="csz")}
+, pth AS (
+    SELECT DISTINCT c.cid FROM cand c
+    JOIN jac j ON j.a = least(c.cid, c.rid) AND j.b = greatest(c.cid, c.rid)
+    WHERE j.jaccard >= 0.8
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(SUM(CASE WHEN p.cid IS NOT NULL THEN d.doc_id ELSE 0 END)
+           AS BIGINT) AS contaminated_id_sum
+FROM documents d LEFT JOIN pth p ON d.doc_id = p.cid
+WHERE d.doc_id % 7 <> 0
+GROUP BY d.source ORDER BY d.source
 """
     )
 
@@ -7337,6 +7441,7 @@ LIMIT 100
         "dedup_minhash_lsh": _minhash_oracle(),
         "pipeline_dedup_cascade": _cascade_oracle(),
         "pipeline_pretraining_corpus": _pretraining_capstone_oracle(),
+        "dedup_cross_corpus": _cross_corpus_oracle(),
         "ann_recall_report": _ann_recall_oracle(
             pq_cfgs=(
                 ("5_pq_adc", 4, 8),

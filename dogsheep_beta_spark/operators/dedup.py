@@ -277,6 +277,81 @@ def minhash_signature(shingles, n_hashes: int, seed: int = 42):
     )
 
 
+def cross_minhash_pairs(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a corpus and a frozen REFERENCE set —
+    the train-vs-heldout cross-dedup a pretraining pipeline runs before
+    shipping (drop training docs that near-duplicate an eval/benchmark
+    document; the document-level complement of n-gram
+    ``decontaminate``).
+
+    Same signature family as ``minhash_lsh_pairs`` (shared
+    ``_minhash_signatures``/``banded_rows``), but candidate generation
+    is a banded EQUI-JOIN between the two tables — never a self-join —
+    so its cost is Σ_buckets |corpus bucket|·|ref bucket|, bounded by
+    the (typically tiny) reference side.  Verification is exact shingle
+    Jaccard; callers filter on the returned ``jaccard``.
+
+    ``max_bucket`` prunes (band, bucket) keys whose REFERENCE width
+    exceeds the cap (broadcast anti-join on both sides — the
+    jaccard_pairs stop-shingle discipline): a boilerplate bucket shared
+    by the whole reference set would otherwise pair with most of the
+    corpus.  0 disables.
+
+    Returns (id, ref_id, jaccard) — corpus ids on the left, reference
+    ids on the right, each verified pair once."""
+
+    def prep(d: DataFrame) -> DataFrame:
+        return (
+            bound_tokens(d, id_col, text_col)
+            .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
+            .where(F.size("shingles") > 0)
+        )
+
+    a, b = prep(df), prep(ref)
+    ba = banded_rows(_minhash_signatures(a, n_hashes), n_hashes, bands)
+    bb = banded_rows(_minhash_signatures(b, n_hashes), n_hashes, bands)
+    if max_bucket:
+        hot = F.broadcast(
+            bb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") > max_bucket)
+            .select("band", "bucket")
+        )
+        ba = ba.join(hot, ["band", "bucket"], "left_anti")
+        bb = bb.join(hot, ["band", "bucket"], "left_anti")
+    cand = (
+        ba.join(
+            bb.select(
+                "band", "bucket", F.col("id").alias("ref_id")
+            ),
+            ["band", "bucket"],
+        )
+        .select("id", "ref_id")
+        .distinct()
+    )
+    sa = a.select("id", F.col("shingles").alias("sa"))
+    sb = b.select(F.col("id").alias("ref_id"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sa, "id")
+        .join(sb, "ref_id")
+        .select(
+            "id",
+            "ref_id",
+            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -1893,3 +1893,51 @@ def test_pretraining_capstone_ledger_is_monotone(spark, sf_dir):
     # at least one stage sheds something somewhere, or the fixture is
     # too easy for the pipeline to mean anything
     assert any(r["n_raw"] > r["n_budget"] for r in rows)
+
+
+def test_cross_minhash_pairs_flags_only_cross_pairs(spark):
+    """Cross-corpus dedup (round 8): a corpus doc near-identical to a
+    REFERENCE doc is flagged; near-dups WITHIN the corpus are not
+    (never a self-join); unrelated docs never pair; max_bucket prunes
+    reference-wide boilerplate buckets via a broadcast anti-join."""
+    from dogsheep_beta_spark.operators.dedup import cross_minhash_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seven wizards brew quirky potions beside the old mill"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " extra tail"),          # near-dup of ref 100
+            (2, base + " extra tail words"),    # near-dup of 1 AND ref
+            (3, "completely unrelated content about spark physical plans "
+                "and shuffle partitions and adaptive execution"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, base), (101, "some other benchmark question entirely "
+                            "about astronomy and the moons of jupiter")],
+        "doc_id long, text string",
+    )
+    pairs = cross_minhash_pairs(corpus, ref, "doc_id", "text").where(
+        F.col("jaccard") >= 0.5
+    )
+    got = {(r["id"], r["ref_id"]) for r in pairs.collect()}
+    assert (1, 100) in got and (2, 100) in got
+    assert all(rid in (100, 101) for _, rid in got)  # refs only on the right
+    assert all(cid in (1, 2, 3) for cid, _ in got)
+    assert not [p for p in got if p[0] == 3]  # unrelated never pairs
+    # corpus-internal near-dup (1, 2) must NOT appear in any orientation
+    assert (1, 2) not in got and (2, 1) not in got
+
+    # max_bucket wiring: the cap introduces the broadcast anti-join
+    capped = cross_minhash_pairs(
+        corpus, ref, "doc_id", "text", max_bucket=1
+    )
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    uncapped = cross_minhash_pairs(corpus, ref, "doc_id", "text")
+    assert "LeftAnti" not in (
+        uncapped._jdf.queryExecution().optimizedPlan().toString()
+    )
