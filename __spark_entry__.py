@@ -4986,6 +4986,51 @@ def q_pack_bpe_exact(spark, sf_dir):
     )
 
 
+def q_text_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY report under the learned BPE (the metric a
+    tokenizer ships with: subword tokens per word, characters per
+    subword token — per source, so a multilingual/multidomain corpus
+    shows where the tokenizer fragments).  Exact counts from the
+    map-side ``bpe_encode`` chain + one whitespace/char aggregate; the
+    per-source ratios are single correctly-rounded scalar ops over
+    integer sums (floor ×1000 milli pins), so the report
+    strict-hashes."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.bpe import bpe_encode
+
+    merges = _bpe_merges_ctx(spark, sf_dir)
+    d = _documents_persisted(spark, sf_dir)
+    enc = (
+        bpe_encode(d, "doc_id", "text", merges, keep_cols=("source",))
+        .groupBy("source")
+        .agg(F.sum("n_bpe").cast("long").alias("bpe_tokens"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return (
+        base.join(enc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.floor(F.col("bpe_tokens") * 1000.0 / F.col("ws_tokens"))
+            .cast("long")
+            .alias("fertility_milli"),
+            F.floor(F.col("n_chars") * 1000.0 / F.col("bpe_tokens"))
+            .cast("long")
+            .alias("chars_per_token_milli"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_dedup_cross_corpus(spark, sf_dir):
     """CROSS-corpus dedup (operators/dedup.py:cross_minhash_pairs):
     near-dup the training corpus against a frozen HELD-OUT reference
@@ -5334,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_exact": q_pack_bpe_exact,
         "pipeline_pretraining_corpus": q_pipeline_pretraining_corpus,
         "dedup_cross_corpus": q_dedup_cross_corpus,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -7442,6 +7488,38 @@ LIMIT 100
         "pipeline_dedup_cascade": _cascade_oracle(),
         "pipeline_pretraining_corpus": _pretraining_capstone_oracle(),
         "dedup_cross_corpus": _cross_corpus_oracle(),
+        # fertility: integer sums from the shared learn-then-encode
+        # chain + the whitespace/char aggregate; per-row scalar floor
+        # ratios (single correctly-rounded ops, shared verbatim)
+        "text_bpe_fertility": ORACLE_DOC_TOKENS
+        + _BPE_ENCODE_CTES
+        + r"""
+            , bt AS (
+                SELECT d.source,
+                       CAST(SUM(COALESCE(dc.n_bpe, 0)) AS BIGINT)
+                           AS bpe_tokens
+                FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+                GROUP BY d.source
+            ), base AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN trim(coalesce(text, '')) = ''
+                                THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                         '\s+'))
+                           END) AS BIGINT) AS ws_tokens,
+                       CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+                           AS n_chars
+                FROM documents GROUP BY source
+            )
+            SELECT base.source, base.n_docs, base.ws_tokens,
+                   bt.bpe_tokens, base.n_chars,
+                   CAST(FLOOR(bt.bpe_tokens * 1000.0 / base.ws_tokens)
+                       AS BIGINT) AS fertility_milli,
+                   CAST(FLOOR(base.n_chars * 1000.0 / bt.bpe_tokens)
+                       AS BIGINT) AS chars_per_token_milli
+            FROM base JOIN bt USING (source)
+            ORDER BY base.source
+        """,
         "ann_recall_report": _ann_recall_oracle(
             pq_cfgs=(
                 ("5_pq_adc", 4, 8),
