@@ -5020,10 +5020,19 @@ def q_text_bpe_fertility(spark, sf_dir):
             "ws_tokens",
             "bpe_tokens",
             "n_chars",
-            F.floor(F.col("bpe_tokens") * 1000.0 / F.col("ws_tokens"))
+            # NULL (not a float-inf artifact) for a degenerate source
+            # with zero tokens — DuckDB errors on FLOOR(inf)::BIGINT
+            # while Spark silently NULLs, so both sides guard explicitly
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.floor(F.col("bpe_tokens") * 1000.0 / F.col("ws_tokens")),
+            )
             .cast("long")
             .alias("fertility_milli"),
-            F.floor(F.col("n_chars") * 1000.0 / F.col("bpe_tokens"))
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.floor(F.col("n_chars") * 1000.0 / F.col("bpe_tokens")),
+            )
             .cast("long")
             .alias("chars_per_token_milli"),
         )
@@ -7513,10 +7522,12 @@ LIMIT 100
             )
             SELECT base.source, base.n_docs, base.ws_tokens,
                    bt.bpe_tokens, base.n_chars,
-                   CAST(FLOOR(bt.bpe_tokens * 1000.0 / base.ws_tokens)
-                       AS BIGINT) AS fertility_milli,
-                   CAST(FLOOR(base.n_chars * 1000.0 / bt.bpe_tokens)
-                       AS BIGINT) AS chars_per_token_milli
+                   CAST(CASE WHEN base.ws_tokens > 0 THEN
+                       FLOOR(bt.bpe_tokens * 1000.0 / base.ws_tokens)
+                   END AS BIGINT) AS fertility_milli,
+                   CAST(CASE WHEN bt.bpe_tokens > 0 THEN
+                       FLOOR(base.n_chars * 1000.0 / bt.bpe_tokens)
+                   END AS BIGINT) AS chars_per_token_milli
             FROM base JOIN bt USING (source)
             ORDER BY base.source
         """,
