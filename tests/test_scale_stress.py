@@ -638,3 +638,49 @@ def test_scale_classifier_training_10x(spark):
     # stay sane (non-degenerate weights, same dims)
     assert len(w10) == len(w1) == 69
     print(f"\nSCALE classifier train 1x={t1:.1f}s 10x={t10:.1f}s")
+
+
+@pytest.mark.slow
+def test_scale_cross_corpus_10x(spark):
+    """Cross-corpus dedup at the 10x tier: the corpus side grows 10x
+    against a FIXED reference set — the production shape (a growing
+    crawl vs a frozen benchmark suite).  Wall must stay near-linear in
+    the corpus, candidate volume is bounded by corpus_docs x
+    ref-bucket width (never corpus^2 — no self-join exists to go
+    quadratic), and the reference-wide hot-bucket cap keeps a
+    boilerplate reference row from pairing with the whole corpus."""
+    from dogsheep_beta_spark.operators.dedup import cross_minhash_pairs
+
+    from dogsheep_beta_spark.sources.registry import register_testdata
+
+    register_testdata(spark, SF_DIR, tables=("documents",))
+    ref = (
+        spark.table("documents")
+        .where((F.col("doc_id") < N_BASE) & (F.col("doc_id") % 2 == 0))
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+
+    def run(replicas):
+        t0 = time.monotonic()
+        pairs = cross_minhash_pairs(
+            _docs(spark, replicas), ref, "doc_id", "text",
+            k=3, n_hashes=16, bands=8, max_bucket=100,
+        ).where(F.col("jaccard") >= 0.99).persist()
+        n = pairs.count()
+        return pairs, n, time.monotonic() - t0
+
+    p1, n1, t1 = run(1)
+    p1.unpersist()
+    p10, n10, t10 = run(10)
+    _linear(t1, t10, "cross_corpus")
+    # every corpus replica of an even-class doc matches its one ref
+    # twin: flagged-pair volume grows LINEARLY with the corpus (10x),
+    # never quadratically
+    assert n10 == 10 * n1, (n1, n10)
+    # the flag set covers every replica of every even class
+    flagged = p10.select("id").distinct().count()
+    assert flagged == n10  # one ref twin each => ids unique per pair
+    _no_stragglers(p10)
+    p10.unpersist()
+    print(f"\nSCALE cross-corpus 1x={t1:.1f}s 10x={t10:.1f}s "
+          f"pairs {n1}->{n10}")
