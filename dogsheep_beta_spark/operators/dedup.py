@@ -286,6 +286,7 @@ def cross_minhash_pairs(
     n_hashes: int = 16,
     bands: int = 8,
     max_bucket: int = 0,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a corpus and a frozen REFERENCE set —
     the train-vs-heldout cross-dedup a pretraining pipeline runs before
@@ -306,15 +307,24 @@ def cross_minhash_pairs(
     by the whole reference set would otherwise pair with most of the
     corpus.  0 disables.
 
+    Both shingle tables are PERSISTED (they feed the signature build
+    AND the per-pair verification — tokenize/shingle exactly once per
+    side); pass ``cache_registry`` (a list) to own their lifecycle,
+    the same contract as ``minhash_lsh_pairs``.
+
     Returns (id, ref_id, jaccard) — corpus ids on the left, reference
     ids on the right, each verified pair once."""
 
     def prep(d: DataFrame) -> DataFrame:
-        return (
+        out = (
             bound_tokens(d, id_col, text_col)
             .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
             .where(F.size("shingles") > 0)
+            .persist()
         )
+        if cache_registry is not None:
+            cache_registry.append(out)
+        return out
 
     a, b = prep(df), prep(ref)
     ba = banded_rows(_minhash_signatures(a, n_hashes), n_hashes, bands)
