@@ -5053,11 +5053,15 @@ def q_dedup_cross_corpus(spark, sf_dir):
     pin."""
     from dogsheep_beta_spark.operators.dedup import cross_minhash_pairs
 
+    c = _CTX.setdefault(sf_dir, {})
     docs = _documents_persisted(spark, sf_dir)
     ref = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     flagged = (
-        cross_minhash_pairs(corpus, ref, "doc_id", "text")
+        cross_minhash_pairs(
+            corpus, ref, "doc_id", "text",
+            cache_registry=c.setdefault("_caches", []),
+        )
         .where(F.col("jaccard") >= 0.8)
         .select(F.col("id").alias("doc_id"))
         .distinct()
