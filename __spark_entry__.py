@@ -2608,6 +2608,26 @@ def q_pack_greedy(spark, sf_dir):
     )
 
 
+def q_pack_bin_stats(spark, sf_dir):
+    """Packing-efficiency report (operators/packing.py:bin_stats): per
+    (shard, bin) doc count, fill and utilization over the next-fit
+    packer — the number a pipeline tunes capacity against (mean
+    utilization is the padding waste a training run pays).  Exact for
+    pack_greedy output since documents are unsplit; utilization is one
+    correctly-rounded scalar divide per bin, identical in both
+    engines."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.packing import bin_stats, pack_greedy
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        bin_stats(pack_greedy(d, "doc_id", "n_tok", 512, "source"), 512)
+        .orderBy("shard", "bin")
+    )
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """Capstone composition — the full training-data cleaning pass as
     ONE declarative plan: near-dup clustering (pruned Jaccard pairs →
@@ -5393,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretraining_corpus": q_pipeline_pretraining_corpus,
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "text_bpe_fertility": q_text_bpe_fertility,
+        "pack_bin_stats": q_pack_bin_stats,
         "sketch_kmv_by_group": q_sketch_kmv_by_group,
         "url_canonical_dedup": q_url_canonical_dedup,
         "streaming_cms_freq": q_streaming_cms_freq,
@@ -5714,6 +5735,39 @@ ORACLE_SHINGLES3 = ORACLE_DOC_TOKENS + """
 )
 , s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 , sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)
+"""
+
+# the next-fit pack walk over whitespace counts at capacity 512 —
+# shared by the pack_greedy oracle and the pack_bin_stats report
+_PACK_GREEDY_CTES = r"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source AS shard,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_tok
+        FROM documents
+    -- MATERIALIZED (r8): DuckDB inlines plain CTEs per reference, so
+    -- the recursive walk re-tokenized the corpus every step (~18 s at
+    -- sf0.1 vs ~1 s materialized) — the honest single-node comparison
+    -- materializes once
+    ), base AS MATERIALIZED (
+        SELECT doc_id, shard, n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS rn
+        FROM d
+    ), g AS (
+        SELECT doc_id, shard, n_tok, rn,
+               CAST(0 AS BIGINT) AS bin, n_tok AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.doc_id, b.shard, b.n_tok, b.rn,
+               CASE WHEN g.fill + b.n_tok > 512
+                    THEN g.bin + 1 ELSE g.bin END,
+               CASE WHEN g.fill + b.n_tok > 512
+                    THEN b.n_tok ELSE g.fill + b.n_tok END
+        FROM g JOIN base b ON b.shard = g.shard AND b.rn = g.rn + 1
+    )
 """
 
 _JACCARD_TAIL = """
@@ -7429,36 +7483,21 @@ LIMIT 100
         # next-fit walked row-by-row per shard: the recursive CTE's
         # frontier holds one row per shard, stepping rn -> rn+1 with
         # the same (overflow -> new bin) rule the pandas loop applies.
-        "pack_greedy": r"""
-            WITH RECURSIVE d AS (
-                SELECT doc_id, source AS shard,
-                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+'))
-                       END AS n_tok
-                FROM documents
-            -- MATERIALIZED (r8): DuckDB inlines plain CTEs per
-            -- reference, so the recursive walk re-tokenized the corpus
-            -- every step (~18 s at sf0.1 vs ~1 s materialized) — the
-            -- honest single-node comparison materializes once
-            ), base AS MATERIALIZED (
-                SELECT doc_id, shard, n_tok,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY shard ORDER BY doc_id
-                       ) AS rn
-                FROM d
-            ), g AS (
-                SELECT doc_id, shard, n_tok, rn,
-                       CAST(0 AS BIGINT) AS bin, n_tok AS fill
-                FROM base WHERE rn = 1
-                UNION ALL
-                SELECT b.doc_id, b.shard, b.n_tok, b.rn,
-                       CASE WHEN g.fill + b.n_tok > 512
-                            THEN g.bin + 1 ELSE g.bin END,
-                       CASE WHEN g.fill + b.n_tok > 512
-                            THEN b.n_tok ELSE g.fill + b.n_tok END
-                FROM g JOIN base b ON b.shard = g.shard AND b.rn = g.rn + 1
-            )
+        "pack_greedy": _PACK_GREEDY_CTES
+        + """
             SELECT doc_id, shard, n_tok, bin FROM g ORDER BY doc_id
+        """,
+        # packing-efficiency report over the same walk: per (shard,
+        # bin) doc count, fill, utilization — one correctly-rounded
+        # scalar divide per output row (k/512 decimal ties round
+        # HALF_UP identically in both engines, probe-verified)
+        "pack_bin_stats": _PACK_GREEDY_CTES
+        + """
+            SELECT shard, bin, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS fill,
+                   ROUND(CAST(SUM(n_tok) AS BIGINT) / 512.0, 6)
+                       AS utilization
+            FROM g GROUP BY shard, bin ORDER BY shard, bin
         """,
         # the whole cleaning pipeline in one statement: pruned-Jaccard
         # components (cc) pick cluster representatives, the quality CTE
