@@ -184,12 +184,23 @@ def refresh_pin(pin_path: str | None) -> None:
     """Re-stamp a pin's timestamp so a legitimately long-running reader
     (> TTL) keeps its generation protected — call between job waves.
     Atomic via write-aside + rename so the sweep never reads a torn
-    pin file; a pin that vanished underneath (already swept) is
-    silently re-created only if its directory still exists."""
+    pin file.  A pin that vanished underneath (release_pin'd by the
+    caller, or collected by the sweep) stays released: re-stamping only
+    happens while BOTH the pin file and its generation dir still exist,
+    so refresh never resurrects a retired pin and defers retention by a
+    TTL (ADVICE r8)."""
     import os
     import time
 
     if pin_path is None:
+        return
+    pins_dir = os.path.dirname(pin_path)
+    # pin name is "<generation-dir-basename>.<uuid hex>.pin"
+    gen_dir = os.path.join(
+        os.path.dirname(pins_dir),
+        os.path.basename(pin_path).rsplit(".", 2)[0],
+    )
+    if not (os.path.exists(pin_path) and os.path.isdir(gen_dir)):
         return
     tmp = pin_path + ".tmp"
     try:
@@ -1771,109 +1782,115 @@ def merge_minhash_batch(
     # the candidate join for executor slots)
     _pool = ThreadPoolExecutor(max_workers=3)
     _index_fut = _pool.submit(_w_index)
-
-    # once-per-pair direction rules (merge_link_batch): a NEW row pairs
-    # with smaller-id bucket-mates, and with larger-id OLD mates (the
-    # larger-id NEW mate emits the new-new pair from its own side)
-    n = allb.filter(F.col("__new") == 1)
-    o = allb.select(
-        F.col("band").alias("o_band"),
-        F.col("bucket").alias("o_bucket"),
-        F.col("id").alias("o_id"),
-        F.col("__new").alias("o_new"),
-    )
-    once = (F.col("o_id") < F.col("id")) | (
-        (F.col("o_new") == 0) & (F.col("o_id") > F.col("id"))
-    )
-    cand = (
-        n.join(
-            o,
-            (F.col("band") == F.col("o_band"))
-            & (F.col("bucket") == F.col("o_bucket"))
-            & once,
-        )
-        .select(
-            F.least("id", "o_id").alias("a"),
-            F.greatest("id", "o_id").alias("b"),
-        )
-        .distinct()  # a pair may collide in several bands this batch
-        .persist()
-    )
-
-    # verification shingle sets: in-batch docs from `pre`; historical
-    # partners from the id-bucketed record store (only the partitions
-    # the candidate ids hash into — a bounded ≤ n_buckets collect)
-    cand_idb = [
-        str(r[0])
-        for r in cand.select(
-            F.explode(F.array("a", "b")).alias("id")
-        )
-        .select(
-            F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb")
-        )
-        .distinct()
-        .collect()
-    ]
-    _mark("cand_collect")
-    store = (
-        _read_partitioned(spark, store_path, cand_idb, col="idb")
-        if cand_idb
-        else None
-    )
-    _mark("store_read")
-    if store is not None:
-        shings = (
-            store.select("id", "shingles")
-            .join(new_ids, "id", "left_anti")
-            .unionByName(pre)
-        )
-    else:
-        shings = pre
-    sa = shings.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
-    sb = shings.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    fresh = (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
-        )
-    )
-    # pairs are globally unique (later-arrival rule), so matches are
-    # append-only and UNPARTITIONED (the table is pure output — nothing
-    # ever reads it bucket-scoped, so the per-batch partitioned-commit
-    # overhead buys nothing); a replayed batch re-appends the same
-    # pairs and the read path dropDuplicates — same retry posture as
-    # the store writes
-    # The three appends are INDEPENDENT and each is SELF-idempotent
-    # (matches: read-side dropDuplicates; store: anti-join against the
-    # batch's own store partitions; index: anti-join against the index
-    # itself), so any crash-leaves-a-subset-written interleaving
-    # replays correctly — which is what makes running them CONCURRENTLY
-    # safe.  Each write is job-floor-bound at micro-batch scale, so
-    # overlapping them cuts the per-batch wall from the sum of three
-    # floors to roughly the max, and the index + store appends
-    # (started above) additionally overlap candidate generation and
-    # verification (VERDICT r7 #3: the steady state was ~8× the
-    # next-heaviest lifecycle, dominated by serialized small jobs, not
-    # data).  A concurrent own-batch store append cannot leak into the
-    # verification read: `shings` anti-joins this batch's ids out
-    # before unioning the authoritative in-batch rows from `pre`.
-    def _w_matches():
-        # no candidate pairs ⇒ `fresh` is provably empty: skip the
-        # write (and its job floor) instead of committing an empty
-        # file — except the very first time, so the match table always
-        # exists with its schema for readers even on a dup-free corpus
-        if cand_idb or not os.path.isdir(match_path):
-            fresh.write.mode("append").parquet(match_path)
-
     try:
+
+        # once-per-pair direction rules (merge_link_batch): a NEW row pairs
+        # with smaller-id bucket-mates, and with larger-id OLD mates (the
+        # larger-id NEW mate emits the new-new pair from its own side)
+        n = allb.filter(F.col("__new") == 1)
+        o = allb.select(
+            F.col("band").alias("o_band"),
+            F.col("bucket").alias("o_bucket"),
+            F.col("id").alias("o_id"),
+            F.col("__new").alias("o_new"),
+        )
+        once = (F.col("o_id") < F.col("id")) | (
+            (F.col("o_new") == 0) & (F.col("o_id") > F.col("id"))
+        )
+        cand = (
+            n.join(
+                o,
+                (F.col("band") == F.col("o_band"))
+                & (F.col("bucket") == F.col("o_bucket"))
+                & once,
+            )
+            .select(
+                F.least("id", "o_id").alias("a"),
+                F.greatest("id", "o_id").alias("b"),
+            )
+            .distinct()  # a pair may collide in several bands this batch
+            .persist()
+        )
+
+        # verification shingle sets: in-batch docs from `pre`; historical
+        # partners from the id-bucketed record store (only the partitions
+        # the candidate ids hash into — a bounded ≤ n_buckets collect)
+        cand_idb = [
+            str(r[0])
+            for r in cand.select(
+                F.explode(F.array("a", "b")).alias("id")
+            )
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb")
+            )
+            .distinct()
+            .collect()
+        ]
+        _mark("cand_collect")
+        store = (
+            _read_partitioned(spark, store_path, cand_idb, col="idb")
+            if cand_idb
+            else None
+        )
+        _mark("store_read")
+        if store is not None:
+            shings = (
+                store.select("id", "shingles")
+                .join(new_ids, "id", "left_anti")
+                .unionByName(pre)
+            )
+        else:
+            shings = pre
+        sa = shings.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
+        sb = shings.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb"))
+        fresh = (
+            cand.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+            )
+        )
+        # pairs are globally unique (later-arrival rule), so matches are
+        # append-only and UNPARTITIONED (the table is pure output — nothing
+        # ever reads it bucket-scoped, so the per-batch partitioned-commit
+        # overhead buys nothing); a replayed batch re-appends the same
+        # pairs and the read path dropDuplicates — same retry posture as
+        # the store writes
+        # The three appends are INDEPENDENT and each is SELF-idempotent
+        # (matches: read-side dropDuplicates; store: anti-join against the
+        # batch's own store partitions; index: anti-join against the index
+        # itself), so any crash-leaves-a-subset-written interleaving
+        # replays correctly — which is what makes running them CONCURRENTLY
+        # safe.  Each write is job-floor-bound at micro-batch scale, so
+        # overlapping them cuts the per-batch wall from the sum of three
+        # floors to roughly the max, and the index + store appends
+        # (started above) additionally overlap candidate generation and
+        # verification (VERDICT r7 #3: the steady state was ~8× the
+        # next-heaviest lifecycle, dominated by serialized small jobs, not
+        # data).  A concurrent own-batch store append cannot leak into the
+        # verification read: `shings` anti-joins this batch's ids out
+        # before unioning the authoritative in-batch rows from `pre`.
+        def _w_matches():
+            # no candidate pairs ⇒ `fresh` is provably empty: skip the
+            # write (and its job floor) instead of committing an empty
+            # file — except the very first time, so the match table always
+            # exists with its schema for readers even on a dup-free corpus
+            if cand_idb or not os.path.isdir(match_path):
+                fresh.write.mode("append").parquet(match_path)
+
         futs = [_pool.submit(w) for w in (_w_matches, _w_store)]
         for f in (*futs, _index_fut):
             f.result()  # re-raise the first failure
     finally:
+        # ADVICE r8: the pool must not outlive the batch invocation on
+        # ANY exit path — an orphaned index append racing a replayed
+        # batch's anti-join would re-append the same (id, band) rows
+        # and leak a thread per failed batch.  shutdown(wait=True)
+        # joins _index_fut (and any submitted write) before the
+        # exception propagates to foreachBatch.
         _pool.shutdown(wait=True)
     _mark("writes")
     cand.unpersist()
@@ -2020,10 +2037,34 @@ def upgrade_semantic_store(
     import shutil
 
     store_path = os.path.join(root_path, "store")
+    tmp = store_path + ".__upgrade__"
+    old = store_path + ".__legacy__"
     if not os.path.isdir(store_path):
+        # ADVICE r8: the swap below is two non-atomic renames.  A crash
+        # between them leaves no live store but a complete .__upgrade__
+        # (it was fully written before the first rename) — finish the
+        # swap instead of returning False, which would let the next
+        # merge treat all prior history as empty.
+        if os.path.isdir(tmp):
+            os.rename(tmp, store_path)
+            shutil.rmtree(old, ignore_errors=True)
+            return True
+        if os.path.isdir(old):
+            # legacy exists but the upgraded copy is gone: recoverable
+            # only by re-running the migration from the legacy data —
+            # surface it rather than silently starting from empty.
+            raise RuntimeError(
+                f"half-finished semantic-store upgrade at {root_path}: "
+                f"no live store and no .__upgrade__, but .__legacy__ "
+                f"exists — restore it (mv {old} {store_path}) and re-run"
+            )
         return False
     df = spark.read.parquet(store_path)
     if "b1" in df.columns:
+        # already current; clear any swap debris a crash-after-second-
+        # rename left behind
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         return False
     eps, q = _sem_thresh_q(tau)
     first = (
@@ -2062,10 +2103,8 @@ def upgrade_semantic_store(
             "b2"
         ),
     )
-    tmp = store_path + ".__upgrade__"
     shutil.rmtree(tmp, ignore_errors=True)
     up.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    old = store_path + ".__legacy__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store_path, old)
     os.rename(tmp, store_path)

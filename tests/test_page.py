@@ -691,6 +691,23 @@ def test_pin_ttl_env_override_and_refresh(tmpdir, monkeypatch):
     # refresh of a released/None pin is a no-op
     inc.refresh_pin(None)
 
+    # ADVICE r8: refresh must NOT resurrect a pin that release_pin
+    # deleted (or the sweep collected) — that would defer retention of
+    # the generation by one TTL after the reader already let go
+    pin = inc.pin_generation(vdir)
+    inc.release_pin(pin)
+    inc.refresh_pin(pin)
+    assert not os.path.exists(pin)
+    # ...nor re-create a pin whose generation dir is gone
+    pin = inc.pin_generation(vdir)
+    import shutil
+
+    shutil.rmtree(vdir)
+    os.unlink(pin)
+    inc.refresh_pin(pin)
+    assert not os.path.exists(pin)
+    os.makedirs(vdir)  # restore for any later assertions
+
 
 def test_concurrent_search_requests_shared_index(page_ctx):
     """ThreadingHTTPServer handlers share one FtsIndex: concurrent

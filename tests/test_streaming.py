@@ -1686,6 +1686,55 @@ def test_semantic_store_legacy_upgrade(spark, tmpdir):
     assert (1, 4) in got
 
 
+def test_semantic_upgrade_crash_recovery(spark, tmpdir):
+    """ADVICE r8: upgrade_semantic_store's swap is two non-atomic
+    renames.  A crash between them (no live store, complete
+    .__upgrade__) must be completed on re-run — not reported as 'store
+    absent', which would make the next merge silently treat history as
+    empty.  A legacy dir with no upgraded copy must raise, and a
+    current store must clean up leftover swap debris."""
+    import shutil
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        upgrade_semantic_store,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    root = os.path.join(tmpdir, "semcrash")
+    schema = "vec_id long, embedding array<double>"
+    merge_semantic_batch(
+        spark,
+        spark.createDataFrame([(1, [1.0, 0.01]), (2, [0.02, 1.0])], schema),
+        0, root, cents, tau=0.9,
+    )
+    store = os.path.join(root, "store")
+    native = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    # crash window: first rename done (store -> .__legacy__), second
+    # not (.__upgrade__ still aside).  Use the current store itself as
+    # the upgraded copy — recovery only shuffles directories.
+    shutil.copytree(store, store + ".__upgrade__")
+    os.rename(store, store + ".__legacy__")
+    assert upgrade_semantic_store(spark, root, tau=0.9) is True
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == native
+    assert not os.path.isdir(store + ".__legacy__")
+    assert not os.path.isdir(store + ".__upgrade__")
+
+    # legacy-only wreckage (upgraded copy lost) is NOT silently empty
+    os.rename(store, store + ".__legacy__")
+    with pytest.raises(RuntimeError, match="half-finished"):
+        upgrade_semantic_store(spark, root, tau=0.9)
+    os.rename(store + ".__legacy__", store)
+
+    # current store + leftover debris: no-op that clears the debris
+    shutil.copytree(store, store + ".__legacy__")
+    assert upgrade_semantic_store(spark, root, tau=0.9) is False
+    assert not os.path.isdir(store + ".__legacy__")
+
+
 def test_streaming_semantic_pivot_prune_fuzz(spark, tmpdir):
     """Seeded fuzz for the pivot prune's LOSSLESSNESS: random vector
     sets (clusters + noise + boundary-ish pairs), random batch splits
@@ -1751,6 +1800,65 @@ def test_streaming_semantic_pivot_prune_fuzz(spark, tmpdir):
             if r["cosine"] is not None and round(r["cosine"], 6) >= tau
         }
         assert got == want, (seed, got.keys() ^ want.keys())
+
+
+def test_minhash_merge_failure_joins_inflight_writes(spark, tmpdir, monkeypatch):
+    """ADVICE r8: the band-index append is submitted to a thread pool
+    BEFORE candidate generation; if verification raises, the pool must
+    be shut down (joining the in-flight append) before the exception
+    propagates — an orphaned append racing the replay's anti-join would
+    re-append the same (id, band) rows and leak a thread per failure."""
+    import threading
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "mh_fail")
+    # near-identical docs so the batch generates candidates (forcing
+    # the candidate-scoped store read — the 3rd _read_partitioned call)
+    b = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again!"),
+        ],
+        "doc_id long, text string",
+    )
+    real = inc._read_partitioned
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected store-read failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(inc, "_read_partitioned", boom)
+    before = {t.ident for t in threading.enumerate()}
+    with pytest.raises(RuntimeError, match="injected"):
+        inc.merge_minhash_batch(spark, b, 0, root, "doc_id", "text")
+    assert calls["n"] == 3  # the injection point was reached
+    # pool shut down on the exception path: no leaked worker thread
+    leaked = [
+        t
+        for t in threading.enumerate()
+        if t.ident not in before and "ThreadPoolExecutor" in t.name
+    ]
+    assert not leaked
+    # the append was JOINED, not orphaned: the index is already complete
+    idx0 = spark.read.parquet(os.path.join(root, "band_index"))
+    n0 = idx0.count()
+    assert n0 > 0
+    # replay of the failed batch: anti-join sees the completed append —
+    # no duplicate (id, band) rows, and the near-dup pair is found
+    monkeypatch.setattr(inc, "_read_partitioned", real)
+    inc.merge_minhash_batch(spark, b, 0, root, "doc_id", "text")
+    idx = spark.read.parquet(os.path.join(root, "band_index"))
+    assert idx.count() == n0
+    assert idx.groupBy("id", "band").count().where("count > 1").count() == 0
+    got = {
+        (r["a"], r["b"])
+        for r in inc.read_minhash_matches(spark, root).collect()
+    }
+    assert got == {(1, 2)}
 
 
 def test_minhash_replay_is_idempotent_for_candidateless_docs(spark, tmpdir):
