@@ -303,8 +303,36 @@ def merge_batch(
     _atomic_swap_write(merged, index_path)
 
 
+def _parquet_store_missing_column(path: str, column: str) -> bool:
+    """True iff the store EXISTS and its parquet footer lacks
+    ``column`` — a driver-side single-footer sniff (pyarrow, no Spark
+    job) for legacy-layout detection before a schema-pinned read.
+    Missing/empty stores return False (nothing to migrate)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return False
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                try:
+                    names = pq.read_schema(os.path.join(root, f)).names
+                except OSError:
+                    return False
+                return column not in names
+    return False
+
+
 def _read_partitioned(
-    spark: SparkSession, path: str, types: list[str], col: str = "type"
+    spark: SparkSession,
+    path: str,
+    types: list[str],
+    col: str = "type",
+    schema: str | None = None,
 ) -> DataFrame | None:
     """The live partition-by-type layout restricted to the given type
     values, or None if none of those partitions exist yet.
@@ -316,7 +344,12 @@ def _read_partitioned(
     parquet footers across every partition — this way untouched
     partitions are never opened at all, which is what makes the scoped
     merge O(touched), not O(index).  (Pinned by test: a merge for type
-    B succeeds even when type A's files are corrupt.)"""
+    B succeeds even when type A's files are corrupt.)
+
+    Writer-owned stores know their own layout: pass ``schema`` (DDL
+    string, INCLUDING the partition column) to skip the per-read
+    schema-inference job — at one read per micro-batch those footer
+    jobs are a measurable slice of the steady-state wall (r9)."""
     import os
     from urllib.parse import unquote
 
@@ -332,7 +365,10 @@ def _read_partitioned(
     ]
     if not sel:
         return None
-    return spark.read.option("basePath", base).parquet(*sel)
+    r = spark.read.option("basePath", base)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(*sel)
 
 
 def _publish_partitions(
@@ -1673,6 +1709,10 @@ def merge_minhash_batch(
     band_index_path = os.path.join(root_path, "band_index")
     store_path = os.path.join(root_path, "store")
     match_path = os.path.join(root_path, "matches")
+    # writer-owned layouts: explicit schemas skip the footer-inference
+    # job every scoped read would otherwise pay per batch (r9)
+    idx_schema = "id bigint, band int, bucket string, bb int"
+    store_schema = "id bigint, shingles array<string>, idb int"
 
     _prof = os.environ.get("DBS_PROFILE_STREAM")
     _t = time.time()
@@ -1687,14 +1727,23 @@ def merge_minhash_batch(
             )
             _t = now
 
+    # id-dedup FIRST, on the raw (id, text) rows, THEN tokenize: the
+    # batch arrives as O(1) source files, so everything before the
+    # first exchange runs in that many tasks — with the shingle/md5
+    # compute placed AFTER the dedup shuffle it spreads across the
+    # shuffle partitions instead of serializing on the file count, at
+    # zero added exchanges (r9: wave-A wall ~1.8 s → ~0.8 s at sf0.1)
     pre = (
-        bound_tokens(batch_df, id_col, text_col)
-        .select(
-            F.col("id").cast("long").alias("id"),
-            shingles_expr(F.col("__tk"), k).alias("shingles"),
+        bound_tokens(
+            batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(text_col).alias("__txt"),
+            ).dropDuplicates(["id"]),
+            "id",
+            "__txt",
         )
+        .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
         .where(F.size("shingles") > 0)
-        .dropDuplicates(["id"])
         .persist()
     )
     sigs = _minhash_signatures(pre, n_hashes)
@@ -1727,7 +1776,9 @@ def merge_minhash_batch(
         new_band.unpersist()
         return
 
-    index = _read_partitioned(spark, band_index_path, touched, col="bb")
+    index = _read_partitioned(
+        spark, band_index_path, touched, col="bb", schema=idx_schema
+    )
     new_ids = pre.select("id")
     if index is not None:
         old_band = index.join(new_ids, "id", "left_anti")
@@ -1752,16 +1803,22 @@ def merge_minhash_batch(
         new_band_only = new_band
 
     def _w_index():
-        new_band_only.write.mode("append").partitionBy("bb").parquet(
-            band_index_path
-        )
+        # repartition by the layout key so each batch appends ~one file
+        # per touched bb dir (8 shuffle partitions × 16 dirs would
+        # otherwise write ~128 tiny files per batch, and every later
+        # batch's candidate scan pays that file count — r9)
+        new_band_only.repartition("bb").write.mode("append").partitionBy(
+            "bb"
+        ).parquet(band_index_path)
 
     # append-only store growth: only genuinely-new rows, anti-joined
     # against the store partitions of the BATCH's ids (complete by
     # construction — every previously-stored batch id lives in one of
     # pre_idb's partitions), so replays are idempotent even for docs
     # with no candidates
-    store_pre = _read_partitioned(spark, store_path, pre_idb, col="idb")
+    store_pre = _read_partitioned(
+        spark, store_path, pre_idb, col="idb", schema=store_schema
+    )
 
     def _w_store():
         if store_pre is not None:
@@ -1774,14 +1831,18 @@ def merge_minhash_batch(
             F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias(
                 "idb"
             ),
-        ).write.mode("append").partitionBy("idb").parquet(store_path)
+        ).repartition("idb").write.mode("append").partitionBy(
+            "idb"
+        ).parquet(store_path)
 
-    # schedule: the index append overlaps candidate generation; the
-    # store append joins the FINAL write wave (submitting it here too
-    # measured slower under load — three concurrent jobs contend with
-    # the candidate join for executor slots)
+    # schedule: the index AND store appends overlap candidate
+    # generation (r9 — with the lighter post-restructure plans the
+    # three-way overlap now measures faster, reversing the r8 note
+    # about executor-slot contention); the matches append joins the
+    # final wave because it needs the verified pairs
     _pool = ThreadPoolExecutor(max_workers=3)
     _index_fut = _pool.submit(_w_index)
+    _store_fut = _pool.submit(_w_store)
     try:
 
         # once-per-pair direction rules (merge_link_batch): a NEW row pairs
@@ -1808,27 +1869,30 @@ def merge_minhash_batch(
                 F.least("id", "o_id").alias("a"),
                 F.greatest("id", "o_id").alias("b"),
             )
-            .distinct()  # a pair may collide in several bands this batch
+            # a pair may collide in several bands this batch; the
+            # pair-dedup shuffle is DEFERRED into the verification job
+            # below (r9) — it pipelines with the sa/sb joins there,
+            # instead of costing its own stage on the serialized
+            # candidate wave
             .persist()
         )
 
         # verification shingle sets: in-batch docs from `pre`; historical
         # partners from the id-bucketed record store (only the partitions
-        # the candidate ids hash into — a bounded ≤ n_buckets collect)
-        cand_idb = [
-            str(r[0])
-            for r in cand.select(
-                F.explode(F.array("a", "b")).alias("id")
-            )
-            .select(
-                F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("idb")
-            )
-            .distinct()
-            .collect()
-        ]
+        # the candidate ids hash into — a bounded ≤ n_buckets collect).
+        # One 2-stage aggregate, no explode/distinct shuffle: collect_set
+        # of each side's idb, united driver-side (≤ 2·n_buckets ints).
+        _idb = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+        chdr = cand.agg(
+            F.collect_set(_idb("a")).alias("ia"),
+            F.collect_set(_idb("b")).alias("ib"),
+        ).first()
+        cand_idb = [str(i) for i in sorted({*chdr["ia"], *chdr["ib"]})]
         _mark("cand_collect")
         store = (
-            _read_partitioned(spark, store_path, cand_idb, col="idb")
+            _read_partitioned(
+                spark, store_path, cand_idb, col="idb", schema=store_schema
+            )
             if cand_idb
             else None
         )
@@ -1844,8 +1908,18 @@ def merge_minhash_batch(
         sa = shings.select(F.col("id").alias("a"), F.col("shingles").alias("sa"))
         sb = shings.select(F.col("id").alias("b"), F.col("shingles").alias("sb"))
         inter = F.size(F.array_intersect("sa", "sb"))
+        # The pair-dedup runs HERE, inside the overlapped matches job
+        # (r9) — deferring it off the serialized candidate wave — and
+        # keeps the raw matches table's rows exactly unique (pinned by
+        # test).  Two variants were MEASURED and rejected: dropping the
+        # dedup entirely (read-side dropDuplicates would still collapse
+        # copies) showed no wall win, and forcing broadcast joins from
+        # the driver-known candidate count was ~0.3 s/batch SLOWER —
+        # the broadcast-build collects serialize ahead of the join,
+        # while the planner's small shuffle joins overlap.
         fresh = (
-            cand.join(sa, "a")
+            cand.dropDuplicates(["a", "b"])
+            .join(sa, "a")
             .join(sb, "b")
             .select(
                 "a",
@@ -1881,8 +1955,7 @@ def merge_minhash_batch(
             if cand_idb or not os.path.isdir(match_path):
                 fresh.write.mode("append").parquet(match_path)
 
-        futs = [_pool.submit(w) for w in (_w_matches, _w_store)]
-        for f in (*futs, _index_fut):
+        for f in (_pool.submit(_w_matches), _store_fut, _index_fut):
             f.result()  # re-raise the first failure
     finally:
         # ADVICE r8: the pool must not outlive the batch invocation on
@@ -2216,16 +2289,27 @@ def merge_semantic_batch(
     touched = sorted(hdr["cells"])
     pivots = _cell_pivots_rows(spark, touched, dim)
 
-    store = _read_partitioned(
-        spark, store_path, [str(t) for t in touched], col="cell"
-    )
-    if store is not None and "b1" not in store.columns:
+    # legacy layouts are detected from ONE parquet footer driver-side
+    # (pyarrow, no Spark job) so the scoped read can carry an explicit
+    # schema — skipping the per-batch footer-inference job (r9, same
+    # finding as the MinHash merge)
+    if _parquet_store_missing_column(store_path, "b1"):
         raise ValueError(
             f"semantic store at {store_path} predates the pivot-band "
             "layout (round 7); run upgrade_semantic_store(spark, "
             "root_path, tau=<the store's tau>) once (offline) to "
             "migrate it in place, or rebuild from a fresh checkpoint"
         )
+    store = _read_partitioned(
+        spark,
+        store_path,
+        [str(t) for t in touched],
+        col="cell",
+        schema=(
+            "id bigint, v array<double>, rd1 double, rd2 double, "
+            "b1 int, b2 int, cell int"
+        ),
+    )
     if store is not None:
         store = store.select(
             "id", "v", "cell", "rd1", "rd2", "b1", "b2"
