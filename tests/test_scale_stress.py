@@ -684,3 +684,213 @@ def test_scale_cross_corpus_10x(spark):
     p10.unpersist()
     print(f"\nSCALE cross-corpus 1x={t1:.1f}s 10x={t10:.1f}s "
           f"pairs {n1}->{n10}")
+
+
+@pytest.mark.slow
+def test_scale_pretraining_capstone_10x(spark):
+    """VERDICT r8 #3: the CAPSTONE COMPOSITION at the 10x tier — every
+    component has its own tier test, but composition-level failure
+    modes (probe survivorship concentrating one source, ledger
+    non-monotonicity, packing blowing past the next-fit bound) only
+    show up when the stages run chained.  Mirrors
+    q_pipeline_pretraining_corpus stage for stage: clean -> exact ->
+    MinHash -> verbatim cascade -> trained-probe filter -> BPE-exact
+    counts -> per-source token budget -> next-fit pack.
+
+    The BPE merges and the probe weights are fit ONCE on the 1x tier
+    and APPLIED at both — the production shape (vocabulary and filter
+    models train on a fixed sample, the full corpus only ever sees the
+    map-side encode/score path), and what makes per-stage ledgers
+    comparable across tiers."""
+    from dogsheep_beta_spark.functions.text import quality_score
+    from dogsheep_beta_spark.operators.bpe import bpe_encode, learn_bpe
+    from dogsheep_beta_spark.operators.classifier import (
+        MICRO,
+        hashed_features,
+        score_corpus_q,
+        train_linear_probe,
+    )
+    from dogsheep_beta_spark.operators.dedup import (
+        cluster_keep,
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+        tokens_expr,
+        verbatim_overlap_pairs,
+    )
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+    from dogsheep_beta_spark.operators.sampling import token_budget_sample
+
+    def with_source(docs):
+        # source is a function of the TEXT CLASS (base id rounded to
+        # even), so every replica of a class lands in the same source
+        # and per-source ledgers are comparable across tiers
+        cls = (F.col("doc_id") / 100).cast("long")
+        cls = cls - cls % 2  # even class ids: divide by 2 for full range
+        return docs.withColumn(
+            "source",
+            F.concat(F.lit("s"), ((cls / 2).cast("long") % 4).cast("string")),
+        )
+
+    base = with_source(_docs(spark, 1)).persist()
+    words = (
+        base.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges, _final = learn_bpe(words, "word", "n", n_merges=3)
+    labels = base.select(
+        F.col("doc_id").alias("id"),
+        (quality_score(F.col("text")) >= 0.8).cast("int").alias("y"),
+    ).persist()
+    featb = hashed_features(base, "doc_id", "text", dim=64).persist()
+    labels.count(), featb.count()
+    # iters=8 like the declared query — at 4 supersteps the probe is
+    # still in its initial transient and scores EVERY doc under 0.5
+    w = train_linear_probe(featb, labels, dim=64, iters=8, eta=1024)
+    half = MICRO // 2
+
+    def run(docs):
+        docs = docs.persist()
+        docs.count()
+        t0 = time.monotonic()
+        clean = (
+            docs.where(quality_score(F.col("text")) >= 0.6)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        reg = []
+        s1 = clean.join(
+            exact_dedup(clean, "doc_id", "text").select(
+                F.col("keep_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ).persist()
+        mh = minhash_lsh_pairs(
+            s1, "doc_id", "text", k=3, n_hashes=16, bands=8,
+            max_bucket=100, cache_registry=reg,
+        ).where(F.col("jaccard") >= 0.8)
+        s2 = (
+            cluster_keep(s1, "doc_id", connected_components(mh))
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        vp = verbatim_overlap_pairs(
+            s2, "doc_id", "text", k=5, min_tokens=8, max_bucket=100,
+            cache_registry=reg,
+        )
+        s3 = (
+            cluster_keep(
+                s2, "doc_id", connected_components(vp.select("a", "b"))
+            )
+            .where(F.col("is_keep") == 1)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        sc = score_corpus_q(
+            hashed_features(s3, "doc_id", "text", dim=64), w
+        ).withColumnRenamed("id", "doc_id")
+        surv = (
+            s3.join(sc, "doc_id", "left")
+            .where(F.coalesce(F.col("score_q"), F.lit(half)) >= half)
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        enc = bpe_encode(
+            surv, "doc_id", "text", merges, keep_cols=("source",)
+        ).persist()
+        kept = token_budget_sample(
+            enc, "source", "id", F.col("n_bpe"), 2_000, salt="pp:"
+        ).persist()
+        packed = pack_greedy(kept, "id", "n_bpe", 2048, "source").persist()
+
+        def by_src(df, col="doc_id"):
+            return {
+                r["source"]: r["n"]
+                for r in df.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        led = {
+            "n_raw": by_src(docs),
+            "n_clean": by_src(clean),
+            "n_dedup": by_src(s3),
+            "n_probe": by_src(surv),
+            "n_budget": by_src(kept),
+            "tokens": {
+                r["source"]: r["t"]
+                for r in kept.groupBy("source")
+                .agg(F.sum("n_bpe").cast("long").alias("t"))
+                .collect()
+            },
+            "bins": {
+                r["shard"]: r["b"]
+                for r in packed.groupBy("shard")
+                .agg(F.countDistinct("bin").alias("b"))
+                .collect()
+            },
+            "max_item": kept.agg(F.max("n_bpe")).first()[0],
+            "s3_rows": s3.count(),
+            "s3_texts": s3.select("text").distinct().count(),
+        }
+        _no_stragglers(enc)
+        wall = time.monotonic() - t0
+        for df in reg + [clean, s1, s2, s3, surv, enc, kept, packed, docs]:
+            df.unpersist()
+        return led, wall
+
+    led1, t1 = run(base)
+    led10, t10 = run(with_source(_docs(spark, 10)))
+    _linear(t1, t10, "capstone")
+
+    import math
+
+    for led in (led1, led10):
+        # all four sources survive every stage (composition-level skew
+        # — e.g. the probe filter concentrating survivorship — would
+        # empty one)
+        for stage in ("n_raw", "n_clean", "n_dedup", "n_probe", "n_budget"):
+            assert set(led[stage]) == {"s0", "s1", "s2", "s3"}, (
+                stage, led[stage],
+            )
+        # the per-source ledger is MONOTONE through the funnel
+        for s in ("s0", "s1", "s2", "s3"):
+            chain = [
+                led["n_raw"][s], led["n_clean"][s], led["n_dedup"][s],
+                led["n_probe"][s], led["n_budget"][s],
+            ]
+            assert chain == sorted(chain, reverse=True), (s, chain)
+        # one survivor per duplicate class end to end: cascade output
+        # texts are pairwise DISTINCT (budget/pack operate on a subset
+        # of these ids, so distinctness is inherited downstream)
+        assert led["s3_rows"] == led["s3_texts"]
+        # next-fit packing bound per source: ceil(T/cap) <= bins <=
+        # 2*ceil(T/cap)+1 (valid while no item exceeds the capacity)
+        assert led["max_item"] <= 2048
+        for s, t in led["tokens"].items():
+            lo = math.ceil(t / 2048)
+            assert lo <= led["bins"][s] <= 2 * lo + 1, (s, t, led["bins"][s])
+
+    for s in ("s0", "s1", "s2", "s3"):
+        # replicas add no new content: raw/clean scale exactly 10x...
+        assert led10["n_raw"][s] == 10 * led1["n_raw"][s]
+        assert led10["n_clean"][s] == 10 * led1["n_clean"][s]
+        # ...and the cascade collapses them back: survivors are bounded
+        # by the DISTINCT class count (= n_clean/2 at the 1x tier —
+        # texts are shared pairwise), never growing with replicas
+        # except where the 10x tier's hot-bucket caps drop a few
+        # near-dup merges (more survivors, never fewer)
+        assert led10["n_dedup"][s] >= led1["n_dedup"][s]
+        assert led10["n_dedup"][s] <= led1["n_clean"][s] // 2
+
+    featb.unpersist(), labels.unpersist(), base.unpersist()
+    print(
+        f"\nSCALE capstone 1x={t1:.1f}s 10x={t10:.1f}s "
+        f"dedup {sum(led1['n_dedup'].values())}->"
+        f"{sum(led10['n_dedup'].values())} "
+        f"budget {sum(led1['n_budget'].values())}->"
+        f"{sum(led10['n_budget'].values())}"
+    )
