@@ -610,15 +610,39 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     packed = tok.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"), *[lane_sum(j) for j in range(8)]
     )
-    sim = None
-    for j in range(8):
-        for k in range(4):
-            b = 4 * j + k
-            cnt = F.shiftright(F.col(f"p{j}"), 15 * k).bitwiseAND(
-                F.lit((1 << 15) - 1)
-            )
-            term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
-            sim = term if sim is None else sim + term
+    # Unpack as ONE higher-order aggregate over bit positions instead
+    # of a 32-term when() chain (r9): the chained form cost ~0.45 s of
+    # CATALYST PLANNING per fresh evaluation (resolution + type
+    # coercion over ~300 nodes) — the dominant share of this query's
+    # recorded bench wall, which is plan+floors, not data.  Values are
+    # bit-identical (pinned by the property test and the strict
+    # oracle).  Variable shifts aren't expressible in the lambda, so
+    # the lane compare uses the mask trick: with mask_k covering lane
+    # k's 15 bits, 2·(p_j & mask_k) > n·2^(15k) ⟺ 2·cnt_b > n; the
+    # products stay under 2^61 for every doc the capacity guard admits
+    # (n ≤ 32767), and the guard's otherwise-branch laziness keeps
+    # over-cap rows from evaluating this expression at all.
+    ps = F.array(*[F.col(f"p{j}") for j in range(8)])
+    masks = F.array(
+        *[F.lit(((1 << 15) - 1) << (15 * k)) for k in range(4)]
+    ).cast("array<bigint>")
+    lane1 = F.array(*[F.lit(1 << (15 * k)) for k in range(4)]).cast(
+        "array<bigint>"
+    )
+    pows = F.array(*[F.lit(1 << b) for b in range(32)]).cast("array<bigint>")
+    _k = lambda b: F.pmod(b, 4).cast("int") + 1  # noqa: E731 — lane index
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(ps, ((b - F.pmod(b, 4)) / 4).cast("int") + 1)
+            .bitwiseAND(F.element_at(masks, _k(b)))
+            * 2
+            > F.col("n") * F.element_at(lane1, _k(b)),
+            F.element_at(pows, b.cast("int") + 1),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
     # loud per-doc failure beyond the packed-lane capacity: past 32767
     # tokens the lane sums can wrap silently (non-ANSI) or throw a
     # cryptic ArithmeticException mid-aggregation (ANSI)
@@ -676,17 +700,34 @@ def simhash_pairs(
             )
         ).alias("chunk", "ckey"),
     )
+    # Pair-dedup WITHOUT a distinct exchange (r9): a pair agreeing on
+    # several chunks surfaces once per agreeing chunk — instead of
+    # shuffling the candidates to dedupe, keep only the copy emitted by
+    # the FIRST agreeing chunk (a map-side predicate over (ha, hb,
+    # chunk), both hashes being present on the joined row).  One fewer
+    # exchange + aggregate on a bench wall that is stage floors, not
+    # data; identical output by construction.
+    def chunk_eq(ha, hb, c):
+        m = F.lit(((1 << width) - 1) << (c * width))
+        return ha.bitwiseAND(m) == hb.bitwiseAND(m)
+
+    ha, hb = F.col("x.simhash"), F.col("y.simhash")
+    first_agree = None
+    for c in range(chunks):
+        this = F.col("chunk") == c
+        for cp in range(c):
+            this = this & ~chunk_eq(ha, hb, cp)
+        first_agree = this if first_agree is None else first_agree | this
     cand = (
         chunked.alias("x")
         .join(chunked.alias("y"), ["chunk", "ckey"])
-        .where(F.col("x.id") < F.col("y.id"))
+        .where((F.col("x.id") < F.col("y.id")) & first_agree)
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
             F.col("x.simhash").alias("ha"),
             F.col("y.simhash").alias("hb"),
         )
-        .distinct()
     )
     return (
         cand.withColumn(
