@@ -168,19 +168,72 @@ def main() -> None:
     # began or ended inside the window — evidence is ambiguous, so the
     # headline adjustment leaves these unscaled and a LOOSE variant
     # scales them, reported as a range).
-    stalled = sorted(
-        n
-        for n in timings
-        if _is_stall(sentinels[n]) and _is_stall(sentinels_after.get(n, 0.0))
-    )
-    stalled_one_sided = sorted(
-        n
-        for n in timings
-        if n not in stalled
-        and (
-            _is_stall(sentinels[n]) or _is_stall(sentinels_after.get(n, 0.0))
+    def _classify() -> tuple[list, list]:
+        conf = sorted(
+            n
+            for n in timings
+            if _is_stall(sentinels[n])
+            and _is_stall(sentinels_after.get(n, 0.0))
         )
-    )
+        one = sorted(
+            n
+            for n in timings
+            if n not in conf
+            and (
+                _is_stall(sentinels[n])
+                or _is_stall(sentinels_after.get(n, 0.0))
+            )
+        )
+        return conf, one
+
+    stalled, stalled_one_sided = _classify()
+
+    # Self-correcting requeue (VERDICT r8 #6): every query whose window
+    # was sentinel-flagged (confirmed OR one-sided) is re-run ONCE at
+    # the end of the run in a fresh bracketed window.  A clean retry
+    # replaces the query's bracketing sentinels (so it declassifies)
+    # and the recorded wall is the better of the two measurements; a
+    # retry that stalls again keeps its original flags.  The original
+    # AND retry sentinel readings are both preserved in ``requeued`` —
+    # the stall evidence stays in the artifact, only the discretion of
+    # picking among whole runs goes away.
+    requeued: dict[str, dict] = {}
+    qmap = entry.queries()
+    for name in stalled + stalled_one_sided:
+        if timings.get(name, -1.0) < 0:
+            continue
+        sb = round(sentinel(), 4)
+        try:
+            runs = []
+            for _ in range(ITERS):
+                t0 = time.time()
+                qmap[name](spark, sf_dir).toPandas()
+                runs.append(time.time() - t0)
+            new_t = round(min(runs), 3)
+        except Exception as e:  # keep the original measurement
+            print(f"# bench requeue error in {name}: {e}", file=sys.stderr)
+            continue
+        sa = round(sentinel(), 4)
+        requeued[name] = {
+            "old": timings[name],
+            "retry": new_t,
+            "sentinel_before": sb,
+            "sentinel_after": sa,
+        }
+        if new_t < timings[name]:
+            timings[name] = new_t
+        if not (_is_stall(sb) or _is_stall(sa)):
+            sentinels[name] = sb
+            sentinels_after[name] = sa
+    if requeued:
+        # more sentinel samples can only LOWER the run's floor; then
+        # re-classify with the post-retry sentinel state
+        floor = min(
+            [floor]
+            + [r["sentinel_before"] for r in requeued.values()]
+            + [r["sentinel_after"] for r in requeued.values()]
+        )
+        stalled, stalled_one_sided = _classify()
     # stall-adjusted aggregates: scale a flagged query's wall by the
     # clean-floor/window-floor ratio (stall inflates Spark's many-small-
     # jobs profile roughly uniformly — BASELINE.md's host-variance
@@ -260,6 +313,7 @@ def main() -> None:
         "cold_total_sec": round(cold_total, 3),
         "sentinel_floor_sec": round(floor, 4),
         "n_stalled": len(stalled),
+        "n_requeued": len(requeued),
         "n_stalled_one_sided": len(stalled_one_sided),
         "stall_adjusted_total_sec": round(adjusted, 3),
         "stall_adjusted_total_loose_sec": round(adjusted_loose, 3),
@@ -285,6 +339,7 @@ def main() -> None:
                 "iterations": ITERS,
                 "sentinel_stalled_queries": stalled,
                 "sentinel_stalled_one_sided": stalled_one_sided,
+                "requeued": requeued,
                 "sentinels": sentinels,
                 "sentinels_after": sentinels_after,
             }

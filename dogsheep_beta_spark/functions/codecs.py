@@ -356,11 +356,18 @@ def avi_frames(data: bytes) -> list[bytes]:
 
 
 def encode_avi(
-    frames: list[bytes], width: int, height: int, fps: int = 10
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    compression: str = "DIB ",
 ) -> bytes:
-    """Minimal uncompressed ('DIB ') AVI around the given raw frame
-    payloads — the writer twin ``avi_metadata``/``avi_frames`` round-
-    trip against, and the fixture generator for the declared query."""
+    """Minimal AVI around the given frame payloads — the writer twin
+    ``avi_metadata``/``avi_frames`` round-trip against, and the fixture
+    generator for the declared queries.  ``compression``: the stream
+    fourcc — 'DIB ' (uncompressed, '00db' chunks, the default) or a
+    codec fourcc like 'MJPG' (r9: compressed '00dc' chunks whose
+    payloads are whole JPEG files, the Motion-JPEG convention)."""
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) & 1 else b""
@@ -375,15 +382,20 @@ def encode_avi(
         "<14I", us_pf, buf_sz * max(fps, 1), 0, 0x10, len(frames), 0, 1,
         buf_sz, width, height, 0, 0, 0, 0,
     )
+    fcc = compression.encode("ascii")
+    if len(fcc) != 4:
+        raise ValueError("compression fourcc must be exactly 4 chars")
+    uncompressed = compression == "DIB "
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + fcc
         + struct.pack("<IHHI", 0, 0, 0, 0)  # flags, priority, language, initialFrames
         + struct.pack("<IIII", 1, max(fps, 1), 0, len(frames))  # scale, rate, start, length
         + struct.pack("<IiI", buf_sz, -1, 0)  # suggestedBuffer, quality, sampleSize
         + struct.pack("<4H", 0, 0, width, height)  # rcFrame
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, 24,
+        0 if uncompressed else struct.unpack("<I", fcc)[0],
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(
@@ -391,7 +403,8 @@ def encode_avi(
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    fid = b"00db" if uncompressed else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(fid, f) for f in frames))
     riff_payload = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
 

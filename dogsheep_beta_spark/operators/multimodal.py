@@ -47,17 +47,19 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_stub(content: bytes, kind: str):
-    """Placeholder for codecs with no stdlib implementation
-    (COMPRESSED video payloads).
+    """Placeholder for codecs with no stdlib/pure-Python implementation
+    here (e.g. H.264/VP9 video, MP3/AAC audio).
 
     Raises so nobody mistakes the fake features for real decoding.
-    PNG/WAV/uncompressed-AVI do NOT go through here — they decode for
-    real via functions/codecs.py; only compressed video frame DECODING
-    (the demux is real regardless) lands here."""
+    PNG/WAV/uncompressed-AVI decode for real via functions/codecs.py,
+    and MJPEG-in-AVI frames decode for real via functions/jpeg.py +
+    ``mjpeg_frame_table`` (r9); only codecs beyond those land here and
+    need external libraries wired in."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries not "
         "present in this environment; PNG/WAV/uncompressed-AVI decode "
-        "via functions/codecs.py, compressed video needs ffmpeg wired here"
+        "via functions/codecs.py, MJPEG via functions/jpeg.py — other "
+        "compressed video/audio codecs need ffmpeg wired here"
     )
 
 
@@ -108,8 +110,33 @@ def _row_features(content: bytes) -> list[float]:
     if sniffed == "audio":
         return audio_features(content)
     if sniffed == "video":
-        if avi_metadata(content).get("compression"):
-            decode_stub(content, "video")  # raises: no stdlib codec
+        comp = avi_metadata(content).get("compression")
+        if comp == "MJPG":  # real pure-Python decode path (r9)
+            from dogsheep_beta_spark.functions.codecs import avi_frames
+            from dogsheep_beta_spark.functions.jpeg import decode_jpeg_gray
+
+            import numpy as np
+
+            pix = [
+                np.frombuffer(decode_jpeg_gray(f)[2], np.uint8)
+                for f in avi_frames(content)
+            ]
+            if not pix:
+                return [0.0] * 8
+            cat = np.concatenate(pix).astype(np.float64) / 255.0
+            per_frame = [float(p.mean()) / 255.0 for p in pix]
+            return [
+                float(len(pix)),
+                float(cat.size),
+                float(cat.mean()),
+                float(cat.std()),
+                float(cat.min()),
+                float(cat.max()),
+                float(min(per_frame)),
+                float(max(per_frame)),
+            ]
+        if comp:
+            decode_stub(content, "video")  # raises: no pure-Python codec
         return video_features(content)
     return _fake_features(content)
 
@@ -221,3 +248,67 @@ def frame_sample(media: DataFrame, every_n: int = 1) -> DataFrame:
             yield pdf_out
 
     return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def mjpeg_frame_table(media: DataFrame) -> DataFrame:
+    """REAL compressed-video frame DECODE (r9, closing the last media
+    stub): demux each MJPEG-in-AVI row and run every '00dc' payload
+    through the pure-Python baseline JPEG decoder
+    (functions/jpeg.decode_jpeg_gray) — one row per frame with the
+    decoded dimensions, the exact integer pixel sum, and the raw
+    row-major pixel bytes for downstream feature extraction.
+
+    Same map-only contract as ``frame_sample``: media bytes never
+    shuffle, the fan-out is the per-row frame count, and rows that are
+    not MJPEG AVIs (wrong RIFF, non-MJPG fourcc) are skipped rather
+    than guessed at.  A frame that IS tagged MJPG but fails to parse
+    raises — a corrupt frame in a declared-MJPEG stream is data loss,
+    not a row to drop silently.  Codecs beyond baseline grayscale JPEG
+    still route to ``decode_stub``."""
+    from dogsheep_beta_spark.functions.codecs import avi_frames, avi_metadata
+    from dogsheep_beta_spark.functions.jpeg import decode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_no": [], "width": [],
+                "height": [], "px_sum": [], "pixels": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content or b"")
+                if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                    continue
+                if avi_metadata(raw).get("compression") != "MJPG":
+                    continue
+                for i, fb in enumerate(avi_frames(raw)):
+                    w, h, px = decode_jpeg_gray(fb)
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(sum(px))
+                    out["pixels"].append(px)
+            pdf_out = pd.DataFrame(out)
+            for c, dt in (
+                ("media_id", "int64"), ("frame_no", "int32"),
+                ("width", "int32"), ("height", "int32"),
+                ("px_sum", "int64"),
+            ):
+                pdf_out[c] = pdf_out[c].astype(dt)
+            yield pdf_out
+
+    return media.select("media_id", "content").mapInPandas(
+        run, MJPEG_FRAME_SCHEMA
+    )

@@ -295,3 +295,152 @@ def test_avi_audio_first_stream_not_mistaken_for_video():
     meta = avi_metadata(bytes(patched))
     assert meta["compression"] == ""  # from the vids stream, not auds
     assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 2, 1)
+
+
+def test_jpeg_constant_roundtrip_exact():
+    """Flat-8 quant + constant frame => decode∘encode is the IDENTITY
+    (DC = 8·(v−128) quantizes by /8 exactly, AC all zero) — the
+    arithmetic-oracle contract of media_mjpeg_frames."""
+    from dogsheep_beta_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in (0, 1, 64, 127, 128, 200, 255):
+        img = bytes([v]) * (16 * 8)
+        w, h, px = decode_jpeg_gray(encode_jpeg_gray(16, 8, img))
+        assert (w, h) == (16, 8)
+        assert px == img, v
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    """decode(encode(img)) must approximate the ORIGINAL within the
+    quantization error budget — a matched encoder/decoder bug pair
+    (e.g. both using a wrong DCT) cannot pass this, because the bound
+    is against the input, not the codec's own inverse."""
+    import numpy as np
+
+    from dogsheep_beta_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    for wdim, hdim in ((40, 24), (31, 17), (8, 8), (9, 9)):
+        img = rng.randint(0, 256, (hdim, wdim)).astype(np.uint8)
+        w, h, px = decode_jpeg_gray(encode_jpeg_gray(wdim, hdim, img.tobytes()))
+        assert (w, h) == (wdim, hdim)
+        dec = np.frombuffer(px, np.uint8).reshape(hdim, wdim).astype(int)
+        # flat-8 table: worst-case IDCT error Σ|q_err| ≤ 64·4/8... keep
+        # a generous but bug-catching bound (a wrong DCT is off by >100)
+        assert np.abs(dec - img.astype(int)).max() <= 40
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Multi-block images exercise the DC difference chain: a step
+    image (two constant halves) must decode to exactly those halves
+    under the flat table (each block is constant)."""
+    from dogsheep_beta_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = bytes([30]) * 8 * 8  # will interleave per row below
+    rows = (bytes([30]) * 8 + bytes([200]) * 8) * 8  # 16x8: left 30, right 200
+    w, h, px = decode_jpeg_gray(encode_jpeg_gray(16, 8, rows))
+    assert px == rows
+    assert img  # silence lint
+
+
+def test_jpeg_rejects_out_of_scope():
+    import pytest
+
+    from dogsheep_beta_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+    with pytest.raises(ValueError, match="pixels length"):
+        encode_jpeg_gray(8, 8, b"\x00" * 3)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_gray(8, 8, b"\x00" * 64, quant=[0] * 64)
+    # truncated entropy stream raises, never returns garbage
+    good = encode_jpeg_gray(16, 16, bytes(range(256)))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[: len(good) // 2])
+
+
+def test_avi_mjpeg_fourcc_roundtrip():
+    """encode_avi(compression='MJPG') writes '00dc' chunks + the MJPG
+    strf fourcc; avi_metadata/avi_frames read both back."""
+    from dogsheep_beta_spark.functions.codecs import (
+        avi_frames,
+        avi_metadata,
+        encode_avi,
+    )
+    from dogsheep_beta_spark.functions.jpeg import encode_jpeg_gray
+
+    frames = [encode_jpeg_gray(16, 8, bytes([v]) * 128) for v in (9, 77)]
+    avi = encode_avi(frames, 16, 8, fps=5, compression="MJPG")
+    meta = avi_metadata(avi)
+    assert meta["compression"] == "MJPG"
+    assert meta["n_frames"] == 2 and meta["width"] == 16
+    assert avi_frames(avi) == frames
+    assert b"00dc" in avi and b"00db" not in avi
+
+
+def test_mjpeg_frame_table_decodes(spark):
+    """The mjpeg_frame_table operator: demux + REAL baseline-JPEG
+    decode per frame; non-MJPEG rows are skipped; a corrupt frame in a
+    declared-MJPEG stream raises loudly."""
+    import pytest
+
+    from dogsheep_beta_spark.functions.codecs import encode_avi
+    from dogsheep_beta_spark.functions.jpeg import encode_jpeg_gray
+    from dogsheep_beta_spark.operators.multimodal import mjpeg_frame_table
+
+    good = encode_avi(
+        [encode_jpeg_gray(16, 8, bytes([v]) * 128) for v in (5, 130)],
+        16, 8, compression="MJPG",
+    )
+    plain = encode_avi([b"\x07" * 24], 4, 2)  # uncompressed: skipped
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(plain)), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {
+        (r["media_id"], r["frame_no"]): r
+        for r in mjpeg_frame_table(media).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["px_sum"] == 128 * 5
+    assert rows[(1, 1)]["px_sum"] == 128 * 130
+    assert bytes(rows[(1, 0)]["pixels"]) == bytes([5]) * 128
+    assert (rows[(1, 0)]["width"], rows[(1, 0)]["height"]) == (16, 8)
+
+    corrupt = encode_avi([b"\xff\xd8 garbage"], 16, 8, compression="MJPG")
+    bad = spark.createDataFrame(
+        [(9, bytearray(corrupt))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="JPEG|marker|Huffman"):
+        mjpeg_frame_table(bad).collect()
+
+
+def test_extract_features_mjpeg_real_decode(spark):
+    """_row_features routes MJPG AVIs through the real decoder now
+    (r9): features computed from DECODED pixels, exact for constant
+    frames; other compressed fourccs still raise the honest stub."""
+    from dogsheep_beta_spark.functions.codecs import encode_avi
+    from dogsheep_beta_spark.functions.jpeg import encode_jpeg_gray
+    from dogsheep_beta_spark.operators.multimodal import _row_features
+
+    avi = encode_avi(
+        [encode_jpeg_gray(16, 8, bytes([100]) * 128)],
+        16, 8, compression="MJPG",
+    )
+    f = _row_features(avi)
+    assert f[0] == 1.0 and f[1] == 128.0          # frames, pixels
+    assert abs(f[2] - 100.0 / 255.0) < 1e-12      # mean of constant
+    assert f[3] < 1e-9                            # std of constant
