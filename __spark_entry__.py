@@ -885,6 +885,70 @@ def q_search_hybrid_rerank(spark, sf_dir):
     )
 
 
+def q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (r9) — the other
+    canonical BM25+dense pattern beside ``search_hybrid_rerank``'s
+    score blend: the lexical top-100 (documents source) and the exact
+    cosine top-100 (vs the vec_id=0 query vector) fuse by rank alone,
+    score = Σ_lists ⌊10⁶/(60+rank)⌋ (Cormack/Clarke/Buettcher's RRF
+    with k=60, scaled integer so the fused score strict-hashes — the
+    quotient is either an exact integer or ≥1/160 away from one, so
+    FLOOR after a float divide cannot flip in either engine).  A doc
+    missing from one list contributes 0 from it — rank fusion needs no
+    score calibration between BM25 and cosine, which is exactly why
+    production hybrid stacks default to it.  FULL-outer fusion of two
+    bounded candidate lists: at 100 TB each list is its own indexed
+    top-k (FTS postings / ANN layout) and the fusion join touches ≤200
+    rows."""
+    from pyspark.sql import Window
+
+    from dogsheep_beta_spark.operators.similarity import brute_force_topk
+
+    lex_raw = _bm25_results(
+        spark, sf_dir, "spark join",
+        QueryPlan(q="spark join", type="docs.db/documents"),
+    )
+    wl = Window.orderBy(F.asc("rank"), F.asc(F.col("key").cast("long")))
+    lex = (
+        lex_raw.withColumn("r", F.row_number().over(wl))
+        .where(F.col("r") <= 100)
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            F.col("r").cast("long").alias("lex_rank"),
+        )
+    )
+    wv = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    vec = (
+        brute_force_topk(
+            _embeddings(spark, sf_dir), "vec_id", "embedding", 0, k=100
+        )
+        .withColumn("r", F.row_number().over(wv))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("r").cast("long").alias("vec_rank"),
+        )
+    )
+
+    def contrib(r):
+        return F.when(
+            r.isNotNull(), F.floor(F.lit(1_000_000) / (F.lit(60) + r))
+        ).otherwise(F.lit(0))
+
+    return (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            (contrib(F.col("lex_rank")) + contrib(F.col("vec_rank")))
+            .cast("long")
+            .alias("rrf_score"),
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def q_search_keyset_page(spark, sf_dir):
     """Page 2 (rows 51-100) of a search via KEYSET pagination: filter
     strictly-after the page-1 cursor in the (rank, type, key) total
@@ -5529,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_soft_weights": q_dedup_soft_weights,
         "streaming_gram": q_streaming_gram,
         "media_mjpeg_frames": q_media_mjpeg_frames,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
     }
 
 
@@ -7332,6 +7397,56 @@ ORDER BY rank, type, "key"
         + """ - 0.1 * l.rank, 6) AS hybrid
         FROM lex l JOIN ev e ON l."key" = e."key", qv q
         ORDER BY hybrid DESC, l.type, l."key"
+        LIMIT 50
+        """,
+        # RRF: rank each bounded candidate list exactly as the Spark
+        # window does, fuse by ⌊10⁶/(60+rank)⌋ (FLOOR of the float
+        # quotient is flip-proof: the true quotient is an integer or
+        # ≥1/160 from one).  The lexical list embeds the full BM25
+        # oracle via the nested-WITH composition device.
+        "search_hybrid_rrf": "WITH lex_raw AS ("
+        + _search_oracle(
+            [
+                ("t_spark", _term_hits("term = 'spark'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
+            extra_where="WHERE m.type = 'docs.db/documents'",
+        )
+        + """
+        ), lex AS (
+            SELECT CAST("key" AS BIGINT) AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY rank ASC, CAST("key" AS BIGINT) ASC
+                   ) AS lex_rank
+            FROM lex_raw QUALIFY lex_rank <= 100
+        ), ev AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), qv AS (SELECT v AS qe FROM ev WHERE vec_id = 0)
+        , vec_raw AS (
+            SELECT e.vec_id AS doc_id,
+                   """
+        + _COS.format(a="e.v", b="q.qe")
+        + """ AS cosine
+            FROM ev e, qv q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, doc_id LIMIT 100
+        ), vec AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY cosine DESC, doc_id ASC
+                   ) AS vec_rank
+            FROM vec_raw
+        )
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(COALESCE(FLOOR(1000000 / (60 + l.lex_rank)), 0)
+                    + COALESCE(FLOOR(1000000 / (60 + v.vec_rank)), 0)
+                    AS BIGINT) AS rrf_score,
+               CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
         LIMIT 50
         """,
         "search_count_facets": ORACLE_FTS_CTE
