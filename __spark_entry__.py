@@ -2198,6 +2198,23 @@ def q_text_unicode_fold(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_keywords(spark, sf_dir):
+    """Per-document KEYWORD extraction (functions/text.py:keyword_table
+    — r9): top-3 terms per doc by integer-exact tf·rarity
+    (⌊tf·10⁶/df⌋; linear inverse-df instead of the log because ln is
+    last-ulp engine-specific — for per-doc top-k it only steepens the
+    rarity weighting).  The data-card/topic-labeling primitive: corpus
+    text never shuffles, only (id, term, tf) rows do, and the df side
+    aggregates the SAME pairs the tf stage produced."""
+    from dogsheep_beta_spark.functions.text import keyword_table
+
+    return (
+        keyword_table(_documents(spark, sf_dir), "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "kw_rank")
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with DETERMINISTIC
     synthetic PII (the testdata corpus is PII-free, so each doc gets a
@@ -5594,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_gram": q_streaming_gram,
         "media_mjpeg_frames": q_media_mjpeg_frames,
         "search_hybrid_rrf": q_search_hybrid_rrf,
+        "text_keywords": q_text_keywords,
     }
 
 
@@ -8204,6 +8222,33 @@ LIMIT 100
             SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
                    md5(array_to_string(l, ' ')) AS folded_md5
             FROM tk ORDER BY doc_id
+        """,
+        # integer-exact tf·rarity keywords: FLOOR of one float divide
+        # cannot flip (quotient is exact or >= 1/n_docs from an integer)
+        "text_keywords": ORACLE_DOC_TOKENS
+        + """
+            , occ AS (SELECT doc_id, unnest(toks) AS term FROM toks)
+            , tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM occ GROUP BY doc_id, term
+            )
+            , dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+            , ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                       CAST(FLOOR(tf.tf * 1000000.0 / d.df) AS BIGINT)
+                           AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY FLOOR(tf.tf * 1000000.0 / d.df) DESC,
+                                    tf.term ASC
+                       ) AS kw_rank
+                FROM tf JOIN dfreq d USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score,
+                   CAST(kw_rank AS INT) AS kw_rank
+            FROM ranked WHERE kw_rank <= 3
+            ORDER BY doc_id, kw_rank
         """,
         "text_pii_scrub": r"""
             WITH doctored AS (

@@ -274,6 +274,52 @@ def token_stream(df, id_col: str, text_col: str):
     )
 
 
+def keyword_table(df, id_col: str, text_col: str, k: int = 3):
+    """(id, term, tf, df, score, kw_rank) — top-``k`` keywords per
+    document by tf·rarity (r9): score = ⌊tf·10⁶/df⌋, the integer-exact
+    tf-idf flavor (LINEAR inverse document frequency instead of the
+    log — ln is last-ulp engine-specific and would break strict
+    hashing; for per-doc top-k the substitution only steepens the
+    rarity weighting, it never reorders two terms with equal tf).
+    Ties break lexicographically on the term.
+
+    The pipeline use is data-card/topic labeling: one keyword row set
+    per document of a 100 TB corpus.  Plan: one tokenize+explode →
+    per-(doc, term) count (map-side combined) → per-term document
+    frequency (second aggregate over the DISTINCT (doc, term) pairs
+    the first one already produced — no re-scan) → broadcast-sized?
+    no: df rides a shuffle join keyed by term, then one per-doc window.
+    The corpus text never moves; only (id, term, tf) rows shuffle."""
+    pairs = token_stream(df, id_col, text_col).groupBy("id", "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = pairs.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("t")
+    )
+    return (
+        pairs.join(dfreq, "t")
+        .withColumn(
+            "score",
+            F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).cast(
+                "long"
+            ),
+        )
+        .withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= k)
+        .select(
+            "id",
+            F.col("t").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+        )
+    )
+
+
 def bigram_pairs(df, id_col: str, text_col: str):
     """(id, w1, w2) — one row per bigram occurrence.
 

@@ -1941,3 +1941,44 @@ def test_cross_minhash_pairs_flags_only_cross_pairs(spark):
     assert "LeftAnti" not in (
         uncapped._jdf.queryExecution().optimizedPlan().toString()
     )
+
+
+def test_keyword_table_tf_rarity_and_ties(spark):
+    """keyword_table: df counts DOCUMENTS containing the term (not
+    occurrences), score = floor(tf*1e6/df), per-doc top-k with
+    lexicographic tie-break."""
+    from dogsheep_beta_spark.functions.text import keyword_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common"),
+            (3, "common only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id"], r["kw_rank"]): r
+        for r in keyword_table(docs, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2e6; common tf=3 df=3 -> 1e6;
+    # banana tf=1 df=2 -> 5e5: top-2 = apple, common
+    assert rows[(1, 1)]["term"] == "apple"
+    assert rows[(1, 1)]["score"] == 2_000_000 and rows[(1, 1)]["df"] == 1
+    assert rows[(1, 2)]["term"] == "common"
+    # doc 2: banana 5e5, cherry 1e6, common 333333 -> cherry, banana
+    assert rows[(2, 1)]["term"] == "cherry"
+    assert rows[(2, 2)]["term"] == "banana"
+    # doc 3: only tf=1 df=1 -> 1e6; common 333333 -> only first
+    assert rows[(3, 1)]["term"] == "only"
+    # tie-break: two singleton terms in one doc rank lexicographically
+    t = spark.createDataFrame(
+        [(9, "zeta alpha")], "doc_id long, text string"
+    )
+    got = [
+        r["term"]
+        for r in keyword_table(t, "doc_id", "text", k=2)
+        .orderBy("kw_rank")
+        .collect()
+    ]
+    assert got == ["alpha", "zeta"]
