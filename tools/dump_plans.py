@@ -62,6 +62,8 @@ HEADLINE = {
     "bpe_encode_corpus": "r7 encoder: the learned merge chain rides the scan as literal replaces — zero Exchange before the declared ORDER BY, no UDF",
     "text_fingerprint": "r7 rewrite: bound-norm HOF min-4, MAP-ONLY (the old explode-per-window shape duplicated the normalized string per row and shuffled one hash row per window — 4x slower)",
     "pack_bpe_exact": "r8: BPE-exact counts feed the packer — the learned merge chain rides the scan map-side (keep_cols passes the shard key, no re-join); the only exchanges are pack_greedy's shard shuffle and the declared ORDER BY (the InMemoryRelation-internal Exchange is the registry's single-row-group scatter, absent on real multi-row-group inputs)",
+    "text_keywords": "r9: one tokenize+explode; the df aggregate consumes the tf stage's own (id, term) pairs — corpus text never shuffles, only (id, term, tf) rows; per-doc top-k is WindowGroupLimit-filtered before its window exchange",
+    "media_mjpeg_frames": "r9: map-only both phases (Arrow synthesize -> Arrow demux+JPEG-decode); media bytes never shuffle; the single Exchange is the declared ORDER BY",
 }
 
 # deliberately NOT dumped: pipeline_dedup_cascade, ann_recall_report,
@@ -69,7 +71,11 @@ HEADLINE = {
 # persisted _CTX panels, so their formatted plans are thousands of
 # InMemoryScan lines with no extra evidence — their plan story (one
 # window over a method-tagged union; per-stage ledger over persisted
-# survivors) is asserted in COVERAGE.md and tests instead.
+# survivors) is asserted in COVERAGE.md and tests instead.  Same for
+# search_hybrid_rrf (r9): its formatted plan is dominated by the BM25
+# search subtree already dumped under search_bm25_topk; the RRF story
+# (full-outer fusion of two bounded top-k lists, ≤200 rows at the
+# join) is the strict oracle's + COVERAGE.md's claim.
 
 
 def main() -> None:
