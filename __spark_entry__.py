@@ -2215,6 +2215,52 @@ def q_text_keywords(spark, sf_dir):
     )
 
 
+def q_text_phrase_topk(spark, sf_dir):
+    """Phrase mining per corpus slice (functions/text.py:
+    phrase_topk_table — r9): top-10 word bigrams per language by
+    occurrence count with document frequency, integer-exact with
+    lexicographic tie-breaks.  The aggregate twin of text_keywords —
+    what a data card publishes per slice.  Two cascaded keyed
+    aggregates (the doc-frequency stage consumes the distinct pairs
+    the occurrence stage already produced); corpus text never
+    shuffles."""
+    from dogsheep_beta_spark.functions.text import phrase_topk_table
+
+    return phrase_topk_table(
+        _documents(spark, sf_dir), "doc_id", "text", "lang", k=10
+    ).orderBy("lang", "phrase_rank")
+
+
+def q_corpus_datacard(spark, sf_dir):
+    """Per-source DATA CARD (functions/text.py:datacard_table — r9):
+    docs, exact-duplicate docs, languages, token volume, mean doc
+    length (permille-exact), vocabulary size — the release-notes
+    rollup every published dataset ships.  Doc-level and vocab-level
+    aggregates joined broadcast on the source key; duplicate counting
+    rides a cascaded (source, md5) pre-aggregate so full text never
+    crosses an exchange."""
+    from dogsheep_beta_spark.functions.text import datacard_table
+
+    return datacard_table(
+        _documents(spark, sf_dir), "doc_id", "text", "source", "lang"
+    ).orderBy("source")
+
+
+def q_events_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix (operators/temporal.py:
+    retention_cohorts — r9): users bucketed by first-event day,
+    distinct-active counts at day offsets 0..7, ⌊permille⌋ retention.
+    One user-keyed MIN, a map-side-deduped (user, day) activity set
+    co-partitioned with it, offsets filtered BEFORE the matrix
+    aggregate, cohort sizes joined back broadcast."""
+    from dogsheep_beta_spark.operators.temporal import retention_cohorts
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    return retention_cohorts(
+        spark.table("events"), "user_id", "ts", max_offset_days=7
+    ).orderBy("cohort_day", "day_offset")
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with DETERMINISTIC
     synthetic PII (the testdata corpus is PII-free, so each doc gets a
@@ -5612,6 +5658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mjpeg_frames": q_media_mjpeg_frames,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "text_keywords": q_text_keywords,
+        "text_phrase_topk": q_text_phrase_topk,
+        "corpus_datacard": q_corpus_datacard,
+        "events_retention_cohort": q_events_retention_cohort,
     }
 
 
@@ -8249,6 +8298,109 @@ LIMIT 100
                    CAST(kw_rank AS INT) AS kw_rank
             FROM ranked WHERE kw_rank <= 3
             ORDER BY doc_id, kw_rank
+        """,
+        # phrase mining: identical tokenizer twin; bigrams via 1-based
+        # adjacent indexing; counts + lexicographic tie-break only.
+        "text_phrase_topk": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+                FROM documents
+            )
+            , big AS (
+                SELECT doc_id, lang,
+                       tk[r.i] || ' ' || tk[r.i + 1] AS phrase
+                FROM toks, UNNEST(range(1, len(tk))) r(i)
+            )
+            , agg AS (
+                SELECT lang, phrase,
+                       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM big GROUP BY lang, phrase
+            )
+            , ranked AS (
+                SELECT lang, phrase, n_occurrences, n_docs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_occurrences DESC, phrase ASC
+                       ) AS phrase_rank
+                FROM agg
+            )
+            SELECT lang, phrase, n_occurrences, n_docs,
+                   CAST(phrase_rank AS INT) AS phrase_rank
+            FROM ranked WHERE phrase_rank <= 10
+            ORDER BY lang, phrase_rank
+        """,
+        # per-source data card: all integer counts; dup docs via md5
+        # fingerprints; mean doc length as floor-permille.
+        "corpus_datacard": """
+            WITH base AS (
+                SELECT source, lang,
+                       md5(coalesce(text, '')) AS fp,
+                       CAST(len(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS BIGINT) AS ntok,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+                FROM documents
+            )
+            , docs AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)
+                           AS n_dup_docs,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+                FROM base GROUP BY source
+            )
+            , vocab AS (
+                SELECT source,
+                       CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+                FROM (SELECT source, unnest(tk) AS t FROM base)
+                GROUP BY source
+            )
+            SELECT d.source, d.n_docs, d.n_dup_docs, d.n_langs,
+                   d.n_tokens,
+                   CAST(FLOOR(d.n_tokens * 1000.0 / d.n_docs) AS BIGINT)
+                       AS avg_tokens_permille,
+                   v.vocab_size
+            FROM docs d JOIN vocab v USING (source)
+            ORDER BY d.source
+        """,
+        # cohort retention: first-event day per user, distinct active
+        # days, floor-permille retention vs the cohort size.
+        "events_retention_cohort": """
+            WITH ev AS (
+                SELECT user_id AS uid, CAST(ts AS DATE) AS day
+                FROM events
+            )
+            , cohort AS (
+                SELECT uid, MIN(day) AS cohort_day FROM ev GROUP BY uid
+            )
+            , active AS (SELECT DISTINCT uid, day FROM ev)
+            , mat AS (
+                SELECT c.cohort_day,
+                       CAST(date_diff('day', c.cohort_day, a.day)
+                           AS INT) AS day_offset,
+                       CAST(COUNT(*) AS BIGINT) AS n_active_users
+                FROM active a JOIN cohort c USING (uid)
+                WHERE date_diff('day', c.cohort_day, a.day) <= 7
+                GROUP BY 1, 2
+            )
+            , sizes AS (
+                SELECT cohort_day,
+                       CAST(COUNT(*) AS BIGINT) AS cohort_size
+                FROM cohort GROUP BY cohort_day
+            )
+            SELECT m.cohort_day, m.day_offset, m.n_active_users,
+                   s.cohort_size,
+                   CAST(FLOOR(m.n_active_users * 1000.0 / s.cohort_size)
+                       AS BIGINT) AS retention_permille
+            FROM mat m JOIN sizes s USING (cohort_day)
+            ORDER BY m.cohort_day, m.day_offset
         """,
         "text_pii_scrub": r"""
             WITH doctored AS (

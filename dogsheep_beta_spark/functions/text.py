@@ -832,3 +832,135 @@ def gopher_rules(
         lambda a, b: a & b, [F.col(name) == 1 for name in rules]
     )
     return out.withColumn("gopher_pass", passed.cast("int"))
+
+
+def phrase_topk_table(
+    df, id_col: str, text_col: str, group_col: str, k: int = 10
+):
+    """(group, phrase, n_occurrences, n_docs, phrase_rank) — top-``k``
+    word-bigram PHRASES per corpus slice (language, source, domain):
+    the phrase-mining rollup a data card or tokenizer-coverage review
+    reads ("what is this slice actually about"), and the aggregate
+    twin of the per-document ``keyword_table``.
+
+    Integer-exact by construction (counts + lexicographic tie-break on
+    the phrase), so it strict-hashes cross-engine.
+
+    Plan: one tokenize pass; bigrams explode to (group, phrase, id)
+    and aggregate in TWO cascaded keyed stages — first
+    (group, phrase, id) with map-side partial combine (collapses a
+    doc's repeated phrase before anything shuffles; per-doc occurrence
+    counts survive as a sum), then (group, phrase), where n_docs is a
+    plain count of the distinct pairs stage 1 already produced — no
+    count_distinct re-expansion, no second scan of the corpus.  The
+    final per-group top-k is a window over the aggregate (|groups| ×
+    |vocab²-observed| rows, corpus-size-independent for a fixed
+    vocabulary).  Document text never shuffles at any stage."""
+    from pyspark.sql import Window
+
+    toks = F.col("__tk")
+    phrases = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            tokens_expr(F.col(text_col)).alias("__tk"),
+        )
+        .select("grp", "id", F.explode(phrases).alias("phrase"))
+        .groupBy("grp", "phrase", "id")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+    )
+    agg = per_doc.groupBy("grp", "phrase").agg(
+        F.sum("n_in_doc").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("n_occurrences"), F.asc("phrase")
+    )
+    return (
+        agg.withColumn("phrase_rank", F.row_number().over(w))
+        .where(F.col("phrase_rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "phrase",
+            "n_occurrences",
+            "n_docs",
+            F.col("phrase_rank").cast("int").alias("phrase_rank"),
+        )
+    )
+
+
+def datacard_table(
+    df, id_col: str, text_col: str, source_col: str, lang_col: str
+):
+    """One DATA-CARD row per corpus source: the per-slice summary every
+    dataset release publishes (docs, exact-duplicate docs, languages,
+    token volume, mean length, vocabulary size).  All counts — integer
+    exact, strict-hashable.
+
+    Two aggregates over one tokenize pass, joined on the (tiny) source
+    key: (a) a doc-level rollup where n_dup_docs comes from a cascaded
+    (source, fingerprint) pre-aggregate — the same two-stage shape as
+    ``phrase_topk_table``, so no count_distinct re-expansion of full
+    texts through the exchange (md5 fingerprints shuffle, never text)
+    — and (b) a vocab rollup over the distinct (source, term) pairs of
+    the token stream, partial-combined map-side.  The join is
+    source-cardinality-sized: broadcast, no matter the corpus bytes."""
+    base = df.select(
+        F.col(source_col).alias("src"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("ntok"),
+    )
+    # stage 1: per-(source, fingerprint) doc counts (collapses exact
+    # dups map-side); stage 2 folds to the per-source doc rollup.
+    by_fp = base.groupBy("src", "fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ntok").alias("tok"),
+    )
+    docs = by_fp.groupBy("src").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+    )
+    langs = (
+        df.select(
+            F.col(source_col).alias("src"), F.col(lang_col).alias("lng")
+        )
+        .groupBy("src", "lng")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    )
+    vocab = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens_expr(F.col(text_col))).alias("t"),
+        )
+        .groupBy("src", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return (
+        docs.join(F.broadcast(langs), "src")
+        .join(F.broadcast(vocab), "src")
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            "n_dup_docs",
+            "n_langs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens") * F.lit(1000) / F.col("n_docs")
+            ).cast("long").alias("avg_tokens_permille"),
+            "vocab_size",
+        )
+    )

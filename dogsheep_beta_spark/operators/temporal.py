@@ -632,3 +632,62 @@ def rolling_time_agg(
             - F.coalesce(F.sum(value_col).over(w_before), zero)
         ).alias("sum_window"),
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset_days: int = 7,
+) -> DataFrame:
+    """(cohort_day, day_offset, n_active_users, cohort_size,
+    retention_permille) — the classic COHORT RETENTION matrix: users
+    grouped by the calendar day of their first event, and for each day
+    offset 0..``max_offset_days`` the count still active on that day.
+    ``retention_permille`` = ⌊1000·n_active/cohort_size⌋ — integer
+    exact, so the matrix strict-hashes cross-engine.
+
+    Scale shape (the event table is the 100 TB side here):
+
+    1. cohort assignment: one partial-aggregated MIN per user — the
+       only shuffle keyed on the full user set;
+    2. daily activity: (user, day) dropDuplicates — partial map-side
+       dedup collapses a user's same-day events before the exchange,
+       and the exchange REUSES the user-keyed partitioning so the join
+       with (1) is co-located, not a third shuffle;
+    3. offsets filter BEFORE the matrix aggregate (rows beyond the
+       window never shuffle), then a (cohort_day, offset) aggregate —
+       output rows = days × offsets, corpus-size-independent;
+    4. cohort_size joins back BROADCAST (days-sized dimension), so the
+       permille divide is map-side.
+
+    Every offset-0 row equals its own cohort_size by construction —
+    retained as an internal consistency check for tests."""
+    day = F.to_date(F.col(ts_col))
+    ev = df.select(F.col(user_col).alias("uid"), day.alias("day"))
+    cohort = ev.groupBy("uid").agg(F.min("day").alias("cohort_day"))
+    active = ev.dropDuplicates(["uid", "day"])
+    mat = (
+        active.join(cohort, "uid")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .where(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return mat.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active_users",
+        "cohort_size",
+        F.floor(
+            F.col("n_active_users") * F.lit(1000) / F.col("cohort_size")
+        ).cast("long").alias("retention_permille"),
+    )

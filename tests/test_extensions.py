@@ -1982,3 +1982,94 @@ def test_keyword_table_tf_rarity_and_ties(spark):
         .collect()
     ]
     assert got == ["alpha", "zeta"]
+
+
+def test_phrase_topk_counts_docs_and_ties(spark):
+    """phrase_topk_table: n_occurrences counts every bigram occurrence,
+    n_docs counts documents, per-group rank breaks count ties
+    lexicographically, short docs contribute nothing."""
+    from dogsheep_beta_spark.functions.text import phrase_topk_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "big cat big cat runs"),
+            (2, "en", "big cat sleeps"),
+            (3, "en", "tiny dog"),
+            (4, "fr", "le chat"),
+            (5, "fr", "word"),  # 1 token -> no bigrams
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = phrase_topk_table(docs, "doc_id", "text", "lang", k=2)
+    rows = {(r["lang"], r["phrase_rank"]): r for r in out.collect()}
+    top_en = rows[("en", 1)]
+    assert top_en["phrase"] == "big cat"
+    assert top_en["n_occurrences"] == 3  # twice in doc 1, once in doc 2
+    assert top_en["n_docs"] == 2
+    # en rank 2: 'cat big' / 'cat runs' / 'cat sleeps' / 'tiny dog'
+    # all have 1 occurrence -> lexicographic winner is 'cat big'
+    assert rows[("en", 2)]["phrase"] == "cat big"
+    assert rows[("fr", 1)]["phrase"] == "le chat"
+    assert ("fr", 2) not in rows  # single bigram in fr
+
+
+def test_datacard_table_counts(spark):
+    """datacard_table: dup docs via exact text fingerprints, language
+    and vocab cardinalities, floor-permille mean tokens."""
+    from dogsheep_beta_spark.functions.text import datacard_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "web"),
+            (2, "alpha beta", "en", "web"),   # exact dup of doc 1
+            (3, "gamma", "de", "web"),
+            (4, "delta epsilon zeta", "en", "book"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in datacard_table(
+            docs, "doc_id", "text", "source", "lang"
+        ).collect()
+    }
+    web = out["web"]
+    assert web["n_docs"] == 3 and web["n_dup_docs"] == 1
+    assert web["n_langs"] == 2
+    assert web["n_tokens"] == 5  # 2 + 2 + 1
+    assert web["avg_tokens_permille"] == 1666  # floor(5000/3)
+    assert web["vocab_size"] == 3  # alpha beta gamma
+    book = out["book"]
+    assert book["n_docs"] == 1 and book["n_dup_docs"] == 0
+    assert book["vocab_size"] == 3 and book["avg_tokens_permille"] == 3000
+
+
+def test_retention_cohorts_matrix(spark):
+    """retention_cohorts: cohort day = first event day, same-day events
+    collapse, offset-0 row equals cohort_size, permille floors."""
+    from dogsheep_beta_spark.operators.temporal import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00"),
+            (1, "2024-01-01 09:00:00"),  # same day, collapses
+            (1, "2024-01-02 08:00:00"),
+            (2, "2024-01-01 10:00:00"),
+            (3, "2024-01-01 11:00:00"),
+            (3, "2024-01-09 11:00:00"),  # offset 8 > max 7: dropped
+            (4, "2024-01-02 12:00:00"),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = retention_cohorts(ev, "user_id", "ts", max_offset_days=7)
+    rows = {
+        (str(r["cohort_day"]), r["day_offset"]): r for r in out.collect()
+    }
+    d0 = rows[("2024-01-01", 0)]
+    assert d0["n_active_users"] == 3 and d0["cohort_size"] == 3
+    assert d0["retention_permille"] == 1000
+    d1 = rows[("2024-01-01", 1)]
+    assert d1["n_active_users"] == 1
+    assert d1["retention_permille"] == 333  # floor(1000/3)
+    assert ("2024-01-01", 8) not in rows
+    assert rows[("2024-01-02", 0)]["cohort_size"] == 1
