@@ -894,3 +894,109 @@ def test_scale_pretraining_capstone_10x(spark):
         f"budget {sum(led1['n_budget'].values())}->"
         f"{sum(led10['n_budget'].values())}"
     )
+
+
+@pytest.mark.slow
+def test_scale_phrase_datacard_10x(spark):
+    """Phrase mining + data card at the 10x tier: counts scale EXACTLY
+    with the replica factor (x10 occurrences / docs / tokens), while
+    the structural outputs — top-k phrase sets and ranks, vocabulary
+    size, language cardinality — are replica-INVARIANT.  Both are
+    vocab-bounded aggregates, so the 10x wall must stay near-linear."""
+    from dogsheep_beta_spark.functions.text import (
+        datacard_table,
+        phrase_topk_table,
+    )
+
+    def slice_col():
+        # constant per duplicate class: derived from the base doc id
+        # (doc_id = orig*100 + rep, class = orig rounded down to even)
+        orig = F.floor(F.col("doc_id") / 100)
+        return ((orig - orig % 2) % 3).cast("string")
+
+    def run(replicas):
+        d = _docs(spark, replicas).withColumn("lang", slice_col())
+        t0 = time.monotonic()
+        top = {
+            (r["lang"], r["phrase_rank"]): (
+                r["phrase"], r["n_occurrences"], r["n_docs"],
+            )
+            for r in phrase_topk_table(
+                d, "doc_id", "text", "lang", k=10
+            ).collect()
+        }
+        t_phrase = time.monotonic() - t0
+        t0 = time.monotonic()
+        card = {
+            r["source"]: r
+            for r in datacard_table(
+                d.withColumnRenamed("lang", "source")
+                .withColumn("lang", F.lit("xx")),
+                "doc_id", "text", "source", "lang",
+            ).collect()
+        }
+        return top, card, t_phrase, time.monotonic() - t0
+
+    top1, card1, tp1, tc1 = run(1)
+    top10, card10, tp10, tc10 = run(10)
+    _linear(tp1, tp10, "phrase_topk")
+    _linear(tc1, tc10, "datacard")
+    assert top1.keys() == top10.keys()
+    for key, (ph1, occ1, nd1) in top1.items():
+        ph10, occ10, nd10 = top10[key]
+        assert ph10 == ph1, (key, ph1, ph10)   # rank order invariant
+        assert occ10 == 10 * occ1 and nd10 == 10 * nd1, (key, occ1, occ10)
+    for src, r1 in card1.items():
+        r10 = card10[src]
+        assert r10["n_docs"] == 10 * r1["n_docs"]
+        assert r10["n_tokens"] == 10 * r1["n_tokens"]
+        assert r10["vocab_size"] == r1["vocab_size"]      # invariant
+        assert r10["n_langs"] == r1["n_langs"] == 1
+        # every class keeps ONE distinct text: dups = docs - classes
+        assert r10["n_docs"] - r10["n_dup_docs"] == (
+            r1["n_docs"] - r1["n_dup_docs"]
+        )
+        assert r10["avg_tokens_permille"] == r1["avg_tokens_permille"]
+    print(f"\nSCALE phrase 1x={tp1:.1f}s 10x={tp10:.1f}s "
+          f"datacard 1x={tc1:.1f}s 10x={tc10:.1f}s")
+
+
+@pytest.mark.slow
+def test_scale_retention_10x(spark):
+    """Cohort retention at the 10x tier: replicating USERS (same event
+    times, fresh user ids) multiplies every matrix count exactly by the
+    replica factor and leaves retention_permille bit-identical — the
+    matrix is (days x offsets)-bounded regardless of user volume."""
+    from dogsheep_beta_spark.operators.temporal import retention_cohorts
+    from dogsheep_beta_spark.sources.registry import register_testdata
+
+    register_testdata(spark, SF_DIR, tables=("events",))
+    base = spark.table("events").select("user_id", "ts").where(
+        F.col("user_id") < 2000
+    )
+
+    def run(replicas):
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        ev = base.crossJoin(reps).select(
+            (F.col("user_id") * 100 + F.col("rep")).alias("user_id"),
+            "ts",
+        )
+        t0 = time.monotonic()
+        rows = {
+            (str(r["cohort_day"]), r["day_offset"]): r
+            for r in retention_cohorts(
+                ev, "user_id", "ts", max_offset_days=7
+            ).collect()
+        }
+        return rows, time.monotonic() - t0
+
+    m1, t1 = run(1)
+    m10, t10 = run(10)
+    _linear(t1, t10, "retention")
+    assert m1.keys() == m10.keys()
+    for key, r1 in m1.items():
+        r10 = m10[key]
+        assert r10["n_active_users"] == 10 * r1["n_active_users"], key
+        assert r10["cohort_size"] == 10 * r1["cohort_size"], key
+        assert r10["retention_permille"] == r1["retention_permille"], key
+    print(f"\nSCALE retention 1x={t1:.1f}s 10x={t10:.1f}s")
