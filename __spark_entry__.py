@@ -2261,6 +2261,81 @@ def q_events_retention_cohort(spark, sf_dir):
     ).orderBy("cohort_day", "day_offset")
 
 
+def q_events_attribution_last_touch(spark, sf_dir):
+    """LAST-TOUCH attribution (r9 wave 3): each purchase credits the
+    user's most recent PRECEDING non-purchase event type ('direct'
+    when none), rolled up per channel with integer-cent revenue.  One
+    user-keyed window (ts, event_id deterministic order) carries a
+    running last-non-purchase marker — a single shuffle over events,
+    then a channel-bounded aggregate.  Values round to cents BEFORE
+    summing so the revenue column is an exact integer cross-engine."""
+    from pyspark.sql import Window
+
+    register_testdata(spark, sf_dir, tables=("events",))
+    ev = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", F.coalesce(chan, F.lit("direct")))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_vocab_coverage_report(spark, sf_dir):
+    """Tokenizer-vocabulary COVERAGE (r9 wave 3): per source, the
+    permille of token OCCURRENCES covered by the global top-100
+    vocabulary (count ties broken lexicographically) — the
+    closed-vocab coverage curve a tokenizer review reads before fixing
+    a vocab size.  The top-100 is a vocab-bounded global aggregate
+    taken once and BROADCAST back over the token stream, so the
+    coverage probe is map-side; per-source totals partial-aggregate
+    before the one keyed exchange."""
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("t")
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(100)
+        .select("t", F.lit(1).alias("__top"))
+    )
+    return (
+        toks.join(F.broadcast(top), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count("__top").cast("long").alias("n_covered"),
+        )
+        .withColumn(
+            "coverage_permille",
+            F.floor(
+                F.col("n_covered") * F.lit(1000) / F.col("n_occurrences")
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII detection + redaction over a corpus with DETERMINISTIC
     synthetic PII (the testdata corpus is PII-free, so each doc gets a
@@ -3274,6 +3349,48 @@ def q_csv_source_ingest(spark, sf_dir):
     )
 
 
+def _orc_dir(spark, sf_dir):
+    """One-time per sf_dir: documents as ORC (sources/orc.py)."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "orc_dir" not in c:
+        import os
+        import tempfile
+
+        from dogsheep_beta_spark.sources.orc import write_orc
+
+        register_testdata(spark, sf_dir, tables=("documents",))
+        tmp = tempfile.mkdtemp(prefix="dbs_orc_")
+        path = os.path.join(tmp, "documents")
+        write_orc(spark.table("documents"), path, num_files=4)
+        c["orc_tmp_path"] = tmp  # *_path: teardown rmtrees it
+        c["orc_dir"] = path
+    return c["orc_dir"]
+
+
+def q_orc_source_ingest(spark, sf_dir):
+    """A1 format path #4 (r9 wave 3): documents round-tripped through
+    ORC — the other splittable columnar lake format (Hive/Trino
+    estates); Spark's reader is native + vectorized with pushdown and
+    stripe splits, so an ORC-resident corpus runs every operator
+    without a conversion pass (sources/orc.py).  Typed + out-of-band
+    nulls, so unlike CSV there is no sentinel caveat; the per-source
+    rollup against the parquet-resident oracle pins losslessness."""
+    from dogsheep_beta_spark.sources.orc import read_orc
+
+    schema = _documents_schema()
+    docs = read_orc(spark, _orc_dir(spark, sf_dir), schema)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _pq_layout(spark, sf_dir):
     """Amortized PQ index (r6): codebooks + the corpus ENCODED once per
     sf_dir, persisted — encoding is index-build work (at 100 TB the
@@ -3330,23 +3447,6 @@ def q_events_decayed_score(spark, sf_dir):
         )
         .orderBy("user_id")
     )
-
-
-def _orc_dir(spark, sf_dir):
-    """One-time per sf_dir: documents as ORC (Spark's second native
-    columnar format — self-describing, no schema/quarantine dance)."""
-    c = _CTX.setdefault(sf_dir, {})
-    if "orc_dir" not in c:
-        import os
-        import tempfile
-
-        register_testdata(spark, sf_dir, tables=("documents",))
-        tmp = tempfile.mkdtemp(prefix="dbs_orc_")
-        path = os.path.join(tmp, "documents")
-        spark.table("documents").coalesce(4).write.orc(path)
-        c["orc_tmp_path"] = tmp  # *_path: teardown rmtrees it
-        c["orc_dir"] = path
-    return c["orc_dir"]
 
 
 def q_multi_format_union(spark, sf_dir):
@@ -5661,6 +5761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_topk": q_text_phrase_topk,
         "corpus_datacard": q_corpus_datacard,
         "events_retention_cohort": q_events_retention_cohort,
+        "events_attribution_last_touch": q_events_attribution_last_touch,
+        "vocab_coverage_report": q_vocab_coverage_report,
+        "orc_source_ingest": q_orc_source_ingest,
     }
 
 
@@ -8401,6 +8504,56 @@ LIMIT 100
                        AS BIGINT) AS retention_permille
             FROM mat m JOIN sizes s USING (cohort_day)
             ORDER BY m.cohort_day, m.day_offset
+        """,
+        # last-touch attribution: running last non-purchase event type
+        # per user ((ts, event_id) deterministic order both engines);
+        # revenue rounds to integer cents BEFORE summing.
+        "events_attribution_last_touch": """
+            WITH seq AS (
+                SELECT event_id, user_id, ts, event_type, value,
+                       LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS chan
+                FROM events
+            )
+            SELECT coalesce(chan, 'direct') AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS total_value_cents
+            FROM seq WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # vocabulary coverage: global top-100 tokens (count desc, token
+        # asc), per-source covered-occurrence permille.
+        "vocab_coverage_report": ORACLE_DOC_TOKENS.replace(
+            "SELECT doc_id, text,", "SELECT doc_id, source, text,"
+        )
+        + """
+            , occ AS (SELECT source, unnest(toks) AS t FROM toks)
+            , top AS (
+                SELECT t FROM (
+                    SELECT t, COUNT(*) AS n FROM occ GROUP BY t
+                ) ORDER BY n DESC, t ASC LIMIT 100
+            )
+            SELECT o.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(top.t) AS BIGINT) AS n_covered,
+                   CAST(FLOOR(COUNT(top.t) * 1000.0 / COUNT(*))
+                       AS BIGINT) AS coverage_permille
+            FROM occ o LEFT JOIN top ON o.t = top.t
+            GROUP BY o.source ORDER BY o.source
+        """,
+        # ORC round-trip: the oracle reads the parquet-resident twin —
+        # a hash match pins the ORC write+read lossless.
+        "orc_source_ingest": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "text_pii_scrub": r"""
             WITH doctored AS (

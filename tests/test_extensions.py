@@ -2073,3 +2073,120 @@ def test_retention_cohorts_matrix(spark):
     assert d1["retention_permille"] == 333  # floor(1000/3)
     assert ("2024-01-01", 8) not in rows
     assert rows[("2024-01-02", 0)]["cohort_size"] == 1
+
+
+def test_attribution_last_touch(spark):
+    """Last-touch attribution: purchase credits the latest preceding
+    non-purchase event of the SAME user; no preceding touch -> direct;
+    revenue sums in integer cents."""
+    from __spark_entry__ import q_events_attribution_last_touch  # noqa: F401
+    from pyspark.sql import Window, functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", "view", 0.0),
+            (2, 10, "2024-01-01 11:00:00", "click", 0.0),
+            (3, 10, "2024-01-01 12:00:00", "purchase", 10.55),
+            (4, 10, "2024-01-01 13:00:00", "purchase", 1.00),  # click still
+            (5, 20, "2024-01-01 09:00:00", "purchase", 2.25),  # direct
+            (6, 30, "2024-01-01 09:00:00", "view", 0.0),
+            (7, 30, "2024-01-01 09:30:00", "purchase", 3.10),
+        ],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    out = {
+        r["channel"]: r
+        for r in ev.withColumn("channel", F.coalesce(chan, F.lit("direct")))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert out["click"]["n"] == 2          # events 3 and 4 (user 10)
+    assert out["click"]["cents"] == 1155   # 1055 + 100
+    assert out["direct"]["n"] == 1 and out["direct"]["cents"] == 225
+    assert out["view"]["n"] == 1 and out["view"]["cents"] == 310
+
+
+def test_vocab_coverage_probe(spark):
+    """vocab_coverage_report plan shape on a toy corpus: top-N vocab by
+    (count desc, token asc), per-source covered permille floors."""
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x x x y"),
+            ("a", "x z"),
+            ("b", "y q r"),
+        ],
+        "source string, text string",
+    )
+    toks = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("t")
+    )
+    # global counts: x=4 y=2 q=1 r=1 z=1 -> top-2 = x, y
+    top = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t")).limit(2)
+        .select("t", F.lit(1).alias("__top"))
+    )
+    got = {
+        r["source"]: r
+        for r in toks.join(F.broadcast(top), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count("__top").alias("n_cov"),
+        )
+        .withColumn(
+            "permille",
+            F.floor(F.col("n_cov") * F.lit(1000) / F.col("n_occ")),
+        )
+        .collect()
+    }
+    assert got["a"]["n_occ"] == 6 and got["a"]["n_cov"] == 5
+    assert got["a"]["permille"] == 833
+    assert got["b"]["n_occ"] == 3 and got["b"]["n_cov"] == 1
+    assert got["b"]["permille"] == 333
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """sources/orc.py: typed round-trip with NULLs and embedded
+    newlines/quotes — no sentinel caveat (out-of-band nulls)."""
+    from dogsheep_beta_spark.sources.orc import read_orc, write_orc
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 'line1\nline2 with "quotes", commas'),
+        (2, None),
+        (3, "\\N literal backslash-N survives ORC"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path, num_files=2)
+    back = read_orc(spark, path, schema)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in back.collect()
+    ) == sorted(rows)
