@@ -2256,8 +2256,10 @@ def q_events_retention_cohort(spark, sf_dir):
     from dogsheep_beta_spark.operators.temporal import retention_cohorts
 
     register_testdata(spark, sf_dir, tables=("events",))
+    c = _CTX.setdefault(sf_dir, {})
     return retention_cohorts(
-        spark.table("events"), "user_id", "ts", max_offset_days=7
+        spark.table("events"), "user_id", "ts", max_offset_days=7,
+        cache_registry=c.setdefault("_caches", []),
     ).orderBy("cohort_day", "day_offset")
 
 
@@ -2303,28 +2305,44 @@ def q_vocab_coverage_report(spark, sf_dir):
     permille of token OCCURRENCES covered by the global top-100
     vocabulary (count ties broken lexicographically) — the
     closed-vocab coverage curve a tokenizer review reads before fixing
-    a vocab size.  The top-100 is a vocab-bounded global aggregate
-    taken once and BROADCAST back over the token stream, so the
-    coverage probe is map-side; per-source totals partial-aggregate
-    before the one keyed exchange."""
+    a vocab size.
+
+    ONE tokenize pass: both the global top-100 and the per-source
+    totals derive from the SAME (source, token) count aggregate, so
+    the two branches share one Exchange subtree and Spark's
+    ReuseExchange rule materializes the corpus-sized work once (the
+    first-cut plan tokenized the corpus twice — once under the top-k
+    subtree, once under the probe; .explain showed two Generate+Scan
+    legs).  The top-100 is then a vocab-bounded aggregate BROADCAST
+    back over the (source, token) counts — corpus text never touches
+    the join."""
     from dogsheep_beta_spark.operators.dedup import tokens_expr
 
-    toks = _documents(spark, sf_dir).select(
-        "source", F.explode(tokens_expr(F.col("text"))).alias("t")
+    st = (
+        _documents(spark, sf_dir)
+        .select(
+            "source", F.explode(tokens_expr(F.col("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     top = (
-        toks.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("t"))
+        st.groupBy("t")
+        .agg(F.sum("n").alias("gn"))
+        .orderBy(F.desc("gn"), F.asc("t"))
         .limit(100)
         .select("t", F.lit(1).alias("__top"))
     )
     return (
-        toks.join(F.broadcast(top), "t", "left")
+        st.join(F.broadcast(top), "t", "left")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.count("__top").cast("long").alias("n_covered"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.sum(
+                F.when(F.col("__top") == 1, F.col("n")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_covered"),
         )
         .withColumn(
             "coverage_permille",

@@ -639,6 +639,7 @@ def retention_cohorts(
     user_col: str,
     ts_col: str,
     max_offset_days: int = 7,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(cohort_day, day_offset, n_active_users, cohort_size,
     retention_permille) — the classic COHORT RETENTION matrix: users
@@ -647,26 +648,45 @@ def retention_cohorts(
     ``retention_permille`` = ⌊1000·n_active/cohort_size⌋ — integer
     exact, so the matrix strict-hashes cross-engine.
 
-    Scale shape (the event table is the 100 TB side here):
+    Scale shape (the event table is the 100 TB side here; the raw
+    table is scanned ONCE):
 
-    1. cohort assignment: one partial-aggregated MIN per user — the
-       only shuffle keyed on the full user set;
-    2. daily activity: (user, day) dropDuplicates — partial map-side
-       dedup collapses a user's same-day events before the exchange,
-       and the exchange REUSES the user-keyed partitioning so the join
-       with (1) is co-located, not a third shuffle;
+    1. daily activity: (user, day) aggregate — partial map-side dedup
+       collapses a user's same-day events before the one exchange
+       keyed on the raw event stream, and the deduped set PERSISTS
+       (users × active-days rows, orders of magnitude below the event
+       count) so the raw table is scanned exactly ONCE.  Exchange
+       reuse cannot deliver this here: Catalyst correctly collapses
+       the stacked aggregates (MIN-per-user folds straight onto the
+       raw scan, cohort sizes re-derive from scratch), which an
+       .explain of the unpersisted form shows as THREE parquet legs —
+       the cache is the scan-once guarantee, not an optimizer hope;
+    2. cohort assignment (MIN day per user) and cohort sizes are both
+       aggregates OF the cached activity set;
     3. offsets filter BEFORE the matrix aggregate (rows beyond the
        window never shuffle), then a (cohort_day, offset) aggregate —
        output rows = days × offsets, corpus-size-independent;
     4. cohort_size joins back BROADCAST (days-sized dimension), so the
        permille divide is map-side.
 
+    ``cache_registry`` follows the library-wide contract: pass a list
+    to own the persisted intermediate's lifecycle
+    (``__spark_entry__.teardown`` unpersists registered caches);
+    without it the cache lives until the session ends.
+
     Every offset-0 row equals its own cohort_size by construction —
     retained as an internal consistency check for tests."""
     day = F.to_date(F.col(ts_col))
     ev = df.select(F.col(user_col).alias("uid"), day.alias("day"))
-    cohort = ev.groupBy("uid").agg(F.min("day").alias("cohort_day"))
-    active = ev.dropDuplicates(["uid", "day"])
+    active = (
+        ev.groupBy("uid", "day")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(active)
+    cohort = active.groupBy("uid").agg(F.min("day").alias("cohort_day"))
     mat = (
         active.join(cohort, "uid")
         .select(
