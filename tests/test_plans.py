@@ -736,3 +736,45 @@ def test_fingerprint_table_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_r9_wave_plan_shapes(spark):
+    """Plan pins for the round-9 wave queries (PLANS.md claims):
+
+    - phrase mining: per-slice top-k rank-prunes map-side
+      (WindowGroupLimit BEFORE the window exchange), no SortMergeJoin;
+    - attribution: exactly one user-keyed window, no join at all;
+    - vocab coverage: the corpus-sized (source, token) shuffle is
+      materialized ONCE at runtime (AQE ReusedExchange / shared
+      shuffle stage), and the top-100 joins back broadcast;
+    - retention: cohort sizes join back broadcast."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    phrase = qs["text_phrase_topk"](spark, SF_DIR)
+    p = _plan(phrase)
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+
+    attach = qs["events_attribution_last_touch"](spark, SF_DIR)
+    p = _plan(attach)
+    assert p.count("Window") >= 1
+    assert "Join" not in p  # window + aggregate only
+
+    vocab = qs["vocab_coverage_report"](spark, SF_DIR)
+    vocab.collect()  # AQE reuse is a runtime decision — force final plan
+    p = vocab._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in p
+    # the two (source, token) aggregate branches share one shuffle:
+    # either the pre-AQE ReuseExchange rule or AQE stage reuse marks it
+    assert ("ReusedExchange" in p) or ("ReusedQueryStage" in p), p[:2000]
+
+    ret = qs["events_retention_cohort"](spark, SF_DIR)
+    p = _plan(ret)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -64,6 +64,10 @@ HEADLINE = {
     "pack_bpe_exact": "r8: BPE-exact counts feed the packer — the learned merge chain rides the scan map-side (keep_cols passes the shard key, no re-join); the only exchanges are pack_greedy's shard shuffle and the declared ORDER BY (the InMemoryRelation-internal Exchange is the registry's single-row-group scatter, absent on real multi-row-group inputs)",
     "text_keywords": "r9: one tokenize+explode; the df aggregate consumes the tf stage's own (id, term) pairs — corpus text never shuffles, only (id, term, tf) rows; per-doc top-k is WindowGroupLimit-filtered before its window exchange",
     "media_mjpeg_frames": "r9: map-only both phases (Arrow synthesize -> Arrow demux+JPEG-decode); media bytes never shuffle; the single Exchange is the declared ORDER BY",
+    "text_phrase_topk": "r9: two cascaded keyed aggregates (doc frequency consumes the occurrence stage's own pairs — no count_distinct re-expansion); per-slice top-k is WindowGroupLimit-filtered BEFORE its window exchange; corpus text never shuffles",
+    "vocab_coverage_report": "r9: both branches derive from ONE (source, token) count aggregate — AQE ReusedExchange materializes the corpus shuffle once; the top-100 is vocab-bounded and broadcasts back, so the probe never touches corpus text",
+    "events_attribution_last_touch": "r9: ONE user-keyed window carries the running last-non-purchase marker ((ts, event_id) deterministic order); the only other exchange is the channel-bounded rollup",
+    "events_retention_cohort": "r9: raw events scan ONCE into the persisted (user, day) activity set (users x active-days rows); cohort MIN, sizes, and the matrix are aggregates OF the cache; cohort sizes broadcast back for the permille divide",
 }
 
 # deliberately NOT dumped: pipeline_dedup_cascade, ann_recall_report,
