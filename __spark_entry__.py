@@ -2263,6 +2263,28 @@ def q_events_retention_cohort(spark, sf_dir):
     ).orderBy("cohort_day", "day_offset")
 
 
+def q_sample_mixture_waterfill(spark, sf_dir):
+    """Waterfilling token-budget plan (operators/sampling.py:
+    waterfill_token_budget — r9): allocate half the corpus's
+    whitespace tokens across sources so small sources keep everything
+    and large ones cap at a common level, integer remainder spread
+    deterministically — Σ alloc == budget EXACTLY.  The principled
+    'flatten the mixture without starving small domains' recipe step.
+    One corpus-sized shuffle (per-source token sums); the closed-form
+    waterfill then runs on the G-row group table."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.sampling import (
+        waterfill_token_budget,
+    )
+
+    d = _documents(spark, sf_dir).select(
+        "source", ws_token_count(F.col("text")).alias("ntok")
+    )
+    return waterfill_token_budget(
+        d, "source", "ntok", budget_permille=500
+    ).orderBy("source")
+
+
 def q_events_attribution_last_touch(spark, sf_dir):
     """LAST-TOUCH attribution (r9 wave 3): each purchase credits the
     user's most recent PRECEDING non-purchase event type ('direct'
@@ -5782,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_last_touch": q_events_attribution_last_touch,
         "vocab_coverage_report": q_vocab_coverage_report,
         "orc_source_ingest": q_orc_source_ingest,
+        "sample_mixture_waterfill": q_sample_mixture_waterfill,
     }
 
 
@@ -8563,6 +8586,71 @@ LIMIT 100
                        AS BIGINT) AS coverage_permille
             FROM occ o LEFT JOIN top ON o.t = top.t
             GROUP BY o.source ORDER BY o.source
+        """,
+        # waterfilling token budget: same ws-token twin as
+        # sample_token_budget; the closed form runs over the G-row
+        # group table — all integer arithmetic (the three divides are
+        # two-exact-integer IEEE divides far under 2^53, identical
+        # cross-engine); NULLIF guards the all-funded branch because a
+        # vectorized engine may evaluate both CASE arms.
+        "sample_mixture_waterfill": r"""
+            WITH n AS (
+                SELECT source,
+                       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END AS BIGINT) AS ntok
+                FROM documents
+            )
+            , g AS (
+                SELECT source AS grp, CAST(SUM(ntok) AS BIGINT) AS tok
+                FROM n GROUP BY source
+            )
+            , b AS (
+                SELECT CAST(FLOOR(CAST(SUM(tok) AS BIGINT) * 500
+                           / 1000.0) AS BIGINT) AS B
+                FROM g
+            )
+            , r AS (
+                SELECT grp, tok, B,
+                       CAST(ROW_NUMBER() OVER (ORDER BY tok, grp)
+                           AS BIGINT) AS i,
+                       CAST(SUM(tok) OVER (ORDER BY tok, grp
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - tok
+                           AS BIGINT) AS cum_prev,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS G
+                FROM g, b
+            )
+            , f AS (
+                SELECT *,
+                       CASE WHEN cum_prev + (G - i + 1) * tok <= B
+                            THEN 1 ELSE 0 END AS funded
+                FROM r
+            )
+            , s AS (
+                SELECT CAST(SUM(funded) AS BIGINT) AS m,
+                       CAST(SUM(funded * tok) AS BIGINT) AS cum_m,
+                       CAST(MAX(G) AS BIGINT) AS G2,
+                       CAST(MAX(B) AS BIGINT) AS B2
+                FROM f
+            )
+            , alloc AS (
+                SELECT f.grp, f.tok,
+                       CAST(CASE WHEN f.funded = 1 THEN f.tok
+                            ELSE CAST(FLOOR((s.B2 - s.cum_m) * 1.0
+                                     / NULLIF(s.G2 - s.m, 0)) AS BIGINT)
+                                 + CASE WHEN f.i - s.m <=
+                                        (s.B2 - s.cum_m)
+                                        % NULLIF(s.G2 - s.m, 0)
+                                        THEN 1 ELSE 0 END
+                            END AS BIGINT) AS alloc_tokens
+                FROM f, s
+            )
+            SELECT grp AS source, tok AS n_tokens, alloc_tokens,
+                   CAST(CASE WHEN tok > 0
+                        THEN FLOOR(alloc_tokens * 1000.0 / tok)
+                        ELSE 1000 END AS BIGINT) AS rate_permille
+            FROM alloc ORDER BY source
         """,
         # ORC round-trip: the oracle reads the parquet-resident twin —
         # a hash match pins the ORC write+read lossless.

@@ -532,3 +532,102 @@ def importance_weights(
         lambda acc, x: acc + F.element_at(lr, (x + 1).cast("int")),
     )
     return tdf.withColumn("logw", logw).drop("__tk", "__bk")
+
+
+def waterfill_token_budget(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_permille: int = 500,
+) -> DataFrame:
+    """(group, n_tokens, alloc_tokens, rate_permille) — WATERFILLING
+    allocation of a total token budget across mixture groups: small
+    groups keep everything, large groups are capped at a common level
+    L, and the integer remainder spreads one token at a time in
+    deterministic (tokens asc, group asc) order, so Σ alloc ==
+    min(budget, Σ tokens) EXACTLY.  This is the principled version of
+    the 'uniform cap with redistribution' mixing recipe (the
+    closed-form limit of repeatedly capping the largest group), the
+    standard way published pretraining recipes flatten a source
+    mixture without starving small domains.
+
+    All integer arithmetic → strict-hashable cross-engine.
+
+    Closed form over the sorted groups (tok₁ ≤ … ≤ tok_G): group i is
+    FULLY FUNDED iff cum_{i-1} + (G-i+1)·tok_i ≤ B (a prefix, since
+    the supply function is monotone).  With m funded groups and
+    cum_m their token sum, the cap is L = (B - cum_m) div (G - m)
+    and the first R = (B - cum_m) mod (G - m) unfunded groups take one
+    extra token (each unfunded tok_i ≥ L+1 by construction, so the
+    extra always fits).
+
+    Scale shape: ONE partial-aggregated shuffle over the corpus-sized
+    input (per-group token sums); everything after operates on G rows
+    — G is mixture-group cardinality (languages/sources, recipe-sized
+    by definition), so the single-partition window over the sorted
+    group table is G log G work on one task, the same justified class
+    as the engine's 1-row broadcast scalars; the funded-prefix scalar
+    then rejoins by broadcast."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("tok")
+    )
+    # B = ⌊total · budget_permille / 1000⌋, all-long arithmetic (the
+    # product stays far under 2⁶³; every divide in this operator is
+    # two-exact-integer IEEE division under 2⁵³, identical cross-engine)
+    b = g.agg(
+        F.floor(
+            F.sum("tok") * F.lit(int(budget_permille)) / F.lit(1000)
+        ).cast("long").alias("B")
+    ).select("B")
+    g = g.crossJoin(F.broadcast(b))
+    w = Window.orderBy(F.asc("tok"), F.asc("grp"))
+    ranked = g.select(
+        "grp",
+        "tok",
+        "B",
+        F.row_number().over(w).alias("i"),
+        (F.sum("tok").over(w) - F.col("tok")).alias("cum_prev"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("G"),
+    ).withColumn(
+        "funded",
+        (
+            F.col("cum_prev")
+            + (F.col("G") - F.col("i") + 1) * F.col("tok")
+            <= F.col("B")
+        ).cast("int"),
+    )
+    scalars = ranked.agg(
+        F.sum("funded").cast("long").alias("m"),
+        F.sum(F.col("funded") * F.col("tok")).cast("long").alias("cum_m"),
+        F.max("G").cast("long").alias("G2"),
+        F.max("B").cast("long").alias("B2"),
+    )
+    out = ranked.crossJoin(F.broadcast(scalars))
+    rem_n = F.col("G2") - F.col("m")
+    level = F.when(
+        rem_n > 0, F.floor((F.col("B2") - F.col("cum_m")) / rem_n)
+    ).otherwise(F.lit(0)).cast("long")
+    extra = F.when(
+        rem_n > 0, (F.col("B2") - F.col("cum_m")) % rem_n
+    ).otherwise(F.lit(0)).cast("long")
+    alloc = F.when(F.col("funded") == 1, F.col("tok")).otherwise(
+        level
+        + F.when(F.col("i") - F.col("m") <= extra, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("tok").alias("n_tokens"),
+        alloc.alias("alloc_tokens"),
+        F.when(F.col("tok") > 0, F.floor(alloc * 1000 / F.col("tok")))
+        .otherwise(F.lit(1000))
+        .cast("long")
+        .alias("rate_permille"),
+    )

@@ -2190,3 +2190,39 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["text"]) for r in back.collect()
     ) == sorted(rows)
+
+
+def test_waterfill_token_budget(spark):
+    """waterfill_token_budget: small groups fully funded, large capped
+    at the common level, remainder spreads one token in (tokens asc,
+    group asc) order, and sum(alloc) == min(budget, total) EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.sampling import (
+        waterfill_token_budget,
+    )
+
+    def run(rows, permille=500):
+        df = spark.createDataFrame(rows, "src string, ntok int")
+        out = waterfill_token_budget(df, "src", "ntok", permille)
+        return {r["src"]: r for r in out.collect()}
+
+    # funded prefix + single capped group: total 130, B=65
+    got = run([("a", 4), ("a", 6), ("b", 20), ("c", 100)])
+    assert (got["a"]["alloc_tokens"], got["a"]["rate_permille"]) == (10, 1000)
+    assert got["b"]["alloc_tokens"] == 20
+    assert (got["c"]["alloc_tokens"], got["c"]["rate_permille"]) == (35, 350)
+    assert sum(r["alloc_tokens"] for r in got.values()) == 65
+
+    # nobody fully funded, zero remainder: total 18, B=9, level 3
+    got = run([("a", 5), ("b", 6), ("c", 7)])
+    assert [got[k]["alloc_tokens"] for k in "abc"] == [3, 3, 3]
+
+    # remainder spreads in (tokens asc, group asc) order: B=5, level 1,
+    # R=2 -> a and b (smallest) take the extra token
+    got = run([("a", 3), ("b", 3), ("c", 4)])
+    assert [got[k]["alloc_tokens"] for k in "abc"] == [2, 2, 1]
+
+    # budget above total: everyone fully funded at rate 1000
+    got = run([("a", 3), ("b", 9)], permille=1000)
+    assert [got[k]["rate_permille"] for k in "ab"] == [1000, 1000]
