@@ -2263,6 +2263,23 @@ def q_events_retention_cohort(spark, sf_dir):
     ).orderBy("cohort_day", "day_offset")
 
 
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram NOVELTY (functions/text.py:novelty_table —
+    r9): fraction of each doc's distinct trigrams first seen (by
+    ascending doc_id) in that doc — the redundancy-growth profile a
+    curriculum or crawl review reads.  One corpus-sized gram shuffle
+    (the MIN-id aggregate and the join back share the gram-keyed
+    exchange), one id-keyed rollup; gram STRINGS are the key because
+    novelty counts must be exact."""
+    from dogsheep_beta_spark.functions.text import novelty_table
+
+    return (
+        novelty_table(_documents(spark, sf_dir), "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_mixture_waterfill(spark, sf_dir):
     """Waterfilling token-budget plan (operators/sampling.py:
     waterfill_token_budget — r9): allocate half the corpus's
@@ -5805,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_report": q_vocab_coverage_report,
         "orc_source_ingest": q_orc_source_ingest,
         "sample_mixture_waterfill": q_sample_mixture_waterfill,
+        "text_ngram_novelty": q_text_ngram_novelty,
     }
 
 
@@ -8586,6 +8604,37 @@ LIMIT 100
                        AS BIGINT) AS coverage_permille
             FROM occ o LEFT JOIN top ON o.t = top.t
             GROUP BY o.source ORDER BY o.source
+        """,
+        # trigram novelty: identical tokenizer + shingle twin; first
+        # occurrence = MIN(doc_id); zero-gram docs report vacuous 1000.
+        "text_ngram_novelty": ORACLE_DOC_TOKENS
+        + """
+            , sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(
+                               range(len(toks) - 2),
+                               i -> toks[i+1] || ' ' || toks[i+2]
+                                    || ' ' || toks[i+3]))
+                       ELSE []::VARCHAR[] END AS gs
+                FROM toks
+            )
+            , gr AS (SELECT doc_id, unnest(gs) AS g FROM sh)
+            , fst AS (SELECT g, MIN(doc_id) AS first_id FROM gr GROUP BY g)
+            , cnt AS (
+                SELECT gr.doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN fst.first_id = gr.doc_id
+                                THEN 1 ELSE 0 END) AS n_novel
+                FROM gr JOIN fst USING (g) GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel,
+                   CAST(CASE WHEN COALESCE(c.n_grams, 0) > 0
+                        THEN FLOOR(c.n_novel * 1000.0 / c.n_grams)
+                        ELSE 1000 END AS BIGINT) AS novelty_permille
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # waterfilling token budget: same ws-token twin as
         # sample_token_budget; the closed form runs over the G-row

@@ -964,3 +964,67 @@ def datacard_table(
             "vocab_size",
         )
     )
+
+
+def novelty_table(df, id_col: str, text_col: str, k: int = 3):
+    """(id, n_grams, n_novel, novelty_permille) — per-document n-gram
+    NOVELTY: the fraction of the doc's distinct k-grams whose FIRST
+    corpus occurrence (by ascending id) is this document.  The
+    redundancy-growth profile a curriculum or dedup review reads: a
+    crawl whose late documents score near zero is re-crawling itself;
+    sharply-novel late docs mark fresh content worth upweighting.
+
+    Deterministic (first occurrence = MIN id, ids unique) and
+    integer-exact, so it strict-hashes.
+
+    Plan: one tokenize pass explodes DISTINCT per-doc grams; the
+    global first-occurrence table is a MIN aggregate over the SAME
+    (gram, id) stream, and the join back is gram-keyed — both the
+    aggregate and the join partition by the gram key over one
+    identical subtree, so the exchange is shared (ReuseExchange /
+    AQE stage reuse), leaving ONE corpus-sized shuffle plus the
+    id-keyed count rollup.  Gram strings (not hashes) are the key:
+    novelty counts must be exact, and a 64-bit hash collision would
+    silently merge two grams' first-occurrence records."""
+    from dogsheep_beta_spark.operators.dedup import (
+        shingles_expr,
+        tokens_expr,
+    )
+
+    gr = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_expr(F.col(text_col)).alias("__tk"),
+        )
+        .select(
+            "id",
+            F.explode_outer(shingles_expr(F.col("__tk"), k)).alias("g"),
+        )
+    )
+    first = (
+        gr.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min("id").alias("first_id"))
+    )
+    return (
+        gr.join(first, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count("g").cast("long").alias("n_grams"),
+            F.count(
+                F.when(F.col("first_id") == F.col("id"), F.lit(1))
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_novel",
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(F.col("n_novel") * 1000 / F.col("n_grams")),
+            )
+            .otherwise(F.lit(1000))
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )

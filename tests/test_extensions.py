@@ -2226,3 +2226,29 @@ def test_waterfill_token_budget(spark):
     # budget above total: everyone fully funded at rate 1000
     got = run([("a", 3), ("b", 9)], permille=1000)
     assert [got[k]["rate_permille"] for k in "ab"] == [1000, 1000]
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    """novelty_table: first corpus occurrence by ascending id wins;
+    repeats score zero; short docs report vacuous 1000."""
+    from dogsheep_beta_spark.functions.text import novelty_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: abc bcd — both novel
+            (2, "a b c e"),          # abc (seen), bce (novel)
+            (3, "a b c d"),          # exact repeat: nothing novel
+            (4, "xy"),               # < 3 tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in novelty_table(docs, "doc_id", "text", k=3).collect()
+    }
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+    assert out[1]["novelty_permille"] == 1000
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (2, 1)
+    assert out[2]["novelty_permille"] == 500
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (2, 0)
+    assert (out[4]["n_grams"], out[4]["novelty_permille"]) == (0, 1000)
