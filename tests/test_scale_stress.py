@@ -1000,3 +1000,33 @@ def test_scale_retention_10x(spark):
         assert r10["cohort_size"] == 10 * r1["cohort_size"], key
         assert r10["retention_permille"] == r1["retention_permille"], key
     print(f"\nSCALE retention 1x={t1:.1f}s 10x={t10:.1f}s")
+
+
+@pytest.mark.slow
+def test_scale_novelty_10x(spark):
+    """Trigram novelty at the 10x tier: replica ids are built above the
+    class minimum (doc_id = orig*100 + rep), so every gram's
+    first-occurrence doc is the SAME document at any replica count —
+    total novel grams are replica-INVARIANT while total grams scale
+    exactly x10 (replicas are verbatim repeats and score zero)."""
+    from dogsheep_beta_spark.functions.text import novelty_table
+
+    def run(replicas):
+        t0 = time.monotonic()
+        rows = novelty_table(
+            _docs(spark, replicas), "doc_id", "text", k=3
+        ).collect()
+        return rows, time.monotonic() - t0
+
+    r1, t1 = run(1)
+    r10, t10 = run(10)
+    _linear(t1, t10, "novelty")
+    assert sum(r["n_grams"] for r in r10) == 10 * sum(
+        r["n_grams"] for r in r1
+    )
+    assert sum(r["n_novel"] for r in r10) == sum(r["n_novel"] for r in r1)
+    # the class-minimum documents carry identical novelty at both tiers
+    first1 = {r["id"]: r["n_novel"] for r in r1 if r["id"] % 100 == 0}
+    first10 = {r["id"]: r["n_novel"] for r in r10 if r["id"] % 100 == 0}
+    assert first1 == first10 and first1
+    print(f"\nSCALE novelty 1x={t1:.1f}s 10x={t10:.1f}s")
