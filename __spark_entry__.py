@@ -2263,6 +2263,43 @@ def q_events_retention_cohort(spark, sf_dir):
     ).orderBy("cohort_day", "day_offset")
 
 
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX (r9): stopword-overlap predictions
+    (functions/text.py:langid semantics, bound-column form) against
+    the corpus's labeled lang column — the LID evaluation primitive a
+    pipeline reads before trusting a cheap classifier to route a
+    100 TB crawl.  MAP-SIDE: per-language stopword scores and the
+    argmax are one projection; the only exchange is the
+    |langs|²-bounded matrix aggregate.  No join — the label rides the
+    same row as the prediction."""
+    from dogsheep_beta_spark.functions.text import (
+        STOPWORDS,
+        _langid_from_scores,
+    )
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+
+    d = _documents(spark, sf_dir)
+    base = d.select("lang", tokens_expr(F.col("text")).alias("__tk"))
+    score_cols = {}
+    for lng, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score_cols[lng] = F.size(
+            F.filter(F.col("__tk"), lambda t: F.array_contains(sw, t))
+        )
+    scored = base.select(
+        "lang", *[c.alias(f"__s_{l}") for l, c in score_cols.items()]
+    )
+    pred = _langid_from_scores(
+        {l: F.col(f"__s_{l}") for l in STOPWORDS}
+    )
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def q_text_ngram_novelty(spark, sf_dir):
     """Per-document 3-gram NOVELTY (functions/text.py:novelty_table —
     r9): fraction of each doc's distinct trigrams first seen (by
@@ -5823,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source_ingest": q_orc_source_ingest,
         "sample_mixture_waterfill": q_sample_mixture_waterfill,
         "text_ngram_novelty": q_text_ngram_novelty,
+        "text_lang_confusion": q_text_lang_confusion,
     }
 
 
@@ -8604,6 +8642,17 @@ LIMIT 100
                        AS BIGINT) AS coverage_permille
             FROM occ o LEFT JOIN top ON o.t = top.t
             GROUP BY o.source ORDER BY o.source
+        """,
+        # LID confusion matrix: same qual CTE / argmax expression as
+        # text_quality_langid, labeled lang joined from documents,
+        # |langs|^2-bounded rollup.
+        "text_lang_confusion": ORACLE_DOC_TOKENS
+        + _quality_cte("qual")
+        + f"""
+            SELECT d.lang, {_LANG_EXPR} AS lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM qual JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # trigram novelty: identical tokenizer + shingle twin; first
         # occurrence = MIN(doc_id); zero-gram docs report vacuous 1000.

@@ -2252,3 +2252,43 @@ def test_ngram_novelty_first_occurrence(spark):
     assert out[2]["novelty_permille"] == 500
     assert (out[3]["n_grams"], out[3]["n_novel"]) == (2, 0)
     assert (out[4]["n_grams"], out[4]["novelty_permille"]) == (0, 1000)
+
+
+def test_lang_confusion_matrix(spark, tmp_path):
+    """text_lang_confusion: stopword-argmax predictions cross-tabbed
+    against the labeled lang column; zero-evidence docs fall to 'und';
+    map-side scoring (no join in the plan)."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of it", "en", "w", 1),
+            (1, "der hund und die katze ist", "de", "w", 1),
+            (2, "zzz qqq www", "en", "w", 1),       # no stopwords -> und
+            (3, "le chat et la maison est", "fr", "w", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+    import os
+    import shutil
+
+    # register_testdata expects <dir>/documents.parquet as a FILE path
+    part = [
+        f for f in os.listdir(p) if f.endswith(".parquet")
+    ][0]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(os.path.join(p, part), os.path.join(d, "documents.parquet"))
+
+    out = {
+        (r["lang"], r["lang_pred"]): r["n_docs"]
+        for r in entry.queries()["text_lang_confusion"](spark, d).collect()
+    }
+    assert out[("en", "en")] == 1
+    assert out[("de", "de")] == 1
+    assert out[("fr", "fr")] == 1
+    assert out[("en", "und")] == 1
+    plan = entry.queries()["text_lang_confusion"](spark, d)
+    assert "Join" not in plan._jdf.queryExecution().executedPlan().toString()
