@@ -68,6 +68,9 @@ HEADLINE = {
     "vocab_coverage_report": "r9: both branches derive from ONE (source, token) count aggregate — AQE ReusedExchange materializes the corpus shuffle once; the top-100 is vocab-bounded and broadcasts back, so the probe never touches corpus text",
     "events_attribution_last_touch": "r9: ONE user-keyed window carries the running last-non-purchase marker ((ts, event_id) deterministic order); the only other exchange is the channel-bounded rollup",
     "events_retention_cohort": "r9: raw events scan ONCE into the persisted (user, day) activity set (users x active-days rows); cohort MIN, sizes, and the matrix are aggregates OF the cache; cohort sizes broadcast back for the permille divide",
+    "sample_mixture_waterfill": "r9: one corpus-sized partial-aggregated shuffle (per-group token sums); the closed-form waterfill runs on the G-row group table — the single-partition window is mixture-group-bounded, and the funded-prefix scalar rejoins broadcast",
+    "text_ngram_novelty": "r9: the MIN-id first-occurrence aggregate and the join back share the gram-keyed exchange (one corpus-sized shuffle); gram STRINGS are the key — exactness over hash-width",
+    "text_lang_confusion": "r9: JOIN-FREE — per-language stopword scores and the argmax are one map-side projection with the label on the same row; the only exchange is the langs^2-bounded matrix aggregate",
 }
 
 # deliberately NOT dumped: pipeline_dedup_cascade, ann_recall_report,
