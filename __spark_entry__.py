@@ -2263,6 +2263,42 @@ def q_events_retention_cohort(spark, sf_dir):
     ).orderBy("cohort_day", "day_offset")
 
 
+def q_pack_bin_offsets(spark, sf_dir):
+    """Packed-sequence BOUNDARY table (r9): per document its bin and
+    [off_start, off_end) token span inside that bin — the exact
+    metadata a training loader needs to build attention masks /
+    position ids over packed sequences (documents must not attend
+    across pack boundaries).  One keyed window over the packer's
+    output ((shard, bin) partitions, pack order = id order by
+    construction of pack_greedy); the oracle extends the same
+    recursive-CTE walk with the identical window."""
+    from dogsheep_beta_spark.functions.text import ws_token_count
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+    from pyspark.sql import Window
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_greedy(d, "doc_id", "n_tok", 512, "source")
+    w = (
+        Window.partitionBy("shard", "bin")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return (
+        packed.select(
+            F.col("id").alias("doc_id"),
+            "shard",
+            "bin",
+            "n_tok",
+            off.alias("off_start"),
+            (off + F.col("n_tok")).cast("long").alias("off_end"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_lang_confusion(spark, sf_dir):
     """Language-ID CONFUSION MATRIX (r9): stopword-overlap predictions
     (functions/text.py:langid semantics, bound-column form) against
@@ -5861,6 +5897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_waterfill": q_sample_mixture_waterfill,
         "text_ngram_novelty": q_text_ngram_novelty,
         "text_lang_confusion": q_text_lang_confusion,
+        "pack_bin_offsets": q_pack_bin_offsets,
     }
 
 
@@ -8014,6 +8051,23 @@ LIMIT 100
         "pack_greedy": _PACK_GREEDY_CTES
         + """
             SELECT doc_id, shard, n_tok, bin FROM g ORDER BY doc_id
+        """,
+        # packed-sequence boundary table: same recursive walk + the
+        # identical (shard, bin)-keyed running-sum window.
+        "pack_bin_offsets": _PACK_GREEDY_CTES
+        + """
+            SELECT doc_id, shard, bin, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard, bin ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS off_start,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard, bin ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + n_tok AS BIGINT)
+                       AS off_end
+            FROM g ORDER BY doc_id
         """,
         # packing-efficiency report over the same walk: per (shard,
         # bin) doc count, fill, utilization — one correctly-rounded

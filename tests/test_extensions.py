@@ -2292,3 +2292,38 @@ def test_lang_confusion_matrix(spark, tmp_path):
     assert out[("en", "und")] == 1
     plan = entry.queries()["text_lang_confusion"](spark, d)
     assert "Join" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_bin_offsets_boundaries(spark):
+    """pack_bin_offsets: within each (shard, bin) the spans tile
+    [0, fill) contiguously in pack (id) order with no overlap."""
+    import __spark_entry__  # noqa: F401  (query wraps these pieces)
+    from pyspark.sql import Window, functions as F
+
+    from dogsheep_beta_spark.operators.packing import pack_greedy
+
+    d = spark.createDataFrame(
+        [(1, "s", 300), (2, "s", 200), (3, "s", 100), (4, "s", 500)],
+        "doc_id long, src string, n_tok long",
+    )
+    packed = pack_greedy(d, "doc_id", "n_tok", 512, "src")
+    w = (
+        Window.partitionBy("shard", "bin")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    rows = {
+        r["id"]: r
+        for r in packed.select(
+            "id", "bin", off.alias("a"), (off + F.col("n_tok")).alias("b")
+        ).collect()
+    }
+    # next-fit: [300, 200] -> bin 0 (spans 0-300, 300-500);
+    # [100] -> bin 1 with 500 overflowing to bin 2
+    assert (rows[1]["a"], rows[1]["b"]) == (0, 300)
+    assert (rows[2]["a"], rows[2]["b"]) == (300, 500)
+    assert rows[1]["bin"] == rows[2]["bin"]
+    assert (rows[3]["a"], rows[3]["b"]) == (0, 100)
+    assert (rows[4]["a"], rows[4]["b"]) == (0, 500)
+    assert rows[3]["bin"] != rows[4]["bin"]
