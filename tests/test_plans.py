@@ -778,3 +778,29 @@ def test_r9_wave_plan_shapes(spark):
     p = _plan(ret)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_r9_late_wave_plan_shapes(spark):
+    """Plan pins for the late-r9 queries:
+
+    - pack_bin_offsets: the boundary window rides pack_greedy's
+      existing (shard)-keyed output — no SortMergeJoin anywhere;
+    - text_ngram_novelty: the first-occurrence aggregate and the probe
+      join both key on the gram — no broadcast of a corpus-sized side
+      (the join must be a shuffle join on gram, not a broadcast NL);
+    - sample_mixture_waterfill: the corpus-sized side appears in
+      exactly one aggregate subtree; the scalar panels rejoin via
+      1-row broadcast cross joins (the documented no-collect idiom)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    p = _plan(qs["pack_bin_offsets"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
+
+    p = _plan(qs["text_ngram_novelty"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(qs["sample_mixture_waterfill"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p

@@ -824,3 +824,67 @@ def test_quality_filters_fuzz_vs_bruteforce(spark, seed):
         exp = _bf_c4(t)
         for k, v in exp.items():
             assert got_c[i][k] == v, (i, k, t)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: waterfill closed form vs unit-pouring simulation (pure python)
+# ---------------------------------------------------------------------------
+
+
+def _waterfill_closed(toks: dict, budget: int) -> dict:
+    """The operator's closed form (operators/sampling.py:
+    waterfill_token_budget), replicated in plain python."""
+    order = sorted(toks, key=lambda g: (toks[g], g))
+    n = len(order)
+    cum, m, cum_m = 0, 0, 0
+    for i, g in enumerate(order, 1):
+        if cum + (n - i + 1) * toks[g] <= budget:
+            m, cum_m = i, cum + toks[g]
+        cum += toks[g]
+    out = {}
+    rem_n = n - m
+    level = (budget - cum_m) // rem_n if rem_n else 0
+    extra = (budget - cum_m) % rem_n if rem_n else 0
+    for i, g in enumerate(order, 1):
+        if i <= m:
+            out[g] = toks[g]
+        else:
+            out[g] = level + (1 if i - m <= extra else 0)
+    return out
+
+
+def _waterfill_pour(toks: dict, budget: int) -> dict:
+    """Ground truth: pour the budget one token at a time into the
+    lowest-allocation unfilled group (ties by (tok, name) — the same
+    order the closed form spreads its remainder)."""
+    alloc = {g: 0 for g in toks}
+    order = sorted(toks, key=lambda g: (toks[g], g))
+    for _ in range(budget):
+        cands = [g for g in order if alloc[g] < toks[g]]
+        if not cands:
+            break
+        low = min(alloc[g] for g in cands)
+        g = next(g for g in order if alloc[g] < toks[g] and alloc[g] == low)
+        alloc[g] += 1
+    return alloc
+
+
+@given(
+    st.dictionaries(
+        st.text(string.ascii_lowercase, min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=60),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=300, deadline=None)
+def test_waterfill_closed_form_matches_pouring(toks, budget):
+    closed = _waterfill_closed(toks, budget)
+    poured = _waterfill_pour(toks, budget)
+    total = sum(toks.values())
+    # invariants first: exact budget exhaustion, per-group caps
+    assert sum(closed.values()) == min(budget, total)
+    assert all(0 <= closed[g] <= toks[g] for g in toks)
+    # the closed form IS the unit-pouring fixpoint
+    assert closed == poured
