@@ -1030,3 +1030,107 @@ def test_scale_novelty_10x(spark):
     first10 = {r["id"]: r["n_novel"] for r in r10 if r["id"] % 100 == 0}
     assert first1 == first10 and first1
     print(f"\nSCALE novelty 1x={t1:.1f}s 10x={t10:.1f}s")
+
+
+@pytest.mark.slow
+def test_scale_attribution_vocab_10x(spark):
+    """Attribution + vocab coverage at the 10x tier.
+
+    - attribution: replicating USERS (same per-user event sequences,
+      fresh ids) multiplies every channel's conversions and cents
+      exactly x10 and leaves the channel set invariant — the matrix is
+      channel-bounded regardless of user volume;
+    - vocab coverage: replicating documents scales all token counts
+      uniformly, so the global top-100 (count desc, token asc) is
+      replica-INVARIANT and every per-source permille is bit-identical
+      while occurrence counts scale exactly x10."""
+    from dogsheep_beta_spark.operators.dedup import tokens_expr
+    from dogsheep_beta_spark.sources.registry import register_testdata
+    from pyspark.sql import Window
+
+    register_testdata(spark, SF_DIR, tables=("events",))
+    base = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).where(F.col("user_id") < 2000)
+
+    def attribution(replicas):
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        ev = base.crossJoin(reps).select(
+            "event_id",
+            (F.col("user_id") * 100 + F.col("rep")).alias("user_id"),
+            "ts", "event_type", "value",
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        chan = F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w)
+        t0 = time.monotonic()
+        rows = {
+            r["channel"]: r
+            for r in ev.withColumn(
+                "channel", F.coalesce(chan, F.lit("direct"))
+            )
+            .where(F.col("event_type") == "purchase")
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        }
+        return rows, time.monotonic() - t0
+
+    a1, t1 = attribution(1)
+    a10, t10 = attribution(10)
+    _linear(t1, t10, "attribution")
+    assert a1.keys() == a10.keys()
+    for ch, r in a1.items():
+        assert a10[ch]["n"] == 10 * r["n"], ch
+        assert a10[ch]["cents"] == 10 * r["cents"], ch
+
+    def coverage(replicas):
+        toks = _docs(spark, replicas).select(
+            "doc_id", F.explode(tokens_expr(F.col("text"))).alias("t")
+        ).withColumn("source", (F.floor(F.col("doc_id") / 100) % 4).cast("string"))
+        st = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+        top = (
+            st.groupBy("t").agg(F.sum("n").alias("gn"))
+            .orderBy(F.desc("gn"), F.asc("t")).limit(100)
+            .select("t", F.lit(1).alias("__top"))
+        )
+        t0 = time.monotonic()
+        rows = {
+            r["source"]: r
+            for r in st.join(F.broadcast(top), "t", "left")
+            .groupBy("source")
+            .agg(
+                F.sum("n").alias("occ"),
+                F.sum(
+                    F.when(F.col("__top") == 1, F.col("n")).otherwise(0)
+                ).alias("cov"),
+            )
+            .withColumn(
+                "permille",
+                F.floor(F.col("cov") * 1000 / F.col("occ")),
+            )
+            .collect()
+        }
+        return rows, time.monotonic() - t0
+
+    c1, ct1 = coverage(1)
+    c10, ct10 = coverage(10)
+    _linear(ct1, ct10, "vocab_coverage")
+    assert c1.keys() == c10.keys()
+    for src, r in c1.items():
+        assert c10[src]["occ"] == 10 * r["occ"], src
+        assert c10[src]["cov"] == 10 * r["cov"], src
+        assert c10[src]["permille"] == r["permille"], src
+    print(f"\nSCALE attribution 1x={t1:.1f}s 10x={t10:.1f}s "
+          f"vocab 1x={ct1:.1f}s 10x={ct10:.1f}s")
