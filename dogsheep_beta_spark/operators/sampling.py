@@ -570,8 +570,16 @@ def waterfill_token_budget(
     then rejoins by broadcast."""
     from pyspark.sql import Window
 
-    g = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.sum(F.col(tokens_col)).cast("long").alias("tok")
+    # NULL groups drop — the library-wide mixture convention
+    # (temperature_rates documents the same): a NULL key is not a
+    # mixture group, and keeping it would also make the remainder
+    # order engine-specific (Spark sorts NULLS FIRST ascending,
+    # DuckDB NULLS LAST — the one non-portable piece of the
+    # otherwise integer-exact closed form).
+    g = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("tok"))
     )
     # B = ⌊total · budget_permille / 1000⌋, all-long arithmetic (the
     # product stays far under 2⁶³; every divide in this operator is

@@ -2227,6 +2227,12 @@ def test_waterfill_token_budget(spark):
     got = run([("a", 3), ("b", 9)], permille=1000)
     assert [got[k]["rate_permille"] for k in "ab"] == [1000, 1000]
 
+    # NULL groups drop (library-wide mixture convention; keeping them
+    # would also make the remainder order engine-specific)
+    got = run([("a", 3), (None, 100), ("b", 3)])
+    assert set(got) == {"a", "b"}
+    assert sum(r["alloc_tokens"] for r in got.values()) == 3  # floor(6/2)
+
 
 def test_ngram_novelty_first_occurrence(spark):
     """novelty_table: first corpus occurrence by ascending id wins;
