@@ -8752,6 +8752,7 @@ LIMIT 100
                             ELSE len(string_split_regex(trim(text), '\s+'))
                             END AS BIGINT) AS ntok
                 FROM documents
+                WHERE source IS NOT NULL
             )
             , g AS (
                 SELECT source AS grp, CAST(SUM(ntok) AS BIGINT) AS tok

@@ -930,10 +930,14 @@ def datacard_table(
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
         F.sum("tok").cast("long").alias("n_tokens"),
     )
+    # NULL labels are excluded, matching SQL COUNT(DISTINCT lang); a
+    # source whose langs are all NULL still reports n_langs = 0 via the
+    # left join below.
     langs = (
         df.select(
             F.col(source_col).alias("src"), F.col(lang_col).alias("lng")
         )
+        .filter(F.col("lng").isNotNull())
         .groupBy("src", "lng")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy("src")
@@ -950,7 +954,10 @@ def datacard_table(
         .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
     )
     return (
-        docs.join(F.broadcast(langs), "src")
+        docs.join(F.broadcast(langs), "src", "left")
+        .withColumn(
+            "n_langs", F.coalesce("n_langs", F.lit(0)).cast("long")
+        )
         .join(F.broadcast(vocab), "src")
         .select(
             F.col("src").alias(source_col),

@@ -2044,6 +2044,30 @@ def test_datacard_table_counts(spark):
     assert book["vocab_size"] == 3 and book["avg_tokens_permille"] == 3000
 
 
+def test_datacard_null_lang_skipped(spark):
+    """NULL lang labels don't count as a language (SQL COUNT(DISTINCT)
+    semantics); an all-NULL-lang source still appears with n_langs=0."""
+    from dogsheep_beta_spark.functions.text import datacard_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha", "en", "web"),
+            (2, "beta", None, "web"),     # NULL lang: not a language
+            (3, "gamma delta", None, "raw"),  # all-NULL-lang source
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in datacard_table(
+            docs, "doc_id", "text", "source", "lang"
+        ).collect()
+    }
+    assert out["web"]["n_langs"] == 1
+    assert out["raw"]["n_langs"] == 0
+    assert out["raw"]["n_docs"] == 1 and out["raw"]["n_tokens"] == 2
+
+
 def test_retention_cohorts_matrix(spark):
     """retention_cohorts: cohort day = first event day, same-day events
     collapse, offset-0 row equals cohort_size, permille floors."""
@@ -2061,10 +2085,15 @@ def test_retention_cohorts_matrix(spark):
         ],
         "user_id long, ts string",
     ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
-    out = retention_cohorts(ev, "user_id", "ts", max_offset_days=7)
+    caches = []
+    out = retention_cohorts(
+        ev, "user_id", "ts", max_offset_days=7, cache_registry=caches
+    )
     rows = {
         (str(r["cohort_day"]), r["day_offset"]): r for r in out.collect()
     }
+    for c in caches:
+        c.unpersist()
     d0 = rows[("2024-01-01", 0)]
     assert d0["n_active_users"] == 3 and d0["cohort_size"] == 3
     assert d0["retention_permille"] == 1000
