@@ -2194,6 +2194,7 @@ def merge_semantic_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.95,
+    pivots: DataFrame | None = None,
 ) -> None:
     """foreachBatch body: SemDeDup a micro-batch of embeddings against
     EVERYTHING seen so far — the streaming twin of
@@ -2244,8 +2245,27 @@ def merge_semantic_batch(
     true duplicate classes are bounded, and degrading only toward the
     exact full compare (never a wrong prune) as tau drops and the
     annuli widen.  Zero-norm vectors band to −999, are never probed,
-    and can never match (their cosine is NULL in both engines)."""
+    and can never match (their cosine is NULL in both engines).
+
+    Round-10 wave structure (the MinHash treatment, VERDICT r9 #1):
+    the r9 shape serialized its two "concurrent" appends because both
+    depended on an uncomputed ``geo`` persist, and ``geo`` could not
+    even be PLANNED before a driver round-trip fetched dim + touched
+    cells from the batch.  Both facts are properties of the FIXED
+    centroid table, not of the batch — so ``pivots`` (one (cell, pv1,
+    pv2) row per centroid cell) is now built ONCE per stream
+    (``streaming_semantic_dedup`` derives dim + the cell list from
+    ``cents`` at stream start; direct callers may omit it and pay one
+    tiny per-call collect), ``geo`` computes in the SAME wave as the
+    header aggregate (one cached artifact per batch), and the two
+    appends overlap on genuinely-computed inputs.  The store append
+    repartitions by the layout key before the partitioned write, so
+    each batch adds ≈|touched| files instead of tasks×|touched| —
+    later scoped scans stop paying the file-count tax (the same fix
+    the MinHash store got in r9)."""
     import os
+    import sys
+    import time
 
     from dogsheep_beta_spark.operators.dedup import cosine_expr
     from dogsheep_beta_spark.operators.similarity import voronoi_assign
@@ -2254,7 +2274,42 @@ def merge_semantic_batch(
     match_path = os.path.join(root_path, "matches")
     eps, q = _sem_thresh_q(tau)
 
-    pre = (
+    _prof = os.environ.get("DBS_PROFILE_STREAM")
+    _t = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if _prof:
+            now = time.time()
+            print(
+                f"# semprof b{batch_id} {label} {now - _t:.3f}",
+                file=sys.stderr,
+            )
+            _t = now
+
+    if pivots is None:
+        # direct (non-stream) callers: derive the fixed pivot table
+        # from the centroid table — k rows, one tiny collect
+        meta = cents.select(
+            F.col("cell").cast("int").alias("c"),
+            F.size(F.col("centroid")).alias("d"),
+        ).collect()
+        dim = int(meta[0]["d"]) if meta else 1
+        pivots = _cell_pivots_rows(
+            spark, sorted(int(r["c"]) for r in meta), dim
+        )
+
+    # ONE wave computes the cached per-batch artifact AND the two
+    # driver-side facts (row count for the empty-batch early-out,
+    # touched-cell set for the scoped store read): geo = assigned batch
+    # rows + both pivot distances, cached before the appends start so
+    # they never contend on its computation (r10).  All-NULL batches
+    # still store their rows for redelivery semantics — every rd is
+    # NULL and bands to -999, so dim never matters for them.
+    # (A map-side fold assignment — voronoi_cell_expr — was measured
+    # here and REJECTED: higher-order-function cosines don't codegen
+    # like the crossJoin+window plan, wave A 0.55 -> 0.85 s at sf0.1.)
+    geo = (
         voronoi_assign(
             batch_df.select(
                 F.col(id_col).cast("long").alias("id"),
@@ -2267,27 +2322,30 @@ def merge_semantic_batch(
         .select(
             F.col("id"), F.col("v"), F.col("cell").cast("int").alias("cell")
         )
+        .join(F.broadcast(pivots), "cell", "left")
+        .withColumn("un", _unit_expr(F.col("v")))
+        .select(
+            "id",
+            "v",
+            "cell",
+            F.when(
+                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv1"))
+            ).alias("rd1"),
+            F.when(
+                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv2"))
+            ).alias("rd2"),
+        )
         .persist()
     )
-    # ONE bounded aggregate replaces three driver round-trips (r8: the
-    # per-batch wall here is serialized job floors, same finding as the
-    # MinHash merge): row count (empty-batch early-out), the pivot
-    # dimension from any NON-NULL vector (a NULL embedding in row one
-    # would crash the int(); all-NULL batches still store their rows
-    # for redelivery semantics — dim 1 pivots are never consulted
-    # because every rd is NULL and bands to -999), and the touched-cell
-    # set (bounded by the centroid count).
-    hdr = pre.agg(
+    hdr = geo.agg(
         F.count(F.lit(1)).alias("n"),
-        F.first(F.size("v"), ignorenulls=True).alias("d"),
         F.collect_set("cell").alias("cells"),
     ).first()
+    _mark("hdr")
     if not hdr["n"]:
-        pre.unpersist()
+        geo.unpersist()
         return
-    dim = int(hdr["d"]) if hdr["d"] else 1
     touched = sorted(hdr["cells"])
-    pivots = _cell_pivots_rows(spark, touched, dim)
 
     # legacy layouts are detected from ONE parquet footer driver-side
     # (pyarrow, no Spark job) so the scoped read can carry an explicit
@@ -2314,9 +2372,9 @@ def merge_semantic_batch(
         store = store.select(
             "id", "v", "cell", "rd1", "rd2", "b1", "b2"
         ).persist()
-        new = pre.join(store.select("id"), "id", "left_anti").persist()
+        new = geo.join(store.select("id"), "id", "left_anti").persist()
     else:
-        new = pre
+        new = geo
 
     cos_ab = F.round(cosine_expr(F.col("v"), F.col("o_v")), 6)
 
@@ -2344,25 +2402,6 @@ def merge_semantic_batch(
         )
     )
 
-    # probe geometry is shared by the new×old prune AND the append
-    # below: normalized vector + both pivot distances per new row
-    geo = (
-        new.join(F.broadcast(pivots), "cell", "left")
-        .withColumn("un", _unit_expr(F.col("v")))
-        .select(
-            "id",
-            "v",
-            "cell",
-            F.when(
-                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv1"))
-            ).alias("rd1"),
-            F.when(
-                F.col("un").isNotNull(), _eucl_expr(F.col("un"), F.col("pv2"))
-            ).alias("rd2"),
-        )
-        .persist()
-    )
-
     if store is not None:
         # probe keys: every (b1, b2) band pair the probe's annuli can
         # reach — a constant ~8×8 fan-out per probe (see _sem_thresh_q)
@@ -2372,8 +2411,10 @@ def merge_semantic_batch(
                 F.floor((rd + eps) / q).cast("int"),
             )
 
+        # probe geometry (rd1/rd2) rides on `new` — computed once in
+        # the cached geo wave above, never recomputed here
         keys = (
-            geo.where(F.col("rd1").isNotNull())
+            new.where(F.col("rd1").isNotNull())
             .select(
                 F.col("id").alias("p_id"),
                 "cell",
@@ -2417,8 +2458,11 @@ def merge_semantic_batch(
 
     def _w_store():
         # append the genuinely-new rows with their pivot bands
-        # (zero-norm rows band to −999: never probed, never matchable)
-        geo.select(
+        # (zero-norm rows band to −999: never probed, never matchable);
+        # repartition by the layout key first so each batch adds
+        # ≈|touched| files, not tasks×|touched| (r10 — the MinHash
+        # store's r9 file-count fix)
+        new.select(
             "id",
             "v",
             "cell",
@@ -2430,18 +2474,31 @@ def merge_semantic_batch(
             F.coalesce(
                 F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
             ).alias("b2"),
-        ).write.mode("append").partitionBy("cell").parquet(store_path)
+        ).repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(store_path)
+
+    def _timed(w):
+        t0 = time.time()
+        w()
+        print(
+            f"# semprof b{batch_id} {w.__name__} {time.time() - t0:.3f}",
+            file=sys.stderr,
+        )
 
     with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(w) for w in (_w_matches, _w_store)]
+        futs = [
+            ex.submit(_timed, w) if _prof else ex.submit(w)
+            for w in (_w_matches, _w_store)
+        ]
         for f in futs:
             f.result()  # re-raise the first failure
+    _mark("writes")
 
-    geo.unpersist()
     if store is not None:
         store.unpersist()
         new.unpersist()
-    pre.unpersist()
+    geo.unpersist()
 
 
 def read_semantic_matches(spark: SparkSession, root_path: str) -> DataFrame:
@@ -2471,15 +2528,28 @@ def streaming_semantic_dedup(
     final match table equals the batch ``embedding_dup_pairs`` over
     the same assignment — the convergence contract every incremental
     op in this module carries — because every prune step is a pure
-    consequence of the cosine threshold (lossless)."""
+    consequence of the cosine threshold (lossless).
+
+    The pivot table (dim + cell list are properties of the FIXED
+    centroid table) is derived ONCE here and closed over, so no batch
+    pays the driver round-trip or the 2·k·dim-literal plan build
+    (r10 — see ``merge_semantic_batch``)."""
     spark = SparkSession.getActiveSession()
+    meta = cents.select(
+        F.col("cell").cast("int").alias("c"), F.col("centroid").alias("v")
+    ).collect()
+    cents_rows = [(int(r["c"]), list(r["v"])) for r in meta]
+    dim = len(cents_rows[0][1]) if cents_rows else 1
+    pivots = _cell_pivots_rows(
+        spark, sorted(c for c, _ in cents_rows), dim
+    ).persist()
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, bid: merge_semantic_batch(
                 spark, bdf, bid, root_path, cents,
-                id_col, vec_col, tau,
+                id_col, vec_col, tau, pivots=pivots,
             )
         )
         .trigger(availableNow=True)
