@@ -317,6 +317,17 @@ def main() -> None:
         "n_stalled_one_sided": len(stalled_one_sided),
         "stall_adjusted_total_sec": round(adjusted, 3),
         "stall_adjusted_total_loose_sec": round(adjusted_loose, 3),
+        # driver-memory telemetry (VERDICT r9 #7): peak RSS of THIS
+        # python driver process over the whole run — the "bounded
+        # driver-side collects" claim as a measured series, not a grep.
+        # ru_maxrss is KiB on Linux.
+        "peak_driver_rss_mb": round(
+            __import__("resource")
+            .getrusage(__import__("resource").RUSAGE_SELF)
+            .ru_maxrss
+            / 1024.0,
+            1,
+        ),
         "sf": sf,
     }
     # Truncation-proofing (VERDICT r7 #6): the driver records only a

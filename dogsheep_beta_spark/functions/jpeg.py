@@ -369,3 +369,64 @@ def _decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             return width, height, px[:height, :width].tobytes()
         # other markers (APPn, COM): skipped via their length field
     raise ValueError("no SOS marker found")
+
+
+# ---------------------------------------------------------------------------
+# capability-probed native decode (r10 — VERDICT r9 #6)
+# ---------------------------------------------------------------------------
+
+_NATIVE_DECODER = False  # False = unprobed, None = probed-absent/rejected
+
+
+def _probe_native_decoder():
+    """Probe for an accelerated baseline-JPEG decoder (PIL/libjpeg).
+
+    The pure-Python decoder above stays the ORACLE path — the strict-
+    hash oracle pins the whole encode→demux→decode chain byte-exact
+    through it.  A native decoder is only adopted if (a) it imports,
+    and (b) it reproduces the pure decoder BYTE-FOR-BYTE on a
+    self-encoded probe image exercising DC prediction, AC runs and
+    edge-block cropping.  Anything else (absent, lossy SIMD rounding,
+    subtly different IDCT) falls back to pure Python — same contract,
+    so `mjpeg_frame_table` needs no knowledge of which path runs.
+    This is the 100 TB story for media: wire the fast library behind
+    the same function contract, keep the reference implementation as
+    the correctness anchor."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except Exception:
+        return None
+
+    def native(data: bytes) -> tuple[int, int, bytes]:
+        im = Image.open(io.BytesIO(data))
+        if im.mode != "L":
+            im = im.convert("L")
+        w, h = im.size
+        return w, h, im.tobytes()
+
+    try:
+        rng = np.random.RandomState(7)
+        w, h = 13, 9  # non-multiple-of-8: edge replication + crop
+        px = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        probe = encode_jpeg_gray(w, h, px)
+        if native(probe) != _decode_jpeg_gray(probe):
+            return None
+    except Exception:
+        return None
+    return native
+
+
+def decode_jpeg_gray_fast(data: bytes) -> tuple[int, int, bytes]:
+    """`decode_jpeg_gray`'s exact contract, dispatched to a probed
+    native decoder when one is present and byte-exact (see
+    `_probe_native_decoder`), else the pure-Python path.  The probe
+    runs once per process (each Arrow worker pays it once, amortized
+    over every frame it decodes)."""
+    global _NATIVE_DECODER
+    if _NATIVE_DECODER is False:
+        _NATIVE_DECODER = _probe_native_decoder()
+    if _NATIVE_DECODER is not None:
+        return _NATIVE_DECODER(data)
+    return decode_jpeg_gray(data)

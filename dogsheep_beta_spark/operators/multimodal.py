@@ -273,12 +273,17 @@ def mjpeg_frame_table(media: DataFrame) -> DataFrame:
     Same map-only contract as ``frame_sample``: media bytes never
     shuffle, the fan-out is the per-row frame count, and rows that are
     not MJPEG AVIs (wrong RIFF, non-MJPG fourcc) are skipped rather
-    than guessed at.  A frame that IS tagged MJPG but fails to parse
+    than guessed at.  Decode dispatches through
+    ``decode_jpeg_gray_fast`` (r10): a per-process capability probe
+    adopts PIL/libjpeg ONLY if it reproduces the pure-Python oracle
+    decoder byte-for-byte on a self-encoded probe image, else falls
+    back — same contract either way, so the strict-hash oracle pins
+    both paths.  A frame that IS tagged MJPG but fails to parse
     raises — a corrupt frame in a declared-MJPEG stream is data loss,
     not a row to drop silently.  Codecs beyond baseline grayscale JPEG
     still route to ``decode_stub``."""
     from dogsheep_beta_spark.functions.codecs import avi_frames, avi_metadata
-    from dogsheep_beta_spark.functions.jpeg import decode_jpeg_gray
+    from dogsheep_beta_spark.functions.jpeg import decode_jpeg_gray_fast
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -293,7 +298,7 @@ def mjpeg_frame_table(media: DataFrame) -> DataFrame:
                 if avi_metadata(raw).get("compression") != "MJPG":
                     continue
                 for i, fb in enumerate(avi_frames(raw)):
-                    w, h, px = decode_jpeg_gray(fb)
+                    w, h, px = decode_jpeg_gray_fast(fb)
                     out["media_id"].append(mid)
                     out["frame_no"].append(i)
                     out["width"].append(w)

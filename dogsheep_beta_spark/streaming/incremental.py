@@ -849,6 +849,7 @@ def merge_ivf_batch(
     layout_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    commit_token: str | None = None,
 ) -> None:
     """foreachBatch body: Voronoi-assign the micro-batch of embeddings
     against the PERSISTED centroid table and append the rows into the
@@ -884,7 +885,7 @@ def merge_ivf_batch(
     )
     if not os.path.exists(base):
         os.makedirs(base, exist_ok=True)
-    commit_appended_files(base, staging)
+    commit_appended_files(base, staging, token=commit_token)
 
 
 def streaming_ivf_upsert(
@@ -902,7 +903,8 @@ def streaming_ivf_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, bid: merge_ivf_batch(
-                bdf, cents, layout_path, id_col, vec_col
+                bdf, cents, layout_path, id_col, vec_col,
+                commit_token=f"batch:{bid}",
             )
         )
     )
@@ -1151,17 +1153,28 @@ def manifest_history(base: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _write_manifest(base: str, relpaths) -> None:
+def _write_manifest(base: str, relpaths, token: str | None = None) -> None:
     """Atomic manifest replace (tmp + rename) + one line appended to
-    the commit log for generation history.  Caller holds the lock."""
+    the commit log for generation history.  Caller holds the lock.
+
+    ``token`` marks this commit with an idempotence key (the streaming
+    batch id); the manifest keeps the most recent 128 so a replayed
+    foreachBatch retry of an already-committed batch is detected and
+    skipped (r10, found by the crash-injection sweep — retries are
+    always of recent batches, so the window is bounded and the
+    manifest never grows with stream length)."""
     import json
     import os
 
     prev = read_manifest_entry(base)
+    tokens = list((prev or {}).get("tokens", []))
+    if token is not None:
+        tokens = (tokens + [token])[-128:]
     entry = {
         "generation": (prev["generation"] + 1) if prev else 1,
         "vdir": os.path.basename(os.path.realpath(base.rstrip("/"))),
         "files": sorted(relpaths),
+        "tokens": tokens,
     }
     p = _manifest_path(base)
     tmp = p + ".tmp"
@@ -1172,33 +1185,56 @@ def _write_manifest(base: str, relpaths) -> None:
         f.write(json.dumps(entry) + "\n")
 
 
-def commit_appended_files(base: str, staging_dir: str) -> None:
+def commit_appended_files(
+    base: str, staging_dir: str, token: str | None = None
+) -> bool:
     """Commit an append: move the data files written to the private
     ``staging_dir`` into the CURRENT version dir (resolved under the
     lock, so a compaction swap during the Spark write is harmless) and
     record them in the manifest.  Same-filesystem ``os.replace`` per
-    file — the lock window is O(#batch files), never a Spark job."""
+    file — the lock window is O(#batch files), never a Spark job.
+
+    ``token``: idempotence key (see ``_write_manifest``).  A commit
+    whose token the manifest already records is a REPLAY of a fully-
+    committed batch (crash landed after the manifest write but before
+    the stream checkpoint advanced) — it discards the staged copy and
+    returns False instead of double-appending the batch's rows."""
     import os
     import shutil
 
     with _manifest_lock(base):
         real = os.path.realpath(base.rstrip("/"))
         os.makedirs(real, exist_ok=True)
+        if token is not None:
+            prev = read_manifest_entry(base)
+            if prev is not None and token in prev.get("tokens", []):
+                shutil.rmtree(staging_dir, ignore_errors=True)
+                return False
+        # None means "no manifest yet" (legacy dir-listing layout);
+        # [] is a real, legitimately-empty committed manifest and must
+        # NOT fall back to listing (that could resurrect excluded files).
+        # The adoption listing happens BEFORE any of this commit's file
+        # moves and is persisted immediately (r10, found by the
+        # crash-injection sweep): if it ran after the moves — the old
+        # order — a crash between a first-commit's moves and its
+        # manifest write would leave orphaned moved files that the
+        # REPLAY's fallback listing then adopted alongside its own
+        # fresh copies, double-committing every vector of the batch.
+        rels = read_manifest(base)
+        if rels is None:
+            files = set(_list_data_files(real))
+            _write_manifest(base, files)
+        else:
+            files = set(rels)
         staged = _list_data_files(staging_dir)
         for rel, full in staged.items():
             dst = os.path.join(real, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(full, dst)
-        # None means "no manifest yet" (legacy dir-listing layout);
-        # [] is a real, legitimately-empty committed manifest and must
-        # NOT fall back to listing (that could resurrect excluded files)
-        rels = read_manifest(base)
-        files = (
-            set(rels) if rels is not None else set(_list_data_files(real))
-        )
         files.update(staged.keys())
-        _write_manifest(base, files)
+        _write_manifest(base, files, token=token)
     shutil.rmtree(staging_dir, ignore_errors=True)
+    return True
 
 
 def read_layout(
@@ -2213,12 +2249,15 @@ def merge_semantic_batch(
       output; the read path dropDuplicates for retry hygiene).
 
     Per batch: Voronoi-assign the batch (broadcast centroids, 6-dp
-    rounded argmax — the shared engine discipline), drop redelivered
-    ids (stored copy authoritative; ids are STABLE stream keys — an id
-    re-arriving into a DIFFERENT cell violates the contract
-    undetectably), pair new×new within the batch fully, pair new×old
-    through the EXACT pivot prune, keep pairs with ROUND(cos, 6) >=
-    tau, append the new vectors into their cell partitions.
+    rounded argmax — the shared engine discipline), pair batch×batch
+    fully and batch×stored through the EXACT pivot prune (pairing runs
+    over the FULL deduped batch, self-pairs excluded — redelivered ids
+    re-emit their pairs and the read path dedups, which is what makes
+    a crash between the two appends replayable; see the r10 note at
+    the pairing site), keep pairs with ROUND(cos, 6) >= tau, and
+    append ONLY the genuinely-new vectors into their cell partitions
+    (ids are STABLE stream keys — an id re-arriving into a DIFFERENT
+    cell violates the contract undetectably).
 
     Scale contract (round 7 — VERDICT r6 named the previous linear
     growth `weak`): untouched cell partitions are never OPENED, and
@@ -2373,8 +2412,21 @@ def merge_semantic_batch(
             "id", "v", "cell", "rd1", "rd2", "b1", "b2"
         ).persist()
         new = geo.join(store.select("id"), "id", "left_anti").persist()
+        # effective pairing rows (r10 crash-replay fix): batch-only
+        # rows keep their batch vectors; a REDELIVERED id pairs with
+        # its STORED copy (authoritative), so every re-emitted pair is
+        # byte-identical to its original emission and the read-side
+        # dropDuplicates is value-deterministic even if a producer
+        # violates the stable-id contract.  In steady state eff == new
+        # == geo and this is free.
+        eff = new.unionByName(
+            store.join(geo.select("id"), "id", "left_semi").select(
+                "id", "v", "cell", "rd1", "rd2"
+            )
+        )
     else:
         new = geo
+        eff = geo
 
     cos_ab = F.round(cosine_expr(F.col("v"), F.col("o_v")), 6)
 
@@ -2387,15 +2439,23 @@ def merge_semantic_batch(
             cos_ab.alias("cosine"),
         ).where(F.col("cosine") >= tau)
 
-    # new×new within the batch: once per pair via o_id < id.  The
-    # micro-batch is bounded by definition; no pruning needed.
-    nn_o = new.select(
+    # batch×batch: once per pair via o_id < id.  Pairing runs over
+    # `eff` (the FULL deduped batch, stored copies authoritative), NOT
+    # the store-anti-joined `new` (r10 crash-replay fix, found by the
+    # injection sweep in tests/test_streaming.py): if a crash lands
+    # between the two overlapped appends with the store written and
+    # the matches not, the replayed batch's ids are ALL already stored
+    # — pairing from `new` would emit nothing and the batch's matches
+    # would be lost forever.  Pairing from eff re-emits byte-identical
+    # pairs on replay (read-side dropDuplicates collapses them) and
+    # costs nothing extra in steady state, where eff == new == geo.
+    nn_o = eff.select(
         F.col("cell").alias("o_cell"),
         F.col("id").alias("o_id"),
         F.col("v").alias("o_v"),
     )
     fresh = pairs(
-        new.join(
+        eff.join(
             nn_o,
             (F.col("cell") == F.col("o_cell"))
             & (F.col("o_id") < F.col("id")),
@@ -2411,10 +2471,13 @@ def merge_semantic_batch(
                 F.floor((rd + eps) / q).cast("int"),
             )
 
-        # probe geometry (rd1/rd2) rides on `new` — computed once in
-        # the cached geo wave above, never recomputed here
+        # probe geometry (rd1/rd2) rides on `eff` — computed in the
+        # cached wave above (or read from the store for redelivered
+        # ids); probes are the FULL batch (see the crash-replay note),
+        # with each probe's own stored copy excluded below (a
+        # redelivered id would otherwise self-pair at cosine 1.0)
         keys = (
-            new.where(F.col("rd1").isNotNull())
+            eff.where(F.col("rd1").isNotNull())
             .select(
                 F.col("id").alias("p_id"),
                 "cell",
@@ -2431,7 +2494,8 @@ def merge_semantic_batch(
         hits = (
             store.join(F.broadcast(keys), ["cell", "b1", "b2"])
             .where(
-                (F.abs(F.col("p_rd1") - F.col("rd1")) <= eps)
+                (F.col("id") != F.col("p_id"))
+                & (F.abs(F.col("p_rd1") - F.col("rd1")) <= eps)
                 & (F.abs(F.col("p_rd2") - F.col("rd2")) <= eps)
             )
             .select(
@@ -2441,7 +2505,7 @@ def merge_semantic_batch(
             )
         )
         no = hits.join(
-            F.broadcast(new.select(F.col("id"), F.col("v"))),
+            F.broadcast(eff.select(F.col("id"), F.col("v"))),
             hits["p_id"] == F.col("id"),
         )
         fresh = fresh.unionByName(pairs(no))

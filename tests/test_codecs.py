@@ -444,3 +444,83 @@ def test_extract_features_mjpeg_real_decode(spark):
     assert f[0] == 1.0 and f[1] == 128.0          # frames, pixels
     assert abs(f[2] - 100.0 / 255.0) < 1e-12      # mean of constant
     assert f[3] < 1e-9                            # std of constant
+
+
+def test_jpeg_fast_dispatch_falls_back_without_native():
+    """decode_jpeg_gray_fast: with no PIL in this environment the
+    probe returns None and dispatch is the pure-Python oracle path —
+    byte-identical output."""
+    import numpy as np
+
+    from dogsheep_beta_spark.functions import jpeg
+
+    jpeg._NATIVE_DECODER = False  # force a fresh probe
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    enc = jpeg.encode_jpeg_gray(16, 8, img)
+    assert jpeg.decode_jpeg_gray_fast(enc) == jpeg.decode_jpeg_gray(enc)
+
+
+def test_jpeg_native_probe_rejects_inexact_decoder(monkeypatch):
+    """The capability probe must REJECT a native decoder that imports
+    fine but is not byte-exact against the pure oracle (the SIMD-
+    rounding hazard), and ADOPT one that is — verified with injected
+    fake PIL modules."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+
+    from dogsheep_beta_spark.functions import jpeg
+
+    def fake_pil(decode_fn):
+        """A minimal PIL.Image.open returning an object with the bits
+        the probe touches, backed by decode_fn."""
+        mod = types.ModuleType("PIL")
+        image_mod = types.ModuleType("PIL.Image")
+
+        class _Im:
+            def __init__(self, data):
+                w, h, px = decode_fn(bytes(data))
+                self.mode = "L"
+                self.size = (w, h)
+                self._px = px
+
+            def tobytes(self):
+                return self._px
+
+        image_mod.open = lambda fh: _Im(fh.read())
+        mod.Image = image_mod
+        return {"PIL": mod, "PIL.Image": image_mod}
+
+    def wrong(data):
+        w, h, px = jpeg.decode_jpeg_gray(data)
+        bad = bytearray(px)
+        bad[0] ^= 1  # off-by-one-LSB: the classic inexact-IDCT delta
+        return w, h, bytes(bad)
+
+    for name, m in fake_pil(wrong).items():
+        monkeypatch.setitem(sys.modules, name, m)
+    jpeg._NATIVE_DECODER = False
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    enc = jpeg.encode_jpeg_gray(16, 8, img)
+    assert jpeg.decode_jpeg_gray_fast(enc) == jpeg.decode_jpeg_gray(enc)
+    assert jpeg._NATIVE_DECODER is None  # probed and rejected
+
+    # an exact decoder IS adopted
+    calls = []
+
+    def exact(data):
+        calls.append(1)
+        return jpeg.decode_jpeg_gray(data)
+
+    for name, m in fake_pil(exact).items():
+        monkeypatch.setitem(sys.modules, name, m)
+    jpeg._NATIVE_DECODER = False
+    assert jpeg.decode_jpeg_gray_fast(enc) == jpeg.decode_jpeg_gray(enc)
+    assert jpeg._NATIVE_DECODER is not None  # probed and adopted
+    assert calls  # the native path actually decoded
+
+    jpeg._NATIVE_DECODER = False  # leave no probe state for other tests

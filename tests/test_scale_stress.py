@@ -1134,3 +1134,130 @@ def test_scale_attribution_vocab_10x(spark):
         assert c10[src]["permille"] == r["permille"], src
     print(f"\nSCALE attribution 1x={t1:.1f}s 10x={t10:.1f}s "
           f"vocab 1x={ct1:.1f}s 10x={ct10:.1f}s")
+
+
+def test_scale_adversarial_duplication_chain_10x(spark):
+    """VERDICT r9 #3: the COMPOSED streaming chain exact-dedup →
+    MinHash merge, end-to-end on a 90%-duplicate stream at 1× and 10×.
+    incremental.py's docstring delegates hot-bucket protection on
+    mass-duplicated streams to the upstream exact-dedup stage — this
+    turns that claim into a measured one:
+
+    - the duplicate mass NEVER reaches the minhash store/index (store
+      rows == distinct texts; index rows == distinct texts × bands —
+      exactly, at both tiers: no hot (band, bucket) key ever carries
+      replicated mass);
+    - per-batch wall is bounded by distinct content, not stream
+      length (batch-over-batch growth bounded at 10×, and the 10×
+      walls are within a constant factor of 1× despite 10× the rows);
+    - the chain still DETECTS real near-dups (a planted near-identical
+      pair surfaces in the match table at both tiers)."""
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_minhash_batch,
+        read_minhash_matches,
+        streaming_dedup,
+    )
+
+    base_words = [f"w{i}" for i in range(30)]
+
+    def run_tier(n_unique):
+        rows = []
+        did = 0
+        planted = (
+            "the planted near duplicate document text "
+            + " ".join(base_words),
+            "the planted near duplicate document text "
+            + " ".join(base_words[:-1] + ["changedword"]),
+        )
+        texts = [
+            f"unique doc {u} "
+            + " ".join(f"{w}x{u}" for w in base_words)
+            for u in range(n_unique - 2)
+        ] + list(planted)
+        for u, t in enumerate(texts):
+            copies = 10 if u < len(texts) - 2 else 1  # planted pair unique
+            for _ in range(copies):
+                rows.append((did, t, "2024-01-01 00:00:00"))
+                did += 1
+        work = tempfile.mkdtemp(prefix="dbs_advdup_", dir="/tmp")
+        src = os.path.join(work, "src")
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts")
+        # 4 files = 4 micro-batches, duplicates spread across batches
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        root = os.path.join(work, "root")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        deduped = streaming_dedup(
+            stream.withColumn("fp", F.md5("text")), ["fp"], ts_col="ts"
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(
+                lambda bdf, bid: merge_minhash_batch(
+                    spark, bdf, bid, root, "doc_id", "text"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        store_n = spark.read.parquet(os.path.join(root, "store")).count()
+        idx = spark.read.parquet(os.path.join(root, "band_index"))
+        idx_n = idx.count()
+        hot = (
+            idx.groupBy("band", "bucket").count()
+            .agg(F.max("count")).first()[0]
+        )
+        matches = {
+            (r["a"], r["b"])
+            for r in read_minhash_matches(spark, root).collect()
+        }
+        planted_ids = sorted(
+            r["doc_id"]
+            for r in df.where(
+                F.col("text").contains("planted near duplicate")
+            ).select("doc_id").collect()
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        return durs, store_n, idx_n, hot, matches, tuple(planted_ids)
+
+    tiers = {}
+    for tier, n_unique in (("1x", 40), ("10x", 400)):
+        durs, store_n, idx_n, hot, matches, planted = run_tier(n_unique)
+        # duplicate mass never reached the index: EXACT counts
+        assert store_n == n_unique, (tier, store_n)
+        assert idx_n == n_unique * 8, (tier, idx_n)  # bands=8 default
+        # hot-bucket bound: no (band, bucket) key carries replicated
+        # mass — worst occupancy is random-collision-sized, far below
+        # the 10-copy duplicate mass
+        assert hot <= 6, (tier, hot)
+        # the planted near-dup pair was detected through the chain
+        assert planted in matches or tuple(sorted(planted)) in {
+            tuple(sorted(m)) for m in matches
+        }, (tier, matches)
+        tiers[tier] = durs
+        print(
+            f"\nSCALE advdup {tier}: walls "
+            + " ".join(f"{t:.1f}s" for t in durs)
+            + f" store={store_n} idx={idx_n} hot={hot}"
+        )
+    d1, d10 = tiers["1x"], tiers["10x"]
+    assert len(d1) == 4 and len(d10) == 4, (d1, d10)
+    # bounded growth with history at 10x, and tier-over-tier within a
+    # constant factor (class-bounded, not replica-bounded)
+    assert d10[3] <= max(3 * d10[1], d10[1] + 20), d10
+    assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)

@@ -869,17 +869,22 @@ def test_manifest_time_travel_and_retention_horizon(spark, tmpdir):
         )
         inc.merge_ivf_batch(bdf, cents, layout)
 
-    append(range(0, 4))       # gen 1
-    append(range(10, 14))     # gen 2
-    inc.compact_ivf_layout(spark, layout)  # gen 3, new vdir
-    append(range(20, 24))     # gen 4
+    append(range(0, 4))       # gen 1 (adoption of the empty dir) + 2
+    append(range(10, 14))     # gen 3
+    inc.compact_ivf_layout(spark, layout)  # gen 4, new vdir
+    append(range(20, 24))     # gen 5
 
+    # gen 1 is the first commit's ADOPTION entry (r10: the pre-move
+    # snapshot of whatever the dir held — empty here — persisted
+    # BEFORE any file moves so a crashed first commit can never be
+    # double-adopted by its replay's dir-listing fallback)
     hist = inc.manifest_history(layout)
-    assert [e["generation"] for e in hist] == [1, 2, 3, 4]
+    assert [e["generation"] for e in hist] == [1, 2, 3, 4, 5]
+    assert hist[0]["files"] == []
 
     gen2 = {
         r["vec_id"]
-        for r in inc.read_layout(spark, layout, generation=2)
+        for r in inc.read_layout(spark, layout, generation=3)
         .select("vec_id").collect()
     }
     assert gen2 == set(range(0, 4)) | set(range(10, 14))
@@ -890,10 +895,10 @@ def test_manifest_time_travel_and_retention_horizon(spark, tmpdir):
     assert now == gen2 | set(range(20, 24))
 
     # a second compaction sweeps the pre-compaction version dir:
-    # generations 1-2 fall beyond the retention horizon and must FAIL
+    # generations 1-3 fall beyond the retention horizon and must FAIL
     inc.compact_ivf_layout(spark, layout)
     with pytest.raises(FileNotFoundError, match="retention horizon"):
-        inc.read_layout(spark, layout, generation=2).collect()
+        inc.read_layout(spark, layout, generation=3).collect()
     with pytest.raises(ValueError, match="no generation 99"):
         inc.read_layout(spark, layout, generation=99)
 
@@ -1306,8 +1311,13 @@ def test_streaming_semantic_dedup_converges_to_batch(spark, tmpdir):
 def test_streaming_semantic_dedup_redelivery_is_dropped(spark, tmpdir):
     """Ids are stable stream keys: a redelivered id (batch 2 re-sends
     id 1, even with a perturbed vector that still lands in the same
-    cell) is dropped with the STORED copy authoritative — no
-    re-emitted pairs, no second store row, no contradictory cosine."""
+    cell) pairs with its STORED copy authoritative — no second store
+    row, no contradictory cosine.  Under the r10 crash-replayable
+    contract redelivered ids DO re-emit their pairs (that is what
+    makes a crash between the two appends lossless), but every
+    re-emission is byte-identical to the original (stored vectors, not
+    the perturbed redelivery), so the read-path dropDuplicates is
+    value-deterministic."""
     from dogsheep_beta_spark.streaming.incremental import (
         read_semantic_matches,
         streaming_semantic_dedup,
@@ -1337,11 +1347,35 @@ def test_streaming_semantic_dedup_redelivery_is_dropped(spark, tmpdir):
         (r["a"], r["b"]): r["cosine"]
         for r in read_semantic_matches(spark, root).collect()
     }
-    # (1,2) emitted once from batch 1; (1,3)/(2,3) from batch 2 against
-    # the STORED v1 of id 1 — and the raw store has no duplicate rows
+    # (1,2) from batch 1; (1,3)/(2,3) from batch 2 against the STORED
+    # v1 of id 1 (not the perturbed redelivery)
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    import math
+
+    def cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in u))
+                * math.sqrt(sum(x * x for x in w))
+            ),
+            6,
+        )
+
+    # every surviving cosine was computed from STORED vectors
+    v = {1: [1.0, 0.0], 2: [0.999, 0.01], 3: [0.997, 0.03]}
+    for (a, b), c in got.items():
+        assert c == pytest.approx(cos(v[a], v[b]), abs=1e-9)
+    # raw table: re-emissions allowed, but only as byte-identical
+    # copies — each (a, b) carries exactly ONE distinct cosine
     raw = spark.read.parquet(os.path.join(root, "matches"))
-    assert raw.count() == 3
+    per_pair = (
+        raw.groupBy("a", "b")
+        .agg(F.countDistinct("cosine").alias("nc"))
+        .collect()
+    )
+    assert per_pair and all(r["nc"] == 1 for r in per_pair)
     store = spark.read.parquet(os.path.join(root, "store"))
     assert store.count() == 3  # one row per distinct id
     # id 1's stored vector is the ORIGINAL
@@ -1889,3 +1923,274 @@ def test_minhash_replay_is_idempotent_for_candidateless_docs(spark, tmpdir):
     idx = spark.read.parquet(os.path.join(root, "band_index"))
     assert idx.groupBy("id", "band").count().where("count > 1").count() == 0
     assert read_minhash_matches(spark, root).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# randomized crash-point injection (VERDICT r9 #2): kill each streaming
+# merge at EVERY write/rename boundary, replay, and demand equivalence
+# ---------------------------------------------------------------------------
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+class _CrashInjector:
+    """Counts 'events' (a pre- and a post- boundary around every
+    DataFrame parquet write and every os.replace under the armed root)
+    and raises _InjectedCrash at exactly one chosen event — modelling a
+    process death just before / just after each durable effect.  The
+    merges run their appends on a thread pool, so which op is event #k
+    varies run to run; the sweep covers real interleavings either way.
+    Thread-safe; restricted by path prefix so Spark's own machinery is
+    never disturbed."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.root = None
+        self.fail_event = None
+        self.events = 0
+
+    def arm(self, root, fail_event=None):
+        with self._lock:
+            self.root = root
+            self.fail_event = fail_event
+            self.events = 0
+
+    def disarm(self):
+        with self._lock:
+            self.root = None
+            self.fail_event = None
+
+    def _boundary(self, path):
+        with self._lock:
+            if self.root is None or not str(path).startswith(self.root):
+                return
+            e = self.events
+            self.events += 1
+            if self.fail_event is not None and e == self.fail_event:
+                raise _InjectedCrash(f"injected at event {e} ({path})")
+
+
+@pytest.fixture()
+def crash_injector(monkeypatch):
+    import os as _os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    inj = _CrashInjector()
+    orig_parquet = DataFrameWriter.parquet
+    orig_replace = _os.replace
+
+    def patched_parquet(self, path, **kw):
+        inj._boundary(path)
+        r = orig_parquet(self, path, **kw)
+        inj._boundary(path)
+        return r
+
+    def patched_replace(src, dst, **kw):
+        inj._boundary(dst)
+        r = orig_replace(src, dst, **kw)
+        inj._boundary(dst)
+        return r
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", patched_parquet)
+    monkeypatch.setattr(_os, "replace", patched_replace)
+    yield inj
+
+
+def _sweep_crash_points(spark, tmpdir, inj, name, apply_batch, snapshot,
+                        n_batches=3, crash_batches=(1,)):
+    """For each batch in ``crash_batches`` of an n-batch scenario:
+    count its write/rename events, then for EVERY event index run
+    fresh stores, crash there, replay the batch (foreachBatch
+    redelivery), finish the scenario, and assert the read-back state
+    equals an uninterrupted run's."""
+    import shutil
+
+    # uninterrupted reference
+    ref = os.path.join(tmpdir, f"{name}_ref")
+    for b in range(n_batches):
+        apply_batch(ref, b)
+    want = snapshot(ref)
+
+    for cb in crash_batches:
+        # count the crash batch's events
+        cnt = os.path.join(tmpdir, f"{name}_cnt{cb}")
+        for b in range(cb):
+            apply_batch(cnt, b)
+        inj.arm(cnt)
+        apply_batch(cnt, cb)
+        n_events = inj.events
+        inj.disarm()
+        assert n_events >= 2, f"{name}: injector saw no write boundaries"
+
+        for fp in range(n_events):
+            root = os.path.join(tmpdir, f"{name}_b{cb}_fp{fp}")
+            shutil.rmtree(root, ignore_errors=True)
+            for b in range(cb):
+                apply_batch(root, b)
+            inj.arm(root, fail_event=fp)
+            with pytest.raises(_InjectedCrash):
+                apply_batch(root, cb)
+            inj.disarm()
+            apply_batch(root, cb)  # redelivery of the crashed batch
+            for b in range(cb + 1, n_batches):
+                apply_batch(root, b)
+            got = snapshot(root)
+            assert got == want, (
+                f"{name}: diverged after crash at batch {cb} "
+                f"event {fp}/{n_events}"
+            )
+
+
+def test_crash_injection_minhash_merge(spark, tmpdir, crash_injector):
+    """Every write boundary of merge_minhash_batch is crash-replayable:
+    matches (deduped), store content and band index all converge to
+    the uninterrupted run."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_minhash_batch,
+        read_minhash_matches,
+    )
+
+    batches = [
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        [
+            (4, "the quick brown fox jumps over the lazy dog today"),
+            (5, "completely unrelated text about spark query planning"),
+        ],
+        [
+            (6, "the quick brown fox jumps over the lazy dog tonight"),
+            (7, "fresh words never seen before in any earlier batch"),
+        ],
+    ]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(batches[b], "doc_id long, text string")
+        merge_minhash_batch(spark, bdf, b, root, "doc_id", "text")
+
+    def snapshot(root):
+        matches = sorted(
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in read_minhash_matches(spark, root).collect()
+        )
+        store = sorted(
+            (r["id"], tuple(sorted(r["shingles"])))
+            for r in spark.read.parquet(os.path.join(root, "store"))
+            .select("id", "shingles").distinct().collect()
+        )
+        idx = sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(root, "band_index"))
+                .select("id", "band", "bucket").distinct().collect(),
+            )
+        )
+        return (matches, store, idx)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "mh", apply_batch, snapshot
+    )
+
+
+def test_crash_injection_semantic_merge(spark, tmpdir, crash_injector):
+    """Every write boundary of merge_semantic_batch is crash-replayable
+    — including the store-written/matches-lost interleaving that the
+    pre-r10 new-rows-only pairing lost forever (the fix this sweep
+    forced: pairing runs over the full batch with stored copies
+    authoritative)."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        read_semantic_matches,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+    batches = [
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (10, [0.0, 1.0])],
+        [(3, [0.998, 0.02]), (11, [0.01, 1.0])],
+        [(4, [0.997, 0.03]), (12, [0.02, 1.0])],
+    ]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(
+            batches[b], "vec_id long, embedding array<double>"
+        )
+        merge_semantic_batch(spark, bdf, b, root, cents, tau=0.9)
+
+    def snapshot(root):
+        matches = sorted(
+            (r["a"], r["b"], round(r["cosine"], 9))
+            for r in read_semantic_matches(spark, root).collect()
+        )
+        store = sorted(
+            (r["id"], tuple(r["v"]), r["cell"])
+            for r in spark.read.parquet(os.path.join(root, "store"))
+            .select("id", "v", "cell").distinct().collect()
+        )
+        return (matches, store)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "sem", apply_batch, snapshot,
+        crash_batches=(0, 1),
+    )
+
+
+def test_crash_injection_ivf_manifest_commit(spark, tmpdir, crash_injector):
+    """Every write/rename boundary of merge_ivf_batch's manifest-commit
+    protocol is crash-replayable: the manifest-pinned read returns
+    exactly the reference vectors — including the first-commit crash
+    between file moves and the manifest write, where the pre-r10
+    dir-listing fallback adopted the crashed attempt's orphans and
+    double-committed the replay (the fix this sweep forced: the
+    adoption snapshot persists BEFORE any file moves)."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+    from dogsheep_beta_spark.operators.similarity import centroids
+
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+    batches = [list(range(0, 4)), list(range(10, 14)), list(range(20, 24))]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in batches[b]],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(
+            bdf, cents, os.path.join(root, "cells"),
+            commit_token=f"batch:{b}",
+        )
+
+    def snapshot(root):
+        layout = os.path.join(root, "cells")
+        rows = sorted(
+            (r["vec_id"], r["cell"])
+            for r in inc.read_layout(spark, layout)
+            .select("vec_id", "cell").collect()
+        )
+        # every manifest-listed file must exist on disk
+        entry = inc.read_manifest_entry(layout)
+        if entry is not None:
+            parent = os.path.dirname(layout)
+            vdir = inc._find_snapshot_dir(
+                parent, os.path.basename(layout), entry
+            )
+            assert vdir is not None
+            for rel in entry["files"]:
+                assert os.path.exists(os.path.join(vdir, rel))
+        return rows
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "ivf", apply_batch, snapshot,
+        crash_batches=(0, 1),
+    )
