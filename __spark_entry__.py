@@ -2498,6 +2498,67 @@ def q_text_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_pii_card_audit(spark, sf_dir):
+    """Checksummed-PII audit (functions/text.py:pii_card_audit_table —
+    r10): IPv4 + 16-digit card candidates with Luhn validation over a
+    corpus with DETERMINISTIC synthetic PII (the testdata corpus is
+    PII-free; both engines build the identical doctored input, making
+    the audit the thing under test).  Counts are regex, the Luhn split
+    is one higher-order integer fold per candidate, redaction chains
+    all four classes and the md5 proves byte-identical scrubbing.
+    All codegen — one scan at any corpus size."""
+    from dogsheep_beta_spark.functions.text import pii_card_audit_table
+
+    d = _documents(spark, sf_dir)
+    doctored = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 200).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" card 4539578763621486")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" card 4539578763621487")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_card_audit_table(doctored, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    """RAG-style document chunking (functions/text.py:chunk_table —
+    r10): overlapping 32-token windows, stride 24, one fingerprinted
+    row per chunk.  Map-only explode: the corpus text never shuffles;
+    ORDER BY is presentation-only."""
+    from dogsheep_beta_spark.functions.text import chunk_table
+
+    d = _documents(spark, sf_dir)
+    return chunk_table(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_no")
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal: video frame-sampling explode shape — one row per
     sampled frame, stubbed decoder (operators/multimodal.py)."""
@@ -5814,6 +5875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": q_text_compression_ratio,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_pii_card_audit": q_text_pii_card_audit,
+        "doc_chunking": q_doc_chunking,
         "text_length_report": q_text_length_report,
         "text_unicode_fold": q_text_unicode_fold,
         "sample_stratified": q_sample_stratified,
@@ -8837,6 +8900,91 @@ LIMIT 100
                        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
                        AS scrubbed_md5
             FROM doctored ORDER BY doc_id
+        """,
+        # checksummed-PII audit: identical doctored text, identical
+        # regex classes, and the Luhn fold written digit-for-digit as
+        # the Spark higher-order aggregate (see
+        # functions/text.py:luhn_valid_expr)
+        "text_pii_card_audit": r"""
+            WITH doctored AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 2 = 0
+                            THEN ' mail user' || doc_id || '@example.com'
+                            ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN ' from 10.'
+                                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                 || CAST((doc_id * 7) % 256 AS VARCHAR)
+                                 || '.'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                            ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN ' card 4539578763621486' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                            THEN ' card 4539578763621487' ELSE '' END
+                           AS text
+                FROM documents
+            )
+            , hits AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '\b[0-9]{16}\b') AS ccns
+                FROM doctored
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(ccns) AS BIGINT) AS n_ccn,
+                   CAST(len(list_filter(ccns, c ->
+                       list_sum(list_transform(range(1, 17), i ->
+                           CASE WHEN i % 2 = 1 THEN
+                               CASE WHEN CAST(substr(c, CAST(i AS INT), 1)
+                                          AS INT) * 2 > 9
+                                    THEN CAST(substr(c, CAST(i AS INT), 1)
+                                          AS INT) * 2 - 9
+                                    ELSE CAST(substr(c, CAST(i AS INT), 1)
+                                          AS INT) * 2 END
+                           ELSE CAST(substr(c, CAST(i AS INT), 1) AS INT)
+                           END)) % 10 = 0)) AS BIGINT) AS n_ccn_valid,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b[0-9]{16}\b', '<CCN>', 'g')) AS redacted_md5
+            FROM hits ORDER BY doc_id
+        """,
+        # RAG chunking: same ws-token split, stride 24, inclusive
+        # list_slice twin of F.slice
+        "doc_chunking": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+')
+                       END AS tk
+                FROM documents
+            )
+            , nz AS (
+                SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
+            )
+            , ch AS (
+                SELECT doc_id, tk, CAST(u.i AS INT) AS chunk_no
+                FROM nz,
+                     UNNEST(range(0,
+                         CAST(floor((n - 1) / 24.0) AS BIGINT) + 1)) u(i)
+            )
+            SELECT doc_id,
+                   chunk_no,
+                   CAST(chunk_no * 24 AS INT) AS start_tok,
+                   CAST(len(list_slice(tk, chunk_no * 24 + 1,
+                       chunk_no * 24 + 32)) AS INT) AS n_tokens,
+                   md5(array_to_string(list_slice(tk, chunk_no * 24 + 1,
+                       chunk_no * 24 + 32), ' ')) AS chunk_md5
+            FROM ch ORDER BY doc_id, chunk_no
         """,
         "text_tfidf_cosine": ORACLE_DOC_TOKENS
         + """

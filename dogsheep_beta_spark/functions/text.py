@@ -1035,3 +1035,111 @@ def novelty_table(df, id_col: str, text_col: str, k: int = 3):
             .alias("novelty_permille"),
         )
     )
+
+
+# checksummed-PII extension (r10): IPv4 + candidate card numbers with
+# Luhn validation, extending the email/phone scrub above.  Same regex
+# discipline: Java-regex ≡ RE2 subset only.
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_CCN_RE = r"\b[0-9]{16}\b"
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """True iff a 16-digit string passes the Luhn checksum.  Standard
+    doubling from the RIGHT (check digit rightmost); for fixed length
+    16 that means the 1st, 3rd, 5th… digits from the LEFT double.
+    Pure integer fold over substring digits — identical arithmetic in
+    any engine, so the oracle can run the SQL twin verbatim."""
+    return (
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.when(
+                    i % 2 == 1,
+                    F.when(
+                        F.substring(digits, i, 1).cast("int") * 2 > 9,
+                        F.substring(digits, i, 1).cast("int") * 2 - 9,
+                    ).otherwise(F.substring(digits, i, 1).cast("int") * 2),
+                ).otherwise(F.substring(digits, i, 1).cast("int")),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        % 10
+        == 0
+    )
+
+
+def pii_card_audit_table(df, id_col: str, text_col: str):
+    """One row per document: IPv4 count, candidate-card count, the
+    Luhn-VALID card count, and the md5 of the text with all four PII
+    classes redacted (emails/phones via the scrub above, then IPs,
+    then card candidates).  Candidates are redacted regardless of
+    checksum — a scrubber must not leak digits just because the
+    checksum fails; the valid/candidate split is reported so a
+    pipeline can route provably-live card numbers to stricter
+    handling.  All JVM-side codegen: regex counts + one higher-order
+    Luhn fold + a chained global regexp_replace — one scan at any
+    corpus size."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ccns = F.regexp_extract_all(t, F.lit(PII_CCN_RE), F.lit(0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(scrub_pii(F.col(text_col)), PII_IPV4_RE, "<IP>"),
+        PII_CCN_RE,
+        "<CCN>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.size(ccns).cast("long").alias("n_ccn"),
+        F.size(F.filter(ccns, luhn_valid_expr)).cast("long").alias(
+            "n_ccn_valid"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def chunk_table(
+    df, id_col: str, text_col: str, chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """(id, chunk_no, start_tok, n_tokens, chunk_md5) — overlapping
+    whitespace-token windows, the RAG / embedding-prep chunking pass a
+    retrieval pipeline runs before embedding a corpus.
+
+    Windows start every ``stride = chunk_tokens - overlap`` tokens and
+    the last window may be short (start < n is the only keep rule —
+    simple, deterministic, SQL-twin-able).  Empty documents emit no
+    chunks.  One scan: split → explode(sequence) over the per-doc
+    window count → slice + join + md5, all codegen; the fan-out is
+    n/stride rows per document and the text bytes never shuffle (the
+    md5 fingerprint travels, the chunk text can be re-materialized
+    from the slice when a sink wants it)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col),
+        F.when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, r"\s+"))
+        .alias("__tk"),
+    ).where(F.size("__tk") > 0)
+    n = F.size("__tk")
+    chunks = base.select(
+        F.col(id_col),
+        "__tk",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
+            )
+        ).alias("chunk_no"),
+    )
+    sl = F.slice(F.col("__tk"), F.col("chunk_no") * stride + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        (F.col("chunk_no") * stride).cast("int").alias("start_tok"),
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )

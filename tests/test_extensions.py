@@ -2362,3 +2362,77 @@ def test_pack_bin_offsets_boundaries(spark):
     assert (rows[3]["a"], rows[3]["b"]) == (0, 100)
     assert (rows[4]["a"], rows[4]["b"]) == (0, 500)
     assert rows[3]["bin"] != rows[4]["bin"]
+
+
+def test_pii_card_audit_luhn_and_redaction(spark):
+    """pii_card_audit_table: Luhn separates the valid from the
+    transposed card, every class redacts (valid or not), NULL text is
+    empty-safe."""
+    from dogsheep_beta_spark.functions.text import pii_card_audit_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4539578763621486 or 4539578763621487 via 10.0.0.1"),
+            (2, "mail a.b+c@ex.co.uk call 555-123-4567"),
+            (3, None),
+            (4, "digits 123456789012345 too short 12345678901234567 run"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pii_card_audit_table(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["n_ccn"] == 2 and out[1]["n_ccn_valid"] == 1
+    assert out[1]["n_ips"] == 1
+    import hashlib
+
+    assert out[1]["redacted_md5"] == hashlib.md5(
+        b"pay <CCN> or <CCN> via <IP>"
+    ).hexdigest()
+    assert out[2]["redacted_md5"] == hashlib.md5(
+        b"mail <EMAIL> call <PHONE>"
+    ).hexdigest()
+    assert out[3]["n_ccn"] == 0 and out[3]["redacted_md5"] == hashlib.md5(
+        b""
+    ).hexdigest()
+    # 15- and 17-digit runs are not card candidates (\b-anchored {16})
+    assert out[4]["n_ccn"] == 0
+
+
+def test_chunk_table_windows(spark):
+    """chunk_table: stride = chunk - overlap, last window short, empty
+    docs emit nothing, chunk fingerprints match the sliced text."""
+    import hashlib
+
+    from dogsheep_beta_spark.functions.text import chunk_table
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),   # 10 tokens
+            (2, "one"),             # 1 token -> single chunk
+            (3, "   "),             # blank -> no chunks
+            (4, None),              # NULL  -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_table(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {
+        (r["doc_id"], r["chunk_no"]): r for r in out.collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6,9
+    assert {c for d, c in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)]["n_tokens"] == 4
+    assert rows[(1, 3)]["start_tok"] == 9
+    assert rows[(1, 3)]["n_tokens"] == 1  # short tail window
+    assert rows[(1, 1)]["chunk_md5"] == hashlib.md5(
+        b"w3 w4 w5 w6"
+    ).hexdigest()
+    assert {d for d, _ in rows} == {1, 2}
+    assert rows[(2, 0)]["n_tokens"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_table(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
