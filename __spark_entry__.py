@@ -2546,19 +2546,6 @@ def q_text_pii_card_audit(spark, sf_dir):
     )
 
 
-def q_doc_chunking(spark, sf_dir):
-    """RAG-style document chunking (functions/text.py:chunk_table —
-    r10): overlapping 32-token windows, stride 24, one fingerprinted
-    row per chunk.  Map-only explode: the corpus text never shuffles;
-    ORDER BY is presentation-only."""
-    from dogsheep_beta_spark.functions.text import chunk_table
-
-    d = _documents(spark, sf_dir)
-    return chunk_table(
-        d, "doc_id", "text", chunk_tokens=32, overlap=8
-    ).orderBy("doc_id", "chunk_no")
-
-
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal: video frame-sampling explode shape — one row per
     sampled frame, stubbed decoder (operators/multimodal.py)."""
@@ -5876,7 +5863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_pii_card_audit": q_text_pii_card_audit,
-        "doc_chunking": q_doc_chunking,
         "text_length_report": q_text_length_report,
         "text_unicode_fold": q_text_unicode_fold,
         "sample_stratified": q_sample_stratified,
@@ -8956,35 +8942,6 @@ LIMIT 100
                        '<IP>', 'g'),
                        '\b[0-9]{16}\b', '<CCN>', 'g')) AS redacted_md5
             FROM hits ORDER BY doc_id
-        """,
-        # RAG chunking: same ws-token split, stride 24, inclusive
-        # list_slice twin of F.slice
-        "doc_chunking": r"""
-            WITH tk AS (
-                SELECT doc_id,
-                       CASE WHEN trim(coalesce(text, '')) = ''
-                            THEN []::VARCHAR[]
-                            ELSE string_split_regex(trim(text), '\s+')
-                       END AS tk
-                FROM documents
-            )
-            , nz AS (
-                SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0
-            )
-            , ch AS (
-                SELECT doc_id, tk, CAST(u.i AS INT) AS chunk_no
-                FROM nz,
-                     UNNEST(range(0,
-                         CAST(floor((n - 1) / 24.0) AS BIGINT) + 1)) u(i)
-            )
-            SELECT doc_id,
-                   chunk_no,
-                   CAST(chunk_no * 24 AS INT) AS start_tok,
-                   CAST(len(list_slice(tk, chunk_no * 24 + 1,
-                       chunk_no * 24 + 32)) AS INT) AS n_tokens,
-                   md5(array_to_string(list_slice(tk, chunk_no * 24 + 1,
-                       chunk_no * 24 + 32), ' ')) AS chunk_md5
-            FROM ch ORDER BY doc_id, chunk_no
         """,
         "text_tfidf_cosine": ORACLE_DOC_TOKENS
         + """

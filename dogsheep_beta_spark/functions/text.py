@@ -1097,49 +1097,3 @@ def pii_card_audit_table(df, id_col: str, text_col: str):
         ),
         F.md5(redacted).alias("redacted_md5"),
     )
-
-
-def chunk_table(
-    df, id_col: str, text_col: str, chunk_tokens: int = 64,
-    overlap: int = 16,
-):
-    """(id, chunk_no, start_tok, n_tokens, chunk_md5) — overlapping
-    whitespace-token windows, the RAG / embedding-prep chunking pass a
-    retrieval pipeline runs before embedding a corpus.
-
-    Windows start every ``stride = chunk_tokens - overlap`` tokens and
-    the last window may be short (start < n is the only keep rule —
-    simple, deterministic, SQL-twin-able).  Empty documents emit no
-    chunks.  One scan: split → explode(sequence) over the per-doc
-    window count → slice + join + md5, all codegen; the fan-out is
-    n/stride rows per document and the text bytes never shuffle (the
-    md5 fingerprint travels, the chunk text can be re-materialized
-    from the slice when a sink wants it)."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
-    stride = chunk_tokens - overlap
-    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(
-        F.col(id_col),
-        F.when(trimmed == "", F.array().cast("array<string>"))
-        .otherwise(F.split(trimmed, r"\s+"))
-        .alias("__tk"),
-    ).where(F.size("__tk") > 0)
-    n = F.size("__tk")
-    chunks = base.select(
-        F.col(id_col),
-        "__tk",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
-            )
-        ).alias("chunk_no"),
-    )
-    sl = F.slice(F.col("__tk"), F.col("chunk_no") * stride + 1, chunk_tokens)
-    return chunks.select(
-        F.col(id_col),
-        F.col("chunk_no").cast("int").alias("chunk_no"),
-        (F.col("chunk_no") * stride).cast("int").alias("start_tok"),
-        F.size(sl).cast("int").alias("n_tokens"),
-        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
-    )

@@ -2398,41 +2398,3 @@ def test_pii_card_audit_luhn_and_redaction(spark):
     ).hexdigest()
     # 15- and 17-digit runs are not card candidates (\b-anchored {16})
     assert out[4]["n_ccn"] == 0
-
-
-def test_chunk_table_windows(spark):
-    """chunk_table: stride = chunk - overlap, last window short, empty
-    docs emit nothing, chunk fingerprints match the sliced text."""
-    import hashlib
-
-    from dogsheep_beta_spark.functions.text import chunk_table
-
-    words = [f"w{i}" for i in range(10)]
-    docs = spark.createDataFrame(
-        [
-            (1, " ".join(words)),   # 10 tokens
-            (2, "one"),             # 1 token -> single chunk
-            (3, "   "),             # blank -> no chunks
-            (4, None),              # NULL  -> no chunks
-        ],
-        "doc_id long, text string",
-    )
-    out = chunk_table(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
-    rows = {
-        (r["doc_id"], r["chunk_no"]): r for r in out.collect()
-    }
-    # doc 1: stride 3 -> starts 0,3,6,9
-    assert {c for d, c in rows if d == 1} == {0, 1, 2, 3}
-    assert rows[(1, 0)]["n_tokens"] == 4
-    assert rows[(1, 3)]["start_tok"] == 9
-    assert rows[(1, 3)]["n_tokens"] == 1  # short tail window
-    assert rows[(1, 1)]["chunk_md5"] == hashlib.md5(
-        b"w3 w4 w5 w6"
-    ).hexdigest()
-    assert {d for d, _ in rows} == {1, 2}
-    assert rows[(2, 0)]["n_tokens"] == 1
-
-    import pytest
-
-    with pytest.raises(ValueError, match="overlap"):
-        chunk_table(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
