@@ -804,3 +804,17 @@ def test_r9_late_wave_plan_shapes(spark):
 
     p = _plan(qs["sample_mixture_waterfill"](spark, SF_DIR))
     assert "SortMergeJoin" not in p
+
+
+def test_r10_pii_audit_plan_is_map_only(spark):
+    """text_pii_card_audit: regex counts, Luhn fold and redaction md5
+    are all one projection over the scan — no Exchange beyond the
+    registration scatter + the presentation ORDER BY, no Generate, no
+    Join (the Luhn validation must not explode candidates into rows)."""
+    import __spark_entry__ as entry
+
+    p = _plan(entry.queries()["text_pii_card_audit"](spark, SF_DIR))
+    assert "Join" not in p
+    assert "Generate" not in p
+    # scatter-at-registration + final sort are the only exchanges
+    assert p.count("Exchange") <= 2, p[:1500]
