@@ -1983,6 +1983,7 @@ def crash_injector(monkeypatch):
     inj = _CrashInjector()
     orig_parquet = DataFrameWriter.parquet
     orig_replace = _os.replace
+    orig_rename = _os.rename
 
     def patched_parquet(self, path, **kw):
         inj._boundary(path)
@@ -1996,8 +1997,15 @@ def crash_injector(monkeypatch):
         inj._boundary(dst)
         return r
 
+    def patched_rename(src, dst, **kw):
+        inj._boundary(dst)
+        r = orig_rename(src, dst, **kw)
+        inj._boundary(dst)
+        return r
+
     monkeypatch.setattr(DataFrameWriter, "parquet", patched_parquet)
     monkeypatch.setattr(_os, "replace", patched_replace)
+    monkeypatch.setattr(_os, "rename", patched_rename)
     yield inj
 
 
@@ -2192,5 +2200,52 @@ def test_crash_injection_ivf_manifest_commit(spark, tmpdir, crash_injector):
 
     _sweep_crash_points(
         spark, tmpdir, crash_injector, "ivf", apply_batch, snapshot,
+        crash_batches=(0, 1),
+    )
+
+
+def test_crash_injection_entity_link_merge(spark, tmpdir, crash_injector):
+    """Every write/rename boundary of merge_link_batch is
+    crash-replayable — including mid-publish crashes inside the
+    per-partition symlink-cutover protocol (_publish_dir's three
+    renames) and the store-append/matches-rewrite interleavings."""
+    from dogsheep_beta_spark.streaming.incremental import merge_link_batch
+
+    kw = dict(
+        id_col="id", name_col="name", block_cols=("ctry",),
+        prefix_len=6, max_dist=1, max_block=100,
+    )
+    batches = [
+        [(10, "jon smith", "us"), (11, "jon smyth", "us"),
+         (30, "ann chu", "de")],
+        [(12, "jon smith", "us"), (31, "ann chu ", "de")],
+        [(2, "jon smith", "us"), (13, "bob brown", "us")],
+    ]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(
+            batches[b], "id long, name string, ctry string"
+        )
+        merge_link_batch(
+            spark, bdf, b, os.path.join(root, "store"),
+            os.path.join(root, "matches"), **kw,
+        )
+
+    def snapshot(root):
+        m = sorted(
+            (r["entity_id"], r["match_id"], r["dist"])
+            for r in spark.read.parquet(
+                os.path.join(root, "matches")
+            ).collect()
+        )
+        st = sorted(
+            r["__id"]
+            for r in spark.read.parquet(os.path.join(root, "store"))
+            .select("__id").distinct().collect()
+        )
+        return (m, st)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "link", apply_batch, snapshot,
         crash_batches=(0, 1),
     )
