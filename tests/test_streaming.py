@@ -2249,3 +2249,54 @@ def test_crash_injection_entity_link_merge(spark, tmpdir, crash_injector):
         spark, tmpdir, crash_injector, "link", apply_batch, snapshot,
         crash_batches=(0, 1),
     )
+
+
+def test_crash_injection_fts_merge(spark, tmpdir, crash_injector):
+    """Every write/rename boundary of merge_fts_batch (the A10
+    incremental FTS maintenance path) is crash-replayable: index,
+    postings and doc_lengths all converge to the uninterrupted run —
+    including crashes BETWEEN the three stage-all-publish-last
+    cutovers, where a reader-visible transient (new postings against
+    an old index) must be healed by the replay, and same-key updates
+    whose second application must stay last-writer-wins."""
+    from dogsheep_beta_spark.streaming.incremental import merge_fts_batch
+
+    schema = "key int, title string, search_1 string"
+    batches = [
+        [(1, "alpha beta", "gamma"), (2, "beta beta", None)],
+        [(2, "delta", "beta gamma"), (3, "alpha", "alpha")],  # updates 2
+        [(1, "omega", None), (4, "epsilon zeta", "eta")],     # updates 1
+    ]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(batches[b], schema)
+        merge_fts_batch(
+            spark, bdf, b, os.path.join(root, "index"),
+            os.path.join(root, "fts"), "s.db/t",
+        )
+
+    def snapshot(root):
+        post = sorted(
+            (r["term"], r["key"], r["field"], r["tf"], tuple(r["positions"]))
+            for r in spark.read.parquet(
+                os.path.join(root, "fts", "postings")
+            ).collect()
+        )
+        lens = sorted(
+            (r["key"], r["dl"])
+            for r in spark.read.parquet(
+                os.path.join(root, "fts", "doc_lengths")
+            ).collect()
+        )
+        idx = sorted(
+            (r["key"], r["title"])
+            for r in spark.read.parquet(
+                os.path.join(root, "index")
+            ).collect()
+        )
+        return (post, lens, idx)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "fts", apply_batch, snapshot,
+        crash_batches=(0, 1),
+    )
