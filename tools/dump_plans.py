@@ -71,6 +71,7 @@ HEADLINE = {
     "sample_mixture_waterfill": "r9: one corpus-sized partial-aggregated shuffle (per-group token sums); the closed-form waterfill runs on the G-row group table — the single-partition window is mixture-group-bounded, and the funded-prefix scalar rejoins broadcast",
     "text_ngram_novelty": "r9: the MIN-id first-occurrence aggregate and the join back share the gram-keyed exchange (one corpus-sized shuffle); gram STRINGS are the key — exactness over hash-width",
     "text_lang_confusion": "r9: JOIN-FREE — per-language stopword scores and the argmax are one map-side projection with the label on the same row; the only exchange is the langs^2-bounded matrix aggregate",
+    "text_pii_card_audit": "r10: regex counts + the Luhn checksum fold + four-class redaction md5 are ONE projection over the scan — no Join, no Generate (candidates never explode into rows); plan-pinned in test_plans.py",
 }
 
 # deliberately NOT dumped: pipeline_dedup_cascade, ann_recall_report,
