@@ -2398,3 +2398,43 @@ def test_pii_card_audit_luhn_and_redaction(spark):
     ).hexdigest()
     # 15- and 17-digit runs are not card candidates (\b-anchored {16})
     assert out[4]["n_ccn"] == 0
+
+
+def test_luhn_fold_matches_python_reference(spark):
+    """luhn_valid_expr: the higher-order Spark fold agrees with a
+    direct Python Luhn implementation on 500 seeded-random 16-digit
+    strings plus edge cases (all zeros = valid; the known-good card
+    and its transposed twin) — one DataFrame, one collect."""
+    import random
+
+    from pyspark.sql import functions as F
+    from dogsheep_beta_spark.functions.text import luhn_valid_expr
+
+    def luhn_py(s):
+        total = 0
+        for i, ch in enumerate(s):          # i 0-based from the left
+            d = int(ch)
+            if i % 2 == 0:                  # 1st, 3rd, ... from left
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rng = random.Random(42)
+    cases = ["0" * 16, "4539578763621486", "4539578763621487"] + [
+        "".join(rng.choice("0123456789") for _ in range(16))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "digits string")
+    got = {
+        r["digits"]: r["ok"]
+        for r in df.select(
+            "digits", luhn_valid_expr(F.col("digits")).alias("ok")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == luhn_py(c), c
+    assert got["0" * 16] is True
+    assert got["4539578763621486"] is True
+    assert got["4539578763621487"] is False
