@@ -2300,3 +2300,94 @@ def test_crash_injection_fts_merge(spark, tmpdir, crash_injector):
         spark, tmpdir, crash_injector, "fts", apply_batch, snapshot,
         crash_batches=(0, 1),
     )
+
+
+def test_crash_injection_fts_scoped_merge(spark, tmpdir, crash_injector):
+    """The partition-SCOPED FTS maintenance variant
+    (merge_fts_batch_scoped — the serving path's layout) under the
+    same sweep: per-type partition cutovers, sidecar staging, and
+    cross-type isolation must all replay clean, including a batch that
+    touches a DIFFERENT type between the crashed batch and its
+    replay-equivalent reference."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_fts_batch_scoped,
+    )
+
+    schema = "key int, title string, search_1 string"
+    batches = [
+        ([(1, "alpha beta", "gamma"), (2, "beta beta", None)], "s.db/t"),
+        ([(2, "delta", "beta gamma"), (3, "alpha", "alpha")], "s.db/t"),
+        ([(50, "zeta omega", "psi")], "o.db/t"),  # unrelated type
+    ]
+
+    def apply_batch(root, b):
+        rows, tag = batches[b]
+        merge_fts_batch_scoped(
+            spark, spark.createDataFrame(rows, schema), b,
+            os.path.join(root, "index"), os.path.join(root, "fts"), tag,
+        )
+
+    def snapshot(root):
+        post = sorted(
+            (r["type"], r["term"], r["key"], r["field"], r["tf"])
+            for r in spark.read.parquet(
+                os.path.join(root, "fts", "postings")
+            ).collect()
+        )
+        lens = sorted(
+            (r["type"], r["key"], r["dl"])
+            for r in spark.read.parquet(
+                os.path.join(root, "fts", "doc_lengths")
+            ).collect()
+        )
+        idx = sorted(
+            (r["type"], r["key"], r["title"])
+            for r in spark.read.parquet(
+                os.path.join(root, "index")
+            ).collect()
+        )
+        return (post, lens, idx)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "ftssc", apply_batch, snapshot,
+        crash_batches=(1,),
+    )
+
+
+def test_crash_injection_kmv_swap(spark, tmpdir, crash_injector):
+    """merge_kmv_batch's atomic-swap publish under the sweep: a crash
+    at any rename/write boundary replays to the same synopsis (KMV
+    union-merge is idempotent, and the swap never exposes a partial
+    generation)."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_kmv_batch,
+        read_kmv_estimate,
+    )
+
+    batches = [
+        [(i,) for i in range(0, 40)],
+        [(i,) for i in range(20, 70)],
+        [(i,) for i in range(60, 100)],
+    ]
+
+    def apply_batch(root, b):
+        bdf = spark.createDataFrame(batches[b], "user_id long")
+        merge_kmv_batch(
+            spark, bdf, b, os.path.join(root, "kmv"), "user_id",
+            k=32, salt="cp:",
+        )
+
+    def snapshot(root):
+        return sorted(
+            map(
+                tuple,
+                read_kmv_estimate(
+                    spark, os.path.join(root, "kmv"), 32
+                ).collect(),
+            )
+        )
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "kmv", apply_batch, snapshot,
+        crash_batches=(0, 1),
+    )
