@@ -883,8 +883,10 @@ def merge_ivf_batch(
         .partitionBy("cell")
         .parquet(staging)
     )
-    if not os.path.exists(base):
-        os.makedirs(base, exist_ok=True)
+    # no pre-makedirs here: commit_appended_files creates the live dir
+    # itself UNDER the lock, after crash recovery has had the chance to
+    # re-point a missing base at its surviving version dir (r10 — an
+    # eagerly-created empty dir here masked exactly that state)
     commit_appended_files(base, staging, token=commit_token)
 
 
@@ -1185,6 +1187,83 @@ def _write_manifest(base: str, relpaths, token: str | None = None) -> None:
         f.write(json.dumps(entry) + "\n")
 
 
+def _recover_base(base: str) -> None:
+    """Crash recovery for the versioned-symlink layout (r10, found by
+    the compaction crash sweep): a publisher that died between
+    archiving the live dir and the symlink cutover leaves ``base``
+    MISSING while every byte survives in a version-dir sibling.  If
+    base is gone, re-point it at the newest version dir that resolves
+    the current manifest (or the newest at all when no manifest) —
+    idempotent, O(listdir), caller holds the manifest lock."""
+    import os
+    import re
+
+    b = base.rstrip("/")
+    empty_dir_debris = (
+        os.path.isdir(b)
+        and not os.path.islink(b)
+        and not os.listdir(b)
+        and read_manifest(b)  # non-empty manifest that can't live here
+    )
+    if os.path.exists(b) and not empty_dir_debris:
+        return
+    parent = os.path.dirname(b) or "."
+    name = os.path.basename(b)
+    pat = re.compile(re.escape(name) + r"\.__v(\d+)__$")
+    vers = sorted(
+        (
+            (int(m.group(1)), f)
+            for f in os.listdir(parent)
+            if (m := pat.match(f))
+        ),
+        reverse=True,
+    )
+    if not vers:
+        return
+    rels = read_manifest(b)
+    target = None
+    for _, f in vers:
+        vdir = os.path.join(parent, f)
+        if os.path.islink(vdir) or not os.path.isdir(vdir):
+            continue
+        if rels is None or all(
+            os.path.exists(os.path.join(vdir, r)) for r in rels
+        ):
+            target = vdir
+            break
+    if target is None:
+        target = os.path.join(parent, vers[0][1])
+    ptr = os.path.join(parent, f".{name}.__recover__")
+    if os.path.lexists(ptr):
+        os.remove(ptr)
+    os.symlink(os.path.relpath(target, parent), ptr)
+    if empty_dir_debris:
+        os.rmdir(b)  # under the manifest lock; replaced atomically next
+    os.rename(ptr, b)
+
+
+def _manifest_files_reconciled(base: str, real: str):
+    """The manifest's file list, RECONCILED against the live
+    generation (r10, same sweep): a crash between a publish's symlink
+    cutover and its manifest rewrite leaves the manifest naming the
+    SUPERSEDED generation's files — relpaths that do not exist in the
+    live dir (the compacted generation carries the same rows under new
+    file names).  Committing that stale list forward would wedge every
+    later read (no candidate dir resolves old ∪ new).  When any listed
+    file is missing from the live dir, fall back to listing the live
+    dir itself — its actual content IS the committed generation.
+    Deliberate exclusions are not resurrectable this way: compaction
+    moves excluded files out of the live dir entirely."""
+    import os
+
+    rels = read_manifest(base)
+    if rels is None:
+        return None
+    if all(os.path.exists(os.path.join(real, r)) for r in rels):
+        return set(rels)
+    return set(_list_data_files(real))
+
+
 def commit_appended_files(
     base: str, staging_dir: str, token: str | None = None
 ) -> bool:
@@ -1203,6 +1282,7 @@ def commit_appended_files(
     import shutil
 
     with _manifest_lock(base):
+        _recover_base(base)
         real = os.path.realpath(base.rstrip("/"))
         os.makedirs(real, exist_ok=True)
         if token is not None:
@@ -1220,12 +1300,10 @@ def commit_appended_files(
         # manifest write would leave orphaned moved files that the
         # REPLAY's fallback listing then adopted alongside its own
         # fresh copies, double-committing every vector of the batch.
-        rels = read_manifest(base)
-        if rels is None:
+        files = _manifest_files_reconciled(base, real)
+        if files is None:
             files = set(_list_data_files(real))
             _write_manifest(base, files)
-        else:
-            files = set(rels)
         staged = _list_data_files(staging_dir)
         for rel, full in staged.items():
             dst = os.path.join(real, rel)
@@ -1350,8 +1428,9 @@ def compact_ivf_layout(
 
     base = layout_path.rstrip("/")
     with _manifest_lock(base):
+        _recover_base(base)
         real = os.path.realpath(base)
-        rels = read_manifest(base)  # None ≠ [] — see commit_appended_files
+        rels = _manifest_files_reconciled(base, real)
         snapshot = {
             rel: os.path.join(real, rel)
             for rel in (
@@ -1379,9 +1458,9 @@ def compact_ivf_layout(
         # (same cell=… relpath) before the cutover.  The lock excludes
         # further commits until the swap + manifest rewrite are done.
         real = os.path.realpath(base)
-        cur_rels = read_manifest(base)  # None ≠ [] — see above
+        cur_rels = _manifest_files_reconciled(base, real)
         current = (
-            set(cur_rels)
+            cur_rels
             if cur_rels is not None
             else set(_list_data_files(real))
         )

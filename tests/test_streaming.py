@@ -2391,3 +2391,72 @@ def test_crash_injection_kmv_swap(spark, tmpdir, crash_injector):
         spark, tmpdir, crash_injector, "kmv", apply_batch, snapshot,
         crash_batches=(0, 1),
     )
+
+
+def test_crash_injection_ivf_compaction(spark, tmpdir, crash_injector):
+    """compact_ivf_layout under the sweep: kill the compactor at every
+    write/rename boundary (staging write, late-file migration,
+    generation symlink cutover, manifest rewrite), then run the NEXT
+    append and read — zero rows may be lost or doubled, whatever state
+    the crash left.  Unlike the merge sweeps the crashed COMPACTION is
+    not replayed (a maintenance op that died just gets re-run later or
+    not at all): correctness means the layout stays readable and
+    append-able through any partial compaction."""
+    import shutil
+
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+
+    def append(layout, ids, tok):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(
+            bdf, cents, layout, commit_token=f"batch:{tok}"
+        )
+
+    def snapshot(layout):
+        return sorted(
+            (r["vec_id"], r["cell"])
+            for r in inc.read_layout(spark, layout)
+            .select("vec_id", "cell").collect()
+        )
+
+    # reference: append, compact cleanly, append again
+    ref = os.path.join(tmpdir, "cmp_ref", "cells")
+    append(ref, range(0, 8), 0)
+    inc.compact_ivf_layout(spark, ref)
+    append(ref, range(10, 18), 1)
+    want = snapshot(ref)
+
+    # count the compaction's events
+    cnt = os.path.join(tmpdir, "cmp_cnt", "cells")
+    append(cnt, range(0, 8), 0)
+    crash_injector.arm(os.path.dirname(cnt))
+    inc.compact_ivf_layout(spark, cnt)
+    n_events = crash_injector.events
+    crash_injector.disarm()
+    assert n_events >= 2
+
+    for fp in range(n_events):
+        root = os.path.join(tmpdir, f"cmp_fp{fp}")
+        shutil.rmtree(root, ignore_errors=True)
+        layout = os.path.join(root, "cells")
+        append(layout, range(0, 8), 0)
+        crash_injector.arm(root, fail_event=fp)
+        with pytest.raises(_InjectedCrash):
+            inc.compact_ivf_layout(spark, layout)
+        crash_injector.disarm()
+        # crashed compactors may leave a stale lock (a real crash
+        # cannot run the contextmanager's finally) — here the finally
+        # DID run, so the lock is free; just continue the stream
+        append(layout, range(10, 18), 1)
+        got = snapshot(layout)
+        assert got == want, f"compaction crash at event {fp}/{n_events}"
