@@ -2510,10 +2510,14 @@ def q_text_pii_card_audit(spark, sf_dir):
     from dogsheep_beta_spark.functions.text import pii_card_audit_table
 
     d = _documents(spark, sf_dir)
+    # coalesce BEFORE doctoring: concat with a NULL text would NULL the
+    # whole doctored row in Spark AND the SQL twin, but the two engines
+    # would then diverge inside the operator (it coalesces, SQL's
+    # regexp/md5 propagate NULL) — normalize once here (code-review r10)
     doctored = d.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(
                 F.col("doc_id") % 2 == 0,
                 F.concat(
@@ -8894,7 +8898,7 @@ LIMIT 100
         "text_pii_card_audit": r"""
             WITH doctored AS (
                 SELECT doc_id,
-                       text
+                       coalesce(text, '')
                        || CASE WHEN doc_id % 2 = 0
                             THEN ' mail user' || doc_id || '@example.com'
                             ELSE '' END

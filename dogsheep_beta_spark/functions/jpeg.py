@@ -399,10 +399,52 @@ def _probe_native_decoder():
     except Exception:
         return None
 
+    def _in_pure_scope(data: bytes) -> bool:
+        """True iff the stream is inside the PURE decoder's documented
+        scope (baseline SOF0, single component, one DC + one AC table,
+        no restart intervals).  PIL happily decodes color /
+        progressive / DRI streams that `_decode_jpeg_gray` rejects —
+        dispatching those to the native path would make output
+        ENVIRONMENT-DEPENDENT (rows on one host, ValueError on
+        another), so anything outside scope falls back to the pure
+        path and fails or succeeds identically everywhere
+        (code-review r10)."""
+        if data[:2] != b"\xff\xd8":
+            return False
+        pos = 2
+        dht_classes: list[int] = []
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return False
+            marker = data[pos + 1]
+            if marker == 0xDA:  # SOS — header scan complete
+                return dht_classes.count(0) <= 1 and dht_classes.count(1) <= 1
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + ln]
+            if marker == 0xC0:  # baseline SOF
+                if not body or body[5] != 1:  # components != 1
+                    return False
+            elif marker in range(0xC1, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+                return False  # progressive/extended/lossless SOF
+            elif marker == 0xDD:  # DRI
+                if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
+                    return False
+            elif marker == 0xC4:  # DHT: record table classes
+                b = body
+                while len(b) >= 17:
+                    dht_classes.append(b[0] >> 4)
+                    n = sum(b[1:17])
+                    b = b[17 + n :]
+            pos += 2 + ln
+        return False
+
     def native(data: bytes) -> tuple[int, int, bytes]:
+        if not _in_pure_scope(data):
+            return decode_jpeg_gray(data)  # identical everywhere
         im = Image.open(io.BytesIO(data))
         if im.mode != "L":
-            im = im.convert("L")
+            # scope scan said single-component; trust the oracle path
+            return decode_jpeg_gray(data)
         w, h = im.size
         return w, h, im.tobytes()
 

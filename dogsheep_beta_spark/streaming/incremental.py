@@ -899,14 +899,26 @@ def streaming_ivf_upsert(
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
 ):
-    """Wire an embedding stream into the IVF layout via foreachBatch."""
+    """Wire an embedding stream into the IVF layout via foreachBatch.
+
+    The commit idempotence token is namespaced by the CHECKPOINT
+    identity (code-review r10): a bare batch id collides across two
+    distinct streams appending to one shared layout, or across a
+    stream restarted with a fresh checkpoint — either would be misread
+    as a replay and silently dropped.  Hashing the checkpoint path
+    keeps replay detection across restarts of the SAME checkpoint
+    (Spark's batch ids are stable there) while separating every other
+    writer."""
+    import hashlib
+
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, bid: merge_ivf_batch(
                 bdf, cents, layout_path, id_col, vec_col,
-                commit_token=f"batch:{bid}",
+                commit_token=f"{ns}:batch:{bid}",
             )
         )
     )
@@ -1243,7 +1255,7 @@ def _recover_base(base: str) -> None:
 
 
 def _manifest_files_reconciled(base: str, real: str):
-    """The manifest's file list, RECONCILED against the live
+    """(files, reconciled): the manifest's file list, RECONCILED against the live
     generation (r10, same sweep): a crash between a publish's symlink
     cutover and its manifest rewrite leaves the manifest naming the
     SUPERSEDED generation's files — relpaths that do not exist in the
@@ -1258,10 +1270,10 @@ def _manifest_files_reconciled(base: str, real: str):
 
     rels = read_manifest(base)
     if rels is None:
-        return None
+        return None, False
     if all(os.path.exists(os.path.join(real, r)) for r in rels):
-        return set(rels)
-    return set(_list_data_files(real))
+        return set(rels), False
+    return set(_list_data_files(real)), True
 
 
 def commit_appended_files(
@@ -1300,9 +1312,17 @@ def commit_appended_files(
         # manifest write would leave orphaned moved files that the
         # REPLAY's fallback listing then adopted alongside its own
         # fresh copies, double-committing every vector of the batch.
-        files = _manifest_files_reconciled(base, real)
+        files, reconciled = _manifest_files_reconciled(base, real)
         if files is None:
             files = set(_list_data_files(real))
+            _write_manifest(base, files)
+        elif reconciled:
+            # persist the reconciled listing BEFORE any file move, for
+            # the same reason as the adoption branch above: a crash
+            # between this commit's moves and its manifest write must
+            # not let the REPLAY's fallback listing adopt this
+            # attempt's orphans alongside its own fresh copies
+            # (code-review r10)
             _write_manifest(base, files)
         staged = _list_data_files(staging_dir)
         for rel, full in staged.items():
@@ -1430,7 +1450,7 @@ def compact_ivf_layout(
     with _manifest_lock(base):
         _recover_base(base)
         real = os.path.realpath(base)
-        rels = _manifest_files_reconciled(base, real)
+        rels, _ = _manifest_files_reconciled(base, real)
         snapshot = {
             rel: os.path.join(real, rel)
             for rel in (
@@ -1458,7 +1478,7 @@ def compact_ivf_layout(
         # (same cell=… relpath) before the cutover.  The lock excludes
         # further commits until the swap + manifest rewrite are done.
         real = os.path.realpath(base)
-        cur_rels = _manifest_files_reconciled(base, real)
+        cur_rels, _ = _manifest_files_reconciled(base, real)
         current = (
             cur_rels
             if cur_rels is not None
@@ -2502,7 +2522,7 @@ def merge_semantic_batch(
             store.join(geo.select("id"), "id", "left_semi").select(
                 "id", "v", "cell", "rd1", "rd2"
             )
-        )
+        ).persist()  # referenced by both pair branches + the probes
     else:
         new = geo
         eff = geo
@@ -2641,6 +2661,7 @@ def merge_semantic_batch(
     if store is not None:
         store.unpersist()
         new.unpersist()
+        eff.unpersist()
     geo.unpersist()
 
 
@@ -2683,9 +2704,13 @@ def streaming_semantic_dedup(
     ).collect()
     cents_rows = [(int(r["c"]), list(r["v"])) for r in meta]
     dim = len(cents_rows[0][1]) if cents_rows else 1
+    # NOT persisted: the table is a pure literal plan (no inputs) whose
+    # per-batch re-evaluation is k rows of constant math — a persist
+    # here would outlive the query and leak one cached table per
+    # started stream (code-review r10)
     pivots = _cell_pivots_rows(
         spark, sorted(c for c, _ in cents_rows), dim
-    ).persist()
+    )
     return (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

@@ -524,3 +524,55 @@ def test_jpeg_native_probe_rejects_inexact_decoder(monkeypatch):
     assert calls  # the native path actually decoded
 
     jpeg._NATIVE_DECODER = False  # leave no probe state for other tests
+
+
+def test_jpeg_native_dispatch_respects_pure_scope(monkeypatch):
+    """Out-of-scope streams (e.g. progressive SOF2) must NEVER reach an
+    adopted native decoder — even one that happily 'decodes' anything —
+    so behavior is identical on hosts with and without the library:
+    the pure path's ValueError, everywhere."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from dogsheep_beta_spark.functions import jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    good = jpeg.encode_jpeg_gray(16, 8, img)
+    # flip baseline SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = good.index(b"\xff\xc0")
+    progressive = good[:i] + b"\xff\xc2" + good[i + 2 :]
+
+    # fake native that returns garbage for ANYTHING without raising
+    mod = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    class _Im:
+        def __init__(self, data):
+            # exact on the probe image, garbage otherwise
+            try:
+                w, h, px = jpeg.decode_jpeg_gray(bytes(data))
+                self.size, self._px = (w, h), px
+            except ValueError:
+                self.size, self._px = (1, 1), b"\x00"
+            self.mode = "L"
+
+        def tobytes(self):
+            return self._px
+
+    image_mod.open = lambda fh: _Im(fh.read())
+    mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    jpeg._NATIVE_DECODER = False
+    # native adopted (probe passes), in-scope stream decodes identically
+    assert jpeg.decode_jpeg_gray_fast(good) == jpeg.decode_jpeg_gray(good)
+    assert jpeg._NATIVE_DECODER is not None
+    # out-of-scope stream: the scope gate must route to the pure path,
+    # which raises — NOT the garbage-returning native
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray_fast(progressive)
+    jpeg._NATIVE_DECODER = False

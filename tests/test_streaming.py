@@ -2460,3 +2460,115 @@ def test_crash_injection_ivf_compaction(spark, tmpdir, crash_injector):
         append(layout, range(10, 18), 1)
         got = snapshot(layout)
         assert got == want, f"compaction crash at event {fp}/{n_events}"
+
+
+def test_ivf_commit_tokens_are_checkpoint_namespaced(spark, tmpdir):
+    """Two writers sharing one layout (or a restarted stream with a
+    fresh checkpoint) reuse the same Spark batch ids — their commits
+    must NOT be misread as each other's replays (code-review r10: a
+    bare 'batch:0' token silently dropped the second writer's data)."""
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+    layout = os.path.join(tmpdir, "shared_cells")
+
+    def append(ids, token):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(bdf, cents, layout, commit_token=token)
+
+    append(range(0, 4), "aaaa:batch:0")   # writer A, batch 0
+    append(range(10, 14), "bbbb:batch:0")  # writer B, SAME batch id
+    append(range(10, 14), "bbbb:batch:0")  # B's replay: dropped
+    got = sorted(
+        r["vec_id"]
+        for r in inc.read_layout(spark, layout).select("vec_id").collect()
+    )
+    assert got == [0, 1, 2, 3, 10, 11, 12, 13]
+
+
+def test_crash_injection_append_onto_dangling_manifest(
+    spark, tmpdir, crash_injector
+):
+    """The reconciled-fallback persistence (code-review r10): start
+    from a DANGLING manifest (one naming relpaths the live dir no
+    longer holds — what a crashed publish leaves), then crash an
+    append at EVERY boundary and replay it.  Without persisting the
+    reconciled listing before the file moves, the replay's fallback
+    adopted the crashed attempt's orphans and every vector of the
+    batch read twice."""
+    import json
+    import shutil
+
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+
+    def append(layout, ids, tok):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(bdf, cents, layout, commit_token=tok)
+
+    def make_dangling(layout):
+        """Commit batch A, then rewrite the manifest's relpaths to
+        names that don't exist in the live dir — the post-cutover /
+        pre-manifest crash state of a publisher."""
+        append(layout, range(0, 4), "ns:batch:0")
+        p = inc._manifest_path(layout)
+        entry = json.load(open(p))
+        entry["files"] = [
+            os.path.join(os.path.dirname(r), "gone-" + os.path.basename(r))
+            for r in entry["files"]
+        ]
+        with open(p, "w") as fh:
+            json.dump(entry, fh)
+
+    # reference: dangling state + clean append
+    ref = os.path.join(tmpdir, "dang_ref", "cells")
+    make_dangling(ref)
+    append(ref, range(10, 14), "ns:batch:1")
+    want = sorted(
+        r["vec_id"]
+        for r in inc.read_layout(spark, ref).select("vec_id").collect()
+    )
+    assert want == [0, 1, 2, 3, 10, 11, 12, 13]
+
+    # count events of the append from the dangling state
+    cnt = os.path.join(tmpdir, "dang_cnt", "cells")
+    make_dangling(cnt)
+    crash_injector.arm(os.path.dirname(cnt))
+    append(cnt, range(10, 14), "ns:batch:1")
+    n_events = crash_injector.events
+    crash_injector.disarm()
+    assert n_events >= 2
+
+    for fp in range(n_events):
+        root = os.path.join(tmpdir, f"dang_fp{fp}")
+        shutil.rmtree(root, ignore_errors=True)
+        layout = os.path.join(root, "cells")
+        make_dangling(layout)
+        crash_injector.arm(root, fail_event=fp)
+        with pytest.raises(_InjectedCrash):
+            append(layout, range(10, 14), "ns:batch:1")
+        crash_injector.disarm()
+        append(layout, range(10, 14), "ns:batch:1")  # replay
+        got = sorted(
+            r["vec_id"]
+            for r in inc.read_layout(spark, layout)
+            .select("vec_id").collect()
+        )
+        assert got == want, f"dangling-append crash at event {fp}/{n_events}"
