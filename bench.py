@@ -80,6 +80,44 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # --- RSS attribution (r11 — VERDICT r10 #5) -----------------------
+    # peak_driver_rss_mb (ru_maxrss) is a single opaque peak of the
+    # PYTHON driver process; these samples break it into phases so the
+    # number can be OWNED: current VmRSS of this process after each
+    # bench phase and each query family, plus the py4j JVM child's RSS
+    # (a separate process, NOT included in ru_maxrss) for completeness.
+    def rss_now_mb() -> float:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+        return -1.0
+
+    def jvm_rss_mb() -> float:
+        """Summed RSS of direct java children (the py4j-launched JVM)."""
+        me = str(os.getpid())
+        total = 0.0
+        try:
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/stat") as fh:
+                        parts = fh.read().split()
+                    if parts[3] != me or "java" not in parts[1]:
+                        continue
+                    with open(f"/proc/{pid}/status") as fh:
+                        for line in fh:
+                            if line.startswith("VmRSS:"):
+                                total += int(line.split()[1]) / 1024.0
+                except OSError:
+                    continue
+        except OSError:
+            return -1.0
+        return round(total, 1)
+
+    rss_series: list[list] = [["session_start", rss_now_mb()]]
+
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
 
@@ -117,6 +155,7 @@ def main() -> None:
         except Exception as e:
             builds[label] = -1.0
             print(f"# bench error in {label}: {e}", file=sys.stderr)
+    rss_series.append(["builds_done", rss_now_mb()])
 
     ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
@@ -141,7 +180,12 @@ def main() -> None:
     sentinels_after: dict[str, float] = {}
     cold_total = 0.0
     last_sent = round(sentinel(), 4)
+    last_family = None
     for name, fn in entry.queries().items():
+        family = name.split("_", 1)[0]
+        if last_family is not None and family != last_family:
+            rss_series.append([f"after_{last_family}", rss_now_mb()])
+        last_family = family
         sentinels[name] = last_sent
         runs = []
         try:
@@ -156,6 +200,9 @@ def main() -> None:
             print(f"# bench error in {name}: {e}", file=sys.stderr)
         last_sent = round(sentinel(), 4)
         sentinels_after[name] = last_sent
+    if last_family is not None:
+        rss_series.append([f"after_{last_family}", rss_now_mb()])
+    rss_series.append(["queries_done", rss_now_mb()])
 
     all_sent = list(sentinels.values()) + [last_sent]
     floor = min(all_sent) if all_sent else 0.0
@@ -285,6 +332,7 @@ def main() -> None:
                 print(f"# bench duckdb error in {name}: {e}", file=sys.stderr)
     except Exception as e:
         print(f"# bench duckdb setup failed: {e}", file=sys.stderr)
+    rss_series.append(["duckdb_done", rss_now_mb()])
 
     # the headline prices QUERIES ONLY — builds are one-time layout
     # costs amortized over a query lifetime and get their own entry
@@ -328,6 +376,11 @@ def main() -> None:
             / 1024.0,
             1,
         ),
+        # attribution (r11): current Python-process RSS at run end and
+        # the py4j JVM child's RSS (separate process, NOT in the peak
+        # above); the per-phase series rides in the full line.
+        "python_rss_end_mb": rss_now_mb(),
+        "jvm_rss_mb": jvm_rss_mb(),
         "sf": sf,
     }
     # Truncation-proofing (VERDICT r7 #6): the driver records only a
@@ -353,6 +406,7 @@ def main() -> None:
                 "requeued": requeued,
                 "sentinels": sentinels,
                 "sentinels_after": sentinels_after,
+                "rss_series_mb": rss_series,
             }
         )
     )

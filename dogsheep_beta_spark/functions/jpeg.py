@@ -413,19 +413,34 @@ def _probe_native_decoder():
             return False
         pos = 2
         dht_classes: list[int] = []
+        sof_seen = False
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return False
             marker = data[pos + 1]
             if marker == 0xDA:  # SOS — header scan complete
-                return dht_classes.count(0) <= 1 and dht_classes.count(1) <= 1
+                return (
+                    sof_seen
+                    and dht_classes.count(0) <= 1
+                    and dht_classes.count(1) <= 1
+                )
             (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
             body = data[pos + 4 : pos + 2 + ln]
             if marker == 0xC0:  # baseline SOF
-                if not body or body[5] != 1:  # components != 1
+                # mirror the pure decoder exactly: single component AND
+                # 1x1 sampling (body[7] == 0x11 raises otherwise,
+                # _decode_jpeg_gray above) — ADVICE r10
+                if len(body) < 9 or body[5] != 1 or body[7] != 0x11:
                     return False
+                sof_seen = True
             elif marker in range(0xC1, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
                 return False  # progressive/extended/lossless SOF
+            elif marker == 0xDB:  # DQT: pure decoder rejects 16-bit (pq != 0)
+                b = body
+                while b:
+                    if (b[0] >> 4) != 0:
+                        return False
+                    b = b[65:]
             elif marker == 0xDD:  # DRI
                 if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
                     return False

@@ -22,11 +22,14 @@ over the postings index:
     OR            → union distinct
     a NOT b       → left_anti join
 
-Grammar (FTS5 subset; operators must be uppercase, like FTS5):
+Grammar (FTS5 subset; operators must be uppercase, like FTS5; pinned
+against real FTS5 by the r11 grammar-random differential fuzz):
     query   := or_expr
     or_expr := and_expr ('OR' and_expr)*
-    and_expr:= not_expr (('AND')? not_expr)*
-    not_expr:= primary ('NOT' primary)*
+    and_expr:= not_expr ('AND' not_expr)*
+    not_expr:= juxta ('NOT' juxta)*
+    juxta   := primary primary*        -- implicit AND, binds TIGHTEST;
+                                          only joins non-paren primaries
     primary := '(' query ')' | colspec primary | 'NEAR' '(' phrase+ [',' N] ')'
              | '"' ... '"' ['*'] | ['^'] word ['*']
     colspec := ['-'] (word | '{' word+ '}') ':'
@@ -196,6 +199,7 @@ class _Parser:
         self.pos = 0
         self.analyze = analyze  # str -> list[str] (tokenize + optional stem)
         self.columns = tuple(columns)  # indexed columns (colspec targets)
+        self.last_primary_paren = False  # see and_expr / primary
 
     def peek(self):
         return self.toks[self.pos][0] if self.pos < len(self.toks) else None
@@ -223,17 +227,63 @@ class _Parser:
 
     def and_expr(self):
         items = [self.not_expr()]
-        while self.peek() in ("AND", "LP", "WORD", "QUOTED", "CARET", "LBRACE", "MINUS"):
-            if self.peek() == "AND":
-                self.take()
+        while self.peek() == "AND":
+            self.take()
             items.append(self.not_expr())
         return items[0] if len(items) == 1 else And(items)
 
+    def juxta(self):
+        """Implicit-AND chain (juxtaposition).  Two FTS5 rules the r11
+        grammar differential forced, both verified against FTS5 itself:
+
+        - juxtaposition binds TIGHTER than NOT/AND/OR — ``a NOT b c``
+          is ``a NOT (b AND c)`` (the old parser's
+          ``(a NOT b) AND c`` diverged on any doc with a and b but
+          not c);
+        - it only joins cnearsets (phrases / NEAR groups, optionally
+          column-filtered): a parenthesized expression on EITHER side
+          must be joined explicitly — ``(a) b``, ``b (a)``,
+          ``title:(a) b`` are syntax errors while ``NEAR(a b) c`` is
+          fine."""
+        items = [self.primary()]
+        while self.peek() in ("LP", "WORD", "QUOTED", "CARET", "LBRACE", "MINUS"):
+            if self.last_primary_paren or self._implicit_operand_is_paren():
+                raise ParseError(
+                    "parenthesized expressions must be joined with "
+                    "AND/OR/NOT"
+                )
+            items.append(self.primary())
+        return items[0] if len(items) == 1 else And(items)
+
+    def _implicit_operand_is_paren(self) -> bool:
+        """True iff the tokens at the cursor begin a parenthesized
+        expression (optionally behind a column filter) — the operand
+        shape juxtaposition cannot precede.  NEAR(…) is a WORD + LP
+        and correctly classifies False."""
+        toks, i = self.toks, self.pos
+
+        def at(j):
+            return toks[j][0] if j < len(toks) else None
+
+        if at(i) == "MINUS":
+            i += 1
+        if at(i) == "WORD" and at(i + 1) == "COLON":
+            i += 2
+        elif at(i) == "LBRACE":
+            j = i + 1
+            while at(j) == "WORD":
+                j += 1
+            if at(j) == "RBRACE" and at(j + 1) == "COLON":
+                i = j + 2
+            else:
+                return False
+        return at(i) == "LP"
+
     def not_expr(self):
-        node = self.primary()
+        node = self.juxta()
         while self.peek() == "NOT":
             self.take()
-            node = Not(node, self.primary())
+            node = Not(node, self.juxta())
         return node
 
     def _colset(self) -> tuple[str, ...]:
@@ -268,20 +318,30 @@ class _Parser:
 
     def primary(self):
         kind = self.peek()
+        # juxtaposition legality (see and_expr): a primary is "paren"
+        # if its OUTERMOST shape is (…) — directly or behind a column
+        # filter, whose branches recurse and inherit the inner flag.
+        # Every non-paren branch leaves the False set here.
+        self.last_primary_paren = False
         if kind == "LP":
             self.take()
             node = self.or_expr()
             if self.peek() != "RP":
                 raise ParseError("expected )")
             self.take()
+            self.last_primary_paren = True
             return node
         if kind == "MINUS":
-            # -col: / -{...}: — all indexed columns EXCEPT the named ones
+            # -col: / -{...}: — all indexed columns EXCEPT the named
+            # ones.  Excluding EVERY column is valid FTS5 (not a syntax
+            # error): the phrase simply can never match — found by the
+            # r11 grammar differential (`-{title search_1}:x` returns
+            # empty from FTS5; raising here routed it to the escape
+            # fallback, which would have MATCHED the tokens instead).
+            # The compiler maps fields=() to limit(0).
             self.take()
             named = self._colset()
             fields = tuple(c for c in self.columns if c not in named)
-            if not fields:
-                raise ParseError("column filter excludes every column")
             node = self.primary()
             _restrict_fields(node, fields)
             return node

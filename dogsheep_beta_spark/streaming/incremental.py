@@ -11,6 +11,22 @@ tests/test_streaming.py).
 
 Also provides watermarked tumbling-window facet counts over the raw
 event stream — the streaming analog of the date facet (D3).
+
+Deployment note (r11 — VERDICT r10 #1): the commit machinery in this
+module — the symlink-pointer generation swap (`_publish_dir`), the
+manifest lock (`os.open(O_EXCL)`), snapshot pins, and the staged
+file-move commit (`commit_appended_files`) — assumes the layout root
+lives on ONE POSIX filesystem visible to the committing process:
+commits are DRIVER-side (foreachBatch bodies run on the driver;
+executors only write task files via Spark's own committer), so the
+protocol is exactly "single-host commit over a shared filesystem",
+the NFS/local-SSD deployment.  This holds under a real executor
+boundary (`local-cluster` — validated by the r11 cluster gate) and on
+any cluster whose driver mounts the layout (NFS, Lustre, EFS).  An
+object store (S3/GCS) has no atomic rename or symlink; deploying
+there means swapping this layer for a transactional table format
+(Delta/Iceberg) whose log-based commit is the moral equivalent —
+the read/merge plans above it are unchanged.
 """
 
 from __future__ import annotations
@@ -890,6 +906,23 @@ def merge_ivf_batch(
     commit_appended_files(base, staging, token=commit_token)
 
 
+def checkpoint_namespace(checkpoint_dir: str) -> str:
+    """Stable 8-hex namespace for a checkpoint's commit tokens.
+
+    Normalizes the path (absolute, trailing slash stripped) before
+    hashing so the SAME checkpoint restarted under a different
+    spelling — relative vs absolute, ``ckpt/`` vs ``ckpt`` — keeps its
+    namespace and replayed batches are still recognized by the
+    manifest's recorded tokens instead of double-appending (ADVICE
+    r10)."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).rstrip("/").encode()
+    ).hexdigest()[:8]
+
+
 def streaming_ivf_upsert(
     stream_df: DataFrame,
     cents: DataFrame,
@@ -908,10 +941,12 @@ def streaming_ivf_upsert(
     as a replay and silently dropped.  Hashing the checkpoint path
     keeps replay detection across restarts of the SAME checkpoint
     (Spark's batch ids are stable there) while separating every other
-    writer."""
-    import hashlib
-
-    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    writer.  The path is normalized (absolute, no trailing slash)
+    before hashing so restarting the same checkpoint under a different
+    spelling — relative vs absolute, ``ckpt/`` vs ``ckpt`` — stays in
+    the same namespace instead of double-appending the replayed batch
+    (ADVICE r10)."""
+    ns = checkpoint_namespace(checkpoint_dir)
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -2680,7 +2715,7 @@ def streaming_semantic_dedup(
     stream_df: DataFrame,
     root_path: str,
     checkpoint_dir: str,
-    cents: DataFrame,
+    cents: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.95,
@@ -2699,6 +2734,17 @@ def streaming_semantic_dedup(
     pays the driver round-trip or the 2·k·dim-literal plan build
     (r10 — see ``merge_semantic_batch``)."""
     spark = SparkSession.getActiveSession()
+    if cents is None:
+        # layout-owned centroid table (r11): every stream RUN derives
+        # its cell universe from the layout at start, which is what
+        # lets `split_semantic_cell` refine cells between runs without
+        # coordinating with any caller-held centroid copy
+        cents = read_semantic_cents(spark, root_path)
+        if cents is None:
+            raise ValueError(
+                f"no cents passed and none persisted under {root_path}"
+                "/cents — persist_semantic_cents first"
+            )
     meta = cents.select(
         F.col("cell").cast("int").alias("c"), F.col("centroid").alias("v")
     ).collect()
@@ -2723,6 +2769,341 @@ def streaming_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic store maintenance — occupancy-bounding cell splits (r11)
+# ---------------------------------------------------------------------------
+#
+# VERDICT r10 #2: under FIXED centroids a hot cell's occupancy grows
+# without bound and SemDeDup's within-cell comparison volume grows
+# with it (the pivot-band prune is lossless, so true duplicate mass
+# in one cell is irreducible work).  The documented remedy — "k ~
+# sqrt(n) or periodic re-clustering" (BASELINE.md registry row 3) —
+# is implemented here as an OFFLINE maintenance op with the same
+# publish discipline as the IVF compactor: versioned symlink cutover
+# per partition (_publish_partitions, pin-aware retention), a single
+# atomic commit point (the cents pointer swap), and idempotent
+# replay from any crash boundary (swept by the crash injector).
+#
+# Semantics: SemDeDup's dedup scope IS the cluster (Abbas et al.) —
+# a split REFINES the clustering, so matches already emitted are
+# kept (the match store is append-only and read-side deduped), and
+# FUTURE arrivals are compared within the refined sub-cell only.
+# Pairs among already-stored rows were emitted at their arrival
+# batches, so a split never loses an emitted match; it narrows only
+# the candidacy of future arrivals, exactly as re-clustering does in
+# the batch algorithm.
+#
+# Cadence contract: run between stream runs (the availableNow
+# trigger's natural maintenance window) — the op takes the store's
+# commit lock against concurrent MAINTENANCE, but a concurrently
+# RUNNING stream closed over the pre-split centroid table and would
+# keep appending into the retired cell.  `streaming_semantic_dedup`
+# re-derives the table from the layout at every start, so the next
+# run picks the refined cells up automatically.
+
+
+def persist_semantic_cents(
+    spark: SparkSession, root_path: str, cents: DataFrame
+) -> None:
+    """Publish the centroid table under ``root_path/cents`` with the
+    atomic symlink cutover — the layout-owned copy every stream run
+    and maintenance op reads, so there is exactly one source of truth
+    for the cell universe."""
+    import os
+
+    _atomic_swap_write(
+        cents.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        ),
+        os.path.join(root_path, "cents"),
+    )
+
+
+def read_semantic_cents(
+    spark: SparkSession, root_path: str
+) -> DataFrame | None:
+    """The layout-owned centroid table, or None before first persist."""
+    import os
+
+    p = os.path.join(root_path, "cents")
+    if not os.path.exists(p):
+        return None
+    return spark.read.schema("cell int, centroid array<double>").parquet(p)
+
+
+def semantic_cell_occupancy(
+    spark: SparkSession, root_path: str
+) -> DataFrame:
+    """(cell, n) over the semantic store — the signal that drives
+    `maintain_semantic_store`.  Column-pruned count scan (ids only)."""
+    import os
+
+    store = os.path.join(root_path, "store")
+    return (
+        spark.read.schema(
+            "id bigint, v array<double>, rd1 double, rd2 double, "
+            "b1 int, b2 int, cell int"
+        )
+        .parquet(store)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _remove_partition_dir(live_dir: str, name: str) -> None:
+    """Remove a (possibly symlink-published) ``cell=N`` partition: the
+    pointer/dir itself plus any hidden version dirs and transient
+    pointers `_publish_dir(hidden=True)` created for it."""
+    import os
+    import re
+    import shutil
+
+    p = os.path.join(live_dir, name)
+    if os.path.islink(p):
+        os.unlink(p)
+    else:
+        shutil.rmtree(p, ignore_errors=True)
+    gen = os.path.join(live_dir, ".__gen__")
+    if os.path.isdir(gen):
+        pat = re.compile(re.escape(name) + r"\.__v\d+__$")
+        for e in os.listdir(gen):
+            if pat.match(e):
+                shutil.rmtree(os.path.join(gen, e), ignore_errors=True)
+    ptr = os.path.join(live_dir, f".{name}.__ptr__")
+    if os.path.lexists(ptr):
+        os.remove(ptr)
+
+
+def vacuum_semantic_store(spark: SparkSession, root_path: str) -> list[str]:
+    """Remove store partitions whose cell is absent from the CURRENT
+    centroid table — the garbage a committed-but-interrupted split
+    leaves (its cleanup step), or any retired cell.  Returns the
+    removed partition names.  Requires a persisted cents table (the
+    cell universe must be layout-owned to know what is garbage)."""
+    import os
+
+    cents = read_semantic_cents(spark, root_path)
+    if cents is None:
+        raise ValueError(
+            f"no persisted centroid table under {root_path}/cents — "
+            "persist_semantic_cents first"
+        )
+    live = {int(r["cell"]) for r in cents.select("cell").collect()}
+    store = os.path.join(root_path, "store")
+    removed: list[str] = []
+    if not os.path.isdir(store):
+        return removed
+    for e in sorted(os.listdir(store)):
+        if not e.startswith("cell="):
+            continue
+        try:
+            c = int(e[len("cell="):])
+        except ValueError:
+            continue
+        if c not in live:
+            _remove_partition_dir(store, e)
+            removed.append(e)
+    return removed
+
+
+def split_semantic_cell(
+    spark: SparkSession,
+    root_path: str,
+    cell: int,
+    k: int = 2,
+    iters: int = 2,
+    tau: float = 0.95,
+) -> list[int]:
+    """Split one hot cell of the streamed semantic store into ``k``
+    sub-cells (local Lloyd's over the cell's own vectors), re-homing
+    its stored rows with pivot distances/bands recomputed against the
+    sub-cells' own fixed pivots, and commit the refined centroid
+    table.  Returns the new cell ids.
+
+    Crash-safe protocol (every boundary swept by the injector):
+
+    1. stage the re-homed rows (`mode=overwrite` — a replay clobbers
+       any partial);
+    2. write the split marker (write-aside + atomic rename) recording
+       the new ids, so a post-commit crash can finish cleanup and
+       still report them;
+    3. publish the new ``cell=…`` partitions with the per-partition
+       atomic symlink cutover (`_publish_partitions` — pin-aware, the
+       IVF compactor's discipline);
+    4. COMMIT = atomic swap of ``root/cents`` (old cell out, k new
+       ids in).  Everything before this point is invisible (the new
+       ids are in no centroid table, and scoped reads open only
+       listed cells) and deterministic (new ids derive from the
+       PRE-commit cents, k-means is seeded by md5 order), so a replay
+       from any earlier crash recomputes byte-identical state;
+    5. cleanup: drop the retired partition + staging + marker — all
+       garbage-collectable by replay (marker present, cell absent
+       from cents) or by `vacuum_semantic_store`.
+
+    ``tau`` must be the store's own tau (bands are a pure function of
+    it — same contract as `merge_semantic_batch`)."""
+    import json
+    import os
+    import shutil
+
+    from dogsheep_beta_spark.operators.similarity import (
+        kmeans_cells,
+        voronoi_assign,
+    )
+
+    store = os.path.join(root_path, "store")
+    stage = os.path.join(root_path, ".__splitstage__")
+    marker = os.path.join(root_path, f".__split_{int(cell)}__.json")
+    _, q = _sem_thresh_q(tau)
+
+    with _manifest_lock(store):
+        cents = read_semantic_cents(spark, root_path)
+        if cents is None:
+            raise ValueError(
+                f"no persisted centroid table under {root_path}/cents — "
+                "persist_semantic_cents first"
+            )
+        live = sorted(
+            int(r["cell"]) for r in cents.select("cell").collect()
+        )
+        if int(cell) not in live:
+            # committed-but-interrupted replay: finish cleanup
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    new_ids = [int(x) for x in json.load(fh)["new"]]
+                _remove_partition_dir(store, f"cell={int(cell)}")
+                shutil.rmtree(stage, ignore_errors=True)
+                os.remove(marker)
+                return new_ids
+            raise ValueError(
+                f"cell {cell} not in the centroid table at {root_path}"
+            )
+
+        rows = _read_partitioned(
+            spark,
+            store,
+            [str(int(cell))],
+            col="cell",
+            schema=(
+                "id bigint, v array<double>, rd1 double, rd2 double, "
+                "b1 int, b2 int, cell int"
+            ),
+        )
+        if rows is None:
+            raise ValueError(f"cell {cell} has no stored vectors to split")
+        rows = rows.select("id", "v").persist()
+
+        # local k-means over the cell (md5-seeded, deterministic);
+        # sub-cells relabel onto fresh GLOBAL ids so their fixed
+        # pivots (md5 of the cell id) can never collide with any
+        # cell's history
+        _, sub = kmeans_cells(rows, "id", "v", k, iters)
+        base_id = max(live) + 1
+        new_ids = [base_id + j for j in range(k)]
+        sub = sub.select(
+            (F.col("cell") + F.lit(base_id)).cast("int").alias("cell"),
+            "centroid",
+        ).persist()
+        n_sub = sub.count()  # materialize before any store mutation
+        if n_sub < k:
+            # degenerate cell (fewer distinct seeds than k): keep ids
+            # dense by re-deriving from what k-means actually produced
+            new_ids = [
+                int(r["cell"]) for r in sub.select("cell").collect()
+            ]
+
+        meta = cents.select(F.size("centroid").alias("d")).first()
+        dim = int(meta["d"]) if meta else 1
+        pivots = _cell_pivots_rows(spark, new_ids, dim)
+        rehomed = (
+            voronoi_assign(rows, "id", "v", sub)
+            .select("id", "v", F.col("cell").cast("int").alias("cell"))
+            .join(F.broadcast(pivots), "cell", "left")
+            .withColumn("un", _unit_expr(F.col("v")))
+            .select(
+                "id",
+                "v",
+                F.when(
+                    F.col("un").isNotNull(),
+                    _eucl_expr(F.col("un"), F.col("pv1")),
+                ).alias("rd1"),
+                F.when(
+                    F.col("un").isNotNull(),
+                    _eucl_expr(F.col("un"), F.col("pv2")),
+                ).alias("rd2"),
+                "cell",
+            )
+            .select(
+                "id",
+                "v",
+                "rd1",
+                "rd2",
+                F.coalesce(
+                    F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
+                ).alias("b1"),
+                F.coalesce(
+                    F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
+                ).alias("b2"),
+                "cell",
+            )
+        )
+
+        shutil.rmtree(stage, ignore_errors=True)
+        rehomed.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(stage)
+
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            json.dump({"old": int(cell), "new": new_ids}, fh)
+        os.replace(tmp_marker, marker)
+
+        _publish_partitions(stage, store, col="cell")
+
+        new_cents = cents.where(
+            F.col("cell") != F.lit(int(cell))
+        ).unionByName(sub)
+        # COMMIT: atomic pointer swap of the layout-owned cents
+        persist_semantic_cents(spark, root_path, new_cents)
+
+        # cleanup (replay-safe: marker + vacuum recover from any crash
+        # past the commit)
+        _remove_partition_dir(store, f"cell={int(cell)}")
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        rows.unpersist()
+        sub.unpersist()
+    return new_ids
+
+
+def maintain_semantic_store(
+    spark: SparkSession,
+    root_path: str,
+    max_cell_rows: int,
+    k: int = 2,
+    iters: int = 2,
+    tau: float = 0.95,
+) -> dict[int, list[int]]:
+    """Occupancy-driven maintenance: split every cell whose stored
+    row count exceeds ``max_cell_rows`` (one pass — sub-cells of this
+    pass are re-examined on the NEXT pass, keeping each maintenance
+    window bounded).  Returns {old_cell: [new ids]}."""
+    hot = [
+        int(r["cell"])
+        for r in semantic_cell_occupancy(spark, root_path)
+        .where(F.col("n") > max_cell_rows)
+        .collect()
+    ]
+    return {
+        c: split_semantic_cell(spark, root_path, c, k, iters, tau)
+        for c in sorted(hot)
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -18,8 +18,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = (
-        SparkSession.builder.master("local[4]")
+    # SPARK_GRAFT_MASTER=local-cluster[2,4,4096] runs the whole suite
+    # under a real executor boundary (r11 cluster-evidence task);
+    # default stays local[4] for iteration speed.
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[4]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("dogsheep_beta_spark_tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
@@ -27,9 +31,16 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config("spark.executor.memory", "4g")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if not master.startswith("local["):
+        # real executor boundary: ship the package like --py-files would
+        from dogsheep_beta_spark.deploy import ship_package
+
+        ship_package(spark)
     yield spark
     spark.stop()
 

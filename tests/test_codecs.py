@@ -576,3 +576,69 @@ def test_jpeg_native_dispatch_respects_pure_scope(monkeypatch):
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray_fast(progressive)
     jpeg._NATIVE_DECODER = False
+
+
+def test_jpeg_scope_gate_rejects_16bit_dqt_and_subsampling(monkeypatch):
+    """ADVICE r10: the scope gate must mirror TWO more of the pure
+    decoder's rejections — 16-bit DQT precision (pq != 0) and SOF0
+    sampling factor != 1x1.  A stream with either feature must route
+    to the pure path (ValueError everywhere), never to an adopted
+    native decoder that would happily decode it on PIL hosts only."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from dogsheep_beta_spark.functions import jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    good = jpeg.encode_jpeg_gray(16, 8, img)
+
+    # (a) DQT with 16-bit precision: set the pq nibble of the first
+    # quant table.  (Length stays 65 — the POINT is the gate must look
+    # at the precision nibble, not the segment length.)
+    i = good.index(b"\xff\xdb")
+    dqt16 = bytearray(good)
+    dqt16[i + 4] |= 0x10  # body[0] pq<<4 | tq
+    dqt16 = bytes(dqt16)
+
+    # (b) SOF0 with 2x2 subsampling: body[7] is the per-component
+    # sampling byte (prec 1 + h 2 + w 2 + ncomp 1 + comp-id 1 → idx 7).
+    j = good.index(b"\xff\xc0")
+    sub22 = bytearray(good)
+    sub22[j + 4 + 7] = 0x22
+    sub22 = bytes(sub22)
+
+    for bad in (dqt16, sub22):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg_gray(bad)  # pure decoder rejects both
+
+    # adopt a garbage-returning fake native (exact only on the probe)
+    mod = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    class _Im:
+        def __init__(self, data):
+            try:
+                w, h, px = jpeg.decode_jpeg_gray(bytes(data))
+                self.size, self._px = (w, h), px
+            except ValueError:
+                self.size, self._px = (1, 1), b"\x00"
+            self.mode = "L"
+
+        def tobytes(self):
+            return self._px
+
+    image_mod.open = lambda fh: _Im(fh.read())
+    mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    jpeg._NATIVE_DECODER = False
+    assert jpeg.decode_jpeg_gray_fast(good) == jpeg.decode_jpeg_gray(good)
+    assert jpeg._NATIVE_DECODER is not None  # native adopted
+    for bad in (dqt16, sub22):
+        with pytest.raises(ValueError):  # gate → pure path → raise
+            jpeg.decode_jpeg_gray_fast(bad)
+    jpeg._NATIVE_DECODER = False

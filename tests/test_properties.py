@@ -888,3 +888,384 @@ def test_waterfill_closed_form_matches_pouring(toks, budget):
     assert all(0 <= closed[g] <= toks[g] for g in toks)
     # the closed form IS the unit-pouring fixpoint
     assert closed == poured
+
+
+# ---------------------------------------------------------------------------
+# grammar-random MATCH differential vs REAL SQLite FTS5 (r11 — VERDICT
+# r10 #4): the fixed-query fuzz above checks 12 shapes against a Python
+# evaluator, which is self-referential for planner semantics.  Here the
+# full grammar — AND/OR/NOT precedence, implicit AND, phrase, prefix,
+# phrase-prefix, ^, colspec (incl. negated and braced), NEAR with
+# distances, parens — is sampled at random and every query's doc-set is
+# compared against an in-memory FTS5 table over the same corpus and the
+# same tokenizer (unicode61, whose token-level parity is pinned by the
+# hypothesis fuzz above).  Queries are evaluated in UNION batches so
+# >1k differentials cost ~50 Spark collects, not >1k.
+# ---------------------------------------------------------------------------
+
+_MF_VOCAB = [
+    "alpha", "alphabet", "alp", "beta", "betray", "gamma", "gam",
+    "delta", "echo", "foxtrot", "golf", "hotel",
+]
+_MF_COLS = ("title", "search_1")
+
+
+def _mf_word(rng):
+    return rng.choice(_MF_VOCAB)
+
+
+def _mf_phrase(rng):
+    words = [_mf_word(rng) for _ in range(rng.randint(2, 3))]
+    star = "*" if rng.random() < 0.25 else ""
+    return '"' + " ".join(words) + '"' + star
+
+
+def _mf_primary(rng, depth):
+    r = rng.random()
+    if r < 0.30:
+        w = _mf_word(rng)
+        if rng.random() < 0.3:
+            w = w[: rng.randint(2, 3)] + "*"
+        elif rng.random() < 0.15:
+            w = "^" + w
+        return w
+    if r < 0.50:
+        return _mf_phrase(rng)
+    if r < 0.62:
+        n = rng.randint(2, 3)
+        dist = f", {rng.randint(0, 8)}" if rng.random() < 0.7 else ""
+        parts = [
+            _mf_phrase(rng) if rng.random() < 0.5 else _mf_word(rng)
+            for _ in range(n)
+        ]
+        return "NEAR(" + " ".join(parts) + dist + ")"
+    if r < 0.82:
+        neg = "-" if rng.random() < 0.3 else ""
+        if rng.random() < 0.4:
+            # a NEGATED colspec naming EVERY indexed column is excluded
+            # from the generator: FTS5 itself mis-evaluates that shape
+            # when the term exists in the index and the filter sits
+            # inside a NOT operand — see
+            # test_match_all_column_excluding_colspec_divergence, which
+            # pins the divergence (we keep true boolean semantics)
+            n_cols = 1 if neg else rng.randint(1, 2)
+            cols = rng.sample(_MF_COLS, n_cols)
+            spec = "{" + " ".join(cols) + "}"
+        else:
+            spec = rng.choice(_MF_COLS)
+        return neg + spec + ":" + (
+            _mf_phrase(rng) if rng.random() < 0.5 else _mf_word(rng)
+        )
+    if depth < 2:
+        return "(" + _mf_query(rng, depth + 1) + ")"
+    return _mf_word(rng)
+
+
+def _mf_query(rng, depth=0):
+    def and_chain():
+        parts = [_mf_primary(rng, depth)]
+        for _ in range(rng.randint(0, 2)):
+            glue = rng.choice([" ", " AND ", " NOT "])
+            parts.append(glue + _mf_primary(rng, depth))
+        return "".join(parts)
+
+    q = and_chain()
+    for _ in range(rng.randint(0, 2)):
+        q += " OR " + and_chain()
+    return q
+
+
+def _mf_corpus_and_fts5(rng):
+    """(rows, con): the shared random corpus + its FTS5 twin."""
+    rows = []
+    for i in range(36):
+        title = " ".join(
+            rng.choices(_MF_VOCAB, k=rng.randint(0, 4))
+        ) or None
+        s1 = " ".join(rng.choices(_MF_VOCAB, k=rng.randint(0, 8))) or None
+        rows.append((f"k{i}", title, s1))
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='unicode61')"
+    )
+    for i, (_k, title, s1) in enumerate(rows):
+        con.execute(
+            "INSERT INTO idx(rowid, title, search_1) VALUES (?,?,?)",
+            (i, title, s1),
+        )
+    return rows, con
+
+
+def _mf_fts5_keys(con, q):
+    try:
+        return {
+            f"k{r[0]}"
+            for r in con.execute(
+                "SELECT rowid FROM idx WHERE idx MATCH ?", (q,)
+            )
+        }
+    except sqlite3.OperationalError:
+        return None  # syntax error
+
+
+def _mf_phrase_starts(ph, toks):
+    """Start positions where the phrase matches a token list."""
+    n = len(ph.tokens)
+    if n == 0 or len(toks) < n:
+        return []
+    starts = [0] if ph.initial else range(len(toks) - n + 1)
+    out = []
+    for i in starts:
+        win = toks[i : i + n]
+        if len(win) < n:
+            continue
+        head_ok = all(a == b for a, b in zip(win[:-1], ph.tokens[:-1]))
+        last_ok = (
+            win[-1].startswith(ph.tokens[-1])
+            if ph.prefix
+            else win[-1] == ph.tokens[-1]
+        )
+        if head_ok and last_ok:
+            out.append(i)
+    return out
+
+
+def _mf_eval(ast, docs):
+    """Full-grammar brute-force evaluator over {key: {field: tokens}} —
+    the semantic SPEC the engine implements (fields filters, ^, NEAR
+    span rule span <= N + T - 1), adjudicated against real FTS5 by the
+    tier-1 differential below."""
+    import itertools
+    from functools import reduce
+
+    from dogsheep_beta_spark.plans import match as M
+
+    if isinstance(ast, M.Phrase):
+        out = set()
+        for key, fl in docs.items():
+            flds = ast.fields if ast.fields is not None else tuple(fl)
+            if any(_mf_phrase_starts(ast, fl.get(f, [])) for f in flds):
+                out.add(key)
+        return out
+    if isinstance(ast, M.Near):
+        T = sum(len(p.tokens) for p in ast.phrases)
+        out = set()
+        for key, fl in docs.items():
+            for f, toks in fl.items():
+                if any(
+                    p.fields is not None and f not in p.fields
+                    for p in ast.phrases
+                ):
+                    continue
+                per = [
+                    (_mf_phrase_starts(p, toks), len(p.tokens))
+                    for p in ast.phrases
+                ]
+                if any(not s for s, _ in per):
+                    continue
+                hit = False
+                for combo in itertools.product(*[s for s, _ in per]):
+                    span = max(
+                        c + l - 1 for c, (_, l) in zip(combo, per)
+                    ) - min(combo)
+                    if span <= ast.n + T - 1:
+                        hit = True
+                        break
+                if hit:
+                    out.add(key)
+                    break
+        return out
+    if isinstance(ast, M.And):
+        return reduce(
+            set.__and__, (_mf_eval(x, docs) for x in ast.items)
+        )
+    if isinstance(ast, M.Or):
+        return reduce(set.__or__, (_mf_eval(x, docs) for x in ast.items))
+    if isinstance(ast, M.Not):
+        return _mf_eval(ast.left, docs) - _mf_eval(ast.right, docs)
+    raise AssertionError(type(ast).__name__)
+
+
+def test_match_grammar_differential_vs_fts5():
+    """Tier 1 (parser + semantics, no Spark): 1500 grammar-random
+    queries — parse-reject agreement with FTS5, and doc-set equality
+    between the brute-force evaluator of OUR AST and real FTS5 over
+    the same corpus/tokenizer.  This adjudicates the grammar (operator
+    precedence, juxtaposition legality, colspec/NEAR/^ semantics)
+    against ground truth; tier 2 below closes the chain by checking
+    the Spark compiler against the same evaluator-adjudicated
+    semantics."""
+    from dogsheep_beta_spark.plans.match import ParseError
+
+    rng = random.Random(20260816)
+    rows, con = _mf_corpus_and_fts5(rng)
+
+    def analyze(s):
+        return analyze_py(s, "unicode61", False)
+
+    docs = {
+        k: {"title": analyze(t or ""), "search_1": analyze(s or "")}
+        for k, t, s in rows
+    }
+    checked = n_reject = 0
+    for _ in range(1500):
+        q = _mf_query(rng)
+        want = _mf_fts5_keys(con, q)
+        try:
+            ast = parse_match(q, analyze, columns=_MF_COLS)
+        except ParseError:
+            ast = None
+        if ast is None or want is None:
+            assert ast is None and want is None, (
+                f"reject divergence on {q!r}: "
+                f"spark_parsed={ast is not None} "
+                f"fts5_parsed={want is not None}"
+            )
+            n_reject += 1
+            continue
+        got = _mf_eval(ast, docs)
+        assert got == want, (
+            f"doc-set divergence on {q!r}: "
+            f"ours={sorted(got)} fts5={sorted(want)}"
+        )
+        checked += 1
+    con.close()
+    assert checked >= 1000, (checked, n_reject)  # generator sanity
+
+
+def _mf_query_short(rng):
+    """Compact query (1-2 operators, shallow) — tier 2 compiles these
+    through the Spark planner, so they stay small enough that >50 of
+    them cost seconds, not minutes, while still crossing every node
+    type."""
+    q = _mf_primary(rng, 2)  # depth 2 → no parens from this level
+    for _ in range(rng.randint(0, 1)):
+        q += rng.choice([" ", " AND ", " OR ", " NOT "]) + _mf_primary(
+            rng, 2
+        )
+    return q
+
+
+def test_match_grammar_compiler_differential_vs_fts5(spark):
+    """Tier 2 (compiler): grammar-random queries through the REAL
+    Spark compile_match, doc-sets vs FTS5 — union-batched so ~60
+    differentials cost a handful of collects."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.plans.match import ParseError
+
+    rng = random.Random(916)
+    rows, con = _mf_corpus_and_fts5(rng)
+
+    def analyze(s):
+        return analyze_py(s, "unicode61", False)
+
+    df = spark.createDataFrame(
+        rows, "key string, title string, search_1 string"
+    )
+    idx = df.select(
+        F.lit("f.db/t").alias("type"),
+        "key",
+        "title",
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(1).alias("category"),
+        F.lit(0).alias("is_public"),
+        "search_1",
+        F.lit(None).cast("string").alias("search_2"),
+        F.lit(None).cast("string").alias("search_3"),
+    )
+    fts = build_fts_index(idx, mode="unicode61", stem=False)
+
+    pending = []
+    while len(pending) < 60:
+        q = _mf_query_short(rng)
+        want = _mf_fts5_keys(con, q)
+        try:
+            ast = parse_match(q, analyze, columns=_MF_COLS)
+        except ParseError:
+            ast = None
+        if ast is None or want is None:
+            assert ast is None and want is None, f"reject divergence {q!r}"
+            continue
+        docset, _hits = compile_match(ast, fts)
+        pending.append((q, docset, want))
+    con.close()
+
+    for lo in range(0, len(pending), 12):
+        chunk = pending[lo : lo + 12]
+        union = None
+        for qid, (_q, ds, _w) in enumerate(chunk):
+            tagged = ds.select(F.lit(qid).alias("qid"), F.col("key"))
+            union = tagged if union is None else union.unionAll(tagged)
+        got = {}
+        for r in union.collect():
+            got.setdefault(r["qid"], set()).add(r["key"])
+        for qid, (q, _ds, want) in enumerate(chunk):
+            assert got.get(qid, set()) == want, (
+                f"doc-set divergence on {q!r}: "
+                f"spark={sorted(got.get(qid, set()))} fts5={sorted(want)}"
+            )
+    fts.release_hit_caches()
+
+
+def test_match_all_column_excluding_colspec_divergence(spark):
+    """Documented divergence (r11, explicit semantic choice): a negated
+    column filter naming EVERY indexed column (`-{title search_1}:t`)
+    can never match, and this engine evaluates it as the empty set in
+    every operator context (fields=() → limit(0) — true boolean
+    semantics).  SQLite FTS5 (3.40.x) agrees standalone and under
+    AND/OR, but when the filtered term EXISTS in the index and the
+    filter sits inside a NOT right-operand, FTS5's iterator ignores
+    the exclusion and the NOT subtracts nothing — minimal 2-row repro
+    pinned below.  We keep boolean semantics rather than replicate the
+    quirk; the grammar fuzz generator therefore never emits a negated
+    all-column filter."""
+    import sqlite3 as sq
+
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.plans.match import compile_match, parse_match
+
+    rows = [
+        ("k18", "golf betray hotel alphabet", "alpha echo gam betray hotel echo"),
+        ("k33", "beta delta", "alphabet"),
+    ]
+    q = "title:golf NOT (alpha OR -{title search_1}:alphabet)"
+
+    con = sq.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='unicode61')"
+    )
+    for i, (_k, t, s) in enumerate(rows):
+        con.execute(
+            "INSERT INTO idx(rowid,title,search_1) VALUES (?,?,?)",
+            (i + 1, t, s),
+        )
+    fts5_got = [r[0] for r in con.execute(
+        "SELECT rowid FROM idx WHERE idx MATCH ?", (q,)
+    )]
+    # FTS5's quirk: row 1 has alpha, so boolean semantics exclude it,
+    # yet FTS5 returns it.  (The quirk is rowid-dependent — the
+    # empty-colset iterator behaves as if pinned at rowid 0, so a
+    # matching doc AT rowid 0 is handled correctly while any other
+    # rowid escapes the NOT.)  If a future SQLite fixes this, this pin
+    # flips and the generator restriction can be lifted.
+    assert fts5_got == [1], fts5_got
+    con.close()
+
+    df = spark.createDataFrame(rows, "key string, title string, search_1 string")
+    idx = df.select(
+        F.lit("f.db/t").alias("type"), "key", "title",
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(1).alias("category"), F.lit(0).alias("is_public"),
+        "search_1",
+        F.lit(None).cast("string").alias("search_2"),
+        F.lit(None).cast("string").alias("search_3"),
+    )
+    fts = build_fts_index(idx, mode="unicode61", stem=False)
+    ast = parse_match(
+        q, lambda s: analyze_py(s, "unicode61", False),
+        columns=("title", "search_1"),
+    )
+    docset, _ = compile_match(ast, fts)
+    assert docset.count() == 0  # true boolean: k18 has alpha → excluded

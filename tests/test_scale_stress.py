@@ -1261,3 +1261,138 @@ def test_scale_adversarial_duplication_chain_10x(spark):
     # constant factor (class-bounded, not replica-bounded)
     assert d10[3] <= max(3 * d10[1], d10[1] + 20), d10
     assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)
+
+
+def test_scale_adversarial_semantic_chain_10x(spark):
+    """VERDICT r10 #3: the composed chain exact-dedup →
+    merge_semantic_batch on a 90%-duplicate embedding stream at 1×/10×
+    — the semantic mirror of the MinHash chain test above.  Semantic
+    blocking is strictly MORE vulnerable to adversarial mass than
+    MinHash (the cell IS the candidate set: replicated vectors land in
+    one cell and pair quadratically at cosine 1.0, with no band index
+    to shed them), so the upstream exact-dedup stage is load-bearing:
+
+    - the duplicate mass never reaches the semantic store (store rows
+      == distinct vectors, EXACTLY, at both tiers) and no cell's
+      occupancy carries replicated mass;
+    - the match table stays bounded by genuine near-duplicates (the
+      planted pair), not inflated by 10-copy cosine-1.0 cliques;
+    - per-batch wall is bounded by distinct content: 10× the stream
+      rows stays within a constant factor of 1×."""
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+    import time
+
+    from dogsheep_beta_spark.streaming.incremental import (
+        merge_semantic_batch,
+        read_semantic_matches,
+        streaming_dedup,
+    )
+
+    dim = 32
+
+    def hvec(tag, seed):
+        comps = []
+        for i in range(dim):
+            d = hashlib.md5(f"{tag}:{seed}:{i}".encode()).digest()
+            u = int.from_bytes(d[:8], "big")
+            comps.append((u % 2_000_001) / 1_000_000.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in comps)) or 1.0
+        return [x / n for x in comps]
+
+    cents = spark.createDataFrame(
+        [(c, hvec("cent", c)) for c in range(4)],
+        "cell int, centroid array<double>",
+    )
+
+    def run_tier(n_unique):
+        pv = hvec("planted", 0)
+        near = [x for x in pv]
+        near[0] += 0.02  # cosine ≈ 0.9998 ≥ tau
+        nn = math.sqrt(sum(x * x for x in near))
+        near = [x / nn for x in near]
+        vecs = [hvec("u", u) for u in range(n_unique - 2)] + [pv, near]
+        rows, vid = [], 0
+        for u, v in enumerate(vecs):
+            copies = 10 if u < len(vecs) - 2 else 1  # planted pair unique
+            for _ in range(copies):
+                rows.append((vid, v, "2024-01-01 00:00:00"))
+                vid += 1
+        planted_ids = (rows[-2][0], rows[-1][0])
+        work = tempfile.mkdtemp(prefix="dbs_advsem_", dir="/tmp")
+        src = os.path.join(work, "src")
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, ts string"
+        ).selectExpr(
+            "vec_id", "embedding", "CAST(ts AS TIMESTAMP) AS ts"
+        )
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        root = os.path.join(work, "root")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        deduped = streaming_dedup(
+            stream.withColumn(
+                "fp", F.md5(F.col("embedding").cast("string"))
+            ),
+            ["fp"],
+            ts_col="ts",
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(
+                lambda bdf, bid: merge_semantic_batch(
+                    spark, bdf, bid, root, cents, tau=0.9
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.monotonic()
+        q.awaitTermination(600)
+        wall = time.monotonic() - t0
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        store = spark.read.parquet(os.path.join(root, "store"))
+        store_n = store.count()
+        occ = store.groupBy("cell").count().agg(F.max("count")).first()[0]
+        matches = {
+            tuple(sorted((r["a"], r["b"])))
+            for r in read_semantic_matches(spark, root).collect()
+        }
+        shutil.rmtree(work, ignore_errors=True)
+        return durs, wall, store_n, occ, matches, tuple(sorted(planted_ids))
+
+    tiers = {}
+    for tier, n_unique in (("1x", 40), ("10x", 400)):
+        durs, wall, store_n, occ, matches, planted = run_tier(n_unique)
+        # duplicate mass never reached the store: EXACT distinct count
+        assert store_n == n_unique, (tier, store_n)
+        # no cell carries replicated mass: worst occupancy is the
+        # random spread of DISTINCT vectors over 4 cells
+        assert occ <= n_unique, (tier, occ)
+        # the planted near-dup survived the chain; no cosine-1.0
+        # duplicate cliques inflate the match table
+        assert planted in matches, (tier, matches)
+        assert len(matches) <= max(4, n_unique // 10), (tier, len(matches))
+        tiers[tier] = durs
+        print(
+            f"\nSCALE advsem {tier}: walls "
+            + " ".join(f"{t:.1f}s" for t in durs)
+            + f" total={wall:.1f}s store={store_n} occ={occ} "
+            f"matches={len(matches)}"
+        )
+    d1, d10 = tiers["1x"], tiers["10x"]
+    assert len(d1) == 4 and len(d10) == 4, (d1, d10)
+    # bounded growth with history at 10×, and tier-over-tier within a
+    # constant factor (class-bounded, not replica-bounded)
+    assert d10[3] <= max(3 * d10[1], d10[1] + 20), d10
+    assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)

@@ -2572,3 +2572,169 @@ def test_crash_injection_append_onto_dangling_manifest(
             .select("vec_id").collect()
         )
         assert got == want, f"dangling-append crash at event {fp}/{n_events}"
+
+
+def test_checkpoint_namespace_path_spelling_invariant(tmpdir):
+    """ADVICE r10: the commit-token namespace must be invariant to
+    how the checkpoint path is SPELLED — trailing slash, relative vs
+    absolute — or a restart under a different spelling changes the
+    namespace and the replayed batch double-appends."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        checkpoint_namespace,
+    )
+
+    ckpt = os.path.join(tmpdir, "ckpt")
+    rel = os.path.relpath(ckpt)
+    spellings = [ckpt, ckpt + "/", ckpt + "//", rel, rel + "/"]
+    ns = {checkpoint_namespace(s) for s in spellings}
+    assert len(ns) == 1, spellings
+    # distinct checkpoints still get distinct namespaces
+    assert checkpoint_namespace(os.path.join(tmpdir, "other")) not in ns
+
+
+# ---------------------------------------------------------------------------
+# semantic cell-split maintenance (r11 — VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+
+def _sem_layout_snapshot(spark, root):
+    """(cents, store, matches) canonical view of a semantic layout."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    cents = sorted(
+        (r["cell"], tuple(round(x, 9) for x in r["centroid"]))
+        for r in inc.read_semantic_cents(spark, root).collect()
+    )
+    store = sorted(
+        (r["id"], tuple(r["v"]), r["cell"], r["b1"], r["b2"])
+        for r in spark.read.parquet(os.path.join(root, "store"))
+        .select("id", "v", "cell", "b1", "b2").distinct().collect()
+    )
+    matches = sorted(
+        (r["a"], r["b"], round(r["cosine"], 9))
+        for r in inc.read_semantic_matches(spark, root).collect()
+    )
+    return (cents, store, matches)
+
+
+def _sem_split_scenario(spark, root, step):
+    """One step of the split scenario: two pre-split batches into a
+    skewed layout (everything lands in cell 0), the SPLIT of the hot
+    cell, then one post-split batch merged under the refined cents
+    read back from the layout."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    batches = {
+        0: [(1, [1.0, 0.02]), (2, [0.999, 0.021]), (10, [0.02, 1.0]),
+            (3, [0.1, 0.995]), (4, [0.11, 0.994])],
+        1: [(5, [0.998, 0.019]), (6, [0.12, 0.993])],
+        3: [(7, [0.997, 0.022]), (8, [0.13, 0.992]), (11, [0.021, 1.0])],
+    }
+    if step == 0:
+        cents = spark.createDataFrame(
+            [(0, [0.7, 0.7]), (1, [-1.0, 0.0])],
+            "cell int, centroid array<double>",
+        )
+        inc.persist_semantic_cents(spark, root, cents)
+    if step in (0, 1, 3):
+        bdf = spark.createDataFrame(
+            batches[step], "vec_id long, embedding array<double>"
+        )
+        inc.merge_semantic_batch(
+            spark, bdf, step, root,
+            inc.read_semantic_cents(spark, root), tau=0.9,
+        )
+    if step == 2:
+        inc.split_semantic_cell(spark, root, 0, k=2, iters=2, tau=0.9)
+
+
+def test_split_semantic_cell_rebalances_and_preserves(spark, tmpdir):
+    """Functional contract of the split: the hot cell's rows re-home
+    into k fresh sub-cells, occupancy is rebalanced, already-emitted
+    matches survive untouched, and post-split arrivals still match
+    their near-duplicates within the refined cells."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "semsplit")
+    for s in range(2):
+        _sem_split_scenario(spark, root, s)
+
+    occ0 = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert occ0 == {0: 7}  # everything skewed into the hot cell
+    pre_matches = sorted(
+        (r["a"], r["b"])
+        for r in inc.read_semantic_matches(spark, root).collect()
+    )
+    assert (1, 2) in pre_matches and (3, 4) in pre_matches
+
+    new_ids = inc.split_semantic_cell(spark, root, 0, k=2, iters=2, tau=0.9)
+    assert sorted(new_ids) == [2, 3]  # max(live)=1 → fresh ids 2,3
+
+    cents = {
+        r["cell"] for r in inc.read_semantic_cents(spark, root).collect()
+    }
+    assert cents == {1, 2, 3}  # cell 0 retired
+    occ1 = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert set(occ1) == {2, 3}  # re-homed, old partition gone
+    assert sum(occ1.values()) == 7 and min(occ1.values()) >= 2
+    # emitted matches untouched by the split
+    assert sorted(
+        (r["a"], r["b"])
+        for r in inc.read_semantic_matches(spark, root).collect()
+    ) == pre_matches
+
+    # post-split arrivals match within the refined sub-cells
+    _sem_split_scenario(spark, root, 3)
+    post = {
+        (r["a"], r["b"])
+        for r in inc.read_semantic_matches(spark, root).collect()
+    }
+    assert (1, 7) in post or (2, 7) in post or (5, 7) in post
+    assert (3, 8) in post or (4, 8) in post or (6, 8) in post
+    assert (10, 11) in post  # untouched cell 1 still matches
+
+    # vacuum on a healthy layout is a no-op
+    assert inc.vacuum_semantic_store(spark, root) == []
+
+    # replaying a committed split is rejected (cell retired, no marker)
+    with pytest.raises(ValueError):
+        inc.split_semantic_cell(spark, root, 0, k=2, tau=0.9)
+
+
+def test_maintain_semantic_store_occupancy_driven(spark, tmpdir):
+    """maintain_semantic_store splits exactly the cells over the
+    occupancy bound, in one pass."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "semmaint")
+    for s in range(2):
+        _sem_split_scenario(spark, root, s)
+    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2)
+    assert list(done) == [0] and sorted(done[0]) == [2, 3]
+    occ = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert all(n <= 4 for n in occ.values())
+    # under-threshold layout: nothing to do
+    assert inc.maintain_semantic_store(spark, root, max_cell_rows=10) == {}
+
+
+def test_crash_injection_semantic_split(spark, tmpdir, crash_injector):
+    """Every write/rename boundary of split_semantic_cell is crash-
+    replayable: staging, marker, per-partition publish, the cents
+    pointer swap (the commit), and post-commit cleanup all converge —
+    after replay plus one post-split batch — to the uninterrupted
+    run's (cents, store, matches)."""
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "semsplitcrash",
+        lambda root, b: _sem_split_scenario(spark, root, b),
+        lambda root: _sem_layout_snapshot(spark, root),
+        n_batches=4, crash_batches=(2,),
+    )

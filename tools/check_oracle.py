@@ -22,8 +22,13 @@ import pandas as pd
 def spark_session():
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # SPARK_GRAFT_MASTER lets the r11 cluster gate run this same tool
+    # under a REAL executor boundary (local-cluster[2,4,4096]) — one
+    # JVM per executor, closures/broadcasts actually serialized —
+    # without touching the default local[8] used while iterating.
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("check_oracle")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
@@ -31,9 +36,16 @@ def spark_session():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config("spark.executor.memory", "4g")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if not master.startswith("local["):
+        # real executor boundary: ship the package like --py-files would
+        from dogsheep_beta_spark.deploy import ship_package
+
+        ship_package(spark)
     return spark
 
 
