@@ -1114,7 +1114,10 @@ def q_search_column_filter(spark, sf_dir):
 def q_search_near(spark, sf_dir):
     """B5 NEAR(a b, N): proximity query over the positions index —
     docs where 'hash' and 'join' occur in one field with at most 3
-    separating tokens (FTS5 NEAR semantics: span <= N + T - 1)."""
+    separating tokens (FTS5 pairwise NEAR semantics — r11:
+    max(first) - min(last) - 1 <= N over the chosen instances; for two
+    single-token phrases that is |Δpos| <= N + 1, which is what the
+    oracle encodes)."""
     return _bm25_results(spark, sf_dir, "NEAR(hash join, 3)")
 
 
@@ -4076,6 +4079,66 @@ def q_streaming_semantic_dedup(spark, sf_dir):
     )
 
 
+def _semantic_maint_layout(spark, sf_dir):
+    """Amortized semantic-maintenance state build (r11): a DEGENERATE
+    one-cell semantic layout over the embeddings table (one
+    merge_semantic_batch), then `maintain_semantic_store` splits the
+    hot cell into 4 md5-seeded sub-cells (iters=0 — the
+    SQL-expressible Voronoi pass, same seed/argmax discipline as every
+    k-means consumer).  Built once per sf_dir (maintenance MUTATES the
+    layout, so the split must not re-run on a cached store), reported
+    by bench as ``semantic_maint_build``; the declared query prices
+    the occupancy read."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    c = _CTX.setdefault(sf_dir, {})
+    root = c.get("sem_maint_root")
+    if root is not None:
+        return root
+    emb = _embeddings(spark, sf_dir).where(F.col("vec_id") < 2000).select(
+        "vec_id", "embedding"
+    )
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    work = _tempfile.mkdtemp(prefix="dbs_semmaint_", dir="/tmp")
+    root = _os.path.join(work, "root")
+    inc.persist_semantic_cents(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (dim - 1))],
+            "cell int, centroid array<double>",
+        ),
+    )
+    inc.merge_semantic_batch(
+        spark, emb, 0, root, inc.read_semantic_cents(spark, root),
+        id_col="vec_id", vec_col="embedding", tau=0.99,
+    )
+    inc.maintain_semantic_store(
+        spark, root, max_cell_rows=20, k=4, iters=0, tau=0.99
+    )
+    c["sem_maint_root"] = root
+    return root
+
+
+def q_streaming_semantic_maintenance(spark, sf_dir):
+    """Occupancy-bounding re-clustering for the streamed SemDeDup store
+    (r11 — `split_semantic_cell` / `maintain_semantic_store`,
+    streaming/incremental.py): the declared output is the
+    post-maintenance occupancy of the split layout
+    (_semantic_maint_layout — the amortized ``semantic_maint_build``
+    bench entry).  Fresh global cell ids start at max(live)+1 = 1, so
+    the final cell number IS the seed's 1-based md5 rank — which is
+    what the oracle computes."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = _semantic_maint_layout(spark, sf_dir)
+    return (
+        inc.semantic_cell_occupancy(spark, root)
+        .select(F.col("cell").cast("int").alias("cell"), "n")
+        .orderBy("cell")
+    )
+
+
 def q_text_bigram_nll(spark, sf_dir):
     """Bigram-LM perplexity proxy (functions/text.py:bigram_nll_table):
     add-1-smoothed conditional bigram NLL per doc; the SHARED persisted
@@ -5919,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_rules": q_quality_gopher_rules,
         "clean_c4_lines": q_clean_c4_lines,
         "streaming_semantic_dedup": q_streaming_semantic_dedup,
+        "streaming_semantic_maintenance": q_streaming_semantic_maintenance,
         "html_extract_text": q_html_extract_text,
         "streaming_kmv_distinct": q_streaming_kmv_distinct,
         "warc_source_ingest": q_warc_source_ingest,
@@ -10362,6 +10426,40 @@ LIMIT 100
         ORDER BY a, b
     """
     )
+    # semantic maintenance (r11): after splitting the degenerate
+    # one-cell store into 4 md5-seeded sub-cells (iters=0), occupancy
+    # is the Voronoi partition of the corpus over the 4 seed vectors;
+    # fresh cell ids start at max(live)+1 = 1, so the final cell number
+    # is the seed's 1-based md5 rank.
+    d["streaming_semantic_maintenance"] = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id < 2000
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS cell,
+                   v AS centroid
+            FROM e
+            QUALIFY cell <= 4
+        ),
+        asg AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
+                                    DESC,
+                                    s.cell
+                       ) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        )
+        SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n
+        FROM asg GROUP BY cell ORDER BY cell
+    """
     return d
 
 

@@ -137,6 +137,7 @@ def main() -> None:
         ("minhash_stream_build", entry._minhash_stream_layout),
         ("importance_ratio_build", entry._importance_ratios),
         ("semantic_stream_build", entry._semantic_stream_layout),
+        ("semantic_maint_build", entry._semantic_maint_layout),
         ("kmv_stream_build", entry._kmv_stream_layout),
         ("cms_stream_build", entry._cms_stream_layout),
         ("gram_stream_build", entry._gram_stream_layout),

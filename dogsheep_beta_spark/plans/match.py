@@ -40,11 +40,13 @@ columns — both for matching AND for the BM25 tf (FTS5's phrase
 iterators only visit filtered columns).  An unknown column name is a
 syntax error (FTS5 "no such column") → escape fallback.
 
-NEAR(p1 p2 ..., N) matches docs where all phrases occur in ONE field
-with at most N separating tokens: taking one instance of each phrase,
-span = max(last token pos) - min(first token pos), tokens-in-phrases
-T = Σ len(p); the group matches iff span <= N + T - 1 (separating
-tokens <= N).  N defaults to 10, like FTS5.
+NEAR(p1 p2 ..., N) matches docs where one instance per phrase can be
+chosen in ONE field (repeated phrases may share an instance) such
+that EVERY PAIR of chosen instances has <= N separating tokens —
+equivalently max(first) - min(last) - 1 <= N over the assignment
+(FTS5's rule, adjudicated by the r11 grammar differential: the
+previous outermost-span reading wrongly matched NEAR(a b c, 0) on
+"a b c").  N defaults to 10, like FTS5.
 
 Barewords are FTS5's: ASCII alphanumerics, ``_``, and any codepoint
 >= U+0080.  Everything else (``# - ` { | } ~`` …) outside
@@ -617,24 +619,31 @@ def phrase_instances(fts, phrase: Phrase) -> DataFrame:
 
 def near_docset(fts, near: Near) -> DataFrame:
     """(type, key) docs satisfying the NEAR group: exists one instance
-    per phrase, all in the SAME field, with at most ``near.n`` tokens
-    separating the outermost instances — i.e. span(maxLast - minFirst)
-    <= n + T - 1 where T = total tokens across the phrases.
+    per phrase (instances may coincide for repeated phrases), all in
+    the SAME field, such that EVERY PAIR of chosen instances has at
+    most ``near.n`` separating tokens — FTS5's actual rule, which over
+    a chosen assignment reduces to max(first) - min(last) - 1 <= n
+    (the widest pair is (latest-starting, earliest-ending)).
+
+    The r11 grammar differential replaced the previous
+    outermost-span rule (maxLast - minFirst <= n + T - 1): identical
+    for two phrases, but for >= 3 it admitted clusters FTS5 rejects —
+    NEAR(a b c, 0) on "a b c" must NOT match, because the (a, c) pair
+    has one separating token.
 
     Plan shape: iterative equi-join on (type, key, field) carrying the
-    running (minFirst, maxLast); the span bound is applied after every
-    join (span is monotone in phrase count, so early pruning never
-    drops a viable cluster).  Candidate volume per doc-field is the
-    product of per-phrase instance counts — bounded in practice by tf."""
-    total_toks = sum(len(p.tokens) for p in near.phrases)
-    bound = near.n + total_toks - 1
+    running (maxFirst, minLast); the pairwise bound is applied after
+    every join (maxFirst - minLast is monotone nondecreasing in phrase
+    count, so early pruning never drops a viable cluster).  Candidate
+    volume per doc-field is the product of per-phrase instance counts
+    — bounded in practice by tf."""
     insts = [phrase_instances(fts, p) for p in near.phrases]
     acc = insts[0].select(
         "type",
         "key",
         "field",
-        F.col("first").alias("minf"),
-        F.col("last").alias("maxl"),
+        F.col("first").alias("maxf"),
+        F.col("last").alias("minl"),
     )
     for nxt in insts[1:]:
         acc = (
@@ -643,10 +652,10 @@ def near_docset(fts, near: Near) -> DataFrame:
                 "type",
                 "key",
                 "field",
-                F.least("minf", "first").alias("minf"),
-                F.greatest("maxl", "last").alias("maxl"),
+                F.greatest("maxf", "first").alias("maxf"),
+                F.least("minl", "last").alias("minl"),
             )
-            .filter(F.col("maxl") - F.col("minf") <= bound)
+            .filter(F.col("maxf") - F.col("minl") - 1 <= near.n)
         )
     return acc.select("type", "key").distinct()
 

@@ -906,6 +906,10 @@ def test_waterfill_closed_form_matches_pouring(toks, budget):
 _MF_VOCAB = [
     "alpha", "alphabet", "alp", "beta", "betray", "gamma", "gam",
     "delta", "echo", "foxtrot", "golf", "hotel",
+    # diacritic words: the differential then also adjudicates the
+    # unicode61 remove_diacritics fold through the whole pipeline
+    # (query tokenization ≡ index tokenization ≡ FTS5)
+    "café", "naïve", "übermut", "señor",
 ]
 _MF_COLS = ("title", "search_1")
 
@@ -1049,7 +1053,9 @@ def _mf_eval(ast, docs):
                 out.add(key)
         return out
     if isinstance(ast, M.Near):
-        T = sum(len(p.tokens) for p in ast.phrases)
+        # FTS5's pairwise rule (r11): over a chosen assignment (one
+        # instance per phrase, reuse allowed) every pair must have
+        # <= n separating tokens ⇔ max(first) - min(last) - 1 <= n
         out = set()
         for key, fl in docs.items():
             for f, toks in fl.items():
@@ -1066,10 +1072,11 @@ def _mf_eval(ast, docs):
                     continue
                 hit = False
                 for combo in itertools.product(*[s for s, _ in per]):
-                    span = max(
+                    maxf = max(combo)
+                    minl = min(
                         c + l - 1 for c, (_, l) in zip(combo, per)
-                    ) - min(combo)
-                    if span <= ast.n + T - 1:
+                    )
+                    if maxf - minl - 1 <= ast.n:
                         hit = True
                         break
                 if hit:
@@ -1269,3 +1276,53 @@ def test_match_all_column_excluding_colspec_divergence(spark):
     )
     docset, _ = compile_match(ast, fts)
     assert docset.count() == 0  # true boolean: k18 has alpha → excluded
+
+
+def test_near_pairwise_rule_three_phrases(spark):
+    """r11 NEAR fix pin: FTS5's NEAR constraint is PAIRWISE — on doc
+    "a b c", NEAR(a b c, 0) must NOT match (the (a, c) pair has one
+    separating token) while NEAR(a b c, 1) must.  The old
+    outermost-span rule (span <= N + T - 1) matched both.  FTS5 itself
+    is asserted alongside so a semantics change upstream flips this
+    test, not just ours."""
+    import sqlite3 as sq
+
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.plans.match import compile_match, parse_match
+
+    con = sq.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='unicode61')"
+    )
+    con.execute(
+        "INSERT INTO idx(rowid,title,search_1) VALUES (1, NULL, 'a b c')"
+    )
+    f5 = {
+        n: [
+            r[0]
+            for r in con.execute(
+                "SELECT rowid FROM idx WHERE idx MATCH ?",
+                (f"NEAR(a b c, {n})",),
+            )
+        ]
+        for n in (0, 1)
+    }
+    assert f5 == {0: [], 1: [1]}, f5
+    con.close()
+
+    idx = spark.createDataFrame(
+        [("f.db/t", "k1", None, None, 1, 0, "a b c", None, None)],
+        "type string, key string, title string, timestamp string, "
+        "category int, is_public int, search_1 string, search_2 string, "
+        "search_3 string",
+    )
+    fts = build_fts_index(idx, mode="unicode61", stem=False)
+    for n, want in ((0, set()), (1, {"k1"})):
+        ast = parse_match(
+            f"NEAR(a b c, {n})",
+            lambda s: analyze_py(s, "unicode61", False),
+            columns=("title", "search_1"),
+        )
+        docset, _ = compile_match(ast, fts)
+        assert {r["key"] for r in docset.collect()} == want, n

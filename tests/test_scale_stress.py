@@ -1396,3 +1396,92 @@ def test_scale_adversarial_semantic_chain_10x(spark):
     # constant factor (class-bounded, not replica-bounded)
     assert d10[3] <= max(3 * d10[1], d10[1] + 20), d10
     assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)
+
+
+def test_scale_semantic_split_arrests_hot_cell_growth(spark):
+    """VERDICT r10 #2 done-criterion: measured before/after on a
+    skew-heavy stream.  Every vector lands in ONE Voronoi cell (the
+    other centroids point into the far half-space) and tau is LOW
+    (0.7), so the pivot-band annuli are wide and every probe hits
+    ~the whole cell — the honest worst case where per-batch cost
+    grows linearly with occupancy and the band prune cannot help
+    (registry row 3's documented wart).  After `maintain_semantic_store`
+    splits the hot cell (k=4), new arrivals probe only their sub-cell,
+    so the per-batch wall must DROP below the last pre-split wall even
+    though the store kept growing — the growth trend is arrested, not
+    just paused."""
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    dim = 32
+
+    def hvec(seed):
+        comps = []
+        for i in range(dim):
+            d = hashlib.md5(f"splitgrow:{seed}:{i}".encode()).digest()
+            u = int.from_bytes(d[:8], "big")
+            comps.append((u % 2_000_001) / 1_000_000.0 - 1.0)
+        comps[0] = abs(comps[0]) + 0.1  # mild positive bias → cell 0
+        n = math.sqrt(sum(x * x for x in comps))
+        return [x / n for x in comps]
+
+    # the degenerate skew: ONE cell — every vector Voronoi-assigns to
+    # it, the exact shape a bad initial clustering leaves behind
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1))], "cell int, centroid array<double>"
+    )
+
+    work = tempfile.mkdtemp(prefix="dbs_semsplit_scale_", dir="/tmp")
+    root = os.path.join(work, "root")
+    inc.persist_semantic_cents(spark, root, cents)
+
+    B = 800
+    tau = 0.7
+
+    def run_batch(b):
+        rows = [(b * 100_000 + i, hvec(b * 100_000 + i)) for i in range(B)]
+        bdf = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        t0 = time.monotonic()
+        inc.merge_semantic_batch(
+            spark, bdf, b, root,
+            inc.read_semantic_cents(spark, root), tau=tau,
+        )
+        return time.monotonic() - t0
+
+    pre = [run_batch(b) for b in range(8)]
+    occ0 = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert occ0 == {0: 8 * B}, occ0  # the skew is real: one hot cell
+
+    done = inc.maintain_semantic_store(
+        spark, root, max_cell_rows=B, k=4, iters=2, tau=tau
+    )
+    assert list(done) == [0] and len(done[0]) == 4
+
+    post = [run_batch(b) for b in range(8, 11)]
+    occ1 = inc.semantic_cell_occupancy(spark, root).collect()
+    assert sum(r["n"] for r in occ1) == 11 * B  # store kept growing
+    assert all(int(r["cell"]) >= 1 for r in occ1)  # re-homed
+
+    print(
+        "\nSCALE semsplit pre walls "
+        + " ".join(f"{t:.1f}" for t in pre)
+        + " | post "
+        + " ".join(f"{t:.1f}" for t in post)
+    )
+    # growth before the split is the real signal the split removes:
+    # late pre-split batches must exceed early ones...
+    assert max(pre[6:]) > max(pre[1:3]), pre
+    # ...and the split arrests it: every post-split batch beats the
+    # last pre-split batch despite a larger store
+    assert max(post) < pre[-1], (pre, post)
+    shutil.rmtree(work, ignore_errors=True)
