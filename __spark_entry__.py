@@ -10431,35 +10431,20 @@ LIMIT 100
     # is the Voronoi partition of the corpus over the 4 seed vectors;
     # fresh cell ids start at max(live)+1 = 1, so the final cell number
     # is the seed's 1-based md5 rank.
-    d["streaming_semantic_maintenance"] = f"""
+    d["streaming_semantic_maintenance"] = (
+        """
         WITH e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id < 2000
-        ),
-        seeds AS (
-            SELECT ROW_NUMBER() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                   ) AS cell,
-                   v AS centroid
-            FROM e
-            QUALIFY cell <= 4
-        ),
-        asg AS (
-            SELECT vec_id, cell FROM (
-                SELECT e.vec_id, s.cell,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_COS.format(a='e.v', b='s.centroid')}
-                                    DESC,
-                                    s.cell
-                       ) AS rn
-                FROM e CROSS JOIN seeds s
-            ) WHERE rn = 1
         )
-        SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n
+        """
+        + _kmeans_asg_cte(4)  # the ONE shared seed/argmax definition
+        + """
+        SELECT CAST(cell + 1 AS INT) AS cell, COUNT(*) AS n
         FROM asg GROUP BY cell ORDER BY cell
     """
+    )
     return d
 
 

@@ -26,7 +26,6 @@ def package_zip(dest_dir: str | None = None) -> str:
     return its path.  Deterministic content → safe to rebuild; one zip
     per process is cached in a temp dir keyed by pid."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
-    parent = os.path.dirname(pkg_root)
     if dest_dir is None:
         dest_dir = os.path.join(
             tempfile.gettempdir(), f"dbs_pyfiles_{os.getpid()}"

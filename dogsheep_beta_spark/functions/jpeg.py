@@ -441,9 +441,12 @@ def _probe_native_decoder():
                     if (b[0] >> 4) != 0:
                         return False
                     b = b[65:]
-            elif marker == 0xDD:  # DRI
-                if len(body) >= 2 and struct.unpack(">H", body[:2])[0]:
-                    return False
+            elif marker == 0xDD:  # DRI: pure decoder rejects ANY
+                # restart-interval marker — even interval 0 or a
+                # truncated body (r11 code review: the old nonzero-only
+                # check let a zero-interval DRI reach PIL on hosts that
+                # have it while raising on hosts that don't)
+                return False
             elif marker == 0xC4:  # DHT: record table classes
                 b = body
                 while len(b) >= 17:

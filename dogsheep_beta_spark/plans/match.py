@@ -255,7 +255,35 @@ class _Parser:
                     "AND/OR/NOT"
                 )
             items.append(self.primary())
+        # FTS5 drops token-less phrases ("", "  ", "-" — any
+        # decoration) from a juxtaposition chain: `alpha "" beta` is
+        # `alpha beta`.  Only when NOTHING survives does the chain
+        # become a never-match (standalone `""`) — adjudicated by the
+        # r11 grammar differential.
+        kept = [
+            it
+            for it in items
+            if not (isinstance(it, Phrase) and not it.tokens)
+        ]
+        items = kept or [items[0]]
         return items[0] if len(items) == 1 else And(items)
+
+    def _colspec_operand(self):
+        """The primary a column filter applies to: a phrase, NEAR
+        group, caret-phrase or parenthesized expression — NOT another
+        column filter.  FTS5 rejects chained filters
+        (``title:search_1:beta``, ``title:-search_1:beta``, braced
+        variants) as syntax errors, and the reference would therefore
+        route them through the escape fallback; accepting them here
+        produced a different docset (r11 code review).  Forbidding the
+        chain also keeps `_implicit_operand_is_paren`'s single-colspec
+        lookahead exact."""
+        kind = self.peek()
+        if kind == "MINUS" or kind == "LBRACE" or (
+            kind == "WORD" and self.peek2() == "COLON"
+        ):
+            raise ParseError("column filter cannot apply to another")
+        return self.primary()
 
     def _implicit_operand_is_paren(self) -> bool:
         """True iff the tokens at the cursor begin a parenthesized
@@ -344,12 +372,12 @@ class _Parser:
             self.take()
             named = self._colset()
             fields = tuple(c for c in self.columns if c not in named)
-            node = self.primary()
+            node = self._colspec_operand()
             _restrict_fields(node, fields)
             return node
         if kind == "LBRACE" or (kind == "WORD" and self.peek2() == "COLON"):
             fields = self._colset()
-            node = self.primary()
+            node = self._colspec_operand()
             _restrict_fields(node, fields)
             return node
         if (
@@ -408,7 +436,14 @@ class _Parser:
         if self.peek() != "RP":
             raise ParseError("expected ) to close NEAR")
         self.take()
-        return Near(phrases, n)
+        # FTS5 drops token-less phrases ("", "  ", "-") from the group;
+        # if nothing survives, the group can never match (r11 grammar
+        # differential — NEAR(alpha "", 0) ≡ NEAR(alpha, 0) while
+        # NEAR("" "", 0) matches nothing)
+        kept = [p for p in phrases if p.tokens]
+        if not kept:
+            return Phrase([])
+        return Near(kept, n)
 
 
 DEFAULT_COLUMNS = ("title", "search_1")  # the two indexed fields (A9)

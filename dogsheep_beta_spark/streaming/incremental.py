@@ -866,6 +866,7 @@ def merge_ivf_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     commit_token: str | None = None,
+    legacy_commit_tokens: tuple = (),
 ) -> None:
     """foreachBatch body: Voronoi-assign the micro-batch of embeddings
     against the PERSISTED centroid table and append the rows into the
@@ -903,7 +904,10 @@ def merge_ivf_batch(
     # itself UNDER the lock, after crash recovery has had the chance to
     # re-point a missing base at its surviving version dir (r10 — an
     # eagerly-created empty dir here masked exactly that state)
-    commit_appended_files(base, staging, token=commit_token)
+    commit_appended_files(
+        base, staging, token=commit_token,
+        legacy_tokens=legacy_commit_tokens,
+    )
 
 
 def checkpoint_namespace(checkpoint_dir: str) -> str:
@@ -946,7 +950,15 @@ def streaming_ivf_upsert(
     spelling — relative vs absolute, ``ckpt/`` vs ``ckpt`` — stays in
     the same namespace instead of double-appending the replayed batch
     (ADVICE r10)."""
+    import hashlib
+
     ns = checkpoint_namespace(checkpoint_dir)
+    # tokens a PRE-normalization deployment recorded for this same
+    # checkpoint (md5 of the raw path string) stay recognized as
+    # replays across the upgrade — without this, the first
+    # crash-restart spanning the upgrade double-appends its in-flight
+    # batch (r11 code review)
+    legacy_ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -954,6 +966,11 @@ def streaming_ivf_upsert(
             lambda bdf, bid: merge_ivf_batch(
                 bdf, cents, layout_path, id_col, vec_col,
                 commit_token=f"{ns}:batch:{bid}",
+                legacy_commit_tokens=(
+                    (f"{legacy_ns}:batch:{bid}",)
+                    if legacy_ns != ns
+                    else ()
+                ),
             )
         )
     )
@@ -1312,7 +1329,10 @@ def _manifest_files_reconciled(base: str, real: str):
 
 
 def commit_appended_files(
-    base: str, staging_dir: str, token: str | None = None
+    base: str,
+    staging_dir: str,
+    token: str | None = None,
+    legacy_tokens: tuple = (),
 ) -> bool:
     """Commit an append: move the data files written to the private
     ``staging_dir`` into the CURRENT version dir (resolved under the
@@ -1324,7 +1344,15 @@ def commit_appended_files(
     whose token the manifest already records is a REPLAY of a fully-
     committed batch (crash landed after the manifest write but before
     the stream checkpoint advanced) — it discards the staged copy and
-    returns False instead of double-appending the batch's rows."""
+    returns False instead of double-appending the batch's rows.
+
+    ``legacy_tokens``: additional token spellings RECOGNIZED as the
+    same commit (replay detection only — ``token`` is what gets
+    recorded).  Lets a caller that changed its token derivation (the
+    r11 checkpoint-path normalization) still recognize batches a
+    pre-change deployment recorded under the old spelling, instead of
+    double-appending the first replay after an upgrade (r11 code
+    review)."""
     import os
     import shutil
 
@@ -1334,7 +1362,10 @@ def commit_appended_files(
         os.makedirs(real, exist_ok=True)
         if token is not None:
             prev = read_manifest_entry(base)
-            if prev is not None and token in prev.get("tokens", []):
+            recorded = prev.get("tokens", []) if prev is not None else []
+            if token in recorded or any(
+                t in recorded for t in legacy_tokens
+            ):
                 shutil.rmtree(staging_dir, ignore_errors=True)
                 return False
         # None means "no manifest yet" (legacy dir-listing layout);
@@ -2510,194 +2541,201 @@ def merge_semantic_batch(
         )
         .persist()
     )
-    hdr = geo.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("cell").alias("cells"),
-    ).first()
-    _mark("hdr")
-    if not hdr["n"]:
-        geo.unpersist()
-        return
-    touched = sorted(hdr["cells"])
+    # every persisted handle is released in the finally below — an
+    # INJECTED-CRASH (or any mid-merge failure) previously leaked
+    # geo/store/new/eff into the session cache, and a few hundred
+    # crash-sweep iterations of that pressured the suite's shared
+    # 4g JVM into broadcast OOM two test files later (r11)
+    _persisted = [geo]
+    try:
+        hdr = geo.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("cell").alias("cells"),
+        ).first()
+        _mark("hdr")
+        if not hdr["n"]:
+            return
+        touched = sorted(hdr["cells"])
 
-    # legacy layouts are detected from ONE parquet footer driver-side
-    # (pyarrow, no Spark job) so the scoped read can carry an explicit
-    # schema — skipping the per-batch footer-inference job (r9, same
-    # finding as the MinHash merge)
-    if _parquet_store_missing_column(store_path, "b1"):
-        raise ValueError(
-            f"semantic store at {store_path} predates the pivot-band "
-            "layout (round 7); run upgrade_semantic_store(spark, "
-            "root_path, tau=<the store's tau>) once (offline) to "
-            "migrate it in place, or rebuild from a fresh checkpoint"
-        )
-    store = _read_partitioned(
-        spark,
-        store_path,
-        [str(t) for t in touched],
-        col="cell",
-        schema=(
-            "id bigint, v array<double>, rd1 double, rd2 double, "
-            "b1 int, b2 int, cell int"
-        ),
-    )
-    if store is not None:
-        store = store.select(
-            "id", "v", "cell", "rd1", "rd2", "b1", "b2"
-        ).persist()
-        new = geo.join(store.select("id"), "id", "left_anti").persist()
-        # effective pairing rows (r10 crash-replay fix): batch-only
-        # rows keep their batch vectors; a REDELIVERED id pairs with
-        # its STORED copy (authoritative), so every re-emitted pair is
-        # byte-identical to its original emission and the read-side
-        # dropDuplicates is value-deterministic even if a producer
-        # violates the stable-id contract.  In steady state eff == new
-        # == geo and this is free.
-        eff = new.unionByName(
-            store.join(geo.select("id"), "id", "left_semi").select(
-                "id", "v", "cell", "rd1", "rd2"
+        # legacy layouts are detected from ONE parquet footer driver-side
+        # (pyarrow, no Spark job) so the scoped read can carry an explicit
+        # schema — skipping the per-batch footer-inference job (r9, same
+        # finding as the MinHash merge)
+        if _parquet_store_missing_column(store_path, "b1"):
+            raise ValueError(
+                f"semantic store at {store_path} predates the pivot-band "
+                "layout (round 7); run upgrade_semantic_store(spark, "
+                "root_path, tau=<the store's tau>) once (offline) to "
+                "migrate it in place, or rebuild from a fresh checkpoint"
             )
-        ).persist()  # referenced by both pair branches + the probes
-    else:
-        new = geo
-        eff = geo
-
-    cos_ab = F.round(cosine_expr(F.col("v"), F.col("o_v")), 6)
-
-    def pairs(joined):
-        """(a, b, cosine >= tau) over joined (id, v) × (o_id, o_v)
-        rows — the SAME final predicate as the batch generator."""
-        return joined.select(
-            F.least("id", "o_id").alias("a"),
-            F.greatest("id", "o_id").alias("b"),
-            cos_ab.alias("cosine"),
-        ).where(F.col("cosine") >= tau)
-
-    # batch×batch: once per pair via o_id < id.  Pairing runs over
-    # `eff` (the FULL deduped batch, stored copies authoritative), NOT
-    # the store-anti-joined `new` (r10 crash-replay fix, found by the
-    # injection sweep in tests/test_streaming.py): if a crash lands
-    # between the two overlapped appends with the store written and
-    # the matches not, the replayed batch's ids are ALL already stored
-    # — pairing from `new` would emit nothing and the batch's matches
-    # would be lost forever.  Pairing from eff re-emits byte-identical
-    # pairs on replay (read-side dropDuplicates collapses them) and
-    # costs nothing extra in steady state, where eff == new == geo.
-    nn_o = eff.select(
-        F.col("cell").alias("o_cell"),
-        F.col("id").alias("o_id"),
-        F.col("v").alias("o_v"),
-    )
-    fresh = pairs(
-        eff.join(
-            nn_o,
-            (F.col("cell") == F.col("o_cell"))
-            & (F.col("o_id") < F.col("id")),
+        store = _read_partitioned(
+            spark,
+            store_path,
+            [str(t) for t in touched],
+            col="cell",
+            schema=(
+                "id bigint, v array<double>, rd1 double, rd2 double, "
+                "b1 int, b2 int, cell int"
+            ),
         )
-    )
+        if store is not None:
+            store = store.select(
+                "id", "v", "cell", "rd1", "rd2", "b1", "b2"
+            ).persist()
+            _persisted.append(store)
+            new = geo.join(store.select("id"), "id", "left_anti").persist()
+            _persisted.append(new)
+            # effective pairing rows (r10 crash-replay fix): batch-only
+            # rows keep their batch vectors; a REDELIVERED id pairs with
+            # its STORED copy (authoritative), so every re-emitted pair is
+            # byte-identical to its original emission and the read-side
+            # dropDuplicates is value-deterministic even if a producer
+            # violates the stable-id contract.  In steady state eff == new
+            # == geo and this is free.
+            eff = new.unionByName(
+                store.join(geo.select("id"), "id", "left_semi").select(
+                    "id", "v", "cell", "rd1", "rd2"
+                )
+            ).persist()  # referenced by both pair branches + the probes
+            _persisted.append(eff)
+        else:
+            new = geo
+            eff = geo
 
-    if store is not None:
-        # probe keys: every (b1, b2) band pair the probe's annuli can
-        # reach — a constant ~8×8 fan-out per probe (see _sem_thresh_q)
-        def band_seq(rd):
-            return F.sequence(
-                F.floor((rd - eps) / q).cast("int"),
-                F.floor((rd + eps) / q).cast("int"),
+        cos_ab = F.round(cosine_expr(F.col("v"), F.col("o_v")), 6)
+
+        def pairs(joined):
+            """(a, b, cosine >= tau) over joined (id, v) × (o_id, o_v)
+            rows — the SAME final predicate as the batch generator."""
+            return joined.select(
+                F.least("id", "o_id").alias("a"),
+                F.greatest("id", "o_id").alias("b"),
+                cos_ab.alias("cosine"),
+            ).where(F.col("cosine") >= tau)
+
+        # batch×batch: once per pair via o_id < id.  Pairing runs over
+        # `eff` (the FULL deduped batch, stored copies authoritative), NOT
+        # the store-anti-joined `new` (r10 crash-replay fix, found by the
+        # injection sweep in tests/test_streaming.py): if a crash lands
+        # between the two overlapped appends with the store written and
+        # the matches not, the replayed batch's ids are ALL already stored
+        # — pairing from `new` would emit nothing and the batch's matches
+        # would be lost forever.  Pairing from eff re-emits byte-identical
+        # pairs on replay (read-side dropDuplicates collapses them) and
+        # costs nothing extra in steady state, where eff == new == geo.
+        nn_o = eff.select(
+            F.col("cell").alias("o_cell"),
+            F.col("id").alias("o_id"),
+            F.col("v").alias("o_v"),
+        )
+        fresh = pairs(
+            eff.join(
+                nn_o,
+                (F.col("cell") == F.col("o_cell"))
+                & (F.col("o_id") < F.col("id")),
             )
+        )
 
-        # probe geometry (rd1/rd2) rides on `eff` — computed in the
-        # cached wave above (or read from the store for redelivered
-        # ids); probes are the FULL batch (see the crash-replay note),
-        # with each probe's own stored copy excluded below (a
-        # redelivered id would otherwise self-pair at cosine 1.0)
-        keys = (
-            eff.where(F.col("rd1").isNotNull())
-            .select(
-                F.col("id").alias("p_id"),
+        if store is not None:
+            # probe keys: every (b1, b2) band pair the probe's annuli can
+            # reach — a constant ~8×8 fan-out per probe (see _sem_thresh_q)
+            def band_seq(rd):
+                return F.sequence(
+                    F.floor((rd - eps) / q).cast("int"),
+                    F.floor((rd + eps) / q).cast("int"),
+                )
+
+            # probe geometry (rd1/rd2) rides on `eff` — computed in the
+            # cached wave above (or read from the store for redelivered
+            # ids); probes are the FULL batch (see the crash-replay note),
+            # with each probe's own stored copy excluded below (a
+            # redelivered id would otherwise self-pair at cosine 1.0)
+            keys = (
+                eff.where(F.col("rd1").isNotNull())
+                .select(
+                    F.col("id").alias("p_id"),
+                    "cell",
+                    F.col("rd1").alias("p_rd1"),
+                    F.col("rd2").alias("p_rd2"),
+                    F.explode(band_seq(F.col("rd1"))).alias("b1"),
+                    band_seq(F.col("rd2")).alias("__b2s"),
+                )
+                .select(
+                    "p_id", "cell", "p_rd1", "p_rd2", "b1",
+                    F.explode("__b2s").alias("b2"),
+                )
+            )
+            hits = (
+                store.join(F.broadcast(keys), ["cell", "b1", "b2"])
+                .where(
+                    (F.col("id") != F.col("p_id"))
+                    & (F.abs(F.col("p_rd1") - F.col("rd1")) <= eps)
+                    & (F.abs(F.col("p_rd2") - F.col("rd2")) <= eps)
+                )
+                .select(
+                    F.col("p_id"),
+                    F.col("id").alias("o_id"),
+                    F.col("v").alias("o_v"),
+                )
+            )
+            no = hits.join(
+                F.broadcast(eff.select(F.col("id"), F.col("v"))),
+                hits["p_id"] == F.col("id"),
+            )
+            fresh = fresh.unionByName(pairs(no))
+
+        # The two appends are independent and SELF-idempotent (matches:
+        # read-side dropDuplicates; store: the append set is anti-joined
+        # against the store itself via `new`), so they run CONCURRENTLY —
+        # the same job-floor overlap that cut the MinHash merge (r8);
+        # either crash-subset replays correctly.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_matches():
+            fresh.write.mode("append").parquet(match_path)
+
+        def _w_store():
+            # append the genuinely-new rows with their pivot bands
+            # (zero-norm rows band to −999: never probed, never matchable);
+            # repartition by the layout key first so each batch adds
+            # ≈|touched| files, not tasks×|touched| (r10 — the MinHash
+            # store's r9 file-count fix)
+            new.select(
+                "id",
+                "v",
                 "cell",
-                F.col("rd1").alias("p_rd1"),
-                F.col("rd2").alias("p_rd2"),
-                F.explode(band_seq(F.col("rd1"))).alias("b1"),
-                band_seq(F.col("rd2")).alias("__b2s"),
+                "rd1",
+                "rd2",
+                F.coalesce(
+                    F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
+                ).alias("b1"),
+                F.coalesce(
+                    F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
+                ).alias("b2"),
+            ).repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(store_path)
+
+        def _timed(w):
+            t0 = time.time()
+            w()
+            print(
+                f"# semprof b{batch_id} {w.__name__} {time.time() - t0:.3f}",
+                file=sys.stderr,
             )
-            .select(
-                "p_id", "cell", "p_rd1", "p_rd2", "b1",
-                F.explode("__b2s").alias("b2"),
-            )
-        )
-        hits = (
-            store.join(F.broadcast(keys), ["cell", "b1", "b2"])
-            .where(
-                (F.col("id") != F.col("p_id"))
-                & (F.abs(F.col("p_rd1") - F.col("rd1")) <= eps)
-                & (F.abs(F.col("p_rd2") - F.col("rd2")) <= eps)
-            )
-            .select(
-                F.col("p_id"),
-                F.col("id").alias("o_id"),
-                F.col("v").alias("o_v"),
-            )
-        )
-        no = hits.join(
-            F.broadcast(eff.select(F.col("id"), F.col("v"))),
-            hits["p_id"] == F.col("id"),
-        )
-        fresh = fresh.unionByName(pairs(no))
 
-    # The two appends are independent and SELF-idempotent (matches:
-    # read-side dropDuplicates; store: the append set is anti-joined
-    # against the store itself via `new`), so they run CONCURRENTLY —
-    # the same job-floor overlap that cut the MinHash merge (r8);
-    # either crash-subset replays correctly.
-    from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(_timed, w) if _prof else ex.submit(w)
+                for w in (_w_matches, _w_store)
+            ]
+            for f in futs:
+                f.result()  # re-raise the first failure
+        _mark("writes")
 
-    def _w_matches():
-        fresh.write.mode("append").parquet(match_path)
-
-    def _w_store():
-        # append the genuinely-new rows with their pivot bands
-        # (zero-norm rows band to −999: never probed, never matchable);
-        # repartition by the layout key first so each batch adds
-        # ≈|touched| files, not tasks×|touched| (r10 — the MinHash
-        # store's r9 file-count fix)
-        new.select(
-            "id",
-            "v",
-            "cell",
-            "rd1",
-            "rd2",
-            F.coalesce(
-                F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
-            ).alias("b1"),
-            F.coalesce(
-                F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
-            ).alias("b2"),
-        ).repartition("cell").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(store_path)
-
-    def _timed(w):
-        t0 = time.time()
-        w()
-        print(
-            f"# semprof b{batch_id} {w.__name__} {time.time() - t0:.3f}",
-            file=sys.stderr,
-        )
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [
-            ex.submit(_timed, w) if _prof else ex.submit(w)
-            for w in (_w_matches, _w_store)
-        ]
-        for f in futs:
-            f.result()  # re-raise the first failure
-    _mark("writes")
-
-    if store is not None:
-        store.unpersist()
-        new.unpersist()
-        eff.unpersist()
-    geo.unpersist()
+    finally:
+        for _df in _persisted:
+            _df.unpersist()
 
 
 def read_semantic_matches(spark: SparkSession, root_path: str) -> DataFrame:
@@ -2882,30 +2920,37 @@ def vacuum_semantic_store(spark: SparkSession, root_path: str) -> list[str]:
     centroid table — the garbage a committed-but-interrupted split
     leaves (its cleanup step), or any retired cell.  Returns the
     removed partition names.  Requires a persisted cents table (the
-    cell universe must be layout-owned to know what is garbage)."""
+    cell universe must be layout-owned to know what is garbage).
+
+    Runs under the store's maintenance lock (r11 code review): an
+    unlocked vacuum racing `split_semantic_cell`'s publish→commit
+    window would read the PRE-commit cents, judge the just-published
+    sub-cell partitions garbage, and delete the data the imminent
+    commit is about to reference."""
     import os
 
-    cents = read_semantic_cents(spark, root_path)
-    if cents is None:
-        raise ValueError(
-            f"no persisted centroid table under {root_path}/cents — "
-            "persist_semantic_cents first"
-        )
-    live = {int(r["cell"]) for r in cents.select("cell").collect()}
     store = os.path.join(root_path, "store")
-    removed: list[str] = []
-    if not os.path.isdir(store):
-        return removed
-    for e in sorted(os.listdir(store)):
-        if not e.startswith("cell="):
-            continue
-        try:
-            c = int(e[len("cell="):])
-        except ValueError:
-            continue
-        if c not in live:
-            _remove_partition_dir(store, e)
-            removed.append(e)
+    with _manifest_lock(store):
+        cents = read_semantic_cents(spark, root_path)
+        if cents is None:
+            raise ValueError(
+                f"no persisted centroid table under {root_path}/cents — "
+                "persist_semantic_cents first"
+            )
+        live = {int(r["cell"]) for r in cents.select("cell").collect()}
+        removed: list[str] = []
+        if not os.path.isdir(store):
+            return removed
+        for e in sorted(os.listdir(store)):
+            if not e.startswith("cell="):
+                continue
+            try:
+                c = int(e[len("cell="):])
+            except ValueError:
+                continue
+            if c not in live:
+                _remove_partition_dir(store, e)
+                removed.append(e)
     return removed
 
 
@@ -2995,90 +3040,111 @@ def split_semantic_cell(
         if rows is None:
             raise ValueError(f"cell {cell} has no stored vectors to split")
         rows = rows.select("id", "v").persist()
-
-        # local k-means over the cell (md5-seeded, deterministic);
-        # sub-cells relabel onto fresh GLOBAL ids so their fixed
-        # pivots (md5 of the cell id) can never collide with any
-        # cell's history
-        _, sub = kmeans_cells(rows, "id", "v", k, iters)
-        base_id = max(live) + 1
-        new_ids = [base_id + j for j in range(k)]
-        sub = sub.select(
-            (F.col("cell") + F.lit(base_id)).cast("int").alias("cell"),
-            "centroid",
-        ).persist()
-        n_sub = sub.count()  # materialize before any store mutation
-        if n_sub < k:
-            # degenerate cell (fewer distinct seeds than k): keep ids
-            # dense by re-deriving from what k-means actually produced
-            new_ids = [
-                int(r["cell"]) for r in sub.select("cell").collect()
-            ]
-
-        meta = cents.select(F.size("centroid").alias("d")).first()
-        dim = int(meta["d"]) if meta else 1
-        pivots = _cell_pivots_rows(spark, new_ids, dim)
-        rehomed = (
-            voronoi_assign(rows, "id", "v", sub)
-            .select("id", "v", F.col("cell").cast("int").alias("cell"))
-            .join(F.broadcast(pivots), "cell", "left")
-            .withColumn("un", _unit_expr(F.col("v")))
-            .select(
-                "id",
-                "v",
-                F.when(
-                    F.col("un").isNotNull(),
-                    _eucl_expr(F.col("un"), F.col("pv1")),
-                ).alias("rd1"),
-                F.when(
-                    F.col("un").isNotNull(),
-                    _eucl_expr(F.col("un"), F.col("pv2")),
-                ).alias("rd2"),
-                "cell",
-            )
-            .select(
-                "id",
-                "v",
-                "rd1",
-                "rd2",
-                F.coalesce(
-                    F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
-                ).alias("b1"),
-                F.coalesce(
-                    F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
-                ).alias("b2"),
-                "cell",
-            )
-        )
-
-        shutil.rmtree(stage, ignore_errors=True)
-        rehomed.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(stage)
-
-        tmp_marker = marker + ".tmp"
-        with open(tmp_marker, "w") as fh:
-            json.dump({"old": int(cell), "new": new_ids}, fh)
-        os.replace(tmp_marker, marker)
-
-        _publish_partitions(stage, store, col="cell")
-
-        new_cents = cents.where(
-            F.col("cell") != F.lit(int(cell))
-        ).unionByName(sub)
-        # COMMIT: atomic pointer swap of the layout-owned cents
-        persist_semantic_cents(spark, root_path, new_cents)
-
-        # cleanup (replay-safe: marker + vacuum recover from any crash
-        # past the commit)
-        _remove_partition_dir(store, f"cell={int(cell)}")
-        shutil.rmtree(stage, ignore_errors=True)
+        _persisted = [rows]
         try:
-            os.remove(marker)
-        except OSError:
-            pass
-        rows.unpersist()
-        sub.unpersist()
+
+            # local k-means over the cell (md5-seeded, deterministic);
+            # sub-cells relabel onto fresh GLOBAL ids so their fixed
+            # pivots (md5 of the cell id) can never collide with any
+            # cell's history
+            _, sub = kmeans_cells(rows, "id", "v", k, iters)
+            base_id = max(live) + 1
+            new_ids = [base_id + j for j in range(k)]
+            sub = sub.select(
+                (F.col("cell") + F.lit(base_id)).cast("int").alias("cell"),
+                "centroid",
+            ).persist()
+            _persisted.append(sub)
+            n_sub = sub.count()  # materialize before any store mutation
+            if n_sub < k:
+                # degenerate cell (fewer distinct seeds than k): keep ids
+                # dense by re-deriving from what k-means actually produced
+                new_ids = [
+                    int(r["cell"]) for r in sub.select("cell").collect()
+                ]
+
+            meta = cents.select(F.size("centroid").alias("d")).first()
+            dim = int(meta["d"]) if meta else 1
+            pivots = _cell_pivots_rows(spark, new_ids, dim)
+            rehomed = (
+                voronoi_assign(rows, "id", "v", sub)
+                .select("id", "v", F.col("cell").cast("int").alias("cell"))
+                .join(F.broadcast(pivots), "cell", "left")
+                .withColumn("un", _unit_expr(F.col("v")))
+                .select(
+                    "id",
+                    "v",
+                    F.when(
+                        F.col("un").isNotNull(),
+                        _eucl_expr(F.col("un"), F.col("pv1")),
+                    ).alias("rd1"),
+                    F.when(
+                        F.col("un").isNotNull(),
+                        _eucl_expr(F.col("un"), F.col("pv2")),
+                    ).alias("rd2"),
+                    "cell",
+                )
+                .select(
+                    "id",
+                    "v",
+                    "rd1",
+                    "rd2",
+                    F.coalesce(
+                        F.floor(F.col("rd1") / q).cast("int"), F.lit(-999)
+                    ).alias("b1"),
+                    F.coalesce(
+                        F.floor(F.col("rd2") / q).cast("int"), F.lit(-999)
+                    ).alias("b2"),
+                    "cell",
+                )
+            )
+
+            # progress guard (r11 code review): a cell of indivisible
+            # (near-)identical vectors k-means cannot separate re-homes
+            # every row into ONE sub-cell — committing that would add
+            # k-1 permanently-empty cells per maintenance pass forever
+            # while the hot cell never shrinks.  Refuse instead; the
+            # caller (maintain_semantic_store) records the skip.
+            n_target = rehomed.select("cell").distinct().count()
+            if n_target < 2:
+                raise ValueError(
+                    f"cell {cell} cannot be split: every row re-homes "
+                    "to one sub-cell (indivisible duplicate mass)"
+                )
+
+            shutil.rmtree(stage, ignore_errors=True)
+            rehomed.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(stage)
+
+            tmp_marker = marker + ".tmp"
+            with open(tmp_marker, "w") as fh:
+                json.dump({"old": int(cell), "new": new_ids}, fh)
+            os.replace(tmp_marker, marker)
+
+            _publish_partitions(stage, store, col="cell")
+
+            new_cents = cents.where(
+                F.col("cell") != F.lit(int(cell))
+            ).unionByName(sub)
+            # COMMIT: atomic pointer swap of the layout-owned cents
+            persist_semantic_cents(spark, root_path, new_cents)
+
+            # cleanup (replay-safe: marker + vacuum recover from any crash
+            # past the commit)
+            _remove_partition_dir(store, f"cell={int(cell)}")
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+        finally:
+            # release even when staging/publish/commit raises —
+            # the crash injector aborts this function at every
+            # boundary and each abort previously leaked both
+            # cached frames (r11 code review)
+            for _df in _persisted:
+                _df.unpersist()
     return new_ids
 
 
@@ -3093,17 +3159,24 @@ def maintain_semantic_store(
     """Occupancy-driven maintenance: split every cell whose stored
     row count exceeds ``max_cell_rows`` (one pass — sub-cells of this
     pass are re-examined on the NEXT pass, keeping each maintenance
-    window bounded).  Returns {old_cell: [new ids]}."""
+    window bounded).  Returns {old_cell: [new ids]}; a cell k-means
+    cannot separate (indivisible duplicate mass — the progress guard
+    in split_semantic_cell) maps to [] and is left intact."""
     hot = [
         int(r["cell"])
         for r in semantic_cell_occupancy(spark, root_path)
         .where(F.col("n") > max_cell_rows)
         .collect()
     ]
-    return {
-        c: split_semantic_cell(spark, root_path, c, k, iters, tau)
-        for c in sorted(hot)
-    }
+    done: dict[int, list[int]] = {}
+    for c in sorted(hot):
+        try:
+            done[c] = split_semantic_cell(spark, root_path, c, k, iters, tau)
+        except ValueError as e:
+            if "cannot be split" not in str(e):
+                raise
+            done[c] = []  # indivisible duplicate mass: skipped, stable
+    return done
 
 
 # ---------------------------------------------------------------------------

@@ -642,3 +642,52 @@ def test_jpeg_scope_gate_rejects_16bit_dqt_and_subsampling(monkeypatch):
         with pytest.raises(ValueError):  # gate → pure path → raise
             jpeg.decode_jpeg_gray_fast(bad)
     jpeg._NATIVE_DECODER = False
+
+
+def test_jpeg_scope_gate_rejects_any_dri(monkeypatch):
+    """r11 code review: the pure decoder raises on ANY DRI marker —
+    including a zero interval — so the scope gate must too, or a
+    zero-interval DRI stream decodes via PIL on some hosts and raises
+    on others."""
+    import struct
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from dogsheep_beta_spark.functions import jpeg
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=16 * 8, dtype=np.uint8).tobytes()
+    good = jpeg.encode_jpeg_gray(16, 8, img)
+    # splice a zero-interval DRI right after SOI
+    dri0 = good[:2] + b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x00" + good[2:]
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(dri0)  # pure decoder rejects ANY DRI
+
+    mod = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    class _Im:
+        def __init__(self, data):
+            try:
+                w, h, px = jpeg.decode_jpeg_gray(bytes(data))
+                self.size, self._px = (w, h), px
+            except ValueError:
+                self.size, self._px = (1, 1), b"\x00"
+            self.mode = "L"
+
+        def tobytes(self):
+            return self._px
+
+    image_mod.open = lambda fh: _Im(fh.read())
+    mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    jpeg._NATIVE_DECODER = False
+    assert jpeg.decode_jpeg_gray_fast(good) == jpeg.decode_jpeg_gray(good)
+    assert jpeg._NATIVE_DECODER is not None
+    with pytest.raises(ValueError):  # gate → pure path → raise
+        jpeg.decode_jpeg_gray_fast(dri0)
+    jpeg._NATIVE_DECODER = False

@@ -919,9 +919,17 @@ def _mf_word(rng):
 
 
 def _mf_phrase(rng):
+    r = rng.random()
+    if r < 0.04:
+        # token-less phrases: FTS5 drops them from juxtaposition
+        # chains and NEAR groups, never-match elsewhere
+        return rng.choice(['""', '"  "', '"-"'])
     words = [_mf_word(rng) for _ in range(rng.randint(2, 3))]
     star = "*" if rng.random() < 0.25 else ""
-    return '"' + " ".join(words) + '"' + star
+    # intra-phrase punctuation is separator noise to the tokenizer:
+    # "a-b" ≡ "a b" — exercised in ~15% of phrases
+    sep = rng.choice(["-", ", ", "! "]) if rng.random() < 0.15 else " "
+    return '"' + sep.join(words) + '"' + star
 
 
 def _mf_primary(rng, depth):
@@ -1326,3 +1334,122 @@ def test_near_pairwise_rule_three_phrases(spark):
         )
         docset, _ = compile_match(ast, fts)
         assert {r["key"] for r in docset.collect()} == want, n
+
+
+def test_match_grammar_differential_vs_fts5_porter():
+    """Tier 1b: the same grammar-random differential under the PORTER
+    tokenizer (the reference's default) over a stemming-rich vocab —
+    adjudicates stemmed matching, incl. prefix-over-stemmed-terms
+    semantics (the query's prefix token is stemmed first, like FTS5),
+    against real FTS5."""
+    from dogsheep_beta_spark.plans.match import ParseError
+
+    vocab = [
+        "running", "runner", "ran", "jumps", "jumped", "jumping",
+        "connection", "connected", "relation", "relational", "cats",
+        "cat",
+    ]
+    rng = random.Random(1106)
+    rows = []
+    for i in range(36):
+        t = " ".join(rng.choices(vocab, k=rng.randint(0, 4))) or None
+        s = " ".join(rng.choices(vocab, k=rng.randint(0, 8))) or None
+        rows.append((f"k{i}", t, s))
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='porter')"
+    )
+    for i, (_k, t, s) in enumerate(rows):
+        con.execute(
+            "INSERT INTO idx(rowid,title,search_1) VALUES (?,?,?)",
+            (i, t, s),
+        )
+
+    def analyze(x):
+        return analyze_py(x, "portable", True)
+
+    docs = {
+        k: {"title": analyze(t or ""), "search_1": analyze(s or "")}
+        for k, t, s in rows
+    }
+    globals_vocab = _MF_VOCAB[:]
+    _MF_VOCAB[:] = vocab
+    try:
+        checked = 0
+        for _ in range(800):
+            q = _mf_query(rng)
+            want = _mf_fts5_keys(con, q)
+            try:
+                ast = parse_match(q, analyze, columns=_MF_COLS)
+            except ParseError:
+                ast = None
+            if ast is None or want is None:
+                assert ast is None and want is None, f"reject {q!r}"
+                continue
+            got = _mf_eval(ast, docs)
+            assert got == want, (
+                f"porter divergence on {q!r}: "
+                f"ours={sorted(got)} fts5={sorted(want)}"
+            )
+            checked += 1
+        assert checked >= 500, checked
+    finally:
+        _MF_VOCAB[:] = globals_vocab
+        con.close()
+
+
+def test_match_chained_colspec_rejected():
+    """r11 code review: FTS5 rejects a column filter applied to
+    another column filter (`title:search_1:beta` and variants) as a
+    syntax error; our parser must reject identically or the escape
+    fallback routes differently from the reference.  Both sides
+    asserted."""
+    from dogsheep_beta_spark.plans.match import ParseError
+
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='unicode61')"
+    )
+
+    def fts5_rejects(q):
+        try:
+            con.execute(
+                "SELECT rowid FROM idx WHERE idx MATCH ?", (q,)
+            ).fetchall()
+            return False
+        except sqlite3.OperationalError:
+            return True
+
+    def ours_rejects(q):
+        try:
+            parse_match(
+                q,
+                lambda s: analyze_py(s, "unicode61", False),
+                columns=_MF_COLS,
+            )
+            return False
+        except ParseError:
+            return True
+
+    rejected = [
+        "title:search_1:beta",
+        "-title:search_1:beta",
+        "title:-search_1:beta",
+        "{title}:{search_1}:beta",
+        "alpha title:search_1:(beta)",
+    ]
+    accepted = [
+        "title:(search_1:beta)",  # colspec INSIDE parens is fine
+        "title:^beta",
+        "title:(beta OR search_1:alpha)",
+        "title:NEAR(alpha beta)",
+    ]
+    for q in rejected:
+        assert fts5_rejects(q), q
+        assert ours_rejects(q), q
+    for q in accepted:
+        assert not fts5_rejects(q), q
+        assert not ours_rejects(q), q
+    con.close()

@@ -1485,3 +1485,4 @@ def test_scale_semantic_split_arrests_hot_cell_growth(spark):
     # last pre-split batch despite a larger store
     assert max(post) < pre[-1], (pre, post)
     shutil.rmtree(work, ignore_errors=True)
+    spark.catalog.clearCache()  # heap hygiene for later broadcast tests

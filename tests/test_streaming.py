@@ -2738,3 +2738,91 @@ def test_crash_injection_semantic_split(spark, tmpdir, crash_injector):
         lambda root: _sem_layout_snapshot(spark, root),
         n_batches=4, crash_batches=(2,),
     )
+    # dozens of injected-crash iterations above abort merges/splits
+    # mid-flight; release anything a crash path persisted so the
+    # session's shared 4g heap stays clean for later broadcast-heavy
+    # tests (the r11 suite OOM'd test_scale_interval_join_10x without
+    # this + the try/finally in merge_semantic_batch)
+    spark.catalog.clearCache()
+
+
+def test_ivf_legacy_namespace_tokens_recognized(spark, tmpdir):
+    """r11 code review: batches recorded under the PRE-normalization
+    token namespace (md5 of the raw checkpoint string) must still be
+    recognized as replays after the upgrade — the first post-upgrade
+    crash-replay would otherwise double-append."""
+    import hashlib
+
+    from dogsheep_beta_spark.operators.similarity import centroids
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    seed = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = centroids(seed, "embedding", "label")
+    layout = os.path.join(tmpdir, "legacy_ns_cells")
+    raw_ckpt = "ckpt/"  # the non-normalized spelling a pre-r11 run used
+    legacy_ns = hashlib.md5(raw_ckpt.encode()).hexdigest()[:8]
+    new_ns = inc.checkpoint_namespace(raw_ckpt)
+    assert legacy_ns != new_ns
+
+    def append(ids, token, legacy=()):
+        bdf = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        inc.merge_ivf_batch(
+            bdf, cents, layout, commit_token=token,
+            legacy_commit_tokens=legacy,
+        )
+
+    # pre-upgrade deployment commits batch 0 under the legacy namespace
+    append(range(0, 4), f"{legacy_ns}:batch:0")
+    # post-upgrade replay of THE SAME batch: new token + legacy alias
+    append(
+        range(0, 4), f"{new_ns}:batch:0",
+        legacy=(f"{legacy_ns}:batch:0",),
+    )
+    # a genuinely new batch still commits
+    append(range(10, 14), f"{new_ns}:batch:1",
+           legacy=(f"{legacy_ns}:batch:1",))
+    got = sorted(
+        r["vec_id"]
+        for r in inc.read_layout(spark, layout).select("vec_id").collect()
+    )
+    assert got == [0, 1, 2, 3, 10, 11, 12, 13]
+
+
+def test_maintain_semantic_store_skips_indivisible_cell(spark, tmpdir):
+    """r11 code review (progress guard): a hot cell of identical
+    vectors cannot be separated by k-means — maintenance must SKIP it
+    (returning []) with the layout untouched, not commit k-1 empty
+    cells per pass forever."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "semindiv")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, centroid array<double>"
+    )
+    inc.persist_semantic_cents(spark, root, cents)
+    bdf = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    inc.merge_semantic_batch(
+        spark, bdf, 0, root, inc.read_semantic_cents(spark, root), tau=0.99
+    )
+    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2)
+    assert done == {0: []}  # skipped, not split
+    # layout untouched: cents still {0}, occupancy unchanged
+    assert {
+        r["cell"] for r in inc.read_semantic_cents(spark, root).collect()
+    } == {0}
+    occ = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert occ == {0: 8}
+    # a second pass is stable (no unbounded cents growth)
+    assert inc.maintain_semantic_store(spark, root, max_cell_rows=4) == {0: []}
