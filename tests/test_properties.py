@@ -1453,3 +1453,65 @@ def test_match_chained_colspec_rejected():
         assert not fts5_rejects(q), q
         assert not ours_rejects(q), q
     con.close()
+
+
+def test_match_operator_edge_parity():
+    """Compact both-sides pin of lexer/grammar edges the generator
+    rarely produces: leading/trailing operators, unbalanced parens,
+    case-insensitive column names, lowercase `near`, NEAR-arity and
+    -distance errors, and whitespace-separated `*` binding to the
+    PRECEDING term/phrase (FTS5: `alpha * beta` ≡ `alpha* beta`,
+    `"alpha" * beta` is a phrase-prefix)."""
+    from dogsheep_beta_spark.plans.match import ParseError
+
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE idx USING fts5"
+        "(title, search_1, tokenize='unicode61')"
+    )
+    con.execute(
+        "INSERT INTO idx(rowid,title,search_1) VALUES "
+        "(1,'alphax beta',NULL), (2,'alpha beta',NULL), (3,'near alpha',NULL)"
+    )
+
+    def f5(q):
+        try:
+            return sorted(
+                r[0]
+                for r in con.execute(
+                    "SELECT rowid FROM idx WHERE idx MATCH ?", (q,)
+                )
+            )
+        except sqlite3.OperationalError:
+            return "ERR"
+
+    def ours(q):
+        try:
+            ast = parse_match(
+                q,
+                lambda s: analyze_py(s, "unicode61", False),
+                columns=("title", "search_1"),
+            )
+        except ParseError:
+            return "ERR"
+        return sorted(
+            int(k[1:]) + 1
+            for k in _mf_eval(
+                ast,
+                {
+                    "k0": {"title": ["alphax", "beta"], "search_1": []},
+                    "k1": {"title": ["alpha", "beta"], "search_1": []},
+                    "k2": {"title": ["near", "alpha"], "search_1": []},
+                },
+            )
+        )
+
+    for q in [
+        "AND alpha", "NOT alpha", "OR alpha", "alpha AND", "alpha NOT",
+        "alpha OR", "(alpha", "alpha)", "NEAR()", "NEAR(alpha,)",
+        "NEAR(alpha, -1)", "near(alpha beta)", "^*", "alpha**", "*alpha",
+        "TITLE:alpha", "{TITLE SEARCH_1}:alpha", "NEAR (alpha beta)",
+        "alpha * beta", "alpha* beta", '"alpha" * beta', "NEAR(alpha)",
+    ]:
+        assert f5(q) == ours(q), (q, f5(q), ours(q))
+    con.close()
