@@ -171,7 +171,15 @@ def _ctx(spark: SparkSession, sf_dir: str):
 def _ctx_porter(spark, sf_dir):
     """Second FTS context with the Porter-stemmed analyzer (H7) — built
     lazily and cached per sf_dir, mirroring the reference's
-    ``--tokenize porter`` index (utils.py:90, cli.py:22-26)."""
+    ``--tokenize porter`` index (utils.py:90, cli.py:22-26).
+
+    Derivation note (r11): this stems the shared PORTABLE index, which
+    equals the reference's porter (= porter over unicode61) exactly on
+    ascii corpora — the testdata's case.  A unicode corpus should
+    build ``build_fts_index(mode="unicode61", stem=True)`` instead
+    (supported; parity pinned by
+    test_analyze_unicode61_stem_matches_fts5_porter — portable's ascii
+    splits would shred diacritic words the porter tokenizer folds)."""
     c = _CTX.setdefault(sf_dir, {})
     if "fts_porter" not in c:
         from dogsheep_beta_spark.operators.fts_index import stem_fts_index

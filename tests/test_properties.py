@@ -67,6 +67,27 @@ def test_analyze_stem_matches_fts5_porter_pipeline(text):
     assert analyze_py(text, stem=True) == _fts5_terms(text, "porter")
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " -#'.éüñàïöç",
+        max_size=60,
+    )
+)
+def test_analyze_unicode61_stem_matches_fts5_porter(text):
+    """FTS5's `porter` tokenizer is porter OVER unicode61 (diacritics
+    folded before stemming: übermut→ubermut, naïve→naiv).  The engine's
+    reference-parity pairing for unicode corpora is
+    `analyze_py(x, "unicode61", stem=True)` /
+    `build_fts_index(mode="unicode61", stem=True)` — pinned here after
+    an r11 soak showed portable+stem (ascii splits) diverges on
+    non-ascii text (the bench contexts stay portable because the
+    testdata is ascii; see _ctx_porter's docstring)."""
+    assert analyze_py(text, "unicode61", stem=True) == _fts5_terms(
+        text, "porter"
+    )
+
+
 # ---------------------------------------------------------------------------
 # seeded fuzz: MATCH compiler vs brute-force evaluator
 # ---------------------------------------------------------------------------
@@ -1347,7 +1368,7 @@ def test_match_grammar_differential_vs_fts5_porter():
     vocab = [
         "running", "runner", "ran", "jumps", "jumped", "jumping",
         "connection", "connected", "relation", "relational", "cats",
-        "cat",
+        "übermut", "naïve",
     ]
     rng = random.Random(1106)
     rows = []
@@ -1367,7 +1388,8 @@ def test_match_grammar_differential_vs_fts5_porter():
         )
 
     def analyze(x):
-        return analyze_py(x, "portable", True)
+        # the reference pairing: FTS5 porter == porter over unicode61
+        return analyze_py(x, "unicode61", True)
 
     docs = {
         k: {"title": analyze(t or ""), "search_1": analyze(s or "")}
