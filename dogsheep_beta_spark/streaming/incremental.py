@@ -2311,6 +2311,7 @@ def upgrade_semantic_store(
     import shutil
 
     store_path = os.path.join(root_path, "store")
+    _check_layout_tau(root_path, tau)  # record/validate the band tau
     tmp = store_path + ".__upgrade__"
     old = store_path + ".__legacy__"
     if not os.path.isdir(store_path):
@@ -2476,6 +2477,7 @@ def merge_semantic_batch(
 
     store_path = os.path.join(root_path, "store")
     match_path = os.path.join(root_path, "matches")
+    _check_layout_tau(root_path, tau)  # bands are a function of tau
     eps, q = _sem_thresh_q(tau)
 
     _prof = os.environ.get("DBS_PROFILE_STREAM")
@@ -2842,6 +2844,36 @@ def streaming_semantic_dedup(
 # run picks the refined cells up automatically.
 
 
+def _check_layout_tau(root_path: str, tau: float) -> None:
+    """Record the semantic layout's tau on first write and REFUSE any
+    later writer/maintainer using a different one (r11): the pivot
+    bands stored with every row are a pure function of tau, so a
+    mismatched tau silently mis-bands — probes stop hitting stored
+    rows and matches are LOST without any error.  Found by the
+    stream-restart-across-split test, where maintenance re-banded a
+    tau=0.9 store at its own 0.95 default and the restarted stream
+    went quiet."""
+    import json
+    import os
+
+    p = os.path.join(root_path, ".__tau__.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            rec = float(json.load(fh)["tau"])
+        if abs(rec - tau) > 1e-12:
+            raise ValueError(
+                f"semantic store at {root_path} is banded under "
+                f"tau={rec}; refusing tau={tau} — pivot bands are a "
+                "function of tau, so a mismatch silently drops matches"
+            )
+        return
+    os.makedirs(root_path, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"tau": tau}, fh)
+    os.replace(tmp, p)
+
+
 def persist_semantic_cents(
     spark: SparkSession, root_path: str, cents: DataFrame
 ) -> None:
@@ -3002,6 +3034,7 @@ def split_semantic_cell(
     store = os.path.join(root_path, "store")
     stage = os.path.join(root_path, ".__splitstage__")
     marker = os.path.join(root_path, f".__split_{int(cell)}__.json")
+    _check_layout_tau(root_path, tau)  # refuse re-banding under a new tau
     _, q = _sem_thresh_q(tau)
 
     with _manifest_lock(store):

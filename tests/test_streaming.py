@@ -2715,7 +2715,7 @@ def test_maintain_semantic_store_occupancy_driven(spark, tmpdir):
     root = os.path.join(tmpdir, "semmaint")
     for s in range(2):
         _sem_split_scenario(spark, root, s)
-    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2)
+    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2, tau=0.9)
     assert list(done) == [0] and sorted(done[0]) == [2, 3]
     occ = {
         r["cell"]: r["n"]
@@ -2723,7 +2723,7 @@ def test_maintain_semantic_store_occupancy_driven(spark, tmpdir):
     }
     assert all(n <= 4 for n in occ.values())
     # under-threshold layout: nothing to do
-    assert inc.maintain_semantic_store(spark, root, max_cell_rows=10) == {}
+    assert inc.maintain_semantic_store(spark, root, max_cell_rows=10, tau=0.9) == {}
 
 
 def test_crash_injection_semantic_split(spark, tmpdir, crash_injector):
@@ -2813,7 +2813,7 @@ def test_maintain_semantic_store_skips_indivisible_cell(spark, tmpdir):
     inc.merge_semantic_batch(
         spark, bdf, 0, root, inc.read_semantic_cents(spark, root), tau=0.99
     )
-    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2)
+    done = inc.maintain_semantic_store(spark, root, max_cell_rows=4, k=2, tau=0.99)
     assert done == {0: []}  # skipped, not split
     # layout untouched: cents still {0}, occupancy unchanged
     assert {
@@ -2825,4 +2825,77 @@ def test_maintain_semantic_store_skips_indivisible_cell(spark, tmpdir):
     }
     assert occ == {0: 8}
     # a second pass is stable (no unbounded cents growth)
-    assert inc.maintain_semantic_store(spark, root, max_cell_rows=4) == {0: []}
+    assert inc.maintain_semantic_store(spark, root, max_cell_rows=4, tau=0.99) == {0: []}
+
+
+def test_streaming_semantic_dedup_restarts_across_split(spark, tmpdir):
+    """The full operational loop (r11): stream run 1 (availableNow)
+    builds the store under the layout-owned cents; the stream stops;
+    maintenance splits the hot cell; stream run 2 starts with
+    cents=None, derives the REFINED cells from the layout, and new
+    near-duplicates still surface — no caller-held centroid copy
+    anywhere."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "semsplitstream")
+    src = os.path.join(tmpdir, "semsplitsrc")
+    inc.persist_semantic_cents(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cell int, centroid array<double>"
+        ),
+    )
+    batch1 = [(1, [1.0, 0.02]), (2, [0.999, 0.021]),
+              (3, [0.1, 0.995]), (4, [0.11, 0.994])]
+    spark.createDataFrame(
+        batch1, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = inc.streaming_semantic_dedup(
+            stream, root, os.path.join(tmpdir, "semsplitck"),
+            cents=None, tau=0.9,
+        )
+        q.awaitTermination(300)
+
+    run_stream()
+    assert {
+        r["cell"] for r in inc.semantic_cell_occupancy(spark, root).collect()
+    } == {0}
+
+    # the layout recorded tau=0.9 at first merge; maintenance under a
+    # DIFFERENT tau must refuse (bands are a function of tau — a
+    # silent re-band would lose matches, which is exactly how this
+    # test originally failed)
+    with pytest.raises(ValueError, match="banded under"):
+        inc.maintain_semantic_store(spark, root, max_cell_rows=2, k=2)
+    done = inc.maintain_semantic_store(
+        spark, root, max_cell_rows=2, k=2, tau=0.9
+    )
+    assert sorted(done[0]) == [1, 2]
+
+    # run 2: new arrivals, derived cents — matches within refined cells
+    spark.createDataFrame(
+        [(5, [0.998, 0.019]), (6, [0.12, 0.993])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+
+    matches = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in inc.read_semantic_matches(spark, root).collect()
+    }
+    assert (1, 2) in matches and (3, 4) in matches  # pre-split, kept
+    assert (1, 5) in matches or (2, 5) in matches   # post-split found
+    assert (3, 6) in matches or (4, 6) in matches
+    occ = {
+        r["cell"]: r["n"]
+        for r in inc.semantic_cell_occupancy(spark, root).collect()
+    }
+    assert set(occ) == {1, 2} and sum(occ.values()) == 6
