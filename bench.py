@@ -94,24 +94,44 @@ def main() -> None:
         return -1.0
 
     def jvm_rss_mb() -> float:
-        """Summed RSS of direct java children (the py4j-launched JVM)."""
-        me = str(os.getpid())
-        total = 0.0
+        """Summed RSS of ALL java processes descended from this bench
+        driver (transitive ppid walk, ADVICE r11): under a
+        local-cluster master the executor JVMs are children of the
+        driver JVM — grandchildren of Python — and a direct-child-only
+        sum silently undercounts in exactly that configuration."""
+        me = os.getpid()
         try:
+            procs: dict[int, tuple[int, str]] = {}
             for pid in os.listdir("/proc"):
                 if not pid.isdigit():
                     continue
                 try:
                     with open(f"/proc/{pid}/stat") as fh:
                         parts = fh.read().split()
-                    if parts[3] != me or "java" not in parts[1]:
-                        continue
-                    with open(f"/proc/{pid}/status") as fh:
-                        for line in fh:
-                            if line.startswith("VmRSS:"):
-                                total += int(line.split()[1]) / 1024.0
-                except OSError:
+                    procs[int(pid)] = (int(parts[3]), parts[1])
+                except (OSError, IndexError, ValueError):
                     continue
+            total = 0.0
+            for pid, (ppid, comm) in procs.items():
+                if "java" not in comm:
+                    continue
+                # follow the ppid chain up to (at most) the proc-table
+                # depth; count the JVM iff the chain reaches us
+                seen: set[int] = set()
+                cur = ppid
+                while cur > 1 and cur not in seen:
+                    if cur == me:
+                        try:
+                            with open(f"/proc/{pid}/status") as fh:
+                                for line in fh:
+                                    if line.startswith("VmRSS:"):
+                                        total += int(line.split()[1]) / 1024.0
+                                        break
+                        except OSError:
+                            pass
+                        break
+                    seen.add(cur)
+                    cur = procs.get(cur, (0, ""))[0]
         except OSError:
             return -1.0
         return round(total, 1)

@@ -32,6 +32,12 @@ def package_zip(dest_dir: str | None = None) -> str:
         )
     os.makedirs(dest_dir, exist_ok=True)
     zpath = os.path.join(dest_dir, "dogsheep_beta_spark.zip")
+    if os.path.exists(zpath):
+        # content is deterministic for a given source tree, and the
+        # cache is pid-keyed, so a zip this process already built is
+        # the zip it would build again — skip the walk+deflate
+        # (ADVICE r11: the docstring promised this; now it's true)
+        return zpath
     tmp = zpath + ".tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in os.walk(pkg_root):

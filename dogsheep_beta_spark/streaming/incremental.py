@@ -2844,7 +2844,9 @@ def streaming_semantic_dedup(
 # run picks the refined cells up automatically.
 
 
-def _check_layout_tau(root_path: str, tau: float) -> None:
+def _check_layout_tau(
+    root_path: str, tau: float, allow_create: bool = True
+) -> None:
     """Record the semantic layout's tau on first write and REFUSE any
     later writer/maintainer using a different one (r11): the pivot
     bands stored with every row are a pure function of tau, so a
@@ -2852,12 +2854,31 @@ def _check_layout_tau(root_path: str, tau: float) -> None:
     rows and matches are LOST without any error.  Found by the
     stream-restart-across-split test, where maintenance re-banded a
     tau=0.9 store at its own 0.95 default and the restarted stream
-    went quiet."""
+    went quiet.
+
+    ``allow_create=False`` (ADVICE r11): MAINTENANCE entry points
+    (`split_semantic_cell`, `maintain_semantic_store`) must never be
+    the writer that CREATES the tau record — on a pre-r11 legacy
+    store (no ``.__tau__.json``) maintenance run with its own default
+    tau would record the wrong value and re-band split cells before
+    the guard could refuse.  Only a merge/upgrade op — which the
+    operator necessarily parameterizes with the store's true tau,
+    because its bands must match the stream's — may bootstrap the
+    record; maintenance on a legacy store raises with that
+    instruction instead.
+
+    The create path is race-free (ADVICE r11): ``O_CREAT|O_EXCL``
+    makes exactly one concurrent first-writer win; every loser falls
+    through to the read-and-validate path, so two first writers with
+    different taus now produce a loud ValueError instead of one
+    silently mis-banded store."""
+    import errno
     import json
     import os
 
     p = os.path.join(root_path, ".__tau__.json")
-    if os.path.exists(p):
+
+    def _validate() -> None:
         with open(p) as fh:
             rec = float(json.load(fh)["tau"])
         if abs(rec - tau) > 1e-12:
@@ -2866,12 +2887,36 @@ def _check_layout_tau(root_path: str, tau: float) -> None:
                 f"tau={rec}; refusing tau={tau} — pivot bands are a "
                 "function of tau, so a mismatch silently drops matches"
             )
+
+    if os.path.exists(p):
+        _validate()
         return
+    if not allow_create:
+        raise ValueError(
+            f"semantic store at {root_path} has no recorded tau "
+            "(pre-r11 legacy layout); maintenance refuses to guess — "
+            "run a merge/upgrade op (merge_semantic_batch / "
+            "upgrade_semantic_store) with the store's true tau "
+            "to bootstrap .__tau__.json first"
+        )
     os.makedirs(root_path, exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"tau": tau}, fh)
-    os.replace(tmp, p)
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except OSError as e:
+        if e.errno != errno.EEXIST:
+            raise
+        _validate()  # lost the create race: validate the winner's tau
+        return
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"tau": tau}, fh)
+    except BaseException:
+        # never leave a half-written record for later readers to parse
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+        raise
 
 
 def persist_semantic_cents(
@@ -3034,7 +3079,10 @@ def split_semantic_cell(
     store = os.path.join(root_path, "store")
     stage = os.path.join(root_path, ".__splitstage__")
     marker = os.path.join(root_path, f".__split_{int(cell)}__.json")
-    _check_layout_tau(root_path, tau)  # refuse re-banding under a new tau
+    # refuse re-banding under a new tau; allow_create=False because a
+    # maintenance op must never bootstrap the tau record on a legacy
+    # store with its own default (ADVICE r11)
+    _check_layout_tau(root_path, tau, allow_create=False)
     _, q = _sem_thresh_q(tau)
 
     with _manifest_lock(store):
@@ -3138,6 +3186,11 @@ def split_semantic_cell(
             # k-1 permanently-empty cells per maintenance pass forever
             # while the hot cell never shrinks.  Refuse instead; the
             # caller (maintain_semantic_store) records the skip.
+            # persist first (ADVICE r11): the guard's distinct count and
+            # the staged write below would otherwise each execute the
+            # full voronoi_assign + broadcast-join + band pipeline.
+            rehomed = rehomed.persist()
+            _persisted.append(rehomed)
             n_target = rehomed.select("cell").distinct().count()
             if n_target < 2:
                 raise ValueError(

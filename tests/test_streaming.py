@@ -2828,6 +2828,108 @@ def test_maintain_semantic_store_skips_indivisible_cell(spark, tmpdir):
     assert inc.maintain_semantic_store(spark, root, max_cell_rows=4, tau=0.99) == {0: []}
 
 
+def test_maintenance_refuses_to_bootstrap_tau_on_legacy_store(spark, tmpdir):
+    """ADVICE r11: on a pre-r11 legacy store (no .__tau__.json) a
+    maintenance op must NOT create the tau record from its own
+    argument/default — it would record whatever tau it was handed and
+    re-band split cells before the guard could refuse.  Only a
+    merge/upgrade op (which necessarily carries the store's true tau)
+    may bootstrap the record."""
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    root = os.path.join(tmpdir, "semlegacy")
+    for s in range(2):
+        _sem_split_scenario(spark, root, s)
+    # simulate the pre-r11 layout: tau record absent
+    tau_rec = os.path.join(root, ".__tau__.json")
+    os.remove(tau_rec)
+
+    with pytest.raises(ValueError, match="no recorded tau"):
+        inc.split_semantic_cell(spark, root, 0, k=2, tau=0.95)
+    with pytest.raises(ValueError, match="no recorded tau"):
+        inc.maintain_semantic_store(spark, root, max_cell_rows=2, k=2, tau=0.95)
+    # crucially: the refusal did NOT create the record as a side effect
+    assert not os.path.exists(tau_rec)
+
+    # bootstrap via a merge op carrying the store's true tau, then
+    # maintenance under that tau proceeds
+    bdf = spark.createDataFrame(
+        [(20, [0.996, 0.02])], "vec_id long, embedding array<double>"
+    )
+    inc.merge_semantic_batch(
+        spark, bdf, 9, root, inc.read_semantic_cents(spark, root), tau=0.9
+    )
+    assert os.path.exists(tau_rec)
+    done = inc.maintain_semantic_store(spark, root, max_cell_rows=2, k=2, tau=0.9)
+    # structural assert (the exact fresh ids depend on how many cells
+    # the bootstrap merge minted): the hot cell split into 2 NEW cells
+    assert 0 in done and len(done[0]) == 2 and 0 not in done[0]
+
+
+def test_tau_record_create_is_race_safe(tmpdir):
+    """ADVICE r11: two concurrent FIRST writers with different taus
+    must not both pass the create path — the loser must see the
+    winner's record and raise, not silently lose its tau."""
+    import json
+
+    from dogsheep_beta_spark.streaming.incremental import _check_layout_tau
+
+    root = os.path.join(tmpdir, "taurace")
+    # simulate losing the race: the record appears between this
+    # writer's exists() check and its create by pre-seeding it and
+    # calling with a different tau — O_EXCL turns the stale-check
+    # window into EEXIST → re-read → validate → ValueError
+    os.makedirs(root, exist_ok=True)
+    _check_layout_tau(root, 0.9)
+    with pytest.raises(ValueError, match="banded under"):
+        _check_layout_tau(root, 0.95)
+    with open(os.path.join(root, ".__tau__.json")) as fh:
+        assert json.load(fh)["tau"] == 0.9
+
+    # true concurrency: N threads race the create with distinct taus —
+    # exactly one records, every other raises
+    import threading
+
+    root2 = os.path.join(tmpdir, "taurace2")
+    os.makedirs(root2, exist_ok=True)
+    errs: list[BaseException | None] = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        try:
+            barrier.wait()
+            _check_layout_tau(root2, 0.90 + i * 0.01)
+        except BaseException as e:  # noqa: BLE001 — recorded for assert
+            errs[i] = e
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    winners = [i for i, e in enumerate(errs) if e is None]
+    assert len(winners) == 1
+    with open(os.path.join(root2, ".__tau__.json")) as fh:
+        rec = json.load(fh)["tau"]
+    assert abs(rec - (0.90 + winners[0] * 0.01)) < 1e-12
+    for i, e in enumerate(errs):
+        if i != winners[0]:
+            assert isinstance(e, ValueError) and "banded under" in str(e)
+
+
+def test_package_zip_reuses_cached_zip(tmpdir):
+    """ADVICE r11: package_zip's pid-keyed zip is deterministic, so a
+    second call in the same process must return the cached file
+    without rebuilding it."""
+    from dogsheep_beta_spark.deploy import package_zip
+
+    dest = os.path.join(tmpdir, "pyfiles")
+    p1 = package_zip(dest_dir=dest)
+    st1 = os.stat(p1)
+    p2 = package_zip(dest_dir=dest)
+    assert p2 == p1
+    st2 = os.stat(p2)
+    assert (st2.st_mtime_ns, st2.st_ino) == (st1.st_mtime_ns, st1.st_ino)
+
+
 def test_streaming_semantic_dedup_restarts_across_split(spark, tmpdir):
     """The full operational loop (r11): stream run 1 (availableNow)
     builds the store under the layout-owned cents; the stream stops;
