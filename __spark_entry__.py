@@ -10456,6 +10456,47 @@ LIMIT 100
     return d
 
 
+def oracle_py() -> dict:
+    """Driver-side Python oracles for the few queries whose defining
+    transform has no SQL twin (VERDICT r11 #2).  Each value is a
+    callable ``(duck_con, sf_dir) -> pandas.DataFrame`` that fetches
+    the INPUT rows through DuckDB's parquet reader (the oracle's own
+    data path, independent of Spark's scan) and recomputes the
+    non-SQL column with the standard-library definition — the same
+    device as the arithmetic media oracles (``media_video_demux``),
+    where the oracle regenerates the expected bytes from first
+    principles rather than trusting the engine's output.
+
+    ``tools/check_oracle.py`` runs these through the identical
+    canonicalize+strict-CSV-hash comparison as the SQL oracles, so a
+    green row here is the same OK_STRICT evidence class.  The driver's
+    own gate still records these rows as rows-only (it only consumes
+    ``oracle_sql()``); this closes the builder-side full gate."""
+
+    def _compression_ratio(con, sf_dir: str):
+        import zlib
+
+        import pandas as pd
+
+        rows = con.execute(
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ).fetchall()
+        out = []
+        for doc_id, text in rows:
+            raw = (text or "").encode("utf-8")
+            z = len(zlib.compress(raw, 6))
+            ratio = round(len(raw) / z, 6) if z > 0 else 0.0
+            out.append((doc_id, len(raw), z, ratio))
+        return pd.DataFrame(
+            out,
+            columns=["doc_id", "n_bytes", "zlib_bytes", "compression_ratio"],
+        ).astype(
+            {"doc_id": "int64", "n_bytes": "int64", "zlib_bytes": "int64"}
+        )
+
+    return {"text_compression_ratio": _compression_ratio}
+
+
 # ---------------------------------------------------------------------------
 # steady-state streaming bench hook (not a queries() entry)
 # ---------------------------------------------------------------------------

@@ -139,3 +139,30 @@ def test_oracle_canon_dates_and_float32_nan():
     a = pd.DataFrame({"v": np.array([np.nan], dtype="float32")})
     b = pd.DataFrame({"v": [None]}).astype("float64")
     assert compare("t", a, b) == []
+
+
+def test_python_oracle_compression_ratio_strict(spark):
+    """The zlib query's Python oracle (VERDICT r11 #2): the oracle
+    recomputes n_bytes/zlib_bytes/ratio driver-side over DuckDB's own
+    parquet rows and must strict-hash-match the engine's mapInPandas
+    output — plus a negative control proving the comparison would
+    actually catch a divergence."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare, compare_strict, register_duck_views
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    register_duck_views(con, sf_dir)
+    sdf = entrymod.queries()["text_compression_ratio"](spark, sf_dir).toPandas()
+    ddf = entrymod.oracle_py()["text_compression_ratio"](con, sf_dir)
+    assert len(sdf) and len(sdf) == len(ddf)
+    assert compare("text_compression_ratio", sdf, ddf) == []
+    assert compare_strict("text_compression_ratio", sdf, ddf) == []
+    # negative control: a one-cell perturbation must be reported by
+    # BOTH the tolerant diff and the strict CSV hash
+    bad = ddf.copy()
+    bad.loc[0, "zlib_bytes"] = bad.loc[0, "zlib_bytes"] + 1
+    assert compare("text_compression_ratio", sdf, bad)
+    assert compare_strict("text_compression_ratio", sdf, bad)

@@ -251,6 +251,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Python oracles (VERDICT r11 #2): queries whose defining transform
+    # has no SQL twin (zlib) get a driver-side recompute over DuckDB's
+    # own parquet rows, compared through the SAME canon + strict-CSV
+    # machinery as the SQL oracles — no more SKIP_NO_ORACLE rows.
+    py_oracles = getattr(entrymod, "oracle_py", dict)() or {}
     failures = 0
     record: dict = {}
     for name, fn in qs.items():
@@ -267,7 +272,10 @@ def main():
             failures += 1
             continue
         t_spark = time.time() - t0
-        if name not in oracles:
+        oracle_kind = "sql" if name in oracles else (
+            "python" if name in py_oracles else None
+        )
+        if oracle_kind is None:
             print(f"SKIP {name}: no oracle (rows={len(sdf)}, {t_spark:.1f}s)")
             record[name] = {
                 "status": "SKIP_NO_ORACLE",
@@ -277,10 +285,13 @@ def main():
             continue
         t0 = time.time()
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            if oracle_kind == "sql":
+                ddf = con.execute(oracles[name]).fetchdf()
+            else:
+                ddf = py_oracles[name](con, sf_dir)
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            record[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
+            print(f"FAIL {name}: {oracle_kind}-oracle error: {e}")
+            record[name] = {"status": "FAIL", "err": f"{oracle_kind}-oracle: {e}"}
             failures += 1
             continue
         t_duck = time.time() - t0
@@ -304,6 +315,7 @@ def main():
             )
             record[name] = {
                 "status": "OK_STRICT" if strict else "OK",
+                "oracle": oracle_kind,
                 "spark_rows": len(sdf),
                 "oracle_rows": len(ddf),
                 "spark_sec": round(t_spark, 2),
