@@ -3868,6 +3868,61 @@ def q_streaming_ivf_upsert(spark, sf_dir):
     return out
 
 
+def q_layout_objectstore_commit(spark, sf_dir):
+    """The no-rename commit backend end-to-end (storage/objectstore.py,
+    VERDICT r11 #1): the embeddings table replayed as a stream through
+    ``streaming_ivf_upsert_objectstore`` — conditional-put log commits
+    on an emulated S3-class store (no rename/symlink/lock anywhere) —
+    then compacted to one object per cell and vacuumed to the compacted
+    generation.  The final at-rest state must equal the batch Voronoi
+    assignment, the identical oracle as the POSIX streaming path —
+    proving the read/merge plans survive the commit-layer swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.storage.objectstore import (
+        EmulatedObjectStore,
+        compact_objectstore,
+        read_layout_objectstore,
+        streaming_ivf_upsert_objectstore,
+        vacuum_objectstore,
+    )
+
+    _, cents = _ivf_layout(spark, sf_dir)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="dbs_emb_osstream_")
+    os.symlink(path, os.path.join(stream_dir, "embeddings.parquet"))
+    c = _CTX.setdefault(sf_dir, {})
+    work = c.get("osivf_stream_path")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="dbs_osivf_upsert_")
+        c["osivf_stream_path"] = work
+    bucket = os.path.join(work, "bucket")
+    ckpt = os.path.join(work, "ckpt")
+    shutil.rmtree(bucket, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = EmulatedObjectStore(bucket)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    with _stream_partitions(spark):
+        q = streaming_ivf_upsert_objectstore(stream, cents, store, "ivf", ckpt)
+        q.awaitTermination(120)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    compact_objectstore(spark, store, "ivf")
+    vacuum_objectstore(store, "ivf", keep_generations=1)
+    return (
+        read_layout_objectstore(spark, store, "ivf")
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+            F.max("vec_id").cast("long").alias("max_vec"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _manifest_layout(spark, sf_dir):
     """Amortized manifest-layout build (streaming/incremental.py, round
     5): three batch appends through the foreachBatch body (private
@@ -5904,6 +5959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_entity_link": q_streaming_entity_link,
         "entity_clusters": q_entity_clusters,
         "layout_manifest_compact": q_layout_manifest_compact,
+        "layout_objectstore_commit": q_layout_objectstore_commit,
         "media_video_demux": q_media_video_demux,
         # --- end of the driver's 50-key window ----------------------------
         "dedup_simhash": q_dedup_simhash,
@@ -9990,6 +10046,9 @@ LIMIT 100
     # final at-rest state must equal the batch Voronoi assignment no
     # matter which write path produced it.
     d["layout_manifest_compact"] = d["streaming_ivf_upsert"]
+    # same contract on the no-rename commit backend: the object-store
+    # layout's final state must equal the batch Voronoi assignment.
+    d["layout_objectstore_commit"] = d["streaming_ivf_upsert"]
     # incremental convergence contract: the streamed match table must
     # equal the batch pair generator over the same final corpus, so the
     # oracle is BYTE-IDENTICAL to dedup_minhash_lsh's.

@@ -1,0 +1,493 @@
+"""Object-store commit backend for streamed layouts (VERDICT r11 #1).
+
+The POSIX manifest protocol in ``streaming/incremental.py`` commits by
+atomic rename + symlink cutover + an ``O_EXCL`` lockfile — primitives an
+object store (S3/GCS) does not have.  What S3-class stores DO have is a
+**conditional put**: an object PUT that succeeds iff the key does not
+already exist (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``),
+is atomic (a reader sees the whole object or no object, never a
+partial), and after which the object is immutable for our purposes.
+This module rebuilds the commit layer on that single primitive — the
+same shape as Delta Lake's ``_delta_log`` / Iceberg's metadata commit:
+
+- Layout state lives under a key *prefix*:
+  ``<prefix>/data/<part dirs>/<uuid>-<file>.parquet`` — immutable data
+  objects, each written exactly once under an attempt-unique name —
+  and ``<prefix>/log/<%020d>.json`` — the commit log, one record per
+  generation, created by conditional put so exactly one writer wins
+  each generation number.
+- A commit record is a full snapshot manifest: the sorted list of every
+  LIVE data key (relative to ``<prefix>/data/``), the rolling window of
+  idempotence tokens (replay detection, same contract as the POSIX
+  manifest's), and the action that produced it.  Snapshot-per-record
+  keeps readers O(1) (list the log, read ONE record); at huge file
+  counts the standard evolution is delta records + periodic checkpoints,
+  exactly Delta's log design — the protocol here is the same, minus
+  that compression.
+- Writers are optimistic: stage locally, upload data objects (unique
+  names — upload can never conflict), then loop {read latest record,
+  build successor, conditional-put ``log/<gen+1>``}; losing the race
+  means re-reading and re-merging, never blocking on a lock.  There is
+  NO lock anywhere in this path, so there is no stale-lock reclamation
+  problem either.
+- Readers pin to one record's file list, so they always see a committed
+  snapshot — concurrent appends/compactions are invisible until their
+  log record lands.  Time travel = read an older record (bounded by
+  ``vacuum_objectstore`` retention, like Delta's VACUUM horizon).
+
+Crash analysis (each boundary swept by
+``tests/test_streaming.py::test_crash_injection_objectstore_commit``):
+a crash before the log put leaves only orphaned data objects (never
+referenced — swept by vacuum's age guard); a crash after it is a fully
+committed batch whose stream-side replay is recognized by its token and
+dropped.  There is no window in which a reader can observe a partial
+commit, because the only mutation readers ever observe is the atomic
+appearance of one log object.
+
+Reference anchor: the index database as the single system of record
+(dogsheep-beta utils.py:30-65) — here the commit LOG is that record,
+and the data objects are content-addressed leaves under it.
+
+``EmulatedObjectStore`` stands in for the real store in this sandbox
+(no cloud creds/SDKs): it maps keys onto a local backing directory but
+exposes ONLY object-store semantics — get / list / delete /
+put-if-absent / last-modified.  No rename, no symlink, no overwrite, no
+lock.  Its internal use of ``os.link`` onto a fully-written temp file
+is the emulation of the store's own PUT atomicity (an S3 object appears
+only once complete), not a primitive the protocol above is allowed to
+use.  ``local_path`` is the read-path mapping (what ``s3a://`` gives
+Spark on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+
+class EmulatedObjectStore:
+    """Local-directory emulation of an S3-class object store.
+
+    API surface is deliberately minimal and rename-free; see module
+    docstring.  Keys are ``/``-separated strings; "directories" are a
+    fiction of the key namespace, exactly as on S3.
+    """
+
+    def __init__(self, backing_dir: str):
+        self.backing_dir = os.path.abspath(backing_dir)
+        os.makedirs(self.backing_dir, exist_ok=True)
+
+    # -- internal ---------------------------------------------------
+    def _path(self, key: str) -> str:
+        key = key.strip("/")
+        if not key or ".." in key.split("/"):
+            raise ValueError(f"bad object key: {key!r}")
+        return os.path.join(self.backing_dir, key)
+
+    def _atomic_create(self, dst: str, tmp: str) -> bool:
+        """Make the fully-written ``tmp`` appear at ``dst`` iff ``dst``
+        does not exist — one hardlink, the PUT-atomicity emulation."""
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    # -- object-store API -------------------------------------------
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Conditional put: True iff this call created the object."""
+        dst = self._path(key)
+        tmp = os.path.join(
+            self.backing_dir, f".__upload_{uuid.uuid4().hex}__"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        return self._atomic_create(dst, tmp)
+
+    def put_file_if_absent(self, key: str, src_path: str) -> bool:
+        """Conditional put of a local file's bytes (the multipart-upload
+        analog).  The source is COPIED before publication so later
+        changes to it can never alter the stored object."""
+        dst = self._path(key)
+        tmp = os.path.join(
+            self.backing_dir, f".__upload_{uuid.uuid4().hex}__"
+        )
+        shutil.copyfile(src_path, tmp)
+        return self._atomic_create(dst, tmp)
+
+    def get(self, key: str) -> bytes:
+        with open(self._path(key), "rb") as f:
+            return f.read()
+
+    def exists(self, key: str) -> bool:
+        return os.path.isfile(self._path(key))
+
+    def list(self, prefix: str = "") -> list[str]:
+        """Sorted keys under ``prefix`` (S3 ListObjectsV2)."""
+        prefix = prefix.strip("/")
+        root = os.path.join(self.backing_dir, prefix) if prefix else (
+            self.backing_dir
+        )
+        out = []
+        if not os.path.isdir(root):
+            return out
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith(".__upload_"):
+                    continue  # in-flight PUT temp — not an object yet
+                full = os.path.join(dirpath, f)
+                out.append(
+                    os.path.relpath(full, self.backing_dir).replace(
+                        os.sep, "/"
+                    )
+                )
+        return sorted(out)
+
+    def delete(self, key: str) -> bool:
+        """Idempotent delete; True iff an object was removed."""
+        try:
+            os.unlink(self._path(key))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def last_modified(self, key: str) -> float:
+        """Unix mtime (S3 LastModified) — vacuum's age guard."""
+        return os.path.getmtime(self._path(key))
+
+    def local_path(self, key: str) -> str:
+        """The read-path mapping for Spark's parquet scanner (the
+        ``s3a://<bucket>/<key>`` URL on a real deployment).  Read-only
+        by contract: the commit protocol never writes through it."""
+        return self._path(key)
+
+
+# ---------------------------------------------------------------------------
+# log-based commit protocol
+# ---------------------------------------------------------------------------
+
+_TOKEN_WINDOW = 128  # same replay-detection window as the POSIX manifest
+
+
+def _log_key(prefix: str, generation: int) -> str:
+    return f"{prefix.strip('/')}/log/{generation:020d}.json"
+
+
+def _data_prefix(prefix: str) -> str:
+    return f"{prefix.strip('/')}/data"
+
+
+def read_log_record(store, prefix: str, generation: int) -> dict | None:
+    key = _log_key(prefix, generation)
+    if not store.exists(key):
+        return None
+    return json.loads(store.get(key).decode())
+
+
+def read_latest_record(store, prefix: str) -> dict | None:
+    """The highest committed generation's record, or None for an empty
+    layout.  Zero-padded key names make lexicographic max numeric max;
+    log objects are immutable, so list-then-get cannot tear."""
+    keys = store.list(f"{prefix.strip('/')}/log/")
+    if not keys:
+        return None
+    return json.loads(store.get(keys[-1]).decode())
+
+
+def layout_history(store, prefix: str) -> list[dict]:
+    """All committed records, oldest first — the layout's commit log."""
+    return [
+        json.loads(store.get(k).decode())
+        for k in store.list(f"{prefix.strip('/')}/log/")
+    ]
+
+
+def _commit(store, prefix: str, build_record) -> dict | None:
+    """Optimistic-concurrency commit loop: read the latest record,
+    have ``build_record(latest)`` propose the successor (or None to
+    abort — a detected replay), and conditional-put it as the next
+    generation.  Losing the put race re-reads and re-merges; the
+    winner's record is immutable so every retry sees a consistent
+    predecessor.  Returns the committed record, or None on abort."""
+    while True:
+        latest = read_latest_record(store, prefix)
+        rec = build_record(latest)
+        if rec is None:
+            return None
+        rec["generation"] = (latest["generation"] + 1) if latest else 1
+        payload = json.dumps(rec, sort_keys=True).encode()
+        if store.put_if_absent(_log_key(prefix, rec["generation"]), payload):
+            return rec
+        # lost the generation race — rebuild against the new latest
+
+
+def _upload_staging(store, prefix: str, staging_dir: str) -> list[str]:
+    """Upload every data file under ``staging_dir`` as immutable
+    objects with attempt-unique names, PRESERVING partition directory
+    structure (``cell=N/``) so Spark's partition discovery still works
+    under one ``basePath``.  Returns the uploaded keys relative to the
+    data prefix."""
+    from dogsheep_beta_spark.streaming.incremental import _list_data_files
+
+    attempt = uuid.uuid4().hex[:16]
+    uploaded: list[str] = []
+    for rel, full in sorted(_list_data_files(staging_dir).items()):
+        d, b = os.path.split(rel)
+        name = f"{attempt}-{b}"
+        key_rel = f"{d}/{name}" if d else name
+        if not store.put_file_if_absent(
+            f"{_data_prefix(prefix)}/{key_rel}", full
+        ):
+            # attempt-unique names make this unreachable short of a
+            # uuid collision; fail loudly rather than alias an object
+            raise RuntimeError(f"upload collision on {key_rel}")
+        uploaded.append(key_rel)
+    return uploaded
+
+
+def append_objectstore(
+    store,
+    prefix: str,
+    staging_dir: str,
+    token: str | None = None,
+    legacy_tokens: tuple = (),
+) -> bool:
+    """Commit an append: upload the staged files as new immutable data
+    objects, then publish {previous files + uploads} as the next log
+    generation.  Replays (token already recorded) discard the staged
+    copy and return False — the exact contract of the POSIX
+    ``commit_appended_files``, with the lock replaced by the
+    conditional-put commit loop.
+
+    A crash anywhere before the log put leaves unreferenced uploads
+    (vacuum fodder) and an unchanged layout; the stream's redelivery
+    re-stages and commits cleanly.  A crash after it is a committed
+    batch whose redelivery is dropped by the token check."""
+    uploaded: list[str] | None = None
+
+    def build(latest: dict | None) -> dict | None:
+        nonlocal uploaded
+        tokens = list((latest or {}).get("tokens", []))
+        if token is not None and (
+            token in tokens or any(t in tokens for t in legacy_tokens)
+        ):
+            return None  # replay of a fully-committed batch
+        if uploaded is None:  # upload once, even across commit retries
+            uploaded = _upload_staging(store, prefix, staging_dir)
+        if token is not None:
+            tokens = (tokens + [token])[-_TOKEN_WINDOW:]
+        return {
+            "action": "append",
+            "files": sorted(
+                set((latest or {}).get("files", [])) | set(uploaded)
+            ),
+            "tokens": tokens,
+        }
+
+    rec = _commit(store, prefix, build)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    return rec is not None
+
+
+def read_layout_objectstore(
+    spark, store, prefix: str, generation: int | None = None
+):
+    """Scan the layout pinned to one committed snapshot (latest, or a
+    time-travel ``generation``).  Partition columns (``cell=N``)
+    resolve via the shared data-prefix basePath.  Raises on a missing
+    generation or a snapshot swept past the vacuum horizon."""
+    if generation is not None:
+        rec = read_log_record(store, prefix, generation)
+        if rec is None:
+            raise ValueError(
+                f"no generation {generation} in {prefix} commit log"
+            )
+    else:
+        rec = read_latest_record(store, prefix)
+        if rec is None:
+            raise FileNotFoundError(f"empty object-store layout {prefix}")
+    missing = [
+        f for f in rec["files"]
+        if not store.exists(f"{_data_prefix(prefix)}/{f}")
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"generation {rec['generation']} of {prefix} is beyond the "
+            f"vacuum retention horizon ({len(missing)} objects gone, "
+            f"first: {missing[0]})"
+        )
+    base = store.local_path(_data_prefix(prefix))
+    return spark.read.option("basePath", base).parquet(
+        *(os.path.join(base, f) for f in rec["files"])
+    )
+
+
+def compact_objectstore(
+    spark, store, prefix: str, local_tmp: str | None = None
+) -> dict | None:
+    """Rewrite the current snapshot's files down to one object per
+    partition cell and commit the compacted list — the object-store
+    twin of ``compact_ivf_layout`` (Delta OPTIMIZE).  Concurrent
+    appends are safe with NO lock: the commit loop re-merges any file
+    that landed AFTER the compaction's snapshot into the new record
+    (``late = latest.files − snapshot.files``), so an appender either
+    committed before the snapshot (its rows are in the compacted
+    objects) or after it (its objects survive verbatim) — never both,
+    because data objects are immutable and referenced by exactly one
+    name.  Content is untouched; superseded objects linger for
+    time-travel until ``vacuum_objectstore``."""
+    import tempfile
+
+    snap = read_latest_record(store, prefix)
+    if snap is None or not snap["files"]:
+        return None
+    df = read_layout_objectstore(spark, store, prefix, snap["generation"])
+    part_cols = [c for c in df.columns if c == "cell"]
+    tmp = local_tmp or tempfile.mkdtemp(prefix="dbs_oscompact_")
+    out_dir = os.path.join(tmp, "compacted")
+    writer = df.repartition(*part_cols).write.mode("overwrite") if (
+        part_cols
+    ) else df.coalesce(1).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_dir)
+    uploaded = _upload_staging(store, prefix, out_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def build(latest: dict | None) -> dict:
+        assert latest is not None  # snap existed, log never shrinks
+        late = set(latest["files"]) - set(snap["files"])
+        return {
+            "action": "compact",
+            "compacted_from": snap["generation"],
+            "files": sorted(set(uploaded) | late),
+            # tokens carry over: replay detection must survive
+            # compaction, same as the POSIX manifest rewrite
+            "tokens": list(latest.get("tokens", [])),
+        }
+
+    return _commit(store, prefix, build)
+
+
+def vacuum_objectstore(
+    store,
+    prefix: str,
+    keep_generations: int = 2,
+    min_age_sec: float = 0.0,
+) -> list[str]:
+    """Delete data objects referenced by NO retained generation —
+    superseded pre-compaction files and crashed-upload orphans.  The
+    last ``keep_generations`` committed records stay readable
+    (time-travel horizon, Delta VACUUM's contract); ``min_age_sec``
+    protects in-flight uploads whose commit has not landed yet (a real
+    deployment sets this above the longest plausible upload+commit,
+    Delta's default is 7 days).  Returns the deleted keys."""
+    records = layout_history(store, prefix)
+    live: set[str] = set()
+    for rec in records[-keep_generations:] if keep_generations else []:
+        live.update(rec["files"])
+    if records and not keep_generations:
+        live.update(records[-1]["files"])  # never delete the live set
+    import time
+
+    now = time.time()
+    dp = _data_prefix(prefix)
+    deleted = []
+    for key in store.list(dp):
+        rel = key[len(dp) + 1:]
+        if rel in live:
+            continue
+        if now - store.last_modified(key) < min_age_sec:
+            continue
+        store.delete(key)
+        deleted.append(key)
+    return deleted
+
+
+# ---------------------------------------------------------------------------
+# streamed IVF layout on the object-store backend
+# ---------------------------------------------------------------------------
+
+
+def merge_ivf_batch_objectstore(
+    batch_df,
+    cents,
+    store,
+    prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit_token: str | None = None,
+    legacy_commit_tokens: tuple = (),
+    staging_root: str | None = None,
+) -> bool:
+    """foreachBatch body: the object-store port of ``merge_ivf_batch``
+    (streaming/incremental.py:862) — identical Voronoi assignment and
+    staging write, with ``append_objectstore`` replacing the
+    lock+rename commit.  The Spark job still writes to local staging
+    (on a real cluster: the executors' task-committed output, or a
+    direct s3a write whose files the commit then references); only the
+    publish step changes.  ``staging_root`` overrides where the staging
+    tempdir is made (the crash sweep points it under its armed root so
+    the staging write is a counted boundary)."""
+    import tempfile
+
+    from dogsheep_beta_spark.operators.similarity import voronoi_assign
+
+    assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
+    staging = tempfile.mkdtemp(prefix="dbs_osappend_", dir=staging_root)
+    out = os.path.join(staging, "batch")
+    (
+        assigned.select(id_col, vec_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    try:
+        return append_objectstore(
+            store, prefix, out,
+            token=commit_token, legacy_tokens=legacy_commit_tokens,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def streaming_ivf_upsert_objectstore(
+    stream_df,
+    cents,
+    store,
+    prefix: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """``streaming_ivf_upsert`` on the object-store backend: same
+    checkpoint-namespaced idempotence tokens (incremental.py:913), so
+    a replayed micro-batch after a crash-restart is recognized in the
+    commit log and dropped instead of double-appended."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        checkpoint_namespace,
+    )
+
+    ns = checkpoint_namespace(checkpoint_dir)
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_ivf_batch_objectstore(
+                bdf, cents, store, prefix, id_col, vec_col,
+                commit_token=f"{ns}:batch:{bid}",
+            )
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -23,10 +23,14 @@ protocol is exactly "single-host commit over a shared filesystem",
 the NFS/local-SSD deployment.  This holds under a real executor
 boundary (`local-cluster` — validated by the r11 cluster gate) and on
 any cluster whose driver mounts the layout (NFS, Lustre, EFS).  An
-object store (S3/GCS) has no atomic rename or symlink; deploying
-there means swapping this layer for a transactional table format
-(Delta/Iceberg) whose log-based commit is the moral equivalent —
-the read/merge plans above it are unchanged.
+object store (S3/GCS) has no atomic rename or symlink; for that
+deployment the repo ships ``storage/objectstore.py`` (r12): the same
+commit API rebuilt on the ONE primitive S3-class stores do have —
+conditional put — as a Delta-style log protocol with optimistic
+concurrency and no lock, crash-swept by the identical injection
+machinery as this module and proven equivalent on the streamed IVF
+layout (``layout_objectstore_commit`` gate row).  The read/merge
+plans above either backend are unchanged.
 """
 
 from __future__ import annotations
