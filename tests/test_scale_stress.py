@@ -1486,3 +1486,97 @@ def test_scale_semantic_split_arrests_hot_cell_growth(spark):
     assert max(post) < pre[-1], (pre, post)
     shutil.rmtree(work, ignore_errors=True)
     spark.catalog.clearCache()  # heap hygiene for later broadcast tests
+
+
+def test_scale_semantic_long_horizon_steady_state(spark):
+    """VERDICT r11 #3: the ONE-pass split measurement above shows a
+    single arrest; this tier proves the ongoing OPERATIONAL claim —
+    periodic occupancy-triggered `maintain_semantic_store` holds the
+    per-batch wall BOUNDED over a long stream (>=25 batches), across
+    at least TWO maintenance cycles (splits cascading k -> k*k as
+    refilled sub-cells split again).  Same degenerate-skew device as
+    the arrest test (one Voronoi cell, low tau => wide bands, probe
+    ~whole cell): without maintenance the wall grows linearly with
+    occupancy forever; with it, each cycle must pull the wall back
+    below the pre-maintenance peak, and the series must end below its
+    global maximum (non-monotonic, bounded).  The measured series is
+    recorded in BASELINE.md ("Long-horizon semantic maintenance")."""
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+    import time
+
+    from dogsheep_beta_spark.streaming import incremental as inc
+
+    dim = 32
+
+    def hvec(seed):
+        comps = []
+        for i in range(dim):
+            d = hashlib.md5(f"longhoriz:{seed}:{i}".encode()).digest()
+            u = int.from_bytes(d[:8], "big")
+            comps.append((u % 2_000_001) / 1_000_000.0 - 1.0)
+        comps[0] = abs(comps[0]) + 0.1  # mild positive bias -> cell 0
+        n = math.sqrt(sum(x * x for x in comps))
+        return [x / n for x in comps]
+
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1))], "cell int, centroid array<double>"
+    )
+    work = tempfile.mkdtemp(prefix="dbs_semlong_", dir="/tmp")
+    root = os.path.join(work, "root")
+    inc.persist_semantic_cents(spark, root, cents)
+
+    B, tau, N = 600, 0.7, 26
+    max_cell_rows = 4 * B  # trigger: any cell holding > 4 batches' mass
+
+    walls, cycles = [], []  # cycles: (batch_idx, {old: [new...]})
+    for b in range(N):
+        rows = [(b * 100_000 + i, hvec(b * 100_000 + i)) for i in range(B)]
+        bdf = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        t0 = time.monotonic()
+        inc.merge_semantic_batch(
+            spark, bdf, b, root,
+            inc.read_semantic_cents(spark, root), tau=tau,
+        )
+        walls.append(time.monotonic() - t0)
+        # the operational trigger: occupancy check (O(cells)) per batch
+        hot = (
+            inc.semantic_cell_occupancy(spark, root)
+            .where(F.col("n") > max_cell_rows)
+            .count()
+        )
+        if hot:
+            done = inc.maintain_semantic_store(
+                spark, root, max_cell_rows=max_cell_rows,
+                k=4, iters=2, tau=tau,
+            )
+            if any(v for v in done.values()):
+                cycles.append((b, done))
+
+    occ = inc.semantic_cell_occupancy(spark, root).collect()
+    assert sum(r["n"] for r in occ) == N * B  # nothing lost across cycles
+    series = " ".join(f"{t:.1f}" for t in walls)
+    marks = " ".join(
+        f"b{b}:{{{','.join(f'{c}->{len(v)}' for c, v in d.items())}}}"
+        for b, d in cycles
+    )
+    print(f"\nSCALE semlong walls {series} | maint {marks}")
+
+    # >=2 real maintenance cycles, each actually splitting
+    assert len(cycles) >= 2, cycles
+    # every cycle arrests: min wall within 3 batches after maintenance
+    # beats the wall of the batch that tripped the trigger
+    for b, _d in cycles:
+        after = walls[b + 1: b + 4]
+        if after:
+            assert min(after) < walls[b], (b, walls)
+    # bounded, non-monotonic: the stream ENDS well below its peak even
+    # though occupancy only ever grew
+    assert min(walls[-3:]) < max(walls), walls
+    assert max(walls[-3:]) < 1.5 * max(walls[: cycles[0][0] + 1]), walls
+    shutil.rmtree(work, ignore_errors=True)
+    spark.catalog.clearCache()
