@@ -23,7 +23,10 @@ entries so the amortized cost is visible.
 The same oracle SQL the correctness gate uses is also timed on DuckDB
 per query (``duckdb`` key) so the spark-vs-single-node ratio is
 machine-checked inside one JSON instead of hand-joined against
-BASELINE.md.
+BASELINE.md.  The DuckDB phase runs in a SUBPROCESS (r12, VERDICT r11
+#6): ``peak_driver_rss_mb`` therefore measures the engine's driver
+process alone, with the baseline's peak reported separately as
+``duck_peak_rss_mb``.
 
 Both engines run each query ITERATIONS (2) times and report the
 minimum — standard warm-run methodology, applied symmetrically.  The
@@ -54,7 +57,55 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _duck_phase() -> None:
+    """Child-process entry (``bench.py --duck-phase``): time every
+    oracle SQL on DuckDB and print ONE JSON line.  Run out-of-process
+    (VERDICT r11 #6) so the parent's ``peak_driver_rss_mb`` measures
+    the ENGINE's driver heap — r11 attributed the 3 GB bench peak to
+    this in-process DuckDB baseline; now the separation is by
+    construction, and DuckDB's own peak rides along as
+    ``duck_peak_rss_mb``."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    import resource
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tools.check_oracle import register_duck_views
+
+    con = duckdb.connect()
+    register_duck_views(con, sf_dir)
+    duck: dict[str, float] = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            runs = []
+            for _ in range(iters):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                runs.append(time.time() - t0)
+            duck[name] = round(min(runs), 3)
+        except Exception as e:
+            duck[name] = -1.0
+            print(f"# bench duckdb error in {name}: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "duckdb": duck,
+                "duck_peak_rss_mb": round(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    / 1024.0,
+                    1,
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if "--duck-phase" in sys.argv[1:]:
+        _duck_phase()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # no bare [0-9.]+: a dir like sf0.1.bak would greedily capture
@@ -331,26 +382,32 @@ def main() -> None:
         print(f"# bench streaming steady-state failed: {e}", file=sys.stderr)
 
     # DuckDB single-node oracle timings over the same parquet views —
-    # the per-query 2x bar, machine-checked each round.
+    # the per-query 2x bar, machine-checked each round.  Runs in a
+    # SUBPROCESS (VERDICT r11 #6) so this process's peak_driver_rss_mb
+    # measures the engine, not the baseline; the child's peak is
+    # reported as duck_peak_rss_mb.
     duck: dict[str, float] = {}
+    duck_peak_rss = -1.0
     try:
-        import duckdb
+        import subprocess
 
-        from tools.check_oracle import register_duck_views
-
-        con = duckdb.connect()
-        register_duck_views(con, sf_dir)
-        for name, sql in entry.oracle_sql().items():
-            try:
-                runs = []
-                for _ in range(ITERS):
-                    t0 = time.time()
-                    con.execute(sql).fetchall()
-                    runs.append(time.time() - t0)
-                duck[name] = round(min(runs), 3)
-            except Exception as e:
-                duck[name] = -1.0
-                print(f"# bench duckdb error in {name}: {e}", file=sys.stderr)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_ITERS=str(ITERS),
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--duck-phase"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        sys.stderr.write(proc.stderr)  # per-query duck errors pass through
+        last = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        rec = json.loads(last[-1]) if last else {}
+        duck = rec.get("duckdb", {})
+        duck_peak_rss = rec.get("duck_peak_rss_mb", -1.0)
     except Exception as e:
         print(f"# bench duckdb setup failed: {e}", file=sys.stderr)
     rss_series.append(["duckdb_done", rss_now_mb()])
@@ -402,6 +459,7 @@ def main() -> None:
         # above); the per-phase series rides in the full line.
         "python_rss_end_mb": rss_now_mb(),
         "jvm_rss_mb": jvm_rss_mb(),
+        "duck_peak_rss_mb": duck_peak_rss,
         "sf": sf,
     }
     # Truncation-proofing (VERDICT r7 #6): the driver records only a
