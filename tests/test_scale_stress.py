@@ -1580,3 +1580,109 @@ def test_scale_semantic_long_horizon_steady_state(spark):
     assert max(walls[-3:]) < 1.5 * max(walls[: cycles[0][0] + 1]), walls
     shutil.rmtree(work, ignore_errors=True)
     spark.catalog.clearCache()
+
+
+def test_scale_fts_at_rest_10x(spark):
+    """VERDICT r11 #5: the 100x-scale SEARCH story on the PERSISTED
+    path.  The earlier stress tiers exercise MATCH mostly in-session;
+    here the term-partitioned at-rest layout (term_scheme="prefix") is
+    built over the 10x replicated corpus, then search_persisted_index-
+    shape BM25 queries run COLD from disk — asserting (a) the plan
+    still carries PartitionFilters on the directory key (pruning holds
+    at 10x), (b) results equal the in-memory index bit-for-bit, and
+    (c) the cold per-query wall stays in the sub-second-to-seconds
+    registry floor band and grows sub-linearly vs corpus size (the
+    point of pruning: query cost follows the TERM's postings, not the
+    corpus).  Walls land in BASELINE.md."""
+    import re
+    import shutil
+    import tempfile
+
+    from dogsheep_beta_spark.functions.tokenizer import analyze_py
+    from dogsheep_beta_spark.operators.fts_index import (
+        build_fts_index,
+        read_fts_index,
+        write_fts_index,
+    )
+    from dogsheep_beta_spark.plans.match import compile_match, parse_match
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    work = tempfile.mkdtemp(prefix="dbs_ftsrest_", dir="/tmp")
+
+    def build_at_rest(replicas, tag):
+        idx = _docs(spark, replicas).select(
+            F.lit("docs.db/documents").alias("type"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(None).cast("string").alias("title"),
+            F.col("text").alias("search_1"),
+            F.lit(None).cast("string").alias("search_2"),
+            F.lit(None).cast("string").alias("search_3"),
+        )
+        fts = build_fts_index(idx, mode="portable", stem=False)
+        out = os.path.join(work, tag)
+        write_fts_index(fts, out, term_scheme="prefix")
+        for df in (fts.postings, fts.doc_lengths):
+            df.unpersist()
+        return out, fts
+
+    out1, mem1 = build_at_rest(1, "x1")
+    out10, mem10 = build_at_rest(10, "x10")
+
+    queries = ("spark join", "data* process*", '"the" OR queries')
+
+    def cold_search(path, q):
+        spark.catalog.clearCache()  # cold: postings come from disk
+        fts = read_fts_index(spark, path)
+        t0 = time.monotonic()
+        rows = (
+            scored_docs(fts, q)
+            .withColumn("rank", F.round("rank", 6))
+            .orderBy("rank", "key")
+            .limit(100)
+            .collect()
+        )
+        return time.monotonic() - t0, [(r["key"], r["rank"]) for r in rows]
+
+    walls1 = {q: cold_search(out1, q)[0] for q in queries}
+    walls10, res10 = {}, {}
+    for q in queries:
+        walls10[q], res10[q] = cold_search(out10, q)
+
+    # (a) pruning survives at 10x: exact term AND >=2-char prefix both
+    # carry a term_pfx PartitionFilter on the at-rest scan
+    fts10 = read_fts_index(spark, out10)
+    for q, want_pfx in (("spark", "psp"), ("data*", "pda")):
+        ast = parse_match(q, lambda s: analyze_py(s, "portable", False))
+        docset, _ = compile_match(ast, fts10)
+        plan = docset._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*term_pfx[^\]]*)\]", plan)
+        assert m and want_pfx in m.group(1), (q, plan[:800])
+
+    # (b) the at-rest layout is lossless at 10x
+    for q in queries:
+        mem = [
+            (r["key"], r["rank"])
+            for r in scored_docs(mem10, q)
+            .withColumn("rank", F.round("rank", 6))
+            .orderBy("rank", "key")
+            .limit(100)
+            .collect()
+        ]
+        assert mem == res10[q], q
+
+    # (c) cold walls: inside the floor band, and pruning keeps the 10x
+    # cost from scaling with the corpus (10x data, < 3x wall per query)
+    print(
+        "\nSCALE fts_at_rest cold walls "
+        + " | ".join(
+            f"{q!r} 1x={walls1[q]:.2f}s 10x={walls10[q]:.2f}s"
+            for q in queries
+        )
+    )
+    for q in queries:
+        assert walls10[q] < 10.0, (q, walls10)
+        assert walls10[q] < 3.0 * max(walls1[q], 0.5), (q, walls1, walls10)
+    for df in (mem10.postings, mem10.doc_lengths, mem1.postings,
+               mem1.doc_lengths):
+        df.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
