@@ -129,6 +129,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # ship the package to Python workers (r12): worker processes
+    # resolve imports from PYTHONPATH/--py-files, not the driver's
+    # sys.path, so a bench launched from OUTSIDE the repo dir lost
+    # every UDF-bearing query to ModuleNotFoundError
+    from dogsheep_beta_spark.deploy import ship_package
+
+    ship_package(spark)
+
     import __spark_entry__ as entry
 
     # --- RSS attribution (r11 — VERDICT r10 #5) -----------------------
