@@ -2871,14 +2871,18 @@ def _check_layout_tau(
     record; maintenance on a legacy store raises with that
     instruction instead.
 
-    The create path is race-free (ADVICE r11): ``O_CREAT|O_EXCL``
-    makes exactly one concurrent first-writer win; every loser falls
-    through to the read-and-validate path, so two first writers with
-    different taus now produce a loud ValueError instead of one
-    silently mis-banded store."""
-    import errno
+    The create path is race-free (ADVICE r11): the record is fully
+    written to a private temp file and published with ``os.link`` —
+    one atomic create-iff-absent that only ever exposes COMPLETE
+    content (a bare ``O_EXCL`` open exposed the empty file to a
+    concurrent loser's re-read, caught by the full-suite run of the
+    8-thread race test).  Exactly one concurrent first-writer wins;
+    every loser falls through to read-and-validate, so two first
+    writers with different taus produce a loud ValueError instead of
+    one silently mis-banded store."""
     import json
     import os
+    import uuid
 
     p = os.path.join(root_path, ".__tau__.json")
 
@@ -2904,23 +2908,18 @@ def _check_layout_tau(
             "to bootstrap .__tau__.json first"
         )
     os.makedirs(root_path, exist_ok=True)
+    tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"tau": tau}, fh)
     try:
-        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-    except OSError as e:
-        if e.errno != errno.EEXIST:
-            raise
+        os.link(tmp, p)  # atomic create-iff-absent, content complete
+    except FileExistsError:
         _validate()  # lost the create race: validate the winner's tau
-        return
-    try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"tau": tau}, fh)
-    except BaseException:
-        # never leave a half-written record for later readers to parse
+    finally:
         try:
-            os.remove(p)
+            os.remove(tmp)
         except OSError:
             pass
-        raise
 
 
 def persist_semantic_cents(
