@@ -115,8 +115,13 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the default local[N] — the r12
+    # cluster bench (BENCH_r12_cluster.json) runs this same harness
+    # under local-cluster[2,4,4096] to price real executor scheduling
+    # against the local[32] job-floor adjudications.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("dogsheep_beta_spark_bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -125,8 +130,10 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config("spark.executor.memory", "4g")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # ship the package to Python workers (r12): worker processes
@@ -468,6 +475,7 @@ def main() -> None:
         "python_rss_end_mb": rss_now_mb(),
         "jvm_rss_mb": jvm_rss_mb(),
         "duck_peak_rss_mb": duck_peak_rss,
+        "master": master,
         "sf": sf,
     }
     # Truncation-proofing (VERDICT r7 #6): the driver records only a
