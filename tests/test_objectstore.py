@@ -314,3 +314,73 @@ def test_streaming_ivf_upsert_objectstore_converges(spark, tmpdir):
     )
     q2.awaitTermination(120)
     assert _vecs(spark, st, "ivf") == want
+
+
+def test_compact_crash_at_every_boundary_is_recoverable(spark, tmpdir):
+    """Compaction on the no-rename backend dies at EVERY store
+    boundary (each compacted-object upload + the log put): the layout
+    must stay readable at the pre-compaction snapshot after every
+    crash (orphaned uploads are invisible until the log record lands),
+    and a clean re-run must converge — with vacuum sweeping the dead
+    attempts' objects afterward."""
+    from dogsheep_beta_spark.storage import objectstore as osm
+
+    class CountingStore(EmulatedObjectStore):
+        def __init__(self, backing, fail_at=None):
+            super().__init__(backing)
+            self.events = 0
+            self.fail_at = fail_at
+
+        def _tick(self):
+            e = self.events
+            self.events += 1
+            if self.fail_at is not None and e == self.fail_at:
+                raise RuntimeError(f"injected at store event {e}")
+
+        def put_if_absent(self, key, data):
+            self._tick()
+            return super().put_if_absent(key, data)
+
+        def put_file_if_absent(self, key, src):
+            self._tick()
+            return super().put_file_if_absent(key, src)
+
+    def fresh(fail_at=None, tag="c"):
+        st = CountingStore(
+            os.path.join(tmpdir, f"bucket_{tag}_{fail_at}"), fail_at
+        )
+        for b in range(3):
+            append_objectstore(
+                st, "ivf",
+                _stage(spark, tmpdir, [(b * 2, 0), (b * 2 + 1, 1)],
+                       f"{tag}{fail_at}s{b}"),
+                token=f"b{b}",
+            )
+        return st
+
+    # count the boundaries of an uninterrupted compaction
+    ref = fresh(tag="ref")
+    want = _vecs(spark, ref, "ivf")
+    compact_objectstore(spark, ref, "ivf")
+    n_events = ref.events
+    baseline_appends = fresh(tag="cnt").events  # events before compact
+    n_compact_events = n_events - baseline_appends
+    assert n_compact_events >= 3  # >=2 cell objects + 1 log put
+
+    for fp in range(baseline_appends, n_events):
+        st = fresh(fail_at=fp, tag="f")
+        with pytest.raises(RuntimeError, match="injected"):
+            compact_objectstore(spark, st, "ivf")
+        st.fail_at = None
+        # crashed mid-compaction: the committed snapshot is intact
+        assert _vecs(spark, st, "ivf") == want, fp
+        # re-run converges; vacuum sweeps the dead attempt's orphans
+        rec = compact_objectstore(spark, st, "ivf")
+        assert rec["action"] == "compact"
+        assert _vecs(spark, st, "ivf") == want, fp
+        deleted = vacuum_objectstore(st, "ivf", keep_generations=1)
+        assert _vecs(spark, st, "ivf") == want, fp
+        live = set(rec["files"])
+        dp = "ivf/data"
+        leftover = {k[len(dp) + 1:] for k in st.list(dp)}
+        assert leftover == live, (fp, leftover - live, deleted)
