@@ -314,6 +314,14 @@ def read_layout_objectstore(
         rec = read_latest_record(store, prefix)
         if rec is None:
             raise FileNotFoundError(f"empty object-store layout {prefix}")
+    if not rec["files"]:
+        # a committed-but-empty snapshot (e.g. only empty batches so
+        # far): no schema to scan — loud, specific error instead of
+        # Spark's zero-path scan failure
+        raise FileNotFoundError(
+            f"generation {rec['generation']} of {prefix} has no data "
+            "files (only empty batches committed so far)"
+        )
     missing = [
         f for f in rec["files"]
         if not store.exists(f"{_data_prefix(prefix)}/{f}")
