@@ -75,6 +75,17 @@ INDEX_CONFIG = {
 }
 
 # The same search_index as a DuckDB CTE (the oracle's view of the world).
+ORACLE_DOCS_ONLY_CTE = """
+WITH search_index AS (
+    SELECT 'docs.db/documents' AS type, CAST(doc_id AS VARCHAR) AS "key",
+           source AS title, CAST(NULL AS VARCHAR) AS "timestamp",
+           1 AS category, 1 AS is_public, text AS search_1,
+           CAST(NULL AS VARCHAR) AS search_2, CAST(NULL AS VARCHAR) AS search_3
+    FROM documents
+)
+"""
+
+
 ORACLE_INDEX_CTE = """
 WITH search_index AS (
     SELECT 'docs.db/documents' AS type, CAST(doc_id AS VARCHAR) AS "key",
@@ -846,6 +857,71 @@ def q_search_persisted_index(spark, sf_dir):
     )
     res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
     return res.results.select("type", "key", "rank", "title", "timestamp")
+
+
+def _osfts_layout(spark, sf_dir):
+    """The streamed-FTS-on-object-store layout (storage/objectstore.py,
+    r12): the documents source merged in two foreachBatch-body calls
+    through ``merge_fts_batch_objectstore`` — each commit one atomic
+    multi-table (index, postings, doc_lengths) log record on the
+    emulated no-rename store — then restored via
+    ``read_fts_objectstore`` with corpus stats derived from the
+    committed snapshot's own doc_lengths."""
+    from dogsheep_beta_spark.storage.objectstore import (
+        EmulatedObjectStore,
+        merge_fts_batch_objectstore,
+        read_fts_objectstore,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "osfts" not in c:
+        work = _tempfile.mkdtemp(prefix="dbs_osfts_gate_")
+        c["osfts_tmp_path"] = work  # *_path: teardown rmtrees it
+        st = EmulatedObjectStore(_os.path.join(work, "bucket"))
+        docs = _documents(spark, sf_dir).select(
+            F.col("doc_id").alias("key"),
+            F.col("source").alias("title"),
+            F.col("text").alias("search_1"),
+            F.lit(1).alias("category"),
+            F.lit(1).alias("is_public"),
+        )
+        for b in range(2):
+            merge_fts_batch_objectstore(
+                spark, docs.where(F.col("key") % 2 == b), b,
+                st, "fts", "docs.db/documents",
+                commit_token=f"gate:batch:{b}",
+            )
+        c["osfts"] = read_fts_objectstore(spark, st, "fts")
+    return c["osfts"]
+
+
+def q_search_objectstore_maintained(spark, sf_dir):
+    """BM25 search served from the STREAM-MAINTAINED FTS state on the
+    object-store backend (A10 × VERDICT r11 #1): two incremental
+    merges of the documents source — each an atomic three-table log
+    commit with no rename anywhere — must together equal a batch FTS
+    build, so the same implicit-AND query scores identically to a
+    documents-only oracle computed from scratch.  This is the
+    "read/merge plans survive the commit-layer swap" claim on the
+    reference's own A10 surface, hash-oracled."""
+    from dogsheep_beta_spark.plans.search import scored_docs
+
+    idx, fts = _osfts_layout(spark, sf_dir)
+    scored = scored_docs(fts, "spark join").withColumn(
+        "rank", F.round("rank", 6)
+    )
+    return (
+        scored.join(idx.select("type", "key", "title", "timestamp"),
+                    ["type", "key"])
+        .select("type", "key", "rank", "title", "timestamp")
+        .orderBy(
+            F.asc("rank"),
+            F.desc_nulls_last("timestamp"),
+            F.asc("type"),
+            F.asc("key"),
+        )
+        .limit(100)
+    )
 
 
 def q_search_hybrid_rerank(spark, sf_dir):
@@ -5920,6 +5996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_last_writer": q_upsert_last_writer,
         "search_bm25_topk": q_search_bm25_topk,
         "search_persisted_index": q_search_persisted_index,
+        "search_objectstore_maintained": q_search_objectstore_maintained,
         "search_not": q_search_not,
         "search_or": q_search_or,
         "search_phrase": q_search_phrase,
@@ -7807,6 +7884,17 @@ def oracle_sql() -> dict[str, str]:
             ],
             'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
         ),
+        # the STREAM-MAINTAINED object-store FTS state covers only the
+        # documents source (the A10 per-type maintenance contract), so
+        # its oracle is the same search over a documents-only corpus —
+        # swap the 3-source index CTE for the docs-only one.
+        "search_objectstore_maintained": _search_oracle(
+            [
+                ("t_spark", _term_hits("term = 'spark'")),
+                ("t_join", _term_hits("term = 'join'")),
+            ],
+            'SELECT type, "key" FROM t_spark INTERSECT SELECT type, "key" FROM t_join',
+        ).replace(ORACLE_INDEX_CTE, ORACLE_DOCS_ONLY_CTE),
         # oracle paginates with ROW_NUMBER 51-100 — value-identical to
         # the engine's keyset cursor under the same (rank, type, key)
         # total order; the ENGINE deliberately never materializes a

@@ -421,6 +421,289 @@ def vacuum_objectstore(
 
 
 # ---------------------------------------------------------------------------
+# multi-table replace records — atomic cross-layout commits
+# ---------------------------------------------------------------------------
+#
+# The POSIX FTS maintenance publishes THREE coupled layouts (index,
+# postings, doc_lengths) via back-to-back symlink cutovers
+# ("stage-all-publish-last", incremental.py:merge_fts_batch) — correct,
+# but with a reader-visible transient between the cutovers that the
+# crash sweep must prove HEALED rather than absent.  The log protocol
+# does better for free: one record carries every table's full file
+# list, so a reader resolving one generation sees all three tables of
+# the SAME commit — the transient is not healed, it is unrepresentable.
+
+
+def replace_tables_objectstore(
+    store,
+    prefix: str,
+    staging_dirs: dict,
+    token: str | None = None,
+    legacy_tokens: tuple = (),
+) -> bool:
+    """Commit a full-snapshot REPLACE of several coupled tables as one
+    atomic log record: upload each table's staged files under
+    ``<prefix>/data/<table>/…``, then publish
+    ``{"action": "replace", "tables": {name: [keys]}}`` as the next
+    generation.  Previous generations' objects survive for time travel
+    until vacuum.  Replays are detected by token exactly as in
+    ``append_objectstore`` — checked BEFORE upload, so a replayed
+    batch discards its staging without write amplification."""
+    uploaded: dict | None = None
+
+    def build(latest: dict | None) -> dict | None:
+        nonlocal uploaded
+        tokens = list((latest or {}).get("tokens", []))
+        if token is not None and (
+            token in tokens or any(t in tokens for t in legacy_tokens)
+        ):
+            return None
+        if uploaded is None:
+            uploaded = {
+                name: _upload_staging(store, f"{prefix}/{name}", d)
+                for name, d in sorted(staging_dirs.items())
+            }
+        if token is not None:
+            tokens = (tokens + [token])[-_TOKEN_WINDOW:]
+        return {"action": "replace", "tables": uploaded, "tokens": tokens}
+
+    rec = _commit(store, prefix, build)
+    for d in staging_dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    return rec is not None
+
+
+def read_table_objectstore(
+    spark, store, prefix: str, table: str, generation: int | None = None
+):
+    """Scan one table of a multi-table layout pinned to one committed
+    record (latest or time-travel).  Returns None when the layout has
+    no commits yet, or the record's snapshot omits the table."""
+    if generation is not None:
+        rec = read_log_record(store, prefix, generation)
+        if rec is None:
+            raise ValueError(
+                f"no generation {generation} in {prefix} commit log"
+            )
+    else:
+        rec = read_latest_record(store, prefix)
+        if rec is None:
+            return None
+    files = (rec.get("tables") or {}).get(table)
+    if not files:
+        return None
+    dp = f"{prefix.strip('/')}/{table}/data"
+    missing = [f for f in files if not store.exists(f"{dp}/{f}")]
+    if missing:
+        raise FileNotFoundError(
+            f"generation {rec['generation']} table {table} of {prefix} "
+            f"is beyond the vacuum retention horizon ({len(missing)} "
+            f"objects gone, first: {missing[0]})"
+        )
+    base = store.local_path(dp)
+    return spark.read.option("basePath", base).parquet(
+        *(os.path.join(base, f) for f in files)
+    )
+
+
+def vacuum_tables_objectstore(
+    store,
+    prefix: str,
+    keep_generations: int = 2,
+    min_age_sec: float = 0.0,
+) -> list[str]:
+    """Vacuum for multi-table layouts: delete data objects referenced
+    by NO retained generation, per table — same retention/age contract
+    as ``vacuum_objectstore``."""
+    import time
+
+    records = layout_history(store, prefix)
+    keep = records[-keep_generations:] if keep_generations else (
+        records[-1:] if records else []
+    )
+    live: dict[str, set] = {}
+    for rec in keep:
+        for name, files in (rec.get("tables") or {}).items():
+            live.setdefault(name, set()).update(files)
+    tables = {
+        name
+        for rec in records
+        for name in (rec.get("tables") or {})
+    }
+    now = time.time()
+    deleted = []
+    for name in sorted(tables):
+        dp = f"{prefix.strip('/')}/{name}/data"
+        for key in store.list(dp):
+            rel = key[len(dp) + 1:]
+            if rel in live.get(name, set()):
+                continue
+            if now - store.last_modified(key) < min_age_sec:
+                continue
+            store.delete(key)
+            deleted.append(key)
+    return deleted
+
+
+def merge_fts_batch_objectstore(
+    spark,
+    batch_df,
+    batch_id: int,
+    store,
+    prefix: str,
+    type_tag: str,
+    mode: str = "portable",
+    stem: bool = False,
+    commit_token: str | None = None,
+    staging_root: str | None = None,
+) -> bool:
+    """foreachBatch body: the object-store port of ``merge_fts_batch``
+    (streaming/incremental.py:493, the A10 incremental FTS
+    maintenance) — identical merge/delta semantics (upsert the
+    conformed batch into search_index, anti-join the touched docs out
+    of postings/doc_lengths, tokenize only the incoming docs), with
+    the three coupled outputs committed as ONE atomic multi-table
+    record instead of three back-to-back symlink cutovers.  A reader
+    can never pair new postings with stale lengths: every generation
+    is a consistent (index, postings, doc_lengths) triple by
+    construction."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.conform import conform
+    from dogsheep_beta_spark.operators.fts_index import postings_and_lengths
+    from dogsheep_beta_spark.operators.upsert import (
+        last_writer_wins,
+        union_conformed,
+    )
+
+    if commit_token is not None:
+        latest = read_latest_record(store, prefix)
+        if latest is not None and commit_token in latest.get("tokens", []):
+            return False  # replay of a committed batch: skip the work
+
+    incoming = conform(batch_df, type_tag).withColumn("load_seq", F.lit(1))
+    existing = read_table_objectstore(spark, store, prefix, "index")
+    if existing is not None:
+        merged = last_writer_wins(
+            union_conformed(
+                [existing.withColumn("load_seq", F.lit(0)), incoming]
+            )
+        )
+    else:
+        merged = last_writer_wins(incoming)
+
+    staging = tempfile.mkdtemp(prefix="dbs_osfts_", dir=staging_root)
+    dirs = {n: os.path.join(staging, n) for n in (
+        "index", "postings", "doc_lengths"
+    )}
+    # materialize the merged index FIRST and compute the deltas from
+    # the stable on-disk snapshot (same discipline as the POSIX path:
+    # the postings plan must not re-execute the merge join)
+    merged.write.mode("overwrite").parquet(dirs["index"])
+    merged_disk = spark.read.parquet(dirs["index"])
+    batch_keys = incoming.select("type", "key").distinct()
+    touched = merged_disk.join(batch_keys, ["type", "key"], "left_semi")
+    delta_post, delta_len = postings_and_lengths(touched, mode=mode, stem=stem)
+    old_post = read_table_objectstore(spark, store, prefix, "postings")
+    old_len = read_table_objectstore(spark, store, prefix, "doc_lengths")
+    if old_post is not None and old_len is not None:
+        new_post = old_post.join(
+            batch_keys, ["type", "key"], "left_anti"
+        ).unionByName(delta_post)
+        new_len = old_len.join(
+            batch_keys, ["type", "key"], "left_anti"
+        ).unionByName(delta_len)
+    else:
+        new_post, new_len = delta_post, delta_len
+    new_post.write.mode("overwrite").parquet(dirs["postings"])
+    new_len.write.mode("overwrite").parquet(dirs["doc_lengths"])
+    try:
+        return replace_tables_objectstore(
+            store, prefix, dirs,
+            token=commit_token, legacy_tokens=(),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_fts_objectstore(
+    spark,
+    store,
+    prefix: str,
+    generation: int | None = None,
+    mode: str = "portable",
+    stem: bool = False,
+):
+    """(index_df, FtsIndex) restored from one committed generation of
+    the multi-table FTS layout — corpus stats (N, avgdl) derived from
+    the snapshot's own doc_lengths, so search over the restored index
+    is self-consistent by construction.  ``mode``/``stem`` must match
+    what the maintainer tokenized with (the same contract as
+    ``read_fts_index``'s meta.json, which a future record field could
+    carry)."""
+    from dogsheep_beta_spark.operators.fts_index import FTS_FIELDS, FtsIndex
+
+    idx = read_table_objectstore(spark, store, prefix, "index", generation)
+    post = read_table_objectstore(spark, store, prefix, "postings", generation)
+    dl = read_table_objectstore(
+        spark, store, prefix, "doc_lengths", generation
+    )
+    if idx is None or post is None or dl is None:
+        raise FileNotFoundError(f"no committed FTS snapshot at {prefix}")
+    from pyspark.sql import functions as F
+
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return idx, FtsIndex(
+        postings=post,
+        doc_lengths=dl,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+        mode=mode,
+        stem=stem,
+        fields=FTS_FIELDS,
+    )
+
+
+def streaming_fts_objectstore(
+    spark,
+    stream_df,
+    store,
+    prefix: str,
+    type_tag: str,
+    checkpoint_dir: str,
+    mode: str = "portable",
+    stem: bool = False,
+    trigger_available_now: bool = True,
+):
+    """``incremental_index_stream`` + FTS sidecars on the object-store
+    backend: checkpoint-namespaced tokens, one atomic multi-table
+    commit per micro-batch."""
+    from dogsheep_beta_spark.streaming.incremental import (
+        checkpoint_namespace,
+    )
+
+    ns = checkpoint_namespace(checkpoint_dir)
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, bid: merge_fts_batch_objectstore(
+                spark, bdf, bid, store, prefix, type_tag,
+                mode=mode, stem=stem,
+                commit_token=f"{ns}:batch:{bid}",
+            )
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
 # streamed IVF layout on the object-store backend
 # ---------------------------------------------------------------------------
 

@@ -384,3 +384,159 @@ def test_compact_crash_at_every_boundary_is_recoverable(spark, tmpdir):
         dp = "ivf/data"
         leftover = {k[len(dp) + 1:] for k in st.list(dp)}
         assert leftover == live, (fp, leftover - live, deleted)
+
+
+# ---------------------------------------------------------------------------
+# multi-table FTS layout on the backend (A10 port)
+# ---------------------------------------------------------------------------
+
+_FTS_SCHEMA = "key int, title string, search_1 string"
+_FTS_BATCHES = [
+    [(1, "alpha beta", "gamma"), (2, "beta beta", None)],
+    [(2, "delta", "beta gamma"), (3, "alpha", "alpha")],  # updates 2
+    [(1, "omega", None), (4, "epsilon zeta", "eta")],     # updates 1
+]
+
+
+def _canon_post(df):
+    return sorted(
+        (r["term"], r["key"], r["field"], r["tf"], tuple(r["positions"]))
+        for r in df.collect()
+    )
+
+
+def test_fts_objectstore_converges_and_searches(spark, tmpdir):
+    """The A10 incremental FTS maintenance on the no-rename backend:
+    after N merged batches the committed snapshot equals the full
+    batch FTS rebuild over the final corpus (the same convergence
+    contract as the POSIX `incremental_fts_stream`), replays are
+    dropped by token, and BM25 search over the RESTORED FtsIndex
+    (corpus stats derived from the snapshot's own doc_lengths) equals
+    search over the in-memory build."""
+    from pyspark.sql import functions as F
+
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.plans.search import scored_docs
+    from dogsheep_beta_spark.storage.objectstore import (
+        merge_fts_batch_objectstore,
+        read_fts_objectstore,
+        read_table_objectstore,
+    )
+
+    st = EmulatedObjectStore(os.path.join(tmpdir, "bucket"))
+    for b, rows in enumerate(_FTS_BATCHES):
+        bdf = spark.createDataFrame(rows, _FTS_SCHEMA)
+        assert merge_fts_batch_objectstore(
+            spark, bdf, b, st, "fts", "s.db/t", commit_token=f"batch:{b}"
+        )
+    # replay of the last batch: recognized BEFORE any Spark work
+    assert not merge_fts_batch_objectstore(
+        spark,
+        spark.createDataFrame(_FTS_BATCHES[-1], _FTS_SCHEMA),
+        2, st, "fts", "s.db/t", commit_token="batch:2",
+    )
+
+    idx_df, fts_disk = read_fts_objectstore(spark, st, "fts")
+    batch_fts = build_fts_index(idx_df, persist=False)
+    assert _canon_post(fts_disk.postings) == _canon_post(batch_fts.postings)
+    assert sorted(
+        (r["key"], r["dl"]) for r in fts_disk.doc_lengths.collect()
+    ) == sorted((r["key"], r["dl"]) for r in batch_fts.doc_lengths.collect())
+    assert (fts_disk.n_docs, round(fts_disk.avgdl, 9)) == (
+        batch_fts.n_docs, round(batch_fts.avgdl, 9)
+    )
+    # last-writer-wins held across generations
+    titles = {r["key"]: r["title"] for r in idx_df.collect()}
+    assert titles == {"1": "omega", "2": "delta", "3": "alpha", "4": "epsilon zeta"}
+    # search parity on the restored index
+    for q in ("alpha", "beta gamma", "epsil*"):
+        disk = sorted(
+            (r["key"], round(r["rank"], 9))
+            for r in scored_docs(fts_disk, q).collect()
+        )
+        mem = sorted(
+            (r["key"], round(r["rank"], 9))
+            for r in scored_docs(batch_fts, q).collect()
+        )
+        assert disk == mem, q
+    batch_fts.postings.unpersist(), batch_fts.doc_lengths.unpersist()
+
+
+def test_fts_objectstore_every_generation_is_consistent_triple(spark, tmpdir):
+    """The atomicity upgrade over the POSIX stage-all-publish-last
+    protocol: a reader can never pair new postings with a stale index,
+    because every log record carries all three tables of ONE commit.
+    Checked by self-consistency of EVERY committed generation: the
+    (type, key) doc set agrees across index / postings / doc_lengths
+    within each snapshot, and each generation's doc_lengths reproduce
+    a fresh tokenization of that generation's own index."""
+    from dogsheep_beta_spark.operators.fts_index import postings_and_lengths
+    from dogsheep_beta_spark.storage.objectstore import (
+        layout_history as hist,
+        merge_fts_batch_objectstore,
+        read_table_objectstore,
+    )
+
+    st = EmulatedObjectStore(os.path.join(tmpdir, "bucket"))
+    for b, rows in enumerate(_FTS_BATCHES):
+        merge_fts_batch_objectstore(
+            spark, spark.createDataFrame(rows, _FTS_SCHEMA),
+            b, st, "fts", "s.db/t", commit_token=f"batch:{b}",
+        )
+    gens = [r["generation"] for r in hist(st, "fts")]
+    assert gens == [1, 2, 3]
+    for g in gens:
+        idx = read_table_objectstore(spark, st, "fts", "index", g)
+        post = read_table_objectstore(spark, st, "fts", "postings", g)
+        dl = read_table_objectstore(spark, st, "fts", "doc_lengths", g)
+        keys_idx = {(r["type"], r["key"]) for r in idx.collect()}
+        keys_dl = {(r["type"], r["key"]) for r in dl.collect()}
+        assert keys_idx == keys_dl, g
+        assert {
+            (r["type"], r["key"]) for r in post.collect()
+        } <= keys_idx, g
+        want_post, want_dl = postings_and_lengths(idx)
+        assert _canon_post(post) == _canon_post(want_post), g
+        assert sorted((r["key"], r["dl"]) for r in dl.collect()) == sorted(
+            (r["key"], r["dl"]) for r in want_dl.collect()
+        ), g
+
+
+def test_streaming_fts_objectstore_wiring(spark, tmpdir):
+    """The full stream wiring: two availableNow runs over a growing
+    source through `streaming_fts_objectstore` — same checkpoint, so
+    run 2 merges only the new file; restart with nothing new is a
+    no-op (token replay detection across stream restarts)."""
+    from dogsheep_beta_spark.operators.fts_index import build_fts_index
+    from dogsheep_beta_spark.storage.objectstore import (
+        layout_history as hist,
+        read_fts_objectstore,
+        streaming_fts_objectstore,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    st = EmulatedObjectStore(os.path.join(tmpdir, "bucket"))
+    rows1, rows2 = _FTS_BATCHES[0], _FTS_BATCHES[1]
+    spark.createDataFrame(rows1, _FTS_SCHEMA).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_fts_objectstore(
+            spark, stream, st, "fts", "s.db/t", ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, _FTS_SCHEMA).write.mode("append").parquet(src)
+    run()
+    n_gens = len(hist(st, "fts"))
+    run()  # nothing new: no extra generation
+    assert len(hist(st, "fts")) == n_gens
+    idx_df, fts_disk = read_fts_objectstore(spark, st, "fts")
+    batch_fts = build_fts_index(idx_df, persist=False)
+    assert _canon_post(fts_disk.postings) == _canon_post(batch_fts.postings)
+    titles = {r["key"]: r["title"] for r in idx_df.collect()}
+    assert titles == {"1": "alpha beta", "2": "delta", "3": "alpha"}
+    batch_fts.postings.unpersist(), batch_fts.doc_lengths.unpersist()

@@ -2303,6 +2303,78 @@ def test_crash_injection_objectstore_commit(spark, tmpdir, crash_injector):
     assert after == before
 
 
+def test_crash_injection_objectstore_fts_merge(spark, tmpdir, crash_injector):
+    """The multi-table FTS maintenance on the no-rename backend under
+    the same sweep: staging writes, every data-object upload across
+    the three tables, and the single log put are counted boundaries.
+    Beyond convergence, every SURVIVING generation must be a
+    consistent (index, postings, doc_lengths) triple — the atomicity
+    claim that distinguishes the one-record commit from the POSIX
+    path's healed transient."""
+    from dogsheep_beta_spark.storage import objectstore as osm
+
+    inj = crash_injector
+
+    class InjectingStore(osm.EmulatedObjectStore):
+        def put_if_absent(self, key, data):
+            p = self._path(key)
+            inj._boundary(p)
+            r = super().put_if_absent(key, data)
+            inj._boundary(p)
+            return r
+
+        def put_file_if_absent(self, key, src_path):
+            p = self._path(key)
+            inj._boundary(p)
+            r = super().put_file_if_absent(key, src_path)
+            inj._boundary(p)
+            return r
+
+    schema = "key int, title string, search_1 string"
+    batches = [
+        [(1, "alpha beta", "gamma"), (2, "beta beta", None)],
+        [(2, "delta", "beta gamma"), (3, "alpha", "alpha")],
+        [(1, "omega", None), (4, "epsilon zeta", "eta")],
+    ]
+
+    def apply_batch(root, b):
+        os.makedirs(root, exist_ok=True)
+        store = InjectingStore(os.path.join(root, "bucket"))
+        bdf = spark.createDataFrame(batches[b], schema)
+        osm.merge_fts_batch_objectstore(
+            spark, bdf, b, store, "fts", "s.db/t",
+            commit_token=f"batch:{b}", staging_root=root,
+        )
+
+    def snapshot(root):
+        store = osm.EmulatedObjectStore(os.path.join(root, "bucket"))
+        idx_df, fts = osm.read_fts_objectstore(spark, store, "fts")
+        post = sorted(
+            (r["term"], r["key"], r["field"], r["tf"], tuple(r["positions"]))
+            for r in fts.postings.collect()
+        )
+        lens = sorted(
+            (r["key"], r["dl"]) for r in fts.doc_lengths.collect()
+        )
+        idx = sorted((r["key"], r["title"]) for r in idx_df.collect())
+        # consistency of every surviving generation, not just the tip
+        for rec in osm.layout_history(store, "fts"):
+            g = rec["generation"]
+            gi = osm.read_table_objectstore(spark, store, "fts", "index", g)
+            gl = osm.read_table_objectstore(
+                spark, store, "fts", "doc_lengths", g
+            )
+            assert {(r["type"], r["key"]) for r in gi.collect()} == {
+                (r["type"], r["key"]) for r in gl.collect()
+            }, g
+        return (post, lens, idx)
+
+    _sweep_crash_points(
+        spark, tmpdir, crash_injector, "osfts", apply_batch, snapshot,
+        crash_batches=(1,),
+    )
+
+
 def test_crash_injection_entity_link_merge(spark, tmpdir, crash_injector):
     """Every write/rename boundary of merge_link_batch is
     crash-replayable — including mid-publish crashes inside the
