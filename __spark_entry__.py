@@ -1585,64 +1585,67 @@ def _recall_report_from_panel(
     spark, panel, kmeans_probes, pq_names, pq_rerank=None
 ):
     """The recall@10 report over a built panel — shared by the
-    adversarial- and clustered-fixture declared queries: ONE window over
-    a method-tagged union of candidate pools + one hit-count aggregate
-    (a handful of stages, not one plan per method — the first shape
-    paid a ~7-branch stage-floor tax).  hits_total is the integer pin
-    (Σ over queries of |method∩exact|), recall_at_10 the ratio."""
+    adversarial- and clustered-fixture declared queries.
+
+    r12 shape (guide §2.4): the exact/IVF/k-means/LSH method pools are
+    ONE annotated pass over the scored-pairs table — pr joins its
+    per-id layout columns (cell, bucket) once, the per-query probe
+    tables once (broadcast), and each method membership becomes an
+    entry of an exploded literal array — instead of one join-built
+    union branch PER METHOD (the previous plan re-joined pr seven
+    times and paid a broadcast/shuffle stage floor per branch).  The
+    candidate rows, scores and tie-breaks are identical, so ranks and
+    hits are unchanged.  PQ pools keep their own union branches (they
+    rank by ADC score, not exact cosine).  hits_total is the integer
+    pin (Σ over queries of |method∩exact|), recall_at_10 the ratio."""
     from pyspark.sql import Window
 
     K = 10
     qs, pr, gt = panel["qs"], panel["pr"], panel["gt"]
 
-    def pool(method, df):
-        return df.select(
-            F.lit(method).alias("method"), "qid", "id", "cos"
-        )
-
-    pools = pool("0_exact_brute", pr.select("qid", "id", "cos"))
-    pools = pools.unionByName(
-        pool(
-            "1_ivf_label_p2",
-            pr.join(F.broadcast(panel["bc2"]), ["qid", "label"]).select(
-                "qid", "id", "cos"
-            ),
-        )
-    )
-    km = pr.join(panel["asg"], "id").join(
-        F.broadcast(panel["qck"]), ["qid", "cell"]
-    )
-    for n in kmeans_probes:
-        pools = pools.unionByName(
-            pool(
-                f"2_kmeans_ivf_p{n}",
-                km.where(F.col("__rn") <= n).select("qid", "id", "cos"),
-            )
-        )
-    lsh_pr = pr.join(panel["buckets"], "id").join(
-        F.broadcast(panel["qb"]), "qid"
-    )
-    pools = pools.unionByName(
-        pool(
-            "3_lsh_h0",
-            lsh_pr.where(F.col("bucket") == F.col("qbucket")).select(
-                "qid", "id", "cos"
-            ),
-        )
-    )
     masks = [0] + [1 << b for b in range(6)]
-    pools = pools.unionByName(
-        pool(
-            "4_lsh_mp1",
-            lsh_pr.where(
-                F.col("bucket").bitwiseXOR(F.col("qbucket")).isin(masks)
-            ).select("qid", "id", "cos"),
+    annotated = (
+        pr.join(panel["asg"], "id")
+        .join(panel["buckets"], "id")
+        .join(F.broadcast(panel["qck"]), ["qid", "cell"], "left")
+        .join(F.broadcast(panel["qb"]), "qid")
+        .join(
+            F.broadcast(panel["bc2"].withColumn("__lbl", F.lit(1))),
+            ["qid", "label"],
+            "left",
         )
+    )
+    tags = [F.lit("0_exact_brute")]
+    tags.append(F.when(F.col("__lbl") == 1, F.lit("1_ivf_label_p2")))
+    for n in kmeans_probes:
+        tags.append(
+            F.when(F.col("__rn") <= n, F.lit(f"2_kmeans_ivf_p{n}"))
+        )
+    tags.append(
+        F.when(
+            F.col("bucket") == F.col("qbucket"), F.lit("3_lsh_h0")
+        )
+    )
+    tags.append(
+        F.when(
+            F.col("bucket").bitwiseXOR(F.col("qbucket")).isin(masks),
+            F.lit("4_lsh_mp1"),
+        )
+    )
+    pools = annotated.select(
+        F.explode(
+            F.filter(F.array(*tags), lambda x: x.isNotNull())
+        ).alias("method"),
+        "qid",
+        "id",
+        "cos",
     )
     adcs = {}
     for name in pq_names:
         adcs[name] = panel["pq"][name]  # persisted ADC score table
-        pools = pools.unionByName(pool(name, adcs[name]))
+        pools = pools.unionByName(
+            adcs[name].select(F.lit(name).alias("method"), "qid", "id", "cos")
+        )
     # ADC-shortlist + exact re-rank: the production IVF-PQ serving
     # shape — the compressed scan proposes a 100-candidate shortlist,
     # exact cosine re-ranks it (ADC alone cannot order vectors inside a
@@ -1656,7 +1659,9 @@ def _recall_report_from_panel(
             .select("qid", "id")
         )
         pools = pools.unionByName(
-            pool(rr_name, pr.join(short, ["qid", "id"]).select("qid", "id", "cos"))
+            pr.join(short, ["qid", "id"]).select(
+                F.lit(rr_name).alias("method"), "qid", "id", "cos"
+            )
         )
 
     wm = Window.partitionBy("method", "qid").orderBy(
@@ -2829,11 +2834,27 @@ def _stream_partitions(spark, n: int = 8):
     which is exactly what this scoped override models.  Batch queries
     are unaffected: the previous value is restored on exit."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # r12 (guide §1.2): skip the trailing NO-DATA micro-batch on these
+    # bounded availableNow replays.  That batch exists solely for eager
+    # state cleanup after the watermark advances — it emits nothing for
+    # the shapes used here (inner stream-stream joins emit on arrival,
+    # dropDuplicatesWithinWatermark emits first-seen immediately,
+    # windowed counts run in complete mode, the applyInPandasWithState
+    # sessionizer uses NoTimeout, foreachBatch sinks are stateless) —
+    # yet it pays a full state-store reload + commit across every
+    # partition (measured 0.73 s on the stream-stream interval join's
+    # empty batch alone).  A continuous production query would leave
+    # this ON so state is evicted promptly; a bounded replay discards
+    # its checkpoint at the end, so eager eviction buys nothing.
+    spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(nodata_key, old_nodata)
 
 
 def q_streaming_window_counts(spark, sf_dir):

@@ -868,6 +868,13 @@ def release_local_checkpoint(df: DataFrame) -> None:
     under a future Spark, fall back silently to ContextCleaner."""
     try:
         plan = df._jdf.queryExecution().analyzed()
+        # walk through no-op wrappers (a caller that projected a work
+        # column away — e.g. connected_components' __chg flag — still
+        # holds the same checkpointed RDD underneath)
+        hops = 0
+        while plan.nodeName() in ("Project", "Filter") and hops < 4:
+            plan = plan.children().head()
+            hops += 1
         if plan.nodeName() == "LogicalRDD":
             plan.rdd().unpersist(False)
     except Exception:
@@ -907,11 +914,19 @@ def connected_components(
     table.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # persist the symmetric edge list PRE-PARTITIONED on the per-round
+    # join key (dst): every round joins edges with the fresh label
+    # table on dst, so the hash partitioning persists across rounds and
+    # only the (much smaller at convergence, and lineage-truncated)
+    # label table crosses an exchange per superstep — the edge list,
+    # the big side at scale, is shuffled exactly once at build
+    # (guide §2.4 exchange-reuse; r12).
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition("dst")
         .persist()
     )
     labels = (
@@ -921,37 +936,59 @@ def connected_components(
         .persist()
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
+        # min-label propagation as ONE union + groupBy instead of
+        # join + groupBy + re-join-labels (r12, guide §2.4): each
+        # node's own label rides the same aggregation as its neighbor
+        # labels (own=1 tags it so the changed-check still sees the
+        # previous label), collapsing three exchanges into one — the
+        # groupBy(id) output is also already partitioned on id, which
+        # the pointer-jump join's build side (jid=id) reuses.
+        contrib = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("comp").alias("nc")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), "nc", F.lit(0).alias("own"))
+        prop = (
+            contrib.unionByName(
                 labels.select(
-                    F.col("id").alias("dst"), F.col("comp").alias("nc")
-                ),
-                "dst",
+                    "id", F.col("comp").alias("nc"), F.lit(1).alias("own")
+                )
             )
-            .groupBy("src")
-            .agg(F.min("nc").alias("nc"))
-            .select(F.col("src").alias("id"), "nc")
-        )
-        prop = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("comp", F.coalesce("nc", "comp")).alias("comp")
+            .groupBy("id")
+            .agg(
+                F.min("nc").alias("comp"),
+                F.max(F.when(F.col("own") == 1, F.col("nc"))).alias(
+                    "__old"
+                ),
+            )
         )
         hop = prop.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
+        # carry the changed-flag INSIDE the round's plan: the old label
+        # rides the (tiny) prop rows through the jump join, so
+        # convergence needs no separate labels re-join — and the single
+        # count() action below both materializes the non-eager
+        # localCheckpoint (count scans every partition) and answers the
+        # convergence question.  One action per round instead of the
+        # previous two (eager checkpoint + isEmpty over a join); r12,
+        # guide §1.2/§2.4.
         new = (
             prop.join(hop, prop["comp"] == hop["jid"], "left")
             .select(
-                "id", F.coalesce("jcomp", "comp").alias("comp")
+                "id",
+                F.coalesce("jcomp", "comp").alias("comp"),
+                (F.coalesce("jcomp", "comp") != F.col("__old"))
+                .cast("int")
+                .alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new.join(
-            labels.withColumnRenamed("comp", "old"), "id"
-        ).where(F.col("comp") != F.col("old"))
-        done = changed.isEmpty()
+        done = new.where(F.col("__chg") == 1).count() == 0
         labels.unpersist()  # round 1: the persisted seed labels
         release_local_checkpoint(labels)  # rounds 2+: checkpoint blocks
-        labels = new
+        labels = new.drop("__chg")
         if done:
             break
     edges.unpersist()

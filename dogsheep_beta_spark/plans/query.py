@@ -119,6 +119,61 @@ def timeline_query(search_index: DataFrame, plan: QueryPlan) -> DataFrame:
     return order_results(filtered, plan, has_rank=False)
 
 
+class LazyFacets(dict):
+    """Facet DataFrames built on first access (r12, guide §1.2).
+
+    ``compile_plan`` used to construct all four facet DataFrames
+    eagerly for every request; each construction is ~3 analyzed JVM
+    plans, so a request path that never renders facets (the top-k
+    search/hydration/rerank consumers) paid ~12 analysis round-trips
+    per request for plans it threw away.  Any dict access (including
+    iteration, ``len`` and truthiness) materializes the full facet
+    dict once, so facet-consuming paths see the exact previous
+    behavior."""
+
+    def __init__(self, builder):
+        super().__init__()
+        self._builder = builder
+        self._built = False
+
+    def _ensure(self) -> None:
+        if not self._built:
+            self._built = True
+            super().update(self._builder())
+
+    def __getitem__(self, k):
+        self._ensure()
+        return super().__getitem__(k)
+
+    def __iter__(self):
+        self._ensure()
+        return super().__iter__()
+
+    def __len__(self):
+        self._ensure()
+        return super().__len__()
+
+    def __contains__(self, k):
+        self._ensure()
+        return super().__contains__(k)
+
+    def items(self):
+        self._ensure()
+        return super().items()
+
+    def keys(self):
+        self._ensure()
+        return super().keys()
+
+    def values(self):
+        self._ensure()
+        return super().values()
+
+    def get(self, k, default=None):
+        self._ensure()
+        return super().get(k, default)
+
+
 @dataclass
 class QueryResult:
     """All DataFrames for one request, derived from one filtered set.
@@ -185,11 +240,19 @@ def compile_plan(
         filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     results = order_results(filtered, plan, has_rank=scored is not None)
 
-    facet_dfs = {
-        c: facet_ops.column_facet(filtered, c, facet_size)
-        for c in facet_ops.FACET_COLUMNS
-    }
-    facet_dfs["timestamp"] = facet_ops.date_facet(filtered, "timestamp", facet_size)
+    def _build_facets():
+        d = {
+            c: facet_ops.column_facet(filtered, c, facet_size)
+            for c in facet_ops.FACET_COLUMNS
+        }
+        d["timestamp"] = facet_ops.date_facet(
+            filtered, "timestamp", facet_size
+        )
+        return d
+
     return QueryResult(
-        results=results, filtered=filtered, facets=facet_dfs, persisted=persist
+        results=results,
+        filtered=filtered,
+        facets=LazyFacets(_build_facets),
+        persisted=persist,
     )
