@@ -5964,9 +5964,44 @@ def q_pipeline_pretraining_corpus(spark, sf_dir):
         .agg(F.countDistinct("bin").alias("n_bins"))
         .withColumnRenamed("shard", "source")
     )
-    out = raw
-    for d in (c1, c2, c3, c4, c5):
-        out = out.join(d, "source", "left")
+    # assemble the ledger as ONE union + max-aggregate over the six
+    # (tiny) per-stage per-source rows instead of five chained left
+    # joins (r12, guide §2.4): every stage's sources are a subset of
+    # raw's, so max-of-singletons per (source, column) reproduces the
+    # join row exactly while paying one small exchange instead of five
+    # broadcast-join stage floors.
+    ledger_cols = (
+        "n_raw", "n_clean", "n_dedup", "n_probe",
+        "n_budget", "bpe_tokens", "n_bins",
+    )
+    parts = []
+    for d, present in (
+        (raw, {"n_raw"}),
+        (c1, {"n_clean"}),
+        (c2, {"n_dedup"}),
+        (c3, {"n_probe"}),
+        (c4, {"n_budget", "bpe_tokens"}),
+        (c5, {"n_bins"}),
+    ):
+        parts.append(
+            d.select(
+                "source",
+                *[
+                    (
+                        F.col(c).cast("long")
+                        if c in present
+                        else F.lit(None).cast("long")
+                    ).alias(c)
+                    for c in ledger_cols
+                ],
+            )
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    out = out.groupBy("source").agg(
+        *[F.max(c).alias(c) for c in ledger_cols]
+    )
     zero = F.lit(0).cast("long")
     return out.select(
         "source",

@@ -929,10 +929,20 @@ def connected_components(
         .repartition("dst")
         .persist()
     )
+    # seed with the first propagation round for free (r12): comp₀ =
+    # min(self, direct neighbors) is ONE groupBy over the edge list —
+    # the same single exchange the old identity seed paid for its
+    # distinct — so cliques and pairs (the dominant dup-graph shapes)
+    # converge one full join-round earlier.  The invariant (comp = id
+    # of some reachable node, ≤ self) holds, so the fixpoint is
+    # unchanged.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "__nbr").alias("comp"),
+        )
         .persist()
     )
     for _ in range(max_iter):
