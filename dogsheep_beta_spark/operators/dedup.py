@@ -419,6 +419,30 @@ def minhash_lsh_pairs(
         .persist()
     )
     sigs = _minhash_signatures(pre, n_hashes)
+    return _minhash_pairs_from(
+        df, id_col, text_col, pre, sigs,
+        k, n_hashes, bands, verify_k, max_bucket, cache_registry,
+    )
+
+
+def _minhash_pairs_from(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pre: DataFrame,
+    sigs: DataFrame,
+    k: int,
+    n_hashes: int,
+    bands: int,
+    verify_k: int | None,
+    max_bucket: int,
+    cache_registry: list | None,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` continued from precomputed shingle sets +
+    signatures (r12): callers that ALSO consume the raw signature
+    components (``minhash_calibration``'s estimator audit) inject the
+    frames they already hold instead of re-tokenizing and re-hashing
+    the corpus a second time."""
     banded = banded_rows(sigs, n_hashes, bands).persist()
     if cache_registry is not None:
         cache_registry.extend([pre, banded])
@@ -1468,15 +1492,22 @@ def minhash_calibration(
 
     Same signature family as ``minhash_lsh_pairs`` (identical
     ``minhash_params`` constants), so the report audits exactly the
-    estimator in production.  One extra map-pass over the corpus to
-    rebuild signatures — a diagnostic, not a hot path."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, k, n_hashes, bands)
+    estimator in production.  r12: the shingle sets and signatures are
+    computed ONCE and shared between the pair generator and the
+    estimate join (previously the corpus was re-tokenized and
+    re-minhashed for the xs/ys sides — three full signature passes
+    where one suffices; guide §1.2 'don't compute things twice')."""
     pre = (
         bound_tokens(df, id_col, text_col)
         .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
         .where(F.size("shingles") > 0)
+        .persist()
     )
-    sigs = _minhash_signatures(pre, n_hashes)
+    sigs = _minhash_signatures(pre, n_hashes).persist()
+    pairs = _minhash_pairs_from(
+        df, id_col, text_col, pre, sigs,
+        k, n_hashes, bands, None, 0, None,
+    )
     xs = sigs.select(
         F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]
     )
