@@ -822,13 +822,18 @@ def streaming_sessionize(
         us = []
         for pdf in pdfs:
             if len(pdf):
+                # numpy-direct epoch-µs conversion (r12): the Arrow
+                # batch already holds datetime64 values, so the
+                # pd.to_datetime inference pass is pure per-group
+                # overhead — and this function runs once per KEY per
+                # micro-batch, thousands of times per trigger.
                 vals = (
-                    pd.to_datetime(pdf[ts_col])
-                    .astype("datetime64[ns]")
+                    pdf[ts_col]
+                    .values.astype("datetime64[ns]")
                     .astype("int64")
                     // 1000
                 )
-                us.extend(int(v) for v in vals)
+                us.extend(vals.tolist())
         if state.exists:
             seq, start, end, n = state.get
         else:
