@@ -132,3 +132,36 @@ def test_non_numeric_facet_args_match_nothing(spark, plugin_index):
         assert apply_filters(plugin_index, QueryPlan(category=v)).count() == base
     # fractional value matches no integer category (not a 500)
     assert apply_filters(plugin_index, QueryPlan(category="1.5")).count() == 0
+
+
+def test_facets_built_lazily_and_exactly_once(plugin_index):
+    """r12 request-path optimization contract (plans/query.py:LazyFacets):
+    a request that never consumes facets must not pay their plan
+    construction; a request that does must see the exact eager-build
+    dict, built once no matter how many accesses."""
+    from dogsheep_beta_spark.plans.query import LazyFacets, compile_plan
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return {"a": 1, "b": 2}
+
+    lf = LazyFacets(builder)
+    assert calls == []  # construction alone builds nothing
+    assert lf["a"] == 1 and "b" in lf and dict(lf.items()) == {"a": 1, "b": 2}
+    assert len(lf) == 2 and lf.get("missing") is None
+    assert calls == [1]  # every access path shares ONE build
+
+    # through the real request path: compile_plan's facets must stay
+    # unbuilt until consumed, then equal the eager column facets
+    from dogsheep_beta_spark.operators import facets as facet_ops
+    from dogsheep_beta_spark.plans.query import QueryPlan
+
+    res = compile_plan(plugin_index, QueryPlan(), persist=False)
+    assert isinstance(res.facets, LazyFacets)
+    assert not res.facets._built  # untouched until a consumer asks
+    got = {r["value"]: r["count"] for r in res.facets["type"].collect()}
+    want_df = facet_ops.column_facet(res.filtered, "type", 30)
+    want = {r["value"]: r["count"] for r in want_df.collect()}
+    assert got == want and res.facets._built
