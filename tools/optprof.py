@@ -45,8 +45,12 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides local[N] so targeted profiles can
+    # run under the same local-cluster executor boundary as the r12
+    # cluster bench/gate (bench.py and check_oracle.py honor it too)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName("dbs_optprof")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
