@@ -137,6 +137,16 @@ def teardown(sf_dir: str | None = None) -> None:
                 continue
             if k == "bucketed":
                 continue  # table names, handled above
+            if k == "_ckpts":
+                # localCheckpoint blocks (r13): released via the RDD,
+                # not DataFrame.unpersist (which would miss them)
+                from dogsheep_beta_spark.operators.dedup import (
+                    release_local_checkpoint,
+                )
+
+                for df in v:
+                    release_local_checkpoint(df)
+                continue
             for df in v if isinstance(v, (tuple, list)) else (v,):
                 unp = getattr(df, "unpersist", None)
                 if unp is not None:
@@ -2822,7 +2832,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_partitions(spark, n: int = 8):
+def _stream_partitions(spark, n: int = 8, skip_nodata: bool = True):
     """Stateful streaming queries size their shuffle (= state store)
     partition count to the stream's key cardinality and rate instead
     of inheriting the batch default: every stateful operator opens,
@@ -2849,7 +2859,13 @@ def _stream_partitions(spark, n: int = 8):
     # empty batch alone).  A continuous production query would leave
     # this ON so state is evicted promptly; a bounded replay discards
     # its checkpoint at the end, so eager eviction buys nothing.
-    spark.conf.set(nodata_key, "false")
+    # WARNING (ADVICE r12): an APPEND-MODE WATERMARK-GATED AGGREGATION
+    # must NOT run with skip_nodata=True — its final windows emit only
+    # in the trailing no-data batch, so skipping it silently drops
+    # them.  No shape above is one (audited); a future call site
+    # adding one must pass skip_nodata=False.
+    if skip_nodata:
+        spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
@@ -3592,7 +3608,14 @@ def q_graph_pagerank(spark, sf_dir):
         c["pagerank_edges"] = bipartite_edges(
             spark.table("events"), "user_id", "event_type"
         ).persist()
-    ranks = pagerank(c["pagerank_edges"], iterations=3, damping=0.85)
+    # checkpoint blocks (nodes/degree-weighted edges/mid-loop ranks)
+    # registered for teardown's release sweep (r13, ADVICE r12): they
+    # are unreleasable mid-query (the returned plan reads them) but
+    # must not accumulate across a long-lived session.
+    ranks = pagerank(
+        c["pagerank_edges"], iterations=3, damping=0.85,
+        checkpoint_registry=c.setdefault("_ckpts", []),
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
@@ -3880,7 +3903,11 @@ def q_dedup_minhash_calibration(spark, sf_dir):
     signature-only thresholds at scale."""
     from dogsheep_beta_spark.operators.dedup import minhash_calibration
 
-    return minhash_calibration(_documents(spark, sf_dir), "doc_id", "text")
+    c = _CTX.setdefault(sf_dir, {})
+    return minhash_calibration(
+        _documents(spark, sf_dir), "doc_id", "text",
+        cache_registry=c.setdefault("_caches", []),
+    )
 
 
 def q_sample_curriculum_deciles(spark, sf_dir):
@@ -3906,6 +3933,28 @@ def q_sample_curriculum_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+def _voronoi_assigner(spark, sf_dir):
+    """Cached map-side cell assigner over the persisted IVF centroids
+    (similarity.voronoi_cell_assigner, r13 — guide §2.4): the
+    broadcast-sized centroid table is collected ONCE per sf_dir and
+    inlined as literals, so every streaming merge batch assigns cells
+    as a pure projection — no per-batch centroid scan, broadcast
+    build, or per-id window exchange.  Values are identical to
+    voronoi_assign by the assigner's contract (the streaming-vs-batch
+    convergence oracles pin it)."""
+    c = _CTX.setdefault(sf_dir, {})
+    if "voronoi_assigner" not in c:
+        from dogsheep_beta_spark.operators.similarity import (
+            voronoi_cell_assigner,
+        )
+
+        _, cents = _ivf_layout(spark, sf_dir)
+        c["voronoi_assigner"] = voronoi_cell_assigner(
+            "embedding", cents.collect()
+        )
+    return c["voronoi_assigner"]
 
 
 def q_streaming_ivf_upsert(spark, sf_dir):
@@ -3949,7 +3998,10 @@ def q_streaming_ivf_upsert(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     with _stream_partitions(spark):
-        q = streaming_ivf_upsert(stream, cents, layout, ckpt)
+        q = streaming_ivf_upsert(
+            stream, cents, layout, ckpt,
+            cell_assign=_voronoi_assigner(spark, sf_dir),
+        )
         q.awaitTermination(120)
     shutil.rmtree(stream_dir, ignore_errors=True)
     out = (
@@ -4003,7 +4055,10 @@ def q_layout_objectstore_commit(spark, sf_dir):
     store = EmulatedObjectStore(bucket)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     with _stream_partitions(spark):
-        q = streaming_ivf_upsert_objectstore(stream, cents, store, "ivf", ckpt)
+        q = streaming_ivf_upsert_objectstore(
+            stream, cents, store, "ivf", ckpt,
+            cell_assign=_voronoi_assigner(spark, sf_dir),
+        )
         q.awaitTermination(120)
     shutil.rmtree(stream_dir, ignore_errors=True)
     compact_objectstore(spark, store, "ivf")
@@ -4061,6 +4116,7 @@ def _manifest_layout(spark, sf_dir):
             emb.where(F.col("vec_id") % 3 == b).select("vec_id", "embedding"),
             cents,
             layout,
+            cell_assign=_voronoi_assigner(spark, sf_dir),
         )
     compact_ivf_layout(spark, layout, files_per_cell=1)
     c["manifest_layout"] = layout

@@ -1478,9 +1478,15 @@ def minhash_calibration(
     n_hashes: int = 16,
     bands: int = 8,
     bins: int = 8,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(bin, n_pairs, avg_est, avg_jaccard, mae) — does the MinHash
     estimator actually track exact Jaccard on THIS corpus?
+
+    Pass ``cache_registry`` (a list) to own the lifecycle of the three
+    persisted intermediates (shingle sets, signatures, banded rows) —
+    the ``minhash_lsh_pairs`` contract; without it they live until the
+    session ends (r13, guide §5: persist-without-release audit).
 
     For every LSH candidate pair, the signature-agreement estimate
     (fraction of equal minhash components — the textbook unbiased
@@ -1504,9 +1510,12 @@ def minhash_calibration(
         .persist()
     )
     sigs = _minhash_signatures(pre, n_hashes).persist()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
+    # the registry also receives pre + the banded table inside
     pairs = _minhash_pairs_from(
         df, id_col, text_col, pre, sigs,
-        k, n_hashes, bands, None, 0, None,
+        k, n_hashes, bands, None, 0, cache_registry,
     )
     xs = sigs.select(
         F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]

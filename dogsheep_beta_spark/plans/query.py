@@ -23,6 +23,7 @@ Semantics pinned by the reference:
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -119,59 +120,56 @@ def timeline_query(search_index: DataFrame, plan: QueryPlan) -> DataFrame:
     return order_results(filtered, plan, has_rank=False)
 
 
-class LazyFacets(dict):
+class LazyFacets(Mapping):
     """Facet DataFrames built on first access (r12, guide §1.2).
 
     ``compile_plan`` used to construct all four facet DataFrames
     eagerly for every request; each construction is ~3 analyzed JVM
     plans, so a request path that never renders facets (the top-k
     search/hydration/rerank consumers) paid ~12 analysis round-trips
-    per request for plans it threw away.  Any dict access (including
-    iteration, ``len`` and truthiness) materializes the full facet
-    dict once, so facet-consuming paths see the exact previous
-    behavior."""
+    per request for plans it threw away.  Any mapping access
+    (including iteration, ``len``, truthiness, ``dict(lf)`` /
+    ``{**lf}`` unpacking, ``==`` and ``copy``) materializes the full
+    facet dict once, so facet-consuming paths see the exact previous
+    behavior.
+
+    r13 (ADVICE r12): a ``collections.abc.Mapping`` WRAPPER, not a
+    dict subclass — CPython's C fast paths (``dict(lf)``, ``{**lf}``,
+    ``lf == {...}``, ``copy.copy``, ``json.dumps``) read a dict
+    subclass's internal storage directly, silently yielding an empty
+    mapping before the first build; a non-dict Mapping forces every
+    one of those through ``keys()``/``__getitem__`` (or an explicit
+    ``TypeError``), so no consumer idiom can observe the un-built
+    state."""
 
     def __init__(self, builder):
-        super().__init__()
         self._builder = builder
         self._built = False
+        self._data: dict = {}
 
     def _ensure(self) -> None:
         if not self._built:
             self._built = True
-            super().update(self._builder())
+            self._data.update(self._builder())
 
     def __getitem__(self, k):
         self._ensure()
-        return super().__getitem__(k)
+        return self._data[k]
 
     def __iter__(self):
         self._ensure()
-        return super().__iter__()
+        return iter(self._data)
 
     def __len__(self):
         self._ensure()
-        return super().__len__()
+        return len(self._data)
 
-    def __contains__(self, k):
+    def copy(self) -> dict:
+        """Materialized plain-dict snapshot (also what ``copy.copy``
+        sees via ``__reduce__``-free protocols is not supported — use
+        this)."""
         self._ensure()
-        return super().__contains__(k)
-
-    def items(self):
-        self._ensure()
-        return super().items()
-
-    def keys(self):
-        self._ensure()
-        return super().keys()
-
-    def values(self):
-        self._ensure()
-        return super().values()
-
-    def get(self, k, default=None):
-        self._ensure()
-        return super().get(k, default)
+        return dict(self._data)
 
 
 @dataclass

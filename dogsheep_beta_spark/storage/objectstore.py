@@ -357,18 +357,38 @@ def compact_objectstore(
     snap = read_latest_record(store, prefix)
     if snap is None or not snap["files"]:
         return None
-    df = read_layout_objectstore(spark, store, prefix, snap["generation"])
-    part_cols = [c for c in df.columns if c == "cell"]
-    tmp = local_tmp or tempfile.mkdtemp(prefix="dbs_oscompact_")
-    out_dir = os.path.join(tmp, "compacted")
-    writer = df.repartition(*part_cols).write.mode("overwrite") if (
-        part_cols
-    ) else df.coalesce(1).write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(out_dir)
-    uploaded = _upload_staging(store, prefix, out_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # Partial compaction (r13, guide §1.2 "don't compute things you
+    # throw away" — Delta OPTIMIZE's file-selection semantics): a cell
+    # already at one object needs no rewrite, and its object is
+    # immutable, so it carries into the compacted record VERBATIM.
+    # Only multi-object cells are read, rewritten and re-uploaded —
+    # at scale the steady-state compactor touches the cells recent
+    # appends fragmented, never the whole layout.  Grouping is pure
+    # snapshot metadata (the ``cell=N/`` key prefix), zero Spark jobs.
+    by_cell: dict[str, list[str]] = {}
+    for f in snap["files"]:
+        d = f.rsplit("/", 1)[0] if "/" in f else ""
+        by_cell.setdefault(d, []).append(f)
+    rewrite = [fs for fs in by_cell.values() if len(fs) > 1]
+    keep = [fs[0] for fs in by_cell.values() if len(fs) == 1]
+    uploaded: list[str] = []
+    if rewrite:
+        base = store.local_path(_data_prefix(prefix))
+        paths = [
+            os.path.join(base, f) for fs in rewrite for f in fs
+        ]
+        df = spark.read.option("basePath", base).parquet(*paths)
+        part_cols = [c for c in df.columns if c == "cell"]
+        tmp = local_tmp or tempfile.mkdtemp(prefix="dbs_oscompact_")
+        out_dir = os.path.join(tmp, "compacted")
+        writer = df.repartition(*part_cols).write.mode("overwrite") if (
+            part_cols
+        ) else df.coalesce(1).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(out_dir)
+        uploaded = _upload_staging(store, prefix, out_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def build(latest: dict | None) -> dict:
         assert latest is not None  # snap existed, log never shrinks
@@ -376,7 +396,7 @@ def compact_objectstore(
         return {
             "action": "compact",
             "compacted_from": snap["generation"],
-            "files": sorted(set(uploaded) | late),
+            "files": sorted(set(uploaded) | set(keep) | late),
             # tokens carry over: replay detection must survive
             # compaction, same as the POSIX manifest rewrite
             "tokens": list(latest.get("tokens", [])),
@@ -718,6 +738,7 @@ def merge_ivf_batch_objectstore(
     commit_token: str | None = None,
     legacy_commit_tokens: tuple = (),
     staging_root: str | None = None,
+    cell_assign=None,
 ) -> bool:
     """foreachBatch body: the object-store port of ``merge_ivf_batch``
     (streaming/incremental.py:862) — identical Voronoi assignment and
@@ -732,7 +753,13 @@ def merge_ivf_batch_objectstore(
 
     from dogsheep_beta_spark.operators.similarity import voronoi_assign
 
-    assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
+    if cell_assign is not None:
+        # r13 (guide §2.4): precomputed map-side assignment — no
+        # per-batch broadcast build or window exchange; see
+        # merge_ivf_batch's cell_assign contract.
+        assigned = cell_assign(batch_df)
+    else:
+        assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
     staging = tempfile.mkdtemp(prefix="dbs_osappend_", dir=staging_root)
     out = os.path.join(staging, "batch")
     (
@@ -759,6 +786,7 @@ def streaming_ivf_upsert_objectstore(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    cell_assign=None,
 ):
     """``streaming_ivf_upsert`` on the object-store backend: same
     checkpoint-namespaced idempotence tokens (incremental.py:913), so
@@ -776,6 +804,7 @@ def streaming_ivf_upsert_objectstore(
             lambda bdf, bid: merge_ivf_batch_objectstore(
                 bdf, cents, store, prefix, id_col, vec_col,
                 commit_token=f"{ns}:batch:{bid}",
+                cell_assign=cell_assign,
             )
         )
     )

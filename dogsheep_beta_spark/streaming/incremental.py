@@ -876,11 +876,19 @@ def merge_ivf_batch(
     vec_col: str = "embedding",
     commit_token: str | None = None,
     legacy_commit_tokens: tuple = (),
+    cell_assign=None,
 ) -> None:
     """foreachBatch body: Voronoi-assign the micro-batch of embeddings
     against the PERSISTED centroid table and append the rows into the
     cell-partitioned IVF layout — the embedding-index twin of the
     incremental FTS maintenance above.
+
+    ``cell_assign`` (r13, guide §2.4): a precomputed
+    ``similarity.voronoi_cell_assigner`` closure turns the assignment
+    into a pure map-side projection — the per-batch broadcast build and
+    per-id window exchange disappear, and the centroid table is read
+    zero times per batch instead of once.  Identical values by the
+    expr's contract; ``None`` keeps the join+window path.
 
     Append-only is correct here: partition-wise parquet appends are
     atomic per file, a probe reads whole cell directories, and centroid
@@ -900,7 +908,10 @@ def merge_ivf_batch(
 
     from dogsheep_beta_spark.operators.similarity import voronoi_assign
 
-    assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
+    if cell_assign is not None:
+        assigned = cell_assign(batch_df)
+    else:
+        assigned = voronoi_assign(batch_df, id_col, vec_col, cents)
     base = layout_path.rstrip("/")
     staging = f"{base}.__append_{uuid.uuid4().hex}__"
     (
@@ -944,8 +955,13 @@ def streaming_ivf_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    cell_assign=None,
 ):
     """Wire an embedding stream into the IVF layout via foreachBatch.
+
+    ``cell_assign`` (r13): precomputed map-side assignment closure, see
+    ``merge_ivf_batch`` — built once per stream wiring (or cached per
+    layout) and reused by every micro-batch.
 
     The commit idempotence token is namespaced by the CHECKPOINT
     identity (code-review r10): a bare batch id collides across two
@@ -980,6 +996,7 @@ def streaming_ivf_upsert(
                     if legacy_ns != ns
                     else ()
                 ),
+                cell_assign=cell_assign,
             )
         )
     )
@@ -1645,8 +1662,23 @@ def merge_link_batch(
     end."""
     import os
     import shutil
+    import sys
+    import time
 
     from dogsheep_beta_spark.operators.linkage import _normalized
+
+    _prof = os.environ.get("DBS_PROFILE_STREAM")
+    _t = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if _prof:
+            now = time.time()
+            print(
+                f"# linkprof b{batch_id} {label} {now - _t:.3f}",
+                file=sys.stderr,
+            )
+            _t = now
 
     keys = [*block_cols, "__pfx"]
     new = (
@@ -1665,9 +1697,19 @@ def merge_link_batch(
         )
         .dropDuplicates(["__id"])
     )
-    touched = [str(r[0]) for r in new.select("bkb").distinct().collect()]
-    if not touched:
-        return
+    # The touched-bucket set drives (a) the partition-scoped store/match
+    # reads and (b) stale-partition cleanup after the publish — both
+    # no-ops while NEITHER table exists yet (the stream's first batch).
+    # Skip the distinct+collect job entirely in that state (r13, guide
+    # §1.2): a virgin layout has nothing to scope or clean.
+    has_history = os.path.isdir(store_path) or os.path.isdir(match_path)
+    if has_history:
+        touched = [str(r[0]) for r in new.select("bkb").distinct().collect()]
+        _mark("touched_collect")
+        if not touched:
+            return
+    else:
+        touched = []
 
     store = _read_partitioned(spark, store_path, touched, col="bkb")
     # __new marks batch membership exactly (replayed ids resolve to
@@ -1741,12 +1783,17 @@ def merge_link_batch(
     else:
         merged_src = fresh
     ordkey = F.struct(F.col("dist"), F.col("match_id"))
-    payload = F.struct(
-        F.col("match_id"), F.col("match_name"), F.col("dist"),
-        F.col("__bk"), F.col("bkb"),
-    )
+    payload = F.struct(F.col("match_id"), F.col("match_name"), F.col("dist"))
+    # Group on (__bk, bkb, entity) instead of entity alone (r13, guide
+    # §2.4): an entity's candidate pairs all share its blocking key, so
+    # the grouping is identical row-for-row — but the pair stream is
+    # already hash-partitioned on __bk (the window + block self-join
+    # upstream), and a partitioning on a SUBSET of the grouping keys
+    # satisfies the aggregation's distribution, so the per-batch merge
+    # loses its dedicated exchange.  (__bk determines bkb, so adding
+    # bkb is also value-neutral.)
     merged = (
-        merged_src.groupBy("entity_id", "entity_name")
+        merged_src.groupBy("__bk", "bkb", "entity_id", "entity_name")
         .agg(F.min_by(payload, ordkey).alias("m"))
         .select(
             "entity_id",
@@ -1754,8 +1801,8 @@ def merge_link_batch(
             F.col("m.match_id").alias("match_id"),
             F.col("m.match_name").alias("match_name"),
             F.col("m.dist").alias("dist"),
-            F.col("m.__bk").alias("__bk"),
-            F.col("m.bkb").alias("bkb"),
+            "__bk",
+            "bkb",
         )
     )
 
@@ -1808,10 +1855,12 @@ def merge_link_batch(
             new_only = new
         new_only.write.mode("append").partitionBy("bkb").parquet(store_path)
 
+    _mark("plan_built")
     with ThreadPoolExecutor(max_workers=2) as ex:
         futs = [ex.submit(w) for w in (_w_matches, _w_store)]
         for f in futs:
             f.result()  # re-raise the first failure
+    _mark("writes_done")
     all_recs.unpersist()
 
 

@@ -153,6 +153,22 @@ def test_facets_built_lazily_and_exactly_once(plugin_index):
     assert len(lf) == 2 and lf.get("missing") is None
     assert calls == [1]  # every access path shares ONE build
 
+    # r13 (ADVICE r12): the C fast-path idioms a dict SUBCLASS would
+    # silently answer with empty internal storage must all see the
+    # built mapping — LazyFacets is a Mapping wrapper, so dict(),
+    # {**}, ==, and copy() route through keys()/__getitem__.
+    want = {"a": 1, "b": 2}
+    for fresh_probe in (
+        lambda m: dict(m),
+        lambda m: {**m},
+        lambda m: m.copy(),
+    ):
+        fresh = LazyFacets(builder)
+        assert fresh_probe(fresh) == want
+    fresh = LazyFacets(builder)
+    assert fresh == want and LazyFacets(builder) == LazyFacets(builder)
+    assert calls[0] == 1  # (sanity: builder list still shared above)
+
     # through the real request path: compile_plan's facets must stay
     # unbuilt until consumed, then equal the eager column facets
     from dogsheep_beta_spark.operators import facets as facet_ops
