@@ -788,13 +788,30 @@ def streaming_sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    state_buckets: int = 64,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    per-key gap-based sessionization.  The per-key state is one open
+    per-key gap-based sessionization.  Each key's state is one open
     session (seq, start, end, n) in epoch-µs; a micro-batch folds its
     (sorted) timestamps into that state and EMITS every session it
     closes, keeping only the still-open one.  State is O(1) per key —
     this runs forever on an unbounded stream.
+
+    r13 (VERDICT r12 #2, guide §4.5): the operator groups by a HASH
+    BUCKET of the key (``state_buckets`` groups) instead of the raw
+    key, holding each bucket's open sessions as parallel arrays in one
+    state entry.  ``applyInPandasWithState`` pays a framework
+    round-trip (pandas frame build + Arrow + state protocol) once per
+    GROUP per trigger — per-key grouping measured ~1.2 s of pure
+    per-group overhead for 1.5k keys at sf0.1 on an EMPTY kernel —
+    so bucketing turns thousands of per-key calls into
+    ``state_buckets`` calls, and the fold inside each call is
+    numpy-vectorized over the whole bucket instead of a Python loop
+    per event.  Emitted rows, sequence numbers and state contents are
+    IDENTICAL per key; total state is still one open session per key,
+    merely packed per bucket.  Key→bucket hashing is deterministic
+    (xxhash64), so a restart from the same checkpoint finds its keys
+    in the same groups.
 
     Converges to the batch ``operators.temporal.sessionize`` for every
     closed session (each key's final, still-open session stays in state
@@ -803,6 +820,7 @@ def streaming_sessionize(
     In-order arrival per key is assumed within the gap tolerance
     (production hardening: buffer by watermark before folding).
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -816,39 +834,96 @@ def streaming_sessionize(
         f"{key_col} {key_type}, session_seq long, n_events long, "
         "session_start timestamp, session_end timestamp"
     )
-    state_schema = "seq long, start long, end long, n long"
+    state_schema = (
+        f"users array<{key_type}>, seqs array<long>, starts array<long>, "
+        "ends array<long>, ns array<long>"
+    )
 
     def fn(key, pdfs, state):
-        us = []
+        keys_parts, ts_parts = [], []
         for pdf in pdfs:
             if len(pdf):
-                # numpy-direct epoch-µs conversion (r12): the Arrow
-                # batch already holds datetime64 values, so the
-                # pd.to_datetime inference pass is pure per-group
-                # overhead — and this function runs once per KEY per
-                # micro-batch, thousands of times per trigger.
-                vals = (
+                keys_parts.append(pdf[key_col].to_numpy())
+                ts_parts.append(
                     pdf[ts_col]
                     .values.astype("datetime64[ns]")
                     .astype("int64")
                     // 1000
                 )
-                us.extend(vals.tolist())
         if state.exists:
-            seq, start, end, n = state.get
+            s_users, s_seqs, s_starts, s_ends, s_ns = state.get
+            st = {
+                u: (s_seqs[i], s_starts[i], s_ends[i], s_ns[i])
+                for i, u in enumerate(s_users)
+            }
         else:
-            seq, start, end, n = 0, None, None, 0
-        closed = []
-        for t in sorted(us):
-            if start is None:
-                seq, start, end, n = seq + 1, t, t, 1
-            elif t - end > gap_us:
-                closed.append((key[0], seq, n, start, end))
-                seq, start, end, n = seq + 1, t, t, 1
+            st = {}
+        if not keys_parts:
+            return
+        ks = np.concatenate(keys_parts)
+        ts = np.concatenate(ts_parts)
+        if ks.dtype == object:  # string keys: lexsort needs a real dtype
+            ks = ks.astype("U")
+        # stable sort by (key, ts): ties in ts are fold-order-neutral
+        order = np.lexsort((ts, ks))
+        ks, ts = ks[order], ts[order]
+        # segment = batch-local session: break on key change or gap.
+        # The sequential fold always compares against the PREVIOUS
+        # event's timestamp, so with ts ascending per key the break
+        # condition vectorizes exactly.
+        new_key = np.empty(len(ks), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:] - 1, len(ks) - 1)
+        seg_key = ks[first]
+        seg_start = ts[first]
+        seg_end = ts[last]
+        seg_n = (last - first + 1).astype("int64")
+        seg_new_key = new_key[first]
+
+        closed = []  # (key, seq, n, start_us, end_us)
+        i, n_seg = 0, len(first)
+        while i < n_seg:
+            j = i
+            while j + 1 < n_seg and not seg_new_key[j + 1]:
+                j += 1
+            u = seg_key[i].item()  # python scalar: dict/state/Arrow-safe
+            s0, e0, n0 = None, None, 0
+            prev = st.get(u)
+            merged = False
+            if prev is not None:
+                seq0, s0, e0, n0 = prev
+                if seg_start[i] - e0 <= gap_us:
+                    merged = True  # first segment continues the open one
+                else:
+                    closed.append((u, seq0, n0, s0, e0))
+                seq = seq0 if merged else seq0 + 1
             else:
-                end, n = t, n + 1
-        if start is not None:
-            state.update((seq, start, end, n))
+                seq = 1
+            # segments i..j are this key's batch-local sessions, in
+            # order; all but the last close now
+            for k in range(i, j + 1):
+                n = int(seg_n[k]) + (n0 if merged and k == i else 0)
+                start = s0 if merged and k == i else int(seg_start[k])
+                end = int(seg_end[k])
+                if k < j:
+                    closed.append((u, seq, n, start, end))
+                    seq += 1
+                else:
+                    st[u] = (seq, start, end, n)
+            i = j + 1
+        state.update(
+            (
+                list(st.keys()),
+                [int(v[0]) for v in st.values()],
+                [int(v[1]) for v in st.values()],
+                [int(v[2]) for v in st.values()],
+                [int(v[3]) for v in st.values()],
+            )
+        )
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -858,8 +933,16 @@ def streaming_sessionize(
             out["session_end"] = pd.to_datetime(out.pop("_e"), unit="us")
             yield out
 
-    return stream_df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    bkt = F.pmod(
+        F.xxhash64(F.col(key_col)), F.lit(state_buckets)
+    ).cast("int")
+    return (
+        stream_df.withColumn("__bkt", bkt)
+        .groupBy("__bkt")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
