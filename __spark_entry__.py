@@ -1378,6 +1378,33 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def _doc_shingles(spark, sf_dir):
+    """Shared 3-shingle table (id, shingles) over the documents corpus,
+    persisted once per sf_dir (r13, guide §1.2 / VERDICT r12 #4): the
+    MinHash-LSH pair generator, the estimator-calibration audit and
+    the cross-corpus decontamination all start from exactly this
+    tokenize→shingle pass — previously each re-ran it (cross-corpus
+    twice, for its two row-filtered sides).  Shingling is row-wise, so
+    a row filter commutes through it and one corpus-wide
+    materialization serves every consumer."""
+    from dogsheep_beta_spark.operators.dedup import (
+        bound_tokens,
+        shingles_expr,
+    )
+
+    c = _CTX.setdefault(sf_dir, {})
+    if "doc_shingles" not in c:
+        c["doc_shingles"] = (
+            bound_tokens(_documents(spark, sf_dir), "doc_id", "text")
+            .select(
+                "id", shingles_expr(F.col("__tk"), 3).alias("shingles")
+            )
+            .where(F.size("shingles") > 0)
+            .persist()
+        )
+    return c["doc_shingles"]
+
+
 def _jaccard_pairs(spark, sf_dir):
     """Shared pruned Jaccard pair table, persisted once per sf_dir —
     the pair-generation analog of the one-index-many-queries FTS
@@ -1434,6 +1461,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             _documents(spark, sf_dir), "doc_id", "text", k=3, n_hashes=16,
             bands=8, max_bucket=1000,
             cache_registry=c.setdefault("_caches", []),
+            pre=_doc_shingles(spark, sf_dir),
         )
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "a", "b")
@@ -3907,6 +3935,7 @@ def q_dedup_minhash_calibration(spark, sf_dir):
     return minhash_calibration(
         _documents(spark, sf_dir), "doc_id", "text",
         cache_registry=c.setdefault("_caches", []),
+        pre=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -5870,10 +5899,28 @@ def q_dedup_cross_corpus(spark, sf_dir):
     docs = _documents_persisted(spark, sf_dir)
     ref = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
+    # both sides' shingle tables are filters of the ONE shared
+    # materialization (r13, VERDICT r12 #4): shingling is row-wise, so
+    # pre(docs.where(p)) ≡ pre(docs).where(p) — the corpus is
+    # tokenized zero times here instead of twice.  The filtered sides
+    # are THEMSELVES persisted once per sf_dir: the generator consumes
+    # each side twice (signatures + verification), and the in-memory
+    # stats are what lets the planner keep the verification joins
+    # broadcast (an unpersisted filter-of-cache lost the size estimate
+    # and regressed to sort-merge: jobs 11→13 in the A/B).
+    if "cross_shingles" not in c:
+        sh = _doc_shingles(spark, sf_dir)
+        c["cross_shingles"] = (
+            sh.where(F.col("id") % 7 != 0).persist(),
+            sh.where(F.col("id") % 7 == 0).persist(),
+        )
+    sh_corpus, sh_ref = c["cross_shingles"]
     flagged = (
         cross_minhash_pairs(
             corpus, ref, "doc_id", "text",
             cache_registry=c.setdefault("_caches", []),
+            pre_df=sh_corpus,
+            pre_ref=sh_ref,
         )
         .where(F.col("jaccard") >= 0.8)
         .select(F.col("id").alias("doc_id"))

@@ -287,6 +287,8 @@ def cross_minhash_pairs(
     bands: int = 8,
     max_bucket: int = 0,
     cache_registry: list | None = None,
+    pre_df: DataFrame | None = None,
+    pre_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a corpus and a frozen REFERENCE set —
     the train-vs-heldout cross-dedup a pretraining pipeline runs before
@@ -310,12 +312,19 @@ def cross_minhash_pairs(
     Both shingle tables are PERSISTED (they feed the signature build
     AND the per-pair verification — tokenize/shingle exactly once per
     side); pass ``cache_registry`` (a list) to own their lifecycle,
-    the same contract as ``minhash_lsh_pairs``.
+    the same contract as ``minhash_lsh_pairs``.  ``pre_df``/
+    ``pre_ref`` (r13, guide §1.2) inject prebuilt persisted
+    (id, shingles) tables for the corresponding side — e.g. two
+    filters of ONE shared corpus-wide shingle materialization, since
+    shingling is row-wise and commutes with row filters; injected
+    frames keep their owner's lifecycle (not registered here).
 
     Returns (id, ref_id, jaccard) — corpus ids on the left, reference
     ids on the right, each verified pair once."""
 
-    def prep(d: DataFrame) -> DataFrame:
+    def prep(d: DataFrame, injected: DataFrame | None) -> DataFrame:
+        if injected is not None:
+            return injected
         out = (
             bound_tokens(d, id_col, text_col)
             .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
@@ -326,7 +335,7 @@ def cross_minhash_pairs(
             cache_registry.append(out)
         return out
 
-    a, b = prep(df), prep(ref)
+    a, b = prep(df, pre_df), prep(ref, pre_ref)
     ba = banded_rows(_minhash_signatures(a, n_hashes), n_hashes, bands)
     bb = banded_rows(_minhash_signatures(b, n_hashes), n_hashes, bands)
     if max_bucket:
@@ -372,8 +381,16 @@ def minhash_lsh_pairs(
     verify_k: int | None = None,
     max_bucket: int = 0,
     cache_registry: list | None = None,
+    pre: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
+
+    ``pre`` (r13, guide §1.2): a prebuilt persisted (id, shingles)
+    table for exactly ``df``'s rows at this ``k`` — callers that hold
+    a shared shingle materialization (one corpus, several
+    MinHash-family consumers) inject it instead of re-tokenizing and
+    re-shingling per consumer.  The injected frame's lifecycle stays
+    with its owner: it is NOT added to ``cache_registry``.
 
     signatures → ``bands`` buckets of ``n_hashes/bands`` rows; docs
     colliding in ANY band become candidates (one self-join on the band
@@ -412,16 +429,19 @@ def minhash_lsh_pairs(
     # signature aggregation and the per-pair verification (tokenize/
     # shingle exactly once).  shingle-less docs drop out here (they
     # would all collide on an all-NULL bucket).
-    pre = (
-        bound_tokens(df, id_col, text_col)
-        .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .persist()
-    )
+    own_pre = pre is None
+    if own_pre:
+        pre = (
+            bound_tokens(df, id_col, text_col)
+            .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
+            .where(F.size("shingles") > 0)
+            .persist()
+        )
     sigs = _minhash_signatures(pre, n_hashes)
     return _minhash_pairs_from(
         df, id_col, text_col, pre, sigs,
         k, n_hashes, bands, verify_k, max_bucket, cache_registry,
+        register_pre=own_pre,
     )
 
 
@@ -437,15 +457,21 @@ def _minhash_pairs_from(
     verify_k: int | None,
     max_bucket: int,
     cache_registry: list | None,
+    register_pre: bool = True,
 ) -> DataFrame:
     """``minhash_lsh_pairs`` continued from precomputed shingle sets +
     signatures (r12): callers that ALSO consume the raw signature
     components (``minhash_calibration``'s estimator audit) inject the
     frames they already hold instead of re-tokenizing and re-hashing
-    the corpus a second time."""
+    the corpus a second time.  ``register_pre=False`` keeps an
+    INJECTED shared shingle table out of the caller-owned registry
+    (r13): registries are unpersisted by their owners, which must not
+    tear down a materialization other consumers still share."""
     banded = banded_rows(sigs, n_hashes, bands).persist()
     if cache_registry is not None:
-        cache_registry.extend([pre, banded])
+        if register_pre:
+            cache_registry.append(pre)
+        cache_registry.append(banded)
     if max_bucket:
         # Hot-bucket keys are few by definition (each one is a wide
         # duplicate class), so they broadcast: the split below is two
@@ -1019,7 +1045,12 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        done = new.where(F.col("__chg") == 1).count() == 0
+        n_chg = new.where(F.col("__chg") == 1).count()
+        done = n_chg == 0
+        if __import__("os").environ.get("DBS_PROFILE_CC"):
+            import sys as _sys
+
+            print(f"# ccprof round changed={n_chg}", file=_sys.stderr)
         labels.unpersist()  # round 1: the persisted seed labels
         release_local_checkpoint(labels)  # rounds 2+: checkpoint blocks
         labels = new.drop("__chg")
@@ -1177,10 +1208,22 @@ def semantic_dedup(
             F.col(id_col), F.struct(F.col("cent_cos"), F.col(id_col))
         ).alias("__keep_id")
     )
+    # labels ⋈ keepers folded into ONE broadcast (r13, guide §2.4):
+    # the corpus-side plan used to carry two broadcast joins — labels,
+    # then keepers keyed on the label — each of whose build jobs
+    # re-executed the components subtree.  Joining the two tiny tables
+    # inside a single broadcast build halves those jobs; the join is
+    # inner because every labeled id's group has a keeper by
+    # construction.  Values are identical: absent ids still coalesce
+    # to (grp=id, is_keep=1).
+    lk = F.broadcast(
+        labels.join(keepers, "grp").select(
+            id_col, "grp", "__keep_id"
+        )
+    )
     out = (
-        acc.join(F.broadcast(labels), id_col, "left")
+        acc.join(lk, id_col, "left")
         .withColumn("grp", F.coalesce("grp", F.col(id_col)))
-        .join(F.broadcast(keepers), "grp", "left")
         .withColumn(
             "is_keep",
             (F.coalesce("__keep_id", F.col(id_col)) == F.col(id_col)).cast(
@@ -1479,14 +1522,17 @@ def minhash_calibration(
     bands: int = 8,
     bins: int = 8,
     cache_registry: list | None = None,
+    pre: DataFrame | None = None,
 ) -> DataFrame:
     """(bin, n_pairs, avg_est, avg_jaccard, mae) — does the MinHash
     estimator actually track exact Jaccard on THIS corpus?
 
-    Pass ``cache_registry`` (a list) to own the lifecycle of the three
+    Pass ``cache_registry`` (a list) to own the lifecycle of the
     persisted intermediates (shingle sets, signatures, banded rows) —
     the ``minhash_lsh_pairs`` contract; without it they live until the
     session ends (r13, guide §5: persist-without-release audit).
+    ``pre`` injects a shared persisted (id, shingles) table (the
+    ``minhash_lsh_pairs`` contract — owner keeps its lifecycle).
 
     For every LSH candidate pair, the signature-agreement estimate
     (fraction of equal minhash components — the textbook unbiased
@@ -1503,19 +1549,24 @@ def minhash_calibration(
     estimate join (previously the corpus was re-tokenized and
     re-minhashed for the xs/ys sides — three full signature passes
     where one suffices; guide §1.2 'don't compute things twice')."""
-    pre = (
-        bound_tokens(df, id_col, text_col)
-        .select("id", shingles_expr(F.col("__tk"), k).alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .persist()
-    )
+    own_pre = pre is None
+    if own_pre:
+        pre = (
+            bound_tokens(df, id_col, text_col)
+            .select(
+                "id", shingles_expr(F.col("__tk"), k).alias("shingles")
+            )
+            .where(F.size("shingles") > 0)
+            .persist()
+        )
     sigs = _minhash_signatures(pre, n_hashes).persist()
     if cache_registry is not None:
         cache_registry.append(sigs)
-    # the registry also receives pre + the banded table inside
+    # the registry also receives the banded table (and pre, if owned)
     pairs = _minhash_pairs_from(
         df, id_col, text_col, pre, sigs,
         k, n_hashes, bands, None, 0, cache_registry,
+        register_pre=own_pre,
     )
     xs = sigs.select(
         F.col("id").alias("a"), *[F.col(f"m{i}").alias(f"xm{i}") for i in range(n_hashes)]

@@ -11,9 +11,20 @@ external deps) driven through Arrow-batched ``mapInPandas`` — Python
 touches data in columnar batches only, the same contract as the media
 codecs in operators/multimodal.py.  Everything downstream (quality
 rules, dedup, tokenization) consumes the extracted ``text`` column.
+
+r13 (guide §4.5): the parser classes are defined at MODULE level —
+they were previously defined inside the per-row helpers, so every row
+paid a full class construction (type object + method table) before
+parsing a byte; now a row costs one instantiation.  Rows without a
+``<`` skip the parser entirely (plain-text crawl payloads are common;
+the fast path is exact because markupless text has no tags to strip,
+no entities only ``&`` could introduce, and whitespace collapsing is
+reproduced directly).
 """
 
 from __future__ import annotations
+
+from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame
 
@@ -27,57 +38,73 @@ _BLOCK_TAGS = {
 }
 
 
+class _TextParser(HTMLParser):
+    """Block-structured text + title + link count (see _parse_one)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self.buf: list[str] = []
+        self.skip = 0
+        self.in_title = False
+        self.title = ""
+        self.n_links = 0
+
+    def _flush(self):
+        text = " ".join("".join(self.buf).split())
+        if text:
+            self.blocks.append(text)
+        self.buf = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self.skip += 1
+            return
+        if tag == "a" and any(k == "href" for k, _ in attrs):
+            self.n_links += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag == "title":
+                self.in_title = True
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self.skip = max(0, self.skip - 1)
+            return
+        if tag in _BLOCK_TAGS:
+            if tag == "title" and self.buf:
+                self.title = " ".join("".join(self.buf).split())
+            self._flush()
+            self.in_title = False
+
+    def handle_data(self, data):
+        if not self.skip:
+            self.buf.append(data)
+
+
 def _parse_one(html: str) -> tuple[str, str, int]:
     """(text, title, n_links): block-structured text — one line per
     non-empty block, internal whitespace collapsed to single spaces —
     plus the <title> content and the count of <a href=...> anchors.
     Entities are unescaped (convert_charrefs), script/style content is
-    dropped, malformed markup is tolerated (stdlib parser recovers)."""
-    from html.parser import HTMLParser
+    dropped, malformed markup is tolerated (stdlib parser recovers).
 
-    class X(HTMLParser):
-        def __init__(self):
-            super().__init__(convert_charrefs=True)
-            self.blocks: list[str] = []
-            self.buf: list[str] = []
-            self.skip = 0
-            self.in_title = False
-            self.title = ""
-            self.n_links = 0
+    Markupless fast path (r13): no ``<`` means no tags and no
+    entity-introducing ``&...;`` is treated specially by HTMLParser
+    only when it parses as a charref — but ``convert_charrefs``
+    unescaping applies to ``&amp;``-style refs whether or not a tag
+    exists, so the fast path still routes through ``unescape`` and is
+    byte-identical to the parser on such input."""
+    h = html or ""
+    if "<" not in h:
+        if "&" in h:
+            from html import unescape
 
-        def _flush(self):
-            text = " ".join("".join(self.buf).split())
-            if text:
-                self.blocks.append(text)
-            self.buf = []
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _SKIP_TAGS:
-                self.skip += 1
-                return
-            if tag == "a" and any(k == "href" for k, _ in attrs):
-                self.n_links += 1
-            if tag in _BLOCK_TAGS:
-                self._flush()
-                if tag == "title":
-                    self.in_title = True
-
-        def handle_endtag(self, tag):
-            if tag in _SKIP_TAGS:
-                self.skip = max(0, self.skip - 1)
-                return
-            if tag in _BLOCK_TAGS:
-                if tag == "title" and self.buf:
-                    self.title = " ".join("".join(self.buf).split())
-                self._flush()
-                self.in_title = False
-
-        def handle_data(self, data):
-            if not self.skip:
-                self.buf.append(data)
-
-    p = X()
-    p.feed(html or "")
+            h = unescape(h)
+        text = " ".join(h.split())
+        return (text, "", 0) if text else ("", "", 0)
+    p = _TextParser()
+    p.feed(h)
     p.close()
     p._flush()
     return "\n".join(p.blocks), p.title, p.n_links
@@ -118,6 +145,37 @@ def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
 _MAX_ANCHOR_CHARS = 4096
 
 
+class _LinkParser(HTMLParser):
+    """(href, anchor text) collector with HTML5 auto-close semantics
+    (see _parse_links)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list = []  # [href, [text parts], n_chars]
+        self.open: int | None = None  # index into links
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self.open = None  # HTML5: <a> auto-closes an open <a>
+            href = dict(attrs).get("href")
+            if href is not None:
+                self.open = len(self.links)
+                self.links.append([href, [], 0])
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self.open = None
+
+    def handle_data(self, data):
+        if self.open is None:
+            return
+        link = self.links[self.open]
+        room = _MAX_ANCHOR_CHARS - link[2]
+        if room > 0:
+            link[1].append(data[:room])
+            link[2] += min(len(data), room)
+
+
 def _parse_links(html: str) -> list:
     """(href, anchor_text) per <a href=...>.
 
@@ -130,37 +188,11 @@ def _parse_links(html: str) -> list:
     unclosed FINAL anchor still stops collecting there).  Anchors
     without href are skipped; script content never parses as markup
     (HTMLParser treats it as CDATA)."""
-    from html.parser import HTMLParser
-
-    class _Links(HTMLParser):
-        def __init__(self):
-            super().__init__(convert_charrefs=True)
-            self.links: list = []  # [href, [text parts], n_chars]
-            self.open: int | None = None  # index into links
-
-        def handle_starttag(self, tag, attrs):
-            if tag == "a":
-                self.open = None  # HTML5: <a> auto-closes an open <a>
-                href = dict(attrs).get("href")
-                if href is not None:
-                    self.open = len(self.links)
-                    self.links.append([href, [], 0])
-
-        def handle_endtag(self, tag):
-            if tag == "a":
-                self.open = None
-
-        def handle_data(self, data):
-            if self.open is None:
-                return
-            link = self.links[self.open]
-            room = _MAX_ANCHOR_CHARS - link[2]
-            if room > 0:
-                link[1].append(data[:room])
-                link[2] += min(len(data), room)
-
-    p = _Links()
-    p.feed(html or "")
+    h = html or ""
+    if "<" not in h:
+        return []  # no tags → no anchors
+    p = _LinkParser()
+    p.feed(h)
     p.close()
     return [
         (href, " ".join("".join(parts).split()))
