@@ -233,16 +233,39 @@ def _bm25_results(
     keys).  ``?type=`` requests push the equality below BM25 scoring
     (plans/search.scored_docs type_filter) — ranks unchanged, hits of
     other sources never reach the per-doc aggregation."""
+    from dataclasses import astuple
+
     from dogsheep_beta_spark.plans.search import scored_docs
 
-    idx, fts = _ctx_porter(spark, sf_dir) if porter else _ctx(spark, sf_dir)
     plan = plan or QueryPlan(q=q)
     plan.q = q
-    scored = scored_docs(fts, q, type_filter=plan.type).withColumn(
-        "rank", F.round("rank", 6)
-    )
-    res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
-    return res.results.select("type", "key", "rank", "title", "timestamp")
+    # Per-request-shape memo of the CONSTRUCTED results frame (r13,
+    # VERDICT r12 #6 "reuse analyzed sub-DataFrames"): assembling the
+    # scored-search plan costs ~0.6 s of py4j round-trips (~1500
+    # blocking socket calls measured), and several declared queries
+    # issue the IDENTICAL request (the two hybrid consumers share one;
+    # repeated invocations of any search row re-built it each time).
+    # compile_plan already gives repeated identical requests a cache
+    # hit on the EXECUTION side (plan-canonical keys, the persisted
+    # matched set registered via _track_qres) — this extends the same
+    # one-request-shape-many-consumers lifecycle to the analyzed plan
+    # object.  Execution still computes from the parquet-backed index
+    # on every action.
+    c = _CTX.setdefault(sf_dir, {})
+    key = ("bm25_res", porter, astuple(plan))
+    memo = c.setdefault("bm25_memo", {})
+    if key not in memo:
+        idx, fts = (
+            _ctx_porter(spark, sf_dir) if porter else _ctx(spark, sf_dir)
+        )
+        scored = scored_docs(fts, q, type_filter=plan.type).withColumn(
+            "rank", F.round("rank", 6)
+        )
+        res = _track_qres(sf_dir, compile_plan(idx, plan, scored=scored))
+        memo[key] = res.results.select(
+            "type", "key", "rank", "title", "timestamp"
+        )
+    return memo[key]
 
 
 # ---------------------------------------------------------------------------
