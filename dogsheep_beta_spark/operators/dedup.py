@@ -971,12 +971,18 @@ def connected_components(
     # label table crosses an exchange per superstep — the edge list,
     # the big side at scale, is shuffled exactly once at build
     # (guide §2.4 exchange-reuse; r12).
+    # repartition FIRST, then dropDuplicates (r13, guide §2.4): rows
+    # identical in (src, dst) hash to the same dst partition, so the
+    # dedup's required clustering on {src, dst} is satisfied by the
+    # hash(dst) partitioning already in place and the old standalone
+    # distinct exchange disappears — one exchange builds the edge
+    # table instead of two.
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition("dst")
+        .dropDuplicates()
         .persist()
     )
     # seed with the first propagation round for free (r12): comp₀ =
