@@ -19,6 +19,7 @@ def tmpdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_cli_index_end_to_end(tmpdir):
     config = os.path.join(tmpdir, "rules.yml")
     with open(config, "w") as f:
@@ -142,6 +143,7 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain and len(plain) == 200
 
 
+@pytest.mark.slow
 def test_cli_page_renders_beta_html(tmpdir):
     """`page` subcommand: index a source, render the full beta.html
     structure to a file — form, count line, facet sidebar, result divs

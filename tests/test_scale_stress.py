@@ -1136,6 +1136,7 @@ def test_scale_attribution_vocab_10x(spark):
           f"vocab 1x={ct1:.1f}s 10x={ct10:.1f}s")
 
 
+@pytest.mark.slow
 def test_scale_adversarial_duplication_chain_10x(spark):
     """VERDICT r9 #3: the COMPOSED streaming chain exact-dedup →
     MinHash merge, end-to-end on a 90%-duplicate stream at 1× and 10×.
@@ -1263,6 +1264,7 @@ def test_scale_adversarial_duplication_chain_10x(spark):
     assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)
 
 
+@pytest.mark.slow
 def test_scale_adversarial_semantic_chain_10x(spark):
     """VERDICT r10 #3: the composed chain exact-dedup →
     merge_semantic_batch on a 90%-duplicate embedding stream at 1×/10×
@@ -1398,6 +1400,7 @@ def test_scale_adversarial_semantic_chain_10x(spark):
     assert sum(d10) <= max(3 * sum(d1), sum(d1) + 40), (d1, d10)
 
 
+@pytest.mark.slow
 def test_scale_semantic_split_arrests_hot_cell_growth(spark):
     """VERDICT r10 #2 done-criterion: measured before/after on a
     skew-heavy stream.  Every vector lands in ONE Voronoi cell (the
@@ -1488,6 +1491,7 @@ def test_scale_semantic_split_arrests_hot_cell_growth(spark):
     spark.catalog.clearCache()  # heap hygiene for later broadcast tests
 
 
+@pytest.mark.slow
 def test_scale_semantic_long_horizon_steady_state(spark):
     """VERDICT r11 #3: the ONE-pass split measurement above shows a
     single arrest; this tier proves the ongoing OPERATIONAL claim —
@@ -1582,6 +1586,7 @@ def test_scale_semantic_long_horizon_steady_state(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_scale_fts_at_rest_10x(spark):
     """VERDICT r11 #5: the 100x-scale SEARCH story on the PERSISTED
     path.  The earlier stress tiers exercise MATCH mostly in-session;

@@ -2054,6 +2054,7 @@ def _sweep_crash_points(spark, tmpdir, inj, name, apply_batch, snapshot,
             )
 
 
+@pytest.mark.slow
 def test_crash_injection_minhash_merge(spark, tmpdir, crash_injector):
     """Every write boundary of merge_minhash_batch is crash-replayable:
     matches (deduped), store content and band index all converge to
@@ -2107,6 +2108,7 @@ def test_crash_injection_minhash_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_semantic_merge(spark, tmpdir, crash_injector):
     """Every write boundary of merge_semantic_batch is crash-replayable
     — including the store-written/matches-lost interleaving that the
@@ -2151,6 +2153,7 @@ def test_crash_injection_semantic_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_ivf_manifest_commit(spark, tmpdir, crash_injector):
     """Every write/rename boundary of merge_ivf_batch's manifest-commit
     protocol is crash-replayable: the manifest-pinned read returns
@@ -2204,6 +2207,7 @@ def test_crash_injection_ivf_manifest_commit(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_objectstore_commit(spark, tmpdir, crash_injector):
     """The object-store (no-rename) commit backend under the SAME
     crash sweep the POSIX manifest protocol is held to (VERDICT r11
@@ -2303,6 +2307,7 @@ def test_crash_injection_objectstore_commit(spark, tmpdir, crash_injector):
     assert after == before
 
 
+@pytest.mark.slow
 def test_crash_injection_objectstore_fts_merge(spark, tmpdir, crash_injector):
     """The multi-table FTS maintenance on the no-rename backend under
     the same sweep: staging writes, every data-object upload across
@@ -2375,6 +2380,7 @@ def test_crash_injection_objectstore_fts_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_entity_link_merge(spark, tmpdir, crash_injector):
     """Every write/rename boundary of merge_link_batch is
     crash-replayable — including mid-publish crashes inside the
@@ -2422,6 +2428,7 @@ def test_crash_injection_entity_link_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_fts_merge(spark, tmpdir, crash_injector):
     """Every write/rename boundary of merge_fts_batch (the A10
     incremental FTS maintenance path) is crash-replayable: index,
@@ -2473,6 +2480,7 @@ def test_crash_injection_fts_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_fts_scoped_merge(spark, tmpdir, crash_injector):
     """The partition-SCOPED FTS maintenance variant
     (merge_fts_batch_scoped — the serving path's layout) under the
@@ -2525,6 +2533,7 @@ def test_crash_injection_fts_scoped_merge(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_kmv_swap(spark, tmpdir, crash_injector):
     """merge_kmv_batch's atomic-swap publish under the sweep: a crash
     at any rename/write boundary replays to the same synopsis (KMV
@@ -2564,6 +2573,7 @@ def test_crash_injection_kmv_swap(spark, tmpdir, crash_injector):
     )
 
 
+@pytest.mark.slow
 def test_crash_injection_ivf_compaction(spark, tmpdir, crash_injector):
     """compact_ivf_layout under the sweep: kill the compactor at every
     write/rename boundary (staging write, late-file migration,
@@ -2665,6 +2675,7 @@ def test_ivf_commit_tokens_are_checkpoint_namespaced(spark, tmpdir):
     assert got == [0, 1, 2, 3, 10, 11, 12, 13]
 
 
+@pytest.mark.slow
 def test_crash_injection_append_onto_dangling_manifest(
     spark, tmpdir, crash_injector
 ):
@@ -2897,6 +2908,7 @@ def test_maintain_semantic_store_occupancy_driven(spark, tmpdir):
     assert inc.maintain_semantic_store(spark, root, max_cell_rows=10, tau=0.9) == {}
 
 
+@pytest.mark.slow
 def test_crash_injection_semantic_split(spark, tmpdir, crash_injector):
     """Every write/rename boundary of split_semantic_cell is crash-
     replayable: staging, marker, per-partition publish, the cents
